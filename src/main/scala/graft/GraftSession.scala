@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * Spark-first analog of the reference's job wiring
+  * (ref: examples/TestBAM.java:70-90 configures a Hadoop Job; here the
+  * equivalent "engine setup" is a SparkSession with the graft Catalyst
+  * extensions installed and scale-appropriate shuffle defaults).
+  */
+object GraftSession {
+
+  /** Build a local session. `cpus` drives both parallelism and the
+    * shuffle-partition count (a 1000-executor cluster would instead set
+    * spark.sql.shuffle.partitions ~ 2-3x total cores and lean on AQE
+    * coalescing, which is enabled here for exactly that reason).
+    */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+
+  def configure(b: SparkSession.Builder, cpus: Int): SparkSession.Builder = b
+    .appName("graft")
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    .withExtensions(new GraftExtensions)
+
+  /** Attach graft to an existing session (tests, notebooks). */
+  def register(spark: SparkSession): SparkSession = {
+    functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}
+
+/** Loaders for the shared benchmark tables. One parquet dir per table;
+  * at 100 TB these would be partitioned directories — the loader is the
+  * single place that changes.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
