@@ -28,6 +28,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+    // type for; surface it as BIGINT nanoseconds (time math then runs in
+    // exact integer µs/ns — see Relational.qSessionize).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .withExtensions(new GraftExtensions)
 
   /** Attach graft to an existing session (tests, notebooks). */

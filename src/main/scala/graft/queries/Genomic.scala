@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Genomic-semantics operators (SURVEY §2.2 O2-O4, O7-O10) exercised as
+  * relational analogs over the shared testdata (SURVEY §3 mapping:
+  * lineitem ≈ alignment facts — l_returnflag ≈ contig, derived numeric
+  * ranges ≈ loci; part ≈ target intervals).
+  *
+  * The real-format counterparts (interval pushdown on BAM scans etc.)
+  * live in graft.sources; these queries gate the *algorithms* against
+  * the DuckDB oracle.
+  */
+object Genomic {
+
+  /** Read model: id, contig, [rstart, rend] interval derived
+    * deterministically from lineitem (same arithmetic in the oracle). */
+  private def reads(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      expr("l_orderkey * 10 + l_linenumber").as("read_id"),
+      col("l_returnflag").as("contig"),
+      expr("(l_partkey * 3) % 1000").as("rstart"),
+      expr("(l_partkey * 3) % 1000 + CAST(FLOOR(l_quantity) AS BIGINT)").as("rend"))
+
+  /** Target model: intervals derived from part (p_size as width). */
+  private def targets(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("target_id"),
+      expr("CASE p_partkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END").as("tcontig"),
+      expr("(p_partkey * 7) % 1000").as("tstart"),
+      expr("(p_partkey * 7) % 1000 + p_size").as("tend"))
+
+  // O2 — bounded-traversal interval filter.  The Spark-first analog of
+  // ref: BAMInputFormat.java:150-190 (setTraversalParameters /
+  // getIntervals): the interval predicate must reach the scan as
+  // PushedFilters so only matching row groups are read (verified by an
+  // explain audit in the test suite).
+  def qIntervalFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qIntervalFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // O3 — interval overlap join WITHOUT a cartesian product: both sides
+  // explode to fixed-width bins, equi-join on (contig, bin), keep the
+  // residual overlap predicate, and count each pair exactly once in
+  // the bin that contains max(rstart, tstart).  Shuffle is
+  // O(|reads| + |targets|) × bins-per-interval (≤ 2 here) — the
+  // 100 TB-safe reformulation of ref: util/IntervalUtil.java overlap
+  // semantics + BAMInputFormat bounded traversal.
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val binW = 64
+    val r = reads(s, d).withColumn(
+      "bin", explode(expr(s"sequence(CAST(rstart / $binW AS BIGINT), CAST(rend / $binW AS BIGINT))")))
+    val t = targets(s, d).withColumn(
+      "bin", explode(expr(s"sequence(CAST(tstart / $binW AS BIGINT), CAST(tend / $binW AS BIGINT))")))
+    r.join(t,
+        r("bin") === t("bin") && col("contig") === col("tcontig") &&
+        col("rstart") <= col("tend") && col("tstart") <= col("rend") &&
+        r("bin") === expr(s"CAST(GREATEST(rstart, tstart) / $binW AS BIGINT)"))
+      .groupBy("target_id")
+      .agg(count(lit(1)).as("n_reads"))
+      .orderBy("target_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH r AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS read_id,
+      |    l_returnflag AS contig,
+      |    (l_partkey * 3) % 1000 AS rstart,
+      |    (l_partkey * 3) % 1000 + CAST(FLOOR(l_quantity) AS BIGINT) AS rend
+      |  FROM lineitem
+      |), t AS (
+      |  SELECT p_partkey AS target_id,
+      |    CASE p_partkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS tcontig,
+      |    (p_partkey * 7) % 1000 AS tstart,
+      |    (p_partkey * 7) % 1000 + p_size AS tend
+      |  FROM part
+      |)
+      |SELECT target_id, COUNT(*) AS n_reads
+      |FROM r JOIN t ON contig = tcontig AND rstart <= tend AND tstart <= rend
+      |GROUP BY target_id ORDER BY target_id""".stripMargin
+
+  // O4 — depth-of-coverage via boundary events (+1 at read start, −1
+  // just past read end) and a per-contig running sum.  2 rows per
+  // read, never a per-base explode; window is partitioned by contig so
+  // at 1000 executors each contig range is an independent sort.
+  def qCoverage(s: SparkSession, d: String): DataFrame = {
+    val r = reads(s, d)
+    val ev = r.select(col("contig"), col("rstart").as("pos"), lit(1).as("delta"))
+      .unionAll(r.select(col("contig"), (col("rend") + 1).as("pos"), lit(-1).as("delta")))
+    val byPos = Window.partitionBy("contig").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.groupBy("contig", "pos")
+      .agg(sum("delta").cast("bigint").as("d"))
+      .select(col("contig"), col("pos"),
+        sum("d").over(byPos).cast("bigint").as("depth"))
+      .orderBy("contig", "pos")
+  }
+
+  val qCoverageSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS contig,
+      |    (l_partkey * 3) % 1000 AS rstart,
+      |    (l_partkey * 3) % 1000 + CAST(FLOOR(l_quantity) AS BIGINT) AS rend
+      |  FROM lineitem
+      |), ev AS (
+      |  SELECT contig, rstart AS pos, 1 AS delta FROM r
+      |  UNION ALL
+      |  SELECT contig, rend + 1 AS pos, -1 AS delta FROM r
+      |), g AS (
+      |  SELECT contig, pos, CAST(SUM(delta) AS BIGINT) AS d
+      |  FROM ev GROUP BY contig, pos
+      |)
+      |SELECT contig, pos,
+      |  CAST(SUM(d) OVER (PARTITION BY contig ORDER BY pos
+      |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+      |FROM g ORDER BY contig, pos""".stripMargin
+
+  // O7 — mark duplicates: per duplicate locus (contig, pos) keep the
+  // best-quality representative (max score, deterministic tiebreak) —
+  // the Picard-markdup shape as a single window pass.
+  def qMarkdup(s: SparkSession, d: String): DataFrame = {
+    val key = Window.partitionBy("l_returnflag", "l_partkey")
+    val ranked = key.orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(
+        col("l_returnflag").as("contig"), col("l_partkey").as("pos"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("score"),
+        row_number().over(ranked).as("rn"),
+        count(lit(1)).over(key).cast("bigint").as("n_dup"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("contig", "pos")
+  }
+
+  val qMarkdupSql: String =
+    """SELECT contig, pos, l_orderkey, l_linenumber, score, n_dup FROM (
+      |  SELECT l_returnflag AS contig, l_partkey AS pos,
+      |    l_orderkey, l_linenumber, l_extendedprice AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_partkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_partkey) AS BIGINT) AS n_dup
+      |  FROM lineitem
+      |) WHERE rn = 1 ORDER BY contig, pos""".stripMargin
+
+  // O8 — flagstat: bitwise flag-field conditional aggregation in one
+  // pass (SAM flag semantics, ref: FormatConstants.java + the flag
+  // columns of SAMRecordReader.java).  Flag word derived as
+  // l_orderkey % 4096 — 12 SAM flag bits.
+  def qFlagstat(s: SparkSession, d: String): DataFrame = {
+    def bit(b: Int, name: String) =
+      sum(expr(s"CASE WHEN ((l_orderkey % 4096) & $b) <> 0 THEN 1 ELSE 0 END")).as(name)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rgroup"))
+      .agg(count(lit(1)).as("total"),
+        bit(1, "paired"), bit(2, "proper_pair"), bit(4, "unmapped"),
+        bit(8, "mate_unmapped"), bit(16, "reverse"), bit(256, "secondary"),
+        bit(1024, "duplicate"), bit(2048, "supplementary"))
+      .orderBy("rgroup")
+  }
+
+  val qFlagstatSql: String =
+    """SELECT l_returnflag AS rgroup, COUNT(*) AS total,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 1) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS paired,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 2) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS proper_pair,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 4) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS unmapped,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 8) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS mate_unmapped,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 16) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS reverse,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 256) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS secondary,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 1024) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate,
+      |  CAST(SUM(CASE WHEN ((l_orderkey % 4096) & 2048) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS supplementary
+      |FROM lineitem GROUP BY l_returnflag ORDER BY rgroup""".stripMargin
+
+  // O9 — vendor-QC filter + quality-encoding conversion
+  // (sanger ↔ illumina = +31 phred offset shift,
+  // ref: FormatConstants.java:30-40, SequencedFragment.java QC flag).
+  def qQcFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(expr("((l_orderkey % 4096) & 512) = 0"))
+      .select(
+        expr("l_orderkey * 10 + l_linenumber").as("read_id"),
+        expr("CAST((l_orderkey * 7 + l_linenumber * 13) % 42 AS BIGINT)").as("qual_sanger"),
+        expr("CAST((l_orderkey * 7 + l_linenumber * 13) % 42 + 31 AS BIGINT)").as("qual_illumina"))
+      .orderBy("read_id")
+
+  val qQcFilterSql: String =
+    """SELECT l_orderkey * 10 + l_linenumber AS read_id,
+      |  CAST((l_orderkey * 7 + l_linenumber * 13) % 42 AS BIGINT) AS qual_sanger,
+      |  CAST((l_orderkey * 7 + l_linenumber * 13) % 42 + 31 AS BIGINT) AS qual_illumina
+      |FROM lineitem WHERE ((l_orderkey % 4096) & 512) = 0
+      |ORDER BY read_id""".stripMargin
+
+  // O10 — merge n sorted shards into one globally sorted stream
+  // (ref: util/SAMFileMerger.java:32 reassembles part-files; here the
+  // Spark-first equivalent is union + range repartition, which keeps
+  // every writer balanced instead of funneling through one task).
+  def qMergeSorted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    val shard0 = li.filter(col("l_orderkey") % 2 === 0)
+      .repartitionByRange(col("l_shipdate")).sortWithinPartitions("l_shipdate")
+    val shard1 = li.filter(col("l_orderkey") % 2 === 1)
+      .repartitionByRange(col("l_shipdate")).sortWithinPartitions("l_shipdate")
+    shard0.unionAll(shard1)
+      .repartitionByRange(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  val qMergeSortedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+      |FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_filter" -> (qIntervalFilter _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_coverage" -> (qCoverage _),
+    "q_markdup" -> (qMarkdup _),
+    "q_flagstat" -> (qFlagstat _),
+    "q_qc_filter" -> (qQcFilter _),
+    "q_merge_sorted" -> (qMergeSorted _))
+
+  val oracle: Map[String, String] = Map(
+    "q_interval_filter" -> qIntervalFilterSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_coverage" -> qCoverageSql,
+    "q_markdup" -> qMarkdupSql,
+    "q_flagstat" -> qFlagstatSql,
+    "q_qc_filter" -> qQcFilterSql,
+    "q_merge_sorted" -> qMergeSortedSql)
+}

@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators (SURVEY §2.3 P1-P10) over the
+  * `documents` / `embeddings` tables.  P11 (multimodal) lives in
+  * [[Multimodal]].
+  *
+  * Scale posture: every near-dup / ANN operator is a BUCKET join —
+  * candidate generation shuffles O(n · bands) fixed-width signatures,
+  * never O(n²) text — with an exact verify/re-rank confined to
+  * within-bucket candidates.  The DuckDB oracles compute the same
+  * final semantics directly (all-pairs is fine at sf0.01); LSH
+  * parameters are chosen so the candidate stage has ~zero
+  * false-negative probability at the gated thresholds (64 bands × 2
+  * rows: miss probability (1-s²)⁶⁴ < 1e-7 at s = 0.8).
+  *
+  * Determinism: all hashes derive from md5 hex digits (identical in
+  * Spark, DuckDB, and JVM Scala); all floating point is computed with
+  * the same association order (sequential left fold) on both sides.
+  */
+object Pipeline {
+
+  /** 32-bit hash of a string: value of the first 8 hex digits of its
+    * md5 — expressible identically in Spark SQL and DuckDB. `x` is the
+    * lambda-variable name holding the string. */
+  private def hash32(x: String): String =
+    s"aggregate(sequence(1, 8), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> acc * 16 + CAST(instr('0123456789abcdef', substring(md5($x), i, 1)) - 1 AS BIGINT))"
+
+  /** Same hash in DuckDB SQL. */
+  private def duckHash32(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), " +
+      s"i -> CAST(strpos('0123456789abcdef', substr(md5($x), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
+
+  private val tok = "split(lower(text), ' ')"
+  private val duckTok = "string_split(lower(text), ' ')"
+
+  /** Distinct word n-gram shingles. */
+  private def shingles(n: Int): String =
+    s"CASE WHEN size($tok) < $n THEN array('') ELSE " +
+      s"array_distinct(transform(sequence(0, size($tok) - $n), " +
+      s"i -> concat_ws(' ', slice($tok, i + 1, $n)))) END"
+
+  private def duckShingles(n: Int): String =
+    s"CASE WHEN len($duckTok) < $n THEN [''] ELSE " +
+      s"list_distinct(list_transform(range(len($duckTok) - ${n - 1}), " +
+      s"i -> array_to_string(($duckTok)[CAST(i + 1 AS INT):CAST(i + $n AS INT)], ' '))) END"
+
+  // ---------------------------------------------------------------- P1
+  // Exact dedup: content hash → keep-list (min doc_id representative).
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- P2
+  // MinHash + LSH near-dup: 3-gram shingles → 128 minhashes → 64 bands
+  // of 2 → band-bucket self-join (equi-join; shuffle ∝ n·bands) →
+  // exact-Jaccard verify of candidates only.  Output = pairs with
+  // J ≥ 0.8 (equals exact all-pairs result w.p. > 1 - 1e-7).
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), expr(shingles(3)).as("sh"))
+    val sig = sh.select(col("doc_id"),
+      expr(s"transform(sh, x -> ${hash32("x")})").as("shh"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 127), k -> " +
+          "array_min(transform(shh, h -> ((2 * k + 1) * h + k * k + 7) % 2147483647)))").as("sig"))
+    // Exchange barrier: without it CollapseProject inlines the whole
+    // 128-hash signature expression into every element_at below,
+    // recomputing it ~128× per doc (measured 64s → <2s at sf0.01).
+    // Hash-partitioning by doc_id is also the shuffle the LSH band join
+    // wants: signatures are fixed-width, so this moves O(n·128·8B).
+    val sigM = sig.repartition(col("doc_id"))
+    val bands = sigM.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 63), b -> " +
+          "struct(b AS band, element_at(sig, 2 * b + 1) AS h1, element_at(sig, 2 * b + 2) AS h2))")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+        col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(sha) + size(shb) - inter)"))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupMinhashSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${duckShingles(3)} AS sh FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
+       |)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+       |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- P3
+  // SimHash: 32-bit signature over distinct-token hashes; docs sharing
+  // a signature form a dup group (bucket dedup — no pairwise join).
+  private val simhashExpr: String =
+    s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + " +
+      s"IF(aggregate(hs, CAST(0 AS BIGINT), (w, h) -> w + (shiftright(h, b) & 1) * 2 - 1) > 0, " +
+      s"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"transform(array_distinct($tok), t -> ${hash32("t")})").as("hs"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .withColumn("dup_group", min("doc_id").over(Window.partitionBy("simhash")))
+      .orderBy("doc_id")
+
+  val qDedupSimhashSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct($duckTok), t -> ${duckHash32("t")}) AS hs
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), (a, c) -> a + c) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, c) -> a + c) AS simhash
+       |  FROM h
+       |)
+       |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- P4
+  // N-gram Jaccard similarity, blocked by source (equi-join on the
+  // blocking key — at 100 TB the block bound caps pair count).
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr(shingles(2)).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("size(array_intersect(a.sh, b.sh))").as("inter"),
+        expr("size(a.sh)").as("la"), expr("size(b.sh)").as("lb"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qNgramJaccardSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, ${duckShingles(2)} AS sh FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ P5/P6
+  /** Sequential-fold dot product of two double-cast float vectors —
+    * association order matches the DuckDB oracle exactly. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), " +
+      s"i -> ($a)[CAST(i + 1 AS INT)]::DOUBLE * ($b)[CAST(i + 1 AS INT)]::DOUBLE)), (x, y) -> x + y)"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+
+  // P5 — brute-force cosine top-k: the exactness baseline (O(n·q) —
+  // acceptable because q is a small probe set; the scale path is P6).
+  def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("neighbor_id"))
+    broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        expr(s"${dot("qe", "embedding")} / (qn * nrm)").as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 10)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qAnnBruteforceSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), sc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0
+       |)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
+       |) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  // P6 — LSH-bucketed ANN: 4 anchor hyperplanes (sign of dot with
+  // anchor vectors 0-3) → 16 buckets; candidates = same-bucket only
+  // (equi-join), exact cosine re-rank within bucket.  Shuffle is
+  // O(n · anchors) signatures, not O(n²).
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val anchors = Tables.embeddings(s, d).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val buckets = emb.join(broadcast(anchors))
+      .groupBy("vec_id")
+      .agg(sum(expr(s"IF(${dot("embedding", "ae")} >= 0, " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT)), CAST(0 AS BIGINT))"))
+        .cast("bigint").as("bucket"))
+    val tagged = emb.join(buckets, "vec_id")
+    val q = tagged.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("neighbor_id"))
+    q.join(tagged, col("qb") === col("bucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        expr(s"${dot("qe", "embedding")} / (qn * nrm)").as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qAnnLshSql: String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 4
+       |), dts AS (
+       |  SELECT e.vec_id, a.aid, ${duckDot("e.embedding", "a.ae")} AS dot
+       |  FROM embeddings e CROSS JOIN a
+       |), b AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(aid AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dts GROUP BY vec_id
+       |), n AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), sc AS (
+       |  SELECT bq.vec_id AS qid, be.vec_id AS neighbor_id,
+       |    ${duckDot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+       |  FROM b bq JOIN b be ON bq.bucket = be.bucket AND be.vec_id <> bq.vec_id
+       |    JOIN n nq ON nq.vec_id = bq.vec_id
+       |    JOIN n ne ON ne.vec_id = be.vec_id
+       |  WHERE bq.vec_id % 100 = 0
+       |)
+       |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
+       |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- P7
+  // Language-ID heuristic: stopword hit counts + multibyte ratio.
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"))
+
+  private def stopCount(lang: String, arrFn: String => String): String = {
+    val lst = stop(lang).map(w => s"'$w'").mkString(", ")
+    arrFn(lst)
+  }
+
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    def cnt(l: String) = stopCount(l,
+      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
+    Tables.documents(s, d)
+      .withColumn("s_en", expr(cnt("en"))).withColumn("s_de", expr(cnt("de")))
+      .withColumn("s_es", expr(cnt("es"))).withColumn("s_fr", expr(cnt("fr")))
+      .withColumn("m", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN CAST(octet_length(text) AS DOUBLE) > 1.5 * length(text) THEN 'zh'
+          |     WHEN m = 0 THEN 'unknown'
+          |     WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+          |     WHEN s_es = m THEN 'es' ELSE 'fr' END""".stripMargin))
+      .withColumn("correct", expr("CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INT)"))
+      .select("doc_id", "lang", "pred_lang", "correct")
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = {
+    def cnt(l: String) = stopCount(l,
+      lst => s"CAST(len(list_filter($duckTok, t -> list_contains([$lst], t))) AS INT)")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang, text,
+       |    ${cnt("en")} AS s_en, ${cnt("de")} AS s_de,
+       |    ${cnt("es")} AS s_es, ${cnt("fr")} AS s_fr
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN CAST(strlen(text) AS DOUBLE) > 1.5 * length(text) THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM sc
+       |)
+       |SELECT doc_id, lang, pred_lang,
+       |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- P8
+  // Quality scoring: distinct-token ratio, length score, stopword
+  // ratio → weighted score.  All doubles derived with identical
+  // association order on both sides — no rounding needed.
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val enCnt = stopCount("en",
+      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
+    Tables.documents(s, d)
+      .withColumn("n_tok", expr(s"CAST(size($tok) AS BIGINT)"))
+      .withColumn("distinct_ratio",
+        expr(s"CAST(size(array_distinct($tok)) AS DOUBLE) / size($tok)"))
+      .withColumn("len_score",
+        expr("least(CAST(n_tok AS DOUBLE), 200.0) / 200.0"))
+      .withColumn("stop_ratio", expr(s"CAST($enCnt AS DOUBLE) / size($tok)"))
+      .withColumn("score",
+        expr("100 * (0.4 * distinct_ratio + 0.3 * len_score + 0.3 * stop_ratio)"))
+      .select("doc_id", "n_tok", "distinct_ratio", "stop_ratio", "score")
+      .orderBy("doc_id")
+  }
+
+  val qQualityScoreSql: String = {
+    val enCnt = stopCount("en",
+      lst => s"len(list_filter($duckTok, t -> list_contains([$lst], t)))")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckTok) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct($duckTok)) AS DOUBLE) / len($duckTok) AS distinct_ratio,
+       |    CAST($enCnt AS DOUBLE) / len($duckTok) AS stop_ratio
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tok, distinct_ratio, stop_ratio,
+       |  100 * (0.4 * distinct_ratio
+       |       + 0.3 * (least(CAST(n_tok AS DOUBLE), 200.0) / 200.0)
+       |       + 0.3 * stop_ratio) AS score
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- P9
+  // Token counting: whitespace tokens + regex (BPE-ish word pieces).
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("ws_tokens"),
+        expr("CAST(size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT)").as("re_tokens"),
+        expr("CAST(octet_length(text) AS BIGINT)").as("n_bytes"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS re_tokens,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- P10
+  // Document fingerprinting by winnowing (k=8 char-grams, window w=4,
+  // min hash per window, distinct mins) — the standard rolling-hash
+  // sampling used for plagiarism-style containment detection.
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, length(lower(text)) - 8), " +
+          s"i -> substring(lower(text), i + 1, 8))").as("grams"))
+      .select(col("doc_id"),
+        expr(s"transform(grams, g -> ${hash32("g")})").as("gh"))
+      .select(col("doc_id"),
+        explode(expr(
+          "array_distinct(transform(sequence(0, size(gh) - 4), j -> array_min(slice(gh, j + 1, 4))))"))
+          .as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
+  val qFingerprintSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(range(length(lower(text)) - 7),
+       |    i -> substr(lower(text), CAST(i + 1 AS INT), 8)) AS grams
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, list_transform(grams, g -> ${duckHash32("g")}) AS gh FROM g
+       |), f AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(gh) - 3),
+       |    j -> list_min(gh[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))) AS fps
+       |  FROM h
+       |)
+       |SELECT doc_id, unnest(fps) AS fingerprint FROM f
+       |ORDER BY doc_id, fingerprint""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_lsh" -> qAnnLshSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql)
+}
