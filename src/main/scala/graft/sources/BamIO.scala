@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{SamHeader, SamRecord}
+
+/** Filesystem access via the Hadoop FS API so the same code serves
+  * file://, hdfs:// and s3a:// — executors rebuild the default
+  * Configuration locally (cluster nodes carry site configs). */
+object Fs {
+  def get(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(new Configuration()), path)
+  }
+}
+
+/** Sidecar splitting index: record-start virtual offsets (+ the
+  * record's refId/pos for bounded-traversal pruning) every
+  * `granularity` records, plus the end-of-records virtual offset.
+  *
+  * Analog of SplittingBAMIndexer.java / SplittingBAMIndex.java — the
+  * reference's constant-time split placement — extended with position
+  * keys so a coordinate-sorted BAM can prune whole chunks against
+  * query intervals (the linear-index role of LinearBAMIndex.java).
+  */
+object SplittingIndex {
+  final case class Entry(vo: Long, refId: Int, pos: Int)
+  private val Magic = 0x47534958 // "GSIX"
+
+  def write(fs: FileSystem, path: Path, granularity: Int,
+            entries: Seq[Entry], endVo: Long): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(path, true)))
+    out.writeInt(Magic); out.writeInt(1); out.writeInt(granularity)
+    out.writeInt(entries.length)
+    entries.foreach { e => out.writeLong(e.vo); out.writeInt(e.refId); out.writeInt(e.pos) }
+    out.writeLong(endVo)
+    out.close()
+  }
+
+  def read(fs: FileSystem, path: Path): Option[(Int, Array[Entry], Long)] = {
+    if (!fs.exists(path)) return None
+    val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
+    try {
+      if (in.readInt() != Magic) return None
+      in.readInt() // version
+      val gran = in.readInt()
+      val n = in.readInt()
+      val es = Array.fill(n)(Entry(in.readLong(), in.readInt(), in.readInt()))
+      Some((gran, es, in.readLong()))
+    } finally in.close()
+  }
+
+  def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".sidx")
+}
+
+/** Distributed BAM read/write (S3-S5).
+  *
+  * Read path: the DRIVER places all split boundaries up front —
+  * constant-time from the sidecar index when present, otherwise by
+  * block-guessing + record-guessing at each target byte offset
+  * (BAMInputFormat.getSplits + BAMSplitGuesser semantics) — then each
+  * task reads exactly the records whose start virtual offset falls in
+  * its [startVo, endVo) range.  Boundaries are computed once centrally,
+  * so neighbors can never disagree about record ownership.
+  *
+  * Write path: each partition writes a header-less BGZF shard +
+  * returns its local splitting-index entries; the driver concatenates
+  * header + shards + EOF terminator (BGZF concatenation is valid) and
+  * shifts the index entries — the reference's SAMFileMerger.java:32
+  * shape without a second pass over the data.
+  */
+object BamIO {
+
+  // ---------------------------------------------------------------- read
+
+  def readHeader(file: String): SamHeader = {
+    val (fs, path) = Fs.get(file)
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
+    try BamCodec.readHeader(in) finally in.close()
+  }
+
+  /** Records overlapping any interval (contig, start, end) 1-based
+    * inclusive; empty = full scan.  `splitSize` in compressed bytes. */
+  def read(spark: SparkSession, file: String,
+           intervals: Seq[(String, Int, Int)] = Nil,
+           splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
+    val (fs, path) = Fs.get(file)
+    val fileLen = fs.getFileStatus(path).getLen
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
+    val header = BamCodec.readHeader(in)
+    val headerEndVo = in.virtualPos
+    in.close()
+
+    val ranges: Seq[(Long, Long)] =
+      SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
+        case Some((_, entries, endVo)) =>
+          splitsFromIndex(header, entries, endVo, headerEndVo, intervals, splitSize)
+        case None =>
+          val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
+          bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
+      }
+    val nRef = header.refs.length
+    val refs = header.refs
+    val iv = intervals.toArray
+    import spark.implicits._
+    spark.sparkContext.parallelize(ranges, math.max(1, ranges.length))
+      .flatMap { case (startVo, endVo) =>
+        readRange(file, startVo, endVo, refs, iv)
+      }.toDS()
+  }
+
+  /** Chunk boundaries from the sidecar index, pruned against intervals
+    * when the BAM is coordinate-sorted (bounded traversal,
+    * ref: BAMInputFormat.java:150-190). */
+  private def splitsFromIndex(header: SamHeader, entries: Array[SplittingIndex.Entry],
+                              endVo: Long, headerEndVo: Long,
+                              intervals: Seq[(String, Int, Int)],
+                              splitSize: Long): Seq[(Long, Long)] = {
+    val all = SplittingIndex.Entry(headerEndVo,
+      entries.headOption.map(_.refId).getOrElse(-1),
+      entries.headOption.map(_.pos).getOrElse(-1)) +: entries.toSeq
+    val chunks: Seq[(SplittingIndex.Entry, Long)] =
+      all.zip(all.drop(1).map(_.vo) :+ endVo).filter { case (e, end) => e.vo < end }
+    val pruned =
+      if (intervals.isEmpty || header.sortOrder != "coordinate") chunks
+      else {
+        val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+        val ivs = intervals.flatMap { case (c, s, e) => refIdx.get(c).map(ri => (ri, s, e)) }
+        chunks.zipWithIndex.filter { case ((e, _), i) =>
+          val nextKey = if (i + 1 < chunks.length) Some((chunks(i + 1)._1.refId, chunks(i + 1)._1.pos)) else None
+          chunkOverlaps(e.refId, e.pos, nextKey, ivs)
+        }.map(_._1)
+      }
+    // coalesce contiguous chunks up to splitSize compressed bytes
+    val out = new ArrayBuffer[(Long, Long)]()
+    var curStart = -1L
+    var curEnd = -1L
+    pruned.foreach { case (e, end) =>
+      val contiguous = curStart >= 0 && e.vo == curEnd
+      val full = curStart >= 0 &&
+        Bgzf.voCompressed(curEnd) - Bgzf.voCompressed(curStart) >= splitSize
+      if (curStart < 0) { curStart = e.vo; curEnd = end }
+      else if (contiguous && !full) curEnd = end
+      else { out += ((curStart, curEnd)); curStart = e.vo; curEnd = end }
+    }
+    if (curStart >= 0) out += ((curStart, curEnd))
+    out.toSeq
+  }
+
+  /** A chunk [first record key, next chunk's first key) overlaps the
+    * intervals?  Conservative when the next key is unknown. */
+  private def chunkOverlaps(refId: Int, pos: Int, nextKey: Option[(Int, Int)],
+                            ivs: Seq[(Int, Int, Int)]): Boolean = {
+    if (refId < 0) return true // unmapped tail — kept (optional in ref)
+    ivs.exists { case (ri, s, e) =>
+      val startsBeforeEnd = refId < ri || (refId == ri && pos <= e)
+      val endsAfterStart = nextKey match {
+        case Some((nr, np)) => nr > ri || (nr == ri && np >= s) || nr < 0
+        case None => true
+      }
+      startsBeforeEnd && endsAfterStart
+    }
+  }
+
+  /** No index: fixed byte-range split targets; at each target the
+    * driver finds the next BGZF block, inflates a window, and guesses
+    * the first record start (BAMSplitGuesser.java re-expression). */
+  private def splitsByGuessing(fs: FileSystem, path: Path, fileLen: Long,
+                               header: SamHeader, headerEndVo: Long,
+                               splitSize: Long): Array[Long] = {
+    val targets = (Bgzf.voCompressed(headerEndVo) + splitSize) until fileLen by splitSize
+    val bounds = new ArrayBuffer[Long]()
+    bounds += headerEndVo
+    val raw = fs.open(path)
+    try {
+      targets.foreach { t =>
+        val window = new Array[Byte](512 * 1024)
+        raw.seek(t)
+        var n = 0
+        var r = 0
+        while (n < window.length && r >= 0) {
+          r = raw.read(window, n, window.length - n)
+          if (r > 0) n += r
+        }
+        val blockOff = Bgzf.findBlockStart(java.util.Arrays.copyOf(window, n), 0)
+        if (blockOff >= 0) {
+          // inflate a couple blocks and guess the record boundary
+          val bis = new Bgzf.BgzfInputStream(
+            new java.io.ByteArrayInputStream(window, blockOff, n - blockOff), t + blockOff)
+          val buf = new ByteArrayOutputStream()
+          try {
+            val tmp = new Array[Byte](8192)
+            var got = 0
+            while (buf.size < 2 * Bgzf.MaxBlockSize && got >= 0) {
+              got = bis.read(tmp)
+              if (got > 0) buf.write(tmp, 0, got)
+            }
+          } catch { case _: EOFException => () } // window may cut a block
+          val rec = BamCodec.guessRecordStart(buf.toByteArray, header.refs.length)
+          if (rec >= 0) {
+            // rec is an uncompressed offset from blockOff's block start;
+            // walk blocks to express it as a virtual offset
+            var co = t + blockOff
+            var remaining = rec
+            var done = false
+            while (!done) {
+              val bsize = blockSizeAt(window, (co - t).toInt, n)
+              val inflated = inflatedSizeOfBlock(window, (co - t).toInt, n)
+              if (bsize > 0 && remaining >= inflated && inflated > 0) {
+                remaining -= inflated; co += bsize
+              } else done = true
+            }
+            bounds += Bgzf.virtualOffset(co, remaining)
+          }
+        }
+      }
+    } finally raw.close()
+    bounds += Bgzf.virtualOffset(fileLen, 0)
+    bounds.distinct.sorted.toArray
+  }
+
+  private def blockSizeAt(window: Array[Byte], off: Int, len: Int): Int =
+    if (off < 0 || off > len - 18) -1 else Bgzf.parseBsize(window, off)
+
+  private def inflatedSizeOfBlock(window: Array[Byte], off: Int, len: Int): Int = {
+    val bsize = blockSizeAt(window, off, len)
+    if (bsize < 0 || off + bsize > len) return -1
+    // ISIZE = last 4 bytes of the member
+    val o = off + bsize - 4
+    (window(o) & 0xff) | ((window(o + 1) & 0xff) << 8) |
+      ((window(o + 2) & 0xff) << 16) | ((window(o + 3) & 0xff) << 24)
+  }
+
+  /** Task-side: iterate records with start VO in [startVo, endVo). */
+  private def readRange(file: String, startVo: Long, endVo: Long,
+                        refs: Array[graft.model.SamRef],
+                        intervals: Array[(String, Int, Int)]): Iterator[SamRecord] = {
+    val (fs, path) = Fs.get(file)
+    val raw = fs.open(path)
+    raw.seek(Bgzf.voCompressed(startVo))
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(raw), Bgzf.voCompressed(startVo))
+    in.seekInBlock(Bgzf.voUncompressed(startVo))
+    val it = new Iterator[SamRecord] {
+      private var nextRec: SamRecord = _
+      private var finished = false
+      private def fetch(): Unit = {
+        if (finished) return
+        while (nextRec == null && !finished) {
+          if (in.virtualPos >= endVo) { finished = true; in.close(); return }
+          val sz = readIntLe(in)
+          if (sz < 0) { finished = true; in.close(); return }
+          val data = new Array[Byte](sz)
+          var o = 0
+          while (o < sz) {
+            val r = in.read(data, o, sz - o)
+            if (r < 0) throw new EOFException("truncated BAM record")
+            o += r
+          }
+          val rec = BamCodec.decode(data, refs)
+          if (intervals.isEmpty || overlaps(rec, intervals)) nextRec = rec
+        }
+      }
+      override def hasNext: Boolean = { if (nextRec == null) fetch(); nextRec != null }
+      override def next(): SamRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+    it
+  }
+
+  private def overlaps(r: SamRecord, ivs: Array[(String, Int, Int)]): Boolean =
+    ivs.exists { case (c, s, e) => r.rname == c && r.pos <= e && r.end >= s }
+
+  private def readIntLe(in: java.io.InputStream): Int = {
+    val a = in.read()
+    if (a < 0) return -1
+    val b = in.read(); val c = in.read(); val d = in.read()
+    if ((b | c | d) < 0) throw new EOFException("truncated record length")
+    a | (b << 8) | (c << 16) | (d << 24)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Write `ds` as a single BAM file + sidecar splitting index.
+    * Partition tasks write header-less shards in parallel; the driver
+    * merges (stream concat) and emits the index. */
+  def write(ds: Dataset[SamRecord], header: SamHeader, file: String,
+            granularity: Int = 1000): Unit = {
+    val spark = ds.sparkSession
+    val (fs, path) = Fs.get(file)
+    val tmpDir = new Path(path.getParent, "." + path.getName + ".shards")
+    fs.mkdirs(tmpDir)
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    val tmpDirStr = tmpDir.toString
+
+    // each task: shard BGZF + local index entries (vo relative to shard)
+    val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (tfs, _) = Fs.get(tmpDirStr)
+      val shardPath = new Path(tmpDirStr, f"part-$pid%05d.bam")
+      val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
+      val entries = new ArrayBuffer[(Long, Int, Int)]()
+      var n = 0L
+      var count = 0L
+      it.foreach { rec =>
+        if (n % granularity == 0) {
+          out.blockBoundary() // align indexed records to block starts
+          entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
+            refIdx.get(rec.rname).getOrElse(-1), rec.pos - 1))
+        }
+        val data = BamCodec.encode(rec, refIdx)
+        val len = data.length
+        out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
+        out.write(data)
+        n += 1; count += 1
+      }
+      out.blockBoundary()
+      val shardLen = out.compressedOffset
+      out.closeWithoutTerminator()
+      Iterator.single((pid, shardLen, count, entries.toArray))
+    }.collect().sortBy(_._1)
+
+    // driver: header block + concat shards + EOF, shifting index VOs
+    val out = new BufferedOutputStream(fs.create(path, true))
+    val headerBuf = new ByteArrayOutputStream()
+    BamCodec.writeHeader(headerBuf, header)
+    val headerBytes = headerBuf.toByteArray
+    var coffset = 0L
+    coffset += Bgzf.writeBlockTo(out, headerBytes, 0, headerBytes.length)
+    val allEntries = new ArrayBuffer[SplittingIndex.Entry]()
+    shardInfo.foreach { case (pid, shardLen, _, entries) =>
+      entries.foreach { case (vo, refId, pos) =>
+        allEntries += SplittingIndex.Entry(Bgzf.virtualOffset(Bgzf.voCompressed(vo) + coffset,
+          Bgzf.voUncompressed(vo)), refId, pos)
+      }
+      val shardPath = new Path(tmpDirStr, f"part-$pid%05d.bam")
+      val sin = fs.open(shardPath)
+      val buf = new Array[Byte](1 << 20)
+      var r = sin.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = sin.read(buf) }
+      sin.close()
+      coffset += shardLen
+    }
+    val endVo = Bgzf.virtualOffset(coffset, 0)
+    out.write(Bgzf.EofMarker)
+    out.close()
+    fs.delete(tmpDir, true)
+    SplittingIndex.write(fs, SplittingIndex.indexPath(path), granularity,
+      allEntries.toSeq, endVo)
+    val _ = spark
+  }
+}

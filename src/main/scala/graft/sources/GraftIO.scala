@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.BufferedInputStream
+
+/** Format autodetection by magic bytes + extension (S13;
+  * ref: AnySAMInputFormat.java, SAMFormat.java, VCFFormat.java —
+  * magic sniffing wins over extension, extension breaks ties).
+  */
+object GraftIO {
+
+  sealed trait Format
+  case object BamFormat extends Format
+  case object SamFormat extends Format
+  case object CramFormat extends Format
+  case object VcfFormat extends Format
+  case object BcfFormat extends Format
+  case object FastqFormat extends Format
+  case object QseqFormat extends Format
+  case object FastaFormat extends Format
+  case object UnknownFormat extends Format
+
+  def detect(path: String): Format = {
+    val head = readHead(path, 4096)
+    detectBytes(head, path)
+  }
+
+  private def readHead(path: String, n: Int): Array[Byte] = {
+    val (fs, p) = Fs.get(path)
+    val in = new BufferedInputStream(fs.open(p))
+    try {
+      val buf = new Array[Byte](n)
+      var off = 0
+      var r = 0
+      while (off < n && r >= 0) { r = in.read(buf, off, n - off); if (r > 0) off += r }
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
+  }
+
+  def detectBytes(head0: Array[Byte], path: String): Format = {
+    if (head0.length >= 4 && head0(0) == 'C' && head0(1) == 'R' &&
+      head0(2) == 'A' && head0(3) == 'M') return CramFormat
+
+    // BGZF/gzip wrapper? peek inside.
+    val head: Array[Byte] =
+      if (head0.length >= 18 && Bgzf.parseBsize(head0, 0) > 0) {
+        val in = new Bgzf.BgzfInputStream(new java.io.ByteArrayInputStream(head0))
+        val buf = new Array[Byte](4096)
+        val n = try in.read(buf) catch { case _: Exception => -1 }
+        if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
+      } else head0
+
+    if (head.length >= 4 && head(0) == 'B' && head(1) == 'A' && head(2) == 'M' &&
+      head(3) == 1) return BamFormat
+    if (head.length >= 5 && head(0) == 'B' && head(1) == 'C' && head(2) == 'F')
+      return BcfFormat
+
+    val text = new String(head, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (text.startsWith("##fileformat=VCF")) return VcfFormat
+    if (text.startsWith("@HD") || text.startsWith("@SQ") ||
+      text.startsWith("@RG") || text.startsWith("@PG") || text.startsWith("@CO"))
+      return SamFormat
+    if (text.startsWith(">")) return FastaFormat
+
+    // extension fallback (reference: extension map in AnySAMInputFormat)
+    val name = path.toLowerCase.stripSuffix(".gz").stripSuffix(".bgz")
+    if (name.endsWith(".sam")) return SamFormat
+    if (name.endsWith(".bam")) return BamFormat
+    if (name.endsWith(".cram")) return CramFormat
+    if (name.endsWith(".vcf")) return VcfFormat
+    if (name.endsWith(".bcf")) return BcfFormat
+    if (name.endsWith(".fq") || name.endsWith(".fastq")) return FastqFormat
+    if (name.endsWith(".qseq") || name.endsWith(".txt")) return QseqFormat
+    if (name.endsWith(".fa") || name.endsWith(".fasta")) return FastaFormat
+
+    // content heuristics for headerless text
+    val lines = text.split("\n")
+    if (lines.length >= 4 && lines(0).startsWith("@") && lines(2).startsWith("+"))
+      return FastqFormat
+    if (lines.nonEmpty && lines(0).split("\t").length >= 11 &&
+      lines(0).split("\t").lift(1).exists(f => f.nonEmpty && f.forall(_.isDigit)))
+      return SamFormat
+    UnknownFormat
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.model.{SamHeader, SamRecord, SamRef}
+
+class BamSpec extends SparkSpec {
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000\n@SQ\tSN:chr2\tLN:8000",
+    Array(SamRef("chr1", 10000), SamRef("chr2", 8000)))
+
+  private def mkRecord(i: Int): SamRecord = {
+    val contig = if (i % 3 == 2) "chr2" else "chr1"
+    val pos = 1 + (i * 37) % 9000
+    SamRecord(
+      qname = s"read$i", flag = (i * 13) % 4096, rname = contig, pos = pos,
+      mapq = i % 60, cigar = s"${10 + i % 20}M${i % 5}S",
+      rnext = if (i % 4 == 0) "=" else "*",
+      pnext = if (i % 4 == 0) pos + 50 else 0,
+      tlen = if (i % 4 == 0) 100 else 0,
+      seq = ("ACGT" * 10).take(10 + i % 20 + i % 5),
+      qual = ("IIIIFFFF@@" * 4).take(10 + i % 20 + i % 5),
+      tags = Array(s"NM:i:${i % 9}", "PG:Z:graft", s"AS:i:${i % 100}"))
+  }
+
+  private val records = (0 until 500).map(mkRecord)
+
+  private def fields(r: SamRecord) =
+    (r.qname, r.flag, r.rname, r.pos, r.mapq, r.cigar, r.rnext, r.pnext,
+      r.tlen, r.seq, r.qual, r.tags.toSeq)
+  // coordinate order as written (sorted by refIdx, pos)
+  private val sorted = records.sortBy(r => (if (r.rname == "chr1") 0 else 1, r.pos, r.qname))
+
+  test("record codec round-trips all field types") {
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    val exotic = SamRecord("q*1", 77, "*", 0, 0, "*", "*", 0, -150, "*", "*",
+      Array("XA:A:c", "XF:f:1.5", "XH:H:1AFF", "XB:B:c,1,-2,3", "XI:B:f,0.5,1.5",
+        "XU:i:3000000000"))
+    for (r <- records.take(50) :+ exotic) {
+      val enc = BamCodec.encode(r, refIdx)
+      val dec = BamCodec.decode(enc, header.refs)
+      assert(fields(dec) === fields(r))
+    }
+  }
+
+  test("header round-trips") {
+    val bos = new java.io.ByteArrayOutputStream()
+    BamCodec.writeHeader(bos, header)
+    val h2 = BamCodec.readHeader(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(h2.text === header.text)
+    assert(h2.refs.toSeq === header.refs.toSeq)
+  }
+
+  test("write + read round-trips through a real BAM file with index") {
+    import spark.implicits._
+    val dir = tmpDir("bam")
+    val file = s"$dir/test.bam"
+    val ds = spark.createDataset(sorted).repartition(4)
+    BamIO.write(ds, header, file, granularity = 50)
+    assert(new java.io.File(file).exists())
+    assert(new java.io.File(file + ".sidx").exists())
+    val back = BamIO.read(spark, file).collect()
+    // set equality (task order is nondeterministic)
+    assert(back.toSet.map((r: SamRecord) => r.qname) === sorted.map(_.qname).toSet)
+    assert(back.length === sorted.length)
+    val byName = back.map(r => r.qname -> r).toMap
+    sorted.foreach { r =>
+      val b = byName(r.qname)
+      assert(fields(b) === fields(r))
+    }
+  }
+
+  test("read honors small split sizes (multi-range) identically") {
+    import spark.implicits._
+    val dir = tmpDir("bam2")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(sorted).repartition(3), header, file, granularity = 25)
+    val whole = BamIO.read(spark, file, splitSize = 1L << 30).collect().map(_.qname).sorted
+    val split = BamIO.read(spark, file, splitSize = 2048).collect().map(_.qname).sorted
+    assert(split === whole)
+  }
+
+  test("read without sidecar index falls back to split guessing") {
+    import spark.implicits._
+    val dir = tmpDir("bam3")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(sorted).repartition(2), header, file)
+    val (fs, p) = Fs.get(file)
+    fs.delete(SplittingIndex.indexPath(p), false)
+    val back = BamIO.read(spark, file, splitSize = 4096).collect()
+    assert(back.map(_.qname).sorted === sorted.map(_.qname).sorted.toArray)
+  }
+
+  test("interval read returns exactly the overlapping records") {
+    import spark.implicits._
+    val dir = tmpDir("bam4")
+    val file = s"$dir/t.bam"
+    // write coordinate-sorted so chunk pruning is active
+    val ds = spark.createDataset(sorted).coalesce(1)
+    BamIO.write(ds, header, file, granularity = 40)
+    val iv = Seq(("chr1", 2000, 3000))
+    val got = BamIO.read(spark, file, intervals = iv, splitSize = 4096)
+      .collect().map(_.qname).sorted
+    val expect = sorted.filter(r => r.rname == "chr1" && r.pos <= 3000 && r.end >= 2000)
+      .map(_.qname).sorted.toArray
+    assert(got === expect)
+  }
+
+  test("splitting index stores monotonic virtual offsets") {
+    import spark.implicits._
+    val dir = tmpDir("bam5")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(sorted).repartition(4), header, file, granularity = 100)
+    val (fs, _) = Fs.get(file)
+    val Some((gran, entries, endVo)) = SplittingIndex.read(fs, new Path(file + ".sidx"))
+    assert(gran === 100)
+    assert(entries.nonEmpty)
+    assert(entries.map(_.vo).toSeq === entries.map(_.vo).sorted.toSeq)
+    assert(entries.last.vo < endVo)
+  }
+}

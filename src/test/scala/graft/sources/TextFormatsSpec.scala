@@ -1,0 +1,350 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.model.{SamRecord, SequencedFragment}
+
+class SamSpec extends SparkSpec {
+
+  private val headerText =
+    "@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr1\tLN:5000\n@SQ\tSN:chr2\tLN:4000"
+
+  private def samLine(i: Int): String = {
+    val contig = if (i % 2 == 0) "chr1" else "chr2"
+    s"r$i\t${i % 256}\t$contig\t${1 + i % 4000}\t${i % 60}\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII" +
+      (if (i % 3 == 0) s"\tNM:i:${i % 5}\tRG:Z:rg$i" else "")
+  }
+
+  test("header parse extracts refs and sort order") {
+    val h = Sam.parseHeader(headerText)
+    assert(h.refs.map(_.name).toSeq === Seq("chr1", "chr2"))
+    assert(h.refs.map(_.length).toSeq === Seq(5000, 4000))
+    assert(h.sortOrder === "unknown")
+    assert(h.asCoordinateSorted.sortOrder === "coordinate")
+  }
+
+  test("read parses records via the splittable text scan") {
+    val dir = tmpDir("sam")
+    val f = s"$dir/t.sam"
+    val lines = headerText +: (0 until 300).map(samLine)
+    Files.write(Paths.get(f), lines.mkString("\n").getBytes(UTF_8))
+    val h = Sam.readHeader(f)
+    assert(h.refs.length === 2)
+    val ds = Sam.read(spark, f)
+    val rows = ds.collect()
+    assert(rows.length === 300)
+    val r0 = rows.find(_.qname == "r0").get
+    assert(r0.rname === "chr1" && r0.pos === 1 && r0.cigar === "10M")
+    assert(r0.tags.toSeq === Seq("NM:i:0", "RG:Z:rg0"))
+    val r1 = rows.find(_.qname == "r1").get
+    assert(r1.tags.isEmpty)
+  }
+
+  test("format + merge produce a single valid SAM with one header") {
+    import spark.implicits._
+    val dir = tmpDir("sam2")
+    val f = s"$dir/in.sam"
+    Files.write(Paths.get(f),
+      (headerText +: (0 until 100).map(samLine)).mkString("\n").getBytes(UTF_8))
+    val ds = Sam.read(spark, f)
+    val out = s"$dir/out.sam"
+    Sam.writeSorted(ds, Sam.parseHeader(headerText), out)
+    val text = new String(Files.readAllBytes(Paths.get(out)), UTF_8)
+    val outLines = text.split("\n")
+    assert(outLines.count(_.startsWith("@HD")) === 1)
+    assert(outLines.head.contains("SO:coordinate"))
+    val recs = outLines.filterNot(_.startsWith("@"))
+    assert(recs.length === 100)
+    // coordinate-sorted: chr1 block then chr2 block, pos ascending within
+    val parsed = recs.map(_.split("\t")).map(a => (a(2), a(3).toInt))
+    val chr1 = parsed.filter(_._1 == "chr1").map(_._2)
+    assert(chr1.toSeq === chr1.sorted.toSeq)
+    assert(parsed.map(_._1).toSeq === parsed.map(_._1).sortBy(c => c).toSeq)
+    // round-trip identity modulo order
+    val back = Sam.read(spark, out).collect()
+    assert(back.map(_.qname).sorted === (0 until 100).map(i => s"r$i").sorted.toArray)
+    val _ = ds
+  }
+}
+
+class FastqSpec extends SparkSpec {
+
+  private def rec(i: Int): String = {
+    val seq = "ACGTACGTACGTACGTACGT".take(8 + i % 12)
+    val qual = "IIIIFFFF@@@@####AAAA".take(8 + i % 12)
+    s"@inst:$i:FC:1:2:${i * 3}:${i * 7} ${1 + i % 2}:${if (i % 5 == 0) "Y" else "N"}:0:ATCACG\n$seq\n+\n$qual"
+  }
+
+  test("casava read-name metadata parses") {
+    val f = Fastq.parseName("@inst:42:FC:3:1101:1000:2000", "1:N:0:ATCACG")
+    assert(f.instrument === "inst")
+    assert(f.runNumber === 42)
+    assert(f.lane === 3 && f.tile === 1101 && f.xpos === 1000 && f.ypos === 2000)
+    assert(f.read === 1)
+    assert(f.filterPassed)
+    val failed = Fastq.parseName("@inst:42:FC:3:1101:1000:2000", "2:Y:0:ATCACG")
+    assert(!failed.filterPassed && failed.read === 2)
+  }
+
+  test("quality encoding conversion shifts by 31") {
+    assert(Fastq.convertQuality("!I", fromSanger = true) === "@h")
+    assert(Fastq.convertQuality("@h", fromSanger = false) === "!I")
+  }
+
+  test("split reads agree with whole-file read at any split size") {
+    val dir = tmpDir("fastq")
+    val f = s"$dir/t.fastq"
+    val content = (0 until 400).map(rec).mkString("\n") + "\n"
+    Files.write(Paths.get(f), content.getBytes(UTF_8))
+    val whole = Fastq.read(spark, f, splitSize = 1L << 30).collect()
+    assert(whole.length === 400)
+    for (split <- Seq(512L, 1999L, 7777L)) {
+      val got = Fastq.read(spark, f, splitSize = split).collect()
+      assert(got.map(_.name).sorted === whole.map(_.name).sorted,
+        s"splitSize=$split record set mismatch")
+    }
+  }
+
+  test("failed-QC filter drops Y-flagged reads") {
+    val dir = tmpDir("fastq2")
+    val f = s"$dir/t.fastq"
+    Files.write(Paths.get(f), ((0 until 50).map(rec).mkString("\n") + "\n").getBytes(UTF_8))
+    val kept = Fastq.read(spark, f, filterFailedQc = true).collect()
+    assert(kept.length === 50 - 10) // every 5th is Y (failed)
+  }
+
+  test("fastq write + read round-trip") {
+    import spark.implicits._
+    val dir = tmpDir("fastq3")
+    val frags = (0 until 60).map(i => SequencedFragment(
+      s"q$i", "ACGTACGT", "IIIIIIII", "m", 1, 1, 1, i, i, 1 + i % 2, true))
+    val out = s"$dir/o.fastq"
+    Fastq.write(spark.createDataset(frags), out)
+    val back = Fastq.read(spark, out).collect()
+    assert(back.length === 60)
+    assert(back.map(_.sequence).distinct.toSeq === Seq("ACGTACGT"))
+  }
+}
+
+class QseqSpec extends SparkSpec {
+  test("qseq line round-trip with N-dots and illumina quality") {
+    val line = "M10\t5\t3\t1101\t100\t200\t0\t1\tACG.TT\thhhhhh\t1"
+    val f = Qseq.parseLine(line)
+    assert(f.sequence === "ACGNTT") // '.' → N
+    assert(f.quality === "IIIIII") // phred+64 'h' → phred+33 'I'
+    assert(f.lane === 3 && f.filterPassed)
+    assert(Qseq.formatLine(f) === line)
+  }
+
+  test("qseq distributed read") {
+    val dir = tmpDir("qseq")
+    val f = s"$dir/t.qseq"
+    val lines = (0 until 100).map(i =>
+      s"M\t1\t${1 + i % 8}\t1101\t$i\t$i\t0\t${1 + i % 2}\tACGT.A\thhhhhh\t${i % 2}")
+    Files.write(Paths.get(f), lines.mkString("\n").getBytes(UTF_8))
+    assert(Qseq.read(spark, f).count() === 100)
+    assert(Qseq.read(spark, f, filterFailedQc = true).count() === 50)
+  }
+}
+
+class FastaSpec extends SparkSpec {
+  test("fragments carry exact per-contig positions at any split size") {
+    val dir = tmpDir("fasta")
+    val f = s"$dir/ref.fa"
+    val c1 = (0 until 50).map(i => "ACGTACGTGG").mkString("") // 500 bases
+    val c2 = (0 until 30).map(i => "TTTTACGTAC").mkString("")
+    val content = s">chr1 desc\n${c1.grouped(60).mkString("\n")}\n>chr2\n${c2.grouped(60).mkString("\n")}\n"
+    Files.write(Paths.get(f), content.getBytes(UTF_8))
+    for (split <- Seq(1L << 30, 128L, 61L)) {
+      val frags = Fasta.read(spark, f, splitSize = split).collect()
+      val byContig = frags.groupBy(_.contig)
+      assert(byContig.keySet === Set("chr1", "chr2"), s"split=$split")
+      def reassemble(c: String): String =
+        byContig(c).sortBy(_.start).map(_.sequence).mkString("")
+      assert(reassemble("chr1") === c1, s"split=$split")
+      assert(reassemble("chr2") === c2, s"split=$split")
+      // positions are 1-based and contiguous
+      val sorted = byContig("chr1").sortBy(_.start)
+      assert(sorted.head.start === 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.start === a.start + a.sequence.length)
+        case _ =>
+      }
+    }
+  }
+}
+
+class VcfSpec extends SparkSpec {
+
+  private val header = Seq(
+    "##fileformat=VCFv4.3",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Freq\">",
+    "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP\">",
+    "##FILTER=<ID=q10,Description=\"low qual\">",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2")
+
+  private def vcfLine(i: Int): String = {
+    val info = if (i % 3 == 0) s"DP:${"="}${i * 2};DB".replace(":", "") else s"DP=${i * 2};AF=0.5"
+    s"chr${1 + i % 2}\t${100 + i * 10}\trs$i\tA\t${if (i % 4 == 0) "G,T" else "C"}\t${i % 100}\t${if (i % 5 == 0) "q10" else "PASS"}\t$info\tGT:DP\t0/1:$i\t1/1:${i + 1}"
+  }
+
+  test("header typed-INFO declarations parse") {
+    val h = Vcf.VcfHeader(header)
+    assert(h.infoTypes === Map("DP" -> "Integer", "AF" -> "Float", "DB" -> "Flag"))
+    assert(h.samples === Seq("S1", "S2"))
+  }
+
+  test("record line parse extracts typed fields, flags and genotypes") {
+    val v = Vcf.parseLine(vcfLine(0))
+    assert(v.chrom === "chr1" && v.pos === 100)
+    assert(v.alt.toSeq === Seq("G", "T"))
+    assert(v.infoKeys.toSeq === Seq("DP", "DB"))
+    assert(v.infoValues.toSeq === Seq("0", "")) // DB is a flag
+    assert(v.format.toSeq === Seq("GT", "DP"))
+    assert(v.genotypes.toSeq === Seq("0/1:0", "1/1:1"))
+    assert(Vcf.formatLine(v) === vcfLine(0))
+  }
+
+  test("distributed read of plain and bgzf VCF agree") {
+    val dir = tmpDir("vcf")
+    val plain = s"$dir/t.vcf"
+    val content = (header ++ (0 until 300).map(vcfLine)).mkString("\n") + "\n"
+    Files.write(Paths.get(plain), content.getBytes(UTF_8))
+    val bgz = s"$dir/t.vcf.bgz"
+    val out = new Bgzf.BgzfOutputStream(new java.io.FileOutputStream(bgz), blockSize = 600)
+    out.write(content.getBytes(UTF_8))
+    out.close()
+    val a = Vcf.read(spark, plain, splitSize = 2048).collect()
+    val b = Vcf.read(spark, bgz, splitSize = 2048).collect()
+    assert(a.length === 300)
+    assert(a.map(_.pos).sorted === b.map(_.pos).sorted)
+    assert(Vcf.readHeader(bgz).lines === header)
+  }
+
+  test("write + merge yields one header and all records") {
+    import spark.implicits._
+    val dir = tmpDir("vcf2")
+    val vs = (0 until 80).map(i => Vcf.parseLine(vcfLine(i)))
+    val out = s"$dir/o.vcf"
+    Vcf.write(spark.createDataset(vs).repartition(3), Vcf.VcfHeader(header), out)
+    val text = new String(Files.readAllBytes(Paths.get(out)), UTF_8)
+    assert(text.linesIterator.count(_.startsWith("##fileformat")) === 1)
+    assert(text.linesIterator.count(l => l.nonEmpty && !l.startsWith("#")) === 80)
+    val back = Vcf.read(spark, out).collect()
+    assert(back.map(_.id).sorted === vs.map(_.id).sorted.toArray)
+  }
+}
+
+class GraftIOSpec extends SparkSpec {
+  test("magic + extension detection across formats") {
+    val dir = tmpDir("detect")
+    def write(name: String, bytes: Array[Byte]): String = {
+      val p = s"$dir/$name"
+      Files.write(Paths.get(p), bytes)
+      p
+    }
+    val sam = write("a.sam", "@HD\tVN:1.6\nr1\t0\t*\t0\t0\t*\t*\t0\t0\tAC\tII".getBytes(UTF_8))
+    assert(GraftIO.detect(sam) === GraftIO.SamFormat)
+    val vcf = write("a.vcf", "##fileformat=VCFv4.3\n#CHROM\n".getBytes(UTF_8))
+    assert(GraftIO.detect(vcf) === GraftIO.VcfFormat)
+    val fasta = write("a.fa", ">chr1\nACGT\n".getBytes(UTF_8))
+    assert(GraftIO.detect(fasta) === GraftIO.FastaFormat)
+    val fastq = write("a.fastq", "@r1\nACGT\n+\nIIII\n".getBytes(UTF_8))
+    assert(GraftIO.detect(fastq) === GraftIO.FastqFormat)
+    // BAM: BGZF-wrapped magic
+    val bos = new java.io.ByteArrayOutputStream()
+    val bo = new Bgzf.BgzfOutputStream(bos)
+    bo.write("BAMrest-of-header".getBytes(UTF_8))
+    bo.close()
+    val bam = write("a.bam", bos.toByteArray)
+    assert(GraftIO.detect(bam) === GraftIO.BamFormat)
+    // bgzipped VCF
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val bo2 = new Bgzf.BgzfOutputStream(bos2)
+    bo2.write("##fileformat=VCFv4.3\n".getBytes(UTF_8))
+    bo2.close()
+    val vcfbgz = write("a.vcf.bgz", bos2.toByteArray)
+    assert(GraftIO.detect(vcfbgz) === GraftIO.VcfFormat)
+    val cram = write("a.cram", "CRAM ".getBytes(UTF_8) ++ new Array[Byte](20))
+    assert(GraftIO.detect(cram) === GraftIO.CramFormat)
+    // headerless SAM by content heuristic
+    val hless = write("noext1", "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII".getBytes(UTF_8))
+    assert(GraftIO.detect(hless) === GraftIO.SamFormat)
+  }
+}
+
+class BcfSpec extends SparkSpec {
+  test("site-level BCF2 round-trip over BGZF") {
+    val dir = tmpDir("bcf")
+    val f = s"$dir/t.bcf"
+    val contigs = Array("chr1", "chr2")
+    val filters = Array("PASS", "q10")
+    val infoKeys = Array("DP", "AF", "DB")
+    val vs = (0 until 120).map { i =>
+      graft.model.VcfVariant(
+        chrom = contigs(i % 2), pos = 100L + i, id = s"rs$i", ref = "A",
+        alt = if (i % 4 == 0) Array("G", "T") else Array("C"),
+        qual = if (i % 7 == 0) None else Some(i.toDouble),
+        filter = if (i % 5 == 0) "q10" else "PASS",
+        infoKeys = Array("DP", "DB"), infoValues = Array(s"${i * 2}", ""),
+        format = Array.empty, genotypes = Array.empty)
+    }
+    Bcf.write(f, "##fileformat=VCFv4.3", vs, contigs, filters, infoKeys)
+    val (ht, back) = Bcf.read(f, contigs, filters, infoKeys)
+    assert(ht === "##fileformat=VCFv4.3")
+    assert(back.length === 120)
+    back.zip(vs).foreach { case (b, v) =>
+      assert(b.chrom === v.chrom && b.pos === v.pos && b.id === v.id)
+      assert(b.alt.toSeq === v.alt.toSeq)
+      assert(b.filter === v.filter)
+      assert(b.infoValues.toSeq === v.infoValues.toSeq)
+      assert(b.qual.map(_.toFloat) === v.qual.map(_.toFloat))
+    }
+  }
+}
+
+class CramSpec extends SparkSpec {
+  test("ITF8 varint round-trips") {
+    val vals = Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455, Int.MaxValue)
+    vals.foreach { v =>
+      val bos = new java.io.ByteArrayOutputStream()
+      Cram.writeItf8(bos, v)
+      val got = Cram.readItf8(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(got === v, s"itf8 $v")
+    }
+  }
+
+  test("container enumeration walks a synthetic CRAM") {
+    val dir = tmpDir("cram")
+    val f = s"$dir/t.cram"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("CRAM".getBytes(UTF_8))
+    bos.write(3); bos.write(0)
+    bos.write(new Array[Byte](20)) // file id
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val bodies = Seq(100, 200, 50)
+    bodies.zipWithIndex.foreach { case (blen, i) =>
+      w32(blen) // container length (body)
+      Cram.writeItf8(bos, i % 2) // ref id
+      Cram.writeItf8(bos, 1000 * i) // start
+      Cram.writeItf8(bos, 500) // span
+      Cram.writeItf8(bos, 10 + i) // n records
+      Cram.writeItf8(bos, 0); Cram.writeItf8(bos, 0); Cram.writeItf8(bos, 1) // counter/bases/nblocks
+      Cram.writeItf8(bos, 0) // n landmarks
+      w32(0) // crc
+      bos.write(new Array[Byte](blen))
+    }
+    Files.write(Paths.get(f), bos.toByteArray)
+    val cs = Cram.enumerateContainers(f)
+    assert(cs.length === 3)
+    assert(cs.map(_.nRecords) === Seq(10, 11, 12))
+    assert(cs.map(_.refSeqId) === Seq(0, 1, 0))
+    assert(cs.head.offset === 26)
+  }
+}
