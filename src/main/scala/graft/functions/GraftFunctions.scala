@@ -1,20 +1,273 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Registry of graft's native Catalyst expressions (filled in as
-  * expressions land; each is exposed both as a Column helper and as a
-  * SQL function name).
+/** Graft's native Catalyst expressions (I2).  All implement
+  * `doGenCode` so they stay inside whole-stage codegen — the hot-path
+  * kernels (vector dot/cosine, simhash hamming, phred shift, reverse
+  * complement) never fall back to interpreted eval or UDF calls.
+  *
+  * The float kernels accumulate in DOUBLE with a sequential
+  * index-order fold — bit-identical to the SQL `aggregate(zip_with(…))`
+  * formulation they replace (and to the DuckDB oracle), so swapping
+  * them into gated queries cannot change results.
   */
 object GraftFunctions {
-  def inject(e: SparkSessionExtensions): Unit = {
-    // populated by M7 (custom expressions); injection kept separate so
-    // GraftExtensions stays stable.
-    val _ = e
+
+  private def check(ok: Boolean, msg: => String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(msg)
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    val _ = spark
+  /** dot(a, b): Σ (double)a_i · (double)b_i over two float/double arrays. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isFloatArray(left.dataType) && isFloatArray(right.dataType),
+        s"$prettyName expects two ARRAY<FLOAT> args")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}0 = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}0 += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = ${ev.value}0;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖), norms inline (same fold order). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isFloatArray(left.dataType) && isFloatArray(right.dataType),
+        s"$prettyName expects two ARRAY<FLOAT> args")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** hamming64(a, b) = popcount(a ^ b) — SimHash distance. */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(Seq(left, right).forall(e => e.dataType == LongType || e.dataType == IntegerType),
+        s"$prettyName expects integral args")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hamming64"
+
+    private def toL(v: Any): Long = v match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case other => other.asInstanceOf[Long]
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(toL(a) ^ toL(b))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = java.lang.Long.bitCount((long) $a ^ (long) $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** phred_shift(qual, delta): shift every quality char by delta
+    * (sanger↔illumina = ±31, ref: FormatConstants.java). */
+  case class PhredShift(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_phred_shift"
+
+    override def nullSafeEval(q: Any, d: Any): Any = {
+      val s = q.asInstanceOf[UTF8String].toString
+      val delta = d.asInstanceOf[Int]
+      val out = new Array[Char](s.length)
+      var i = 0
+      while (i < s.length) { out(i) = (s.charAt(i) + delta).toChar; i += 1 }
+      UTF8String.fromString(new String(out))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, d) => {
+        val i = ctx.freshName("i")
+        val bytes = ctx.freshName("bytes")
+        val out = ctx.freshName("out")
+        // quality strings are ASCII: shift bytes directly
+        s"""
+           |byte[] $bytes = $q.getBytes();
+           |byte[] $out = new byte[$bytes.length];
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $out[$i] = (byte) ($bytes[$i] + $d);
+           |}
+           |${ev.value} = UTF8String.fromBytes($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** reverse_complement(seq): reverse the read and complement each
+    * base (IUPAC-aware), '*' passes through. */
+  case class ReverseComplement(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_revcomp"
+
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val out = new Array[Byte](b.length)
+      var i = 0
+      while (i < b.length) {
+        out(b.length - 1 - i) = complement(b(i))
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => {
+        val i = ctx.freshName("i")
+        val bytes = ctx.freshName("bytes")
+        val out = ctx.freshName("out")
+        s"""
+           |byte[] $bytes = $v.getBytes();
+           |byte[] $out = new byte[$bytes.length];
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $out[$bytes.length - 1 - $i] = $fn.complement($bytes[$i]);
+           |}
+           |${ev.value} = UTF8String.fromBytes($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
+  def complement(b: Byte): Byte = (b match {
+    case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
+    case 'a' => 't'; case 't' => 'a'; case 'c' => 'g'; case 'g' => 'c'
+    case 'U' => 'A'; case 'u' => 'a'
+    case 'R' => 'Y'; case 'Y' => 'R'; case 'S' => 'S'; case 'W' => 'W'
+    case 'K' => 'M'; case 'M' => 'K'; case 'B' => 'V'; case 'V' => 'B'
+    case 'D' => 'H'; case 'H' => 'D'
+    case other => other
+  }).toByte
+
+  // ------------------------------------------------------------ helpers
+  // Column-side API goes through the function registry (the names are
+  // injected by GraftExtensions / registerAll), keeping us on public
+  // Spark API only.
+
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  def phredShift(q: Column, d: Int): Column = call_function("graft_phred_shift", q, lit(d))
+  def reverseComplement(s: Column): Column = call_function("graft_revcomp", s)
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
+
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "dot product of two float vectors",
+      es => DotProduct(es(0), es(1))),
+    ("graft_cosine", "cosine similarity of two float vectors",
+      es => CosineSim(es(0), es(1))),
+    ("graft_hamming64", "hamming distance of two 64-bit signatures",
+      es => Hamming64(es(0), es(1))),
+    ("graft_phred_shift", "shift quality string encoding by delta",
+      es => PhredShift(es(0), es(1))),
+    ("graft_revcomp", "reverse complement of a base sequence",
+      es => ReverseComplement(es(0))))
+
+  def inject(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+
+  def registerAll(spark: SparkSession): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
 }

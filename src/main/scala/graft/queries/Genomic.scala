@@ -54,27 +54,21 @@ object Genomic {
       |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  // O3 — interval overlap join WITHOUT a cartesian product: both sides
-  // explode to fixed-width bins, equi-join on (contig, bin), keep the
-  // residual overlap predicate, and count each pair exactly once in
-  // the bin that contains max(rstart, tstart).  Shuffle is
-  // O(|reads| + |targets|) × bins-per-interval (≤ 2 here) — the
-  // 100 TB-safe reformulation of ref: util/IntervalUtil.java overlap
-  // semantics + BAMInputFormat bounded traversal.
-  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
-    val binW = 64
-    val r = reads(s, d).withColumn(
-      "bin", explode(expr(s"sequence(CAST(rstart / $binW AS BIGINT), CAST(rend / $binW AS BIGINT))")))
-    val t = targets(s, d).withColumn(
-      "bin", explode(expr(s"sequence(CAST(tstart / $binW AS BIGINT), CAST(tend / $binW AS BIGINT))")))
-    r.join(t,
-        r("bin") === t("bin") && col("contig") === col("tcontig") &&
-        col("rstart") <= col("tend") && col("tstart") <= col("rend") &&
-        r("bin") === expr(s"CAST(GREATEST(rstart, tstart) / $binW AS BIGINT)"))
+  // O3 — interval overlap join, written NAIVELY (declarative overlap
+  // predicate).  The graft RangeJoinRule (plans/GraftPlans.scala)
+  // rewrites it into a binned equi-join — both sides explode
+  // fixed-width bins, hash-join on (bin, contig), residual overlap
+  // check, count-once in the bin of max(rstart, tstart) — so shuffle
+  // is O(|reads| + |targets|), never the cartesian O(|r|·|t|) this
+  // query would otherwise plan as.  100 TB-safe reformulation of
+  // ref: util/IntervalUtil.java + BAMInputFormat bounded traversal.
+  def qRangeJoin(s: SparkSession, d: String): DataFrame =
+    reads(s, d).join(targets(s, d),
+        col("contig") === col("tcontig") &&
+        col("rstart") <= col("tend") && col("tstart") <= col("rend"))
       .groupBy("target_id")
       .agg(count(lit(1)).as("n_reads"))
       .orderBy("target_id")
-  }
 
   val qRangeJoinSql: String =
     """WITH r AS (

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.streaming.Sessionize
+
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_dot / graft_cosine match the SQL aggregate formulation exactly") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f))
+    )).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("d1"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("d2"),
+      GraftFunctions.cosineSim(col("a"), col("b")).as("c1")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bit-identical
+    }
+    val c = rows.head.getDouble(2)
+    val expected = (1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(0.25 + 1 + 4))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("graft_hamming64 counts differing bits") {
+    import spark.implicits._
+    val df = Seq((0L, -1L), (5L, 6L), (255L, 0L)).toDF("a", "b")
+    val got = df.select(GraftFunctions.hamming64(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq === Seq(64, 2, 8))
+  }
+
+  test("graft_phred_shift converts sanger to illumina encodings") {
+    import spark.implicits._
+    val got = Seq("!I5").toDF("q")
+      .select(GraftFunctions.phredShift(col("q"), 31)).as[String].head()
+    assert(got === "@hT")
+  }
+
+  test("graft_revcomp reverse complements with IUPAC codes") {
+    import spark.implicits._
+    val got = Seq("ACGTN", "acgtRYKM").toDF("s")
+      .select(GraftFunctions.reverseComplement(col("s"))).as[String].collect()
+    assert(got.toSeq === Seq("NACGT", "KMRYacgt"))
+  }
+
+  test("functions resolve via SQL names through the extension injection") {
+    val r = spark.sql("SELECT graft_hamming64(12, 10) h, graft_revcomp('ACGT') rc").head()
+    assert(r.getInt(0) === java.lang.Long.bitCount(12L ^ 10L))
+    assert(r.getString(1) === "ACGT") // ACGT is its own reverse complement
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(GraftFunctions.hamming64(col("id"), col("id") * 3).as("h"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+    assert(df.agg(sum("h")).head().getLong(0) > 0)
+  }
+}
+
+class RangeJoinRuleSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def naiveJoin(): DataFrame = {
+    import spark.implicits._
+    val reads = (0 until 2000).map(i => (i.toLong, "c" + (i % 3), (i * 7L) % 500, (i * 7L) % 500 + 20))
+      .toDF("read_id", "contig", "rstart", "rend")
+    val targets = (0 until 300).map(i => (i.toLong, "c" + (i % 3), (i * 13L) % 500, (i * 13L) % 500 + 30))
+      .toDF("target_id", "tcontig", "tstart", "tend")
+    reads.join(targets,
+      $"contig" === $"tcontig" && $"rstart" <= $"tend" && $"tstart" <= $"rend")
+  }
+
+  test("naive overlap join is rewritten to a binned equi-join (no cartesian)") {
+    val plan = naiveJoin().queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_bin"), plan)
+  }
+
+  test("rewritten join returns exactly the overlap pairs, once each") {
+    import spark.implicits._
+    val got = naiveJoin().select("read_id", "target_id")
+      .as[(Long, Long)].collect().sorted
+    // ground truth computed driver-side
+    val reads = (0 until 2000).map(i => (i.toLong, "c" + (i % 3), (i * 7L) % 500, (i * 7L) % 500 + 20))
+    val targets = (0 until 300).map(i => (i.toLong, "c" + (i % 3), (i * 13L) % 500, (i * 13L) % 500 + 30))
+    val expect = (for {
+      (rid, rc, rs, re) <- reads
+      (tid, tc, ts, te) <- targets
+      if rc == tc && rs <= te && ts <= re
+    } yield (rid, tid)).sorted
+    assert(got.length === expect.length)
+    assert(got.toSeq === expect)
+  }
+
+  test("equality-only joins are left untouched") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((1L, "p")).toDF("k2", "w")
+    val plan = a.join(b, $"k" === $"k2").queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
+  }
+}
+
+class SessionizeStreamSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState sessionization emits closed sessions on watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sc = sq.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(mem.toDS(), gapSec = 60, watermarkDelay = "0 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      val base = 1700000000000000L // µs
+      // user 1: two bursts 10 min apart; user 2: one burst
+      mem.addData(
+        Sessionize.Event(1, base, 1.0),
+        Sessionize.Event(1, base + 30L * 1000000, 2.0),
+        Sessionize.Event(2, base, 5.0))
+      query.processAllAvailable()
+      mem.addData(Sessionize.Event(1, base + 600L * 1000000, 3.0))
+      query.processAllAvailable()
+      // watermark at base+600s: user1 burst1 (end base+30s, timeout
+      // base+90s) and user2 (timeout base+60s) must have closed
+      mem.addData(Sessionize.Event(2, base + 1200L * 1000000, 7.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .as[Sessionize.Session].collect().sortBy(s => (s.user_id, s.session_start_us))
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0),
+        out.mkString(", "))
+      assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.total_value == 5.0),
+        out.mkString(", "))
+    } finally query.stop()
+  }
+
+  test("windowed aggregation with watermark over the events table (batch parity)") {
+    val events = Sessionize.eventsAsStreamInput(spark, "/root/testdata/sf0.001")
+    // batch execution of the same streaming query shape
+    val counts = Sessionize.windowedCounts(events).collect()
+    assert(counts.nonEmpty)
+    val total = counts.map(_.getLong(2)).sum
+    assert(total === events.count())
+  }
+}
