@@ -221,6 +221,76 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** hash32(s): value of the first 8 hex digits of md5(s) — i.e. the
+    * first 4 md5 bytes as an unsigned big-endian int, widened to long.
+    * Equals the SQL `aggregate(sequence(1,8), …substring(md5(s))…)`
+    * formulation and the DuckDB oracle's strpos-walk, at 1 digest call
+    * instead of 8. */
+  case class Hash32Md5(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hash32"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.hash32(v.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.hash32($v.getBytes());")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def hash32(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** minhash128(hashes): 128 minhash signature values over an
+    * array<bigint> of element hashes: sig_k = min_h ((2k+1)·h + k²+7)
+    * mod 2147483647 — the tight-loop kernel the interpreted
+    * higher-order-function formulation spends its time in. */
+  case class Minhash128(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == ArrayType(LongType, containsNull = false) ||
+        child.dataType == ArrayType(LongType, containsNull = true),
+        s"$prettyName expects ARRAY<BIGINT>")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash128"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.minhash128(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.minhash128($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhash128(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](128)
+    var k = 0
+    while (k < 128) {
+      val a = 2L * k + 1
+      val b = k.toLong * k + 7
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * hashes.getLong(i) + b) % 2147483647L
+        if (v < best) best = v
+        i += 1
+      }
+      sig(k) = best
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -258,7 +328,11 @@ object GraftFunctions {
     ("graft_phred_shift", "shift quality string encoding by delta",
       es => PhredShift(es(0), es(1))),
     ("graft_revcomp", "reverse complement of a base sequence",
-      es => ReverseComplement(es(0))))
+      es => ReverseComplement(es(0))),
+    ("graft_hash32", "32-bit md5-derived string hash",
+      es => Hash32Md5(es(0))),
+    ("graft_minhash128", "128-element minhash signature of hash array",
+      es => Minhash128(es(0))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

