@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.{Genomic, Pipeline, Relational}
+
+/** Explain audits (I5): the plans we ship are the plans we want —
+  * filters reach the parquet scan, projections prune columns, small
+  * dims broadcast, no accidental cartesians, sorts range-partition.
+  * These are assertions on the EXECUTED plan, so a regression in any
+  * query's physical strategy fails the build, not just the bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_interval_filter pushes both predicates into the parquet scan") {
+    val plan = planOf(Genomic.qIntervalFilter(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    // both the numeric range and the date range must reach the scan
+    // (the toString truncates the list; DataFilters shows the rest)
+    assert(plan.contains("GreaterThanOrEqual(l_partkey,100)"), plan)
+    assert(plan.contains("(l_partkey#1L <= 300)"), plan)
+    assert(plan.contains("isnotnull(l_shipdate"), plan)
+  }
+
+  test("q1_agg scan reads only the columns the query needs") {
+    val plan = planOf(Relational.q1Agg(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"), plan)
+    assert(!readSchema.contains("l_orderkey"), s"unpruned column: $readSchema")
+    assert(!readSchema.contains("l_partkey"), s"unpruned column: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(planOf(Relational.q3Join(spark, sf)).contains("BroadcastHashJoin"))
+    val q5 = planOf(Relational.q5Join(spark, sf))
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct"), q5)
+  }
+
+  test("no query plans a cartesian product or nested-loop join over big sides") {
+    val all = SparkEntry.queries - "q_ann_bruteforce" // probe set × corpus is intentional there
+    all.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("q_sort range-partitions instead of funneling to one task") {
+    val plan = planOf(Relational.qSort(spark, sf))
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("range_partition") || plan.toLowerCase.contains("rangepartition"), plan)
+  }
+
+  test("q_dedup_minhash band join is an equi hash/merge join on signatures") {
+    val plan = planOf(Pipeline.qDedupMinhash(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    val plan = planOf(Relational.qGroupbyKey(spark, sf))
+    // two HashAggregate layers (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+}
