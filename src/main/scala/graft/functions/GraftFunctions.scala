@@ -291,6 +291,197 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** hash64(s): first 8 md5 bytes as a signed big-endian long — a
+    * collision-negligible (2⁻⁶⁴) set-element id for intersect math. */
+  case class Hash64Md5(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hash64"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.hash64(v.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.hash64($v.getBytes());")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def hash64(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** intersect_size(a, b): |A∩B| of two SORTED long arrays via a
+    * linear merge — the pair-verify kernel for set-similarity joins. */
+  case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+    private def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(ok(left.dataType) && ok(right.dataType),
+        s"$prettyName expects two sorted ARRAY<BIGINT> args")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_intersect_size"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GraftFunctions.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $fn.intersectSize($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** winnow(hashes, w): distinct per-window minima of a sliding
+    * window of width w — the fingerprint-sampling step of winnowing.
+    * Equals array_distinct(transform(seq, j -> array_min(slice(…))))
+    * as a single O(n·w) loop. */
+  case class Winnow(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check((left.dataType == ArrayType(LongType, containsNull = false) ||
+        left.dataType == ArrayType(LongType, containsNull = true)) &&
+        right.dataType == IntegerType,
+        s"$prettyName expects (ARRAY<BIGINT>, INT)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GraftFunctions.winnow(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $fn.winnow($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def winnow(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= n - w) {
+      var m = Long.MaxValue
+      var i = j
+      while (i < j + w) {
+        val v = hashes.getLong(i)
+        if (v < m) m = v
+        i += 1
+      }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** shingles32/64(text, n): fused tokenize → word n-gram → md5 hash
+    * kernel.  Semantics exactly replicate the SQL chain
+    * `array_distinct(transform(…, i -> concat_ws(' ', slice(split(
+    * lower(text), ' '), i+1, n))))` + graft_hash32/64 per shingle —
+    * but in one pass, instead of the higher-order-function tree that
+    * re-evaluates the inlined split() per element.  32-bit variant
+    * keeps first-occurrence order (minhash input); 64-bit variant is
+    * SORTED (intersect-kernel input). */
+  case class ShingleHashes(left: Expression, right: Expression, wide: Boolean)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = if (wide) "graft_shingles64" else "graft_shingles32"
+
+    override def nullSafeEval(t: Any, n: Any): Any =
+      GraftFunctions.shingleHashes(t.asInstanceOf[UTF8String], n.asInstanceOf[Int], wide)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, n) =>
+        s"${ev.value} = $fn.shingleHashes($t, $n, $wide);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def shingleHashes(text: UTF8String, n: Int, wide: Boolean): ArrayData = {
+    // identical to SQL lower(): UTF8String.toLowerCase
+    val s = text.toLowerCase.toString
+    // identical to SQL split(s, ' ') with default limit: empties kept
+    val tokens = {
+      val out = new scala.collection.mutable.ArrayBuffer[String]()
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') { out += s.substring(start, i); start = i + 1 }
+        i += 1
+      }
+      out += s.substring(start)
+      out
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashOf(str: String): Long = {
+      md.reset()
+      val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (wide) {
+        var v = 0L; var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        v
+      } else
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    if (tokens.length < n) seen.add(hashOf(""))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= tokens.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        seen.add(hashOf(sb.toString))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    if (wide) java.util.Arrays.sort(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -332,7 +523,17 @@ object GraftFunctions {
     ("graft_hash32", "32-bit md5-derived string hash",
       es => Hash32Md5(es(0))),
     ("graft_minhash128", "128-element minhash signature of hash array",
-      es => Minhash128(es(0))))
+      es => Minhash128(es(0))),
+    ("graft_winnow", "distinct sliding-window minima (winnowing)",
+      es => Winnow(es(0), es(1))),
+    ("graft_hash64", "64-bit md5-derived string hash",
+      es => Hash64Md5(es(0))),
+    ("graft_intersect_size", "intersection size of two sorted long arrays",
+      es => IntersectSize(es(0), es(1))),
+    ("graft_shingles32", "distinct word n-gram 32-bit hashes",
+      es => ShingleHashes(es(0), es(1), wide = false)),
+    ("graft_shingles64", "distinct word n-gram 64-bit hashes, sorted",
+      es => ShingleHashes(es(0), es(1), wide = true)))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

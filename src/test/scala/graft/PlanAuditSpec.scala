@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     // both the numeric range and the date range must reach the scan
     // (the toString truncates the list; DataFilters shows the rest)
     assert(plan.contains("GreaterThanOrEqual(l_partkey,100)"), plan)
-    assert(plan.contains("(l_partkey#1L <= 300)"), plan)
+    assert("""\(l_partkey#\d+L <= 300\)""".r.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("isnotnull(l_shipdate"), plan)
   }
 
