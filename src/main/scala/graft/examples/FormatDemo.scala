@@ -59,7 +59,31 @@ object FormatDemo {
       r.qname, r.seq, r.qual, "demo", 1, 1, 1, 0, 0, 1, true)), fq)
     println(s"[demo] FASTQ: read back ${Fastq.read(spark, fq).count()} (detect=${GraftIO.detect(fq)})")
 
-    println(s"[demo] detect(bam)=${GraftIO.detect(bam)}")
+    // VCF round-trip derived from part (examples/TestVCF analog)
+    val vcfHeader = Vcf.VcfHeader(Seq(
+      "##fileformat=VCFv4.3",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"))
+    val variants = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(
+        concat(lit("chr"), (col("p_partkey") % 3).cast("string")).as("chrom"),
+        (col("p_partkey") + 1).as("pos"),
+        concat(lit("rs"), col("p_partkey")).as("id"),
+        lit("A").as("ref"), expr("array('G')").as("alt"),
+        expr("CAST(p_size AS DOUBLE)").as("qual"),
+        lit("PASS").as("filter"),
+        expr("array('DP')").as("infoKeys"),
+        expr("array(CAST(p_size AS STRING))").as("infoValues"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("format"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("genotypes"))
+      .as[graft.model.VcfVariant]
+    val vcf = s"$outDir/demo.vcf"
+    Vcf.write(variants, vcfHeader, vcf)
+    println(s"[demo] VCF: read back ${Vcf.read(spark, vcf).count()} (detect=${GraftIO.detect(vcf)})")
+
+    println(s"[demo] detect(bam)=${GraftIO.detect(bam)}; any-alignment reader: " +
+      s"${GraftIO.readAlignments(spark, sam).count()} from SAM, " +
+      s"${GraftIO.readAlignments(spark, bam).count()} from BAM")
     spark.stop()
   }
 }

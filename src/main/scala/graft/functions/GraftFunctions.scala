@@ -482,6 +482,46 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** grams32(text, k): 32-bit md5 hash of every k-char gram of
+    * lower(text), in position order (NOT distinct — winnowing needs
+    * the positional sequence).  Equals
+    * `transform(sequence(0, length-k), i -> graft_hash32(substring(
+    * lower(text), i+1, k)))` fused into one pass. */
+  case class Grams32(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_grams32"
+
+    override def nullSafeEval(t: Any, k: Any): Any =
+      GraftFunctions.grams32(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, k) => s"${ev.value} = $fn.grams32($t, $k);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def grams32(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -533,7 +573,9 @@ object GraftFunctions {
     ("graft_shingles32", "distinct word n-gram 32-bit hashes",
       es => ShingleHashes(es(0), es(1), wide = false)),
     ("graft_shingles64", "distinct word n-gram 64-bit hashes, sorted",
-      es => ShingleHashes(es(0), es(1), wide = true)))
+      es => ShingleHashes(es(0), es(1), wide = true)),
+    ("graft_grams32", "positional k-char-gram 32-bit hashes",
+      es => Grams32(es(0), es(1))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

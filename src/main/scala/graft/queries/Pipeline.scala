@@ -290,6 +290,33 @@ object Pipeline {
        |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
        |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 
+  // --------------------------------------------------------------- P5b
+  // Embedding-cosine near-dup pairs: exact all-pairs at gate scale
+  // (the sanctioned brute-force baseline — the kernel streams the
+  // triangular product, no shuffle of pairs); at 100 TB the LSH
+  // bucket path (P6) generates candidates and this exact cosine is
+  // the verify step.
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("graft_cosine(a.embedding, b.embedding)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val qDedupEmbeddingSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // ---------------------------------------------------------------- P7
   // Language-ID heuristic: stopword hit counts + multibyte ratio.
   private val stop = Map(
@@ -406,12 +433,7 @@ object Pipeline {
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, length(lower(text)) - 8), " +
-          s"i -> substring(lower(text), i + 1, 8))").as("grams"))
-      .select(col("doc_id"),
-        expr(s"transform(grams, g -> ${hash32("g")})").as("gh"))
-      .select(col("doc_id"),
-        explode(expr("graft_winnow(gh, 4)")).as("fingerprint"))
+        explode(expr("graft_winnow(graft_grams32(text, 8), 4)")).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
 
   val qFingerprintSql: String =
@@ -436,6 +458,7 @@ object Pipeline {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -448,6 +471,7 @@ object Pipeline {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,

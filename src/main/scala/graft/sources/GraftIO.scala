@@ -24,6 +24,23 @@ object GraftIO {
     detectBytes(head, path)
   }
 
+  /** Read alignments whatever the container — SAM text (plain or
+    * BGZF) or BAM — like the reference's AnySAMInputFormat. */
+  def readAlignments(spark: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.Dataset[graft.model.SamRecord] = detect(path) match {
+    case BamFormat => BamIO.read(spark, path)
+    case SamFormat => Sam.read(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"$path: not an alignment container (detected $other)")
+  }
+
+  /** Header for any alignment container. */
+  def readAlignmentHeader(path: String): graft.model.SamHeader = detect(path) match {
+    case BamFormat => BamIO.readHeader(path)
+    case SamFormat => Sam.readHeader(path)
+    case other => throw new IllegalArgumentException(s"$path: detected $other")
+  }
+
   private def readHead(path: String, n: Int): Array[Byte] = {
     val (fs, p) = Fs.get(path)
     val in = new BufferedInputStream(fs.open(p))

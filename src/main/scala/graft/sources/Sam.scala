@@ -51,10 +51,16 @@ object Sam {
   }
 
   /** Records as a typed Dataset; the parse is pure Catalyst
-    * expressions over the splittable text scan. */
+    * expressions over the splittable text scan.  BGZF-compressed SAM
+    * (.sam.bgz — S14) rides the graft ranged-BGZF line reader with the
+    * same expression parse. */
   def read(spark: SparkSession, path: String): Dataset[SamRecord] = {
     import spark.implicits._
-    parseLines(spark.read.textFile(path).toDF("value")).as[SamRecord]
+    val lines: org.apache.spark.sql.DataFrame =
+      if (RangedText.isBgzf(path))
+        RangedText.lines(spark, path).map(_.text).toDF("value")
+      else spark.read.textFile(path).toDF("value")
+    parseLines(lines).as[SamRecord]
   }
 
   /** Parse SAM record lines out of a text DataFrame (header filtered). */

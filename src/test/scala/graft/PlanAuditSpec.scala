@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no query plans a cartesian product or nested-loop join over big sides") {
-    val all = SparkEntry.queries - "q_ann_bruteforce" // probe set × corpus is intentional there
+    // probe-set×corpus and triangular exact-verify products are intentional
+    val all = SparkEntry.queries - "q_ann_bruteforce" - "q_dedup_embedding"
     all.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
