@@ -290,6 +290,66 @@ object Pipeline {
        |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
        |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 
+  // --------------------------------------------------------------- P6b
+  // IVF-style ANN: coarse quantization — every vector is assigned to
+  // its nearest of 8 centroid vectors (argmax cosine, deterministic
+  // tiebreak), queries probe only their own cell, exact re-rank inside
+  // the cell.  Assignment is one broadcast pass (O(n·centroids) dots);
+  // candidates shuffle by cell id.  Complements the sign-LSH path with
+  // the other standard bucketing scheme.
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val w1 = Window.partitionBy("vec_id").orderBy(desc("acos"), col("aid"))
+    val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
+      .select(col("vec_id"), col("aid"),
+        expr("graft_cosine(embedding, ae)").as("acos"))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("aid").as("cell"))
+    val tagged = emb.join(assigned, "vec_id")
+    val q = tagged.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val w2 = Window.partitionBy("qid").orderBy(desc("cosine"), col("neighbor_id"))
+    q.join(tagged, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        expr(s"${dot("qe", "embedding")} / (qn * nrm)").as("cosine"))
+      .withColumn("rk", row_number().over(w2).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 8
+       |), n AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), an AS (
+       |  SELECT aid, ae, sqrt(${duckDot("ae", "ae")}) AS anrm FROM a
+       |), asg AS (
+       |  SELECT vec_id, aid AS cell FROM (
+       |    SELECT e.vec_id, an.aid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckDot("e.embedding", "an.ae")} / (n.nrm * an.anrm) DESC, an.aid) AS rn
+       |    FROM embeddings e CROSS JOIN an JOIN n ON n.vec_id = e.vec_id
+       |  ) WHERE rn = 1
+       |), sc AS (
+       |  SELECT qa.vec_id AS qid, ea.vec_id AS neighbor_id,
+       |    ${duckDot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+       |  FROM asg qa JOIN asg ea ON qa.cell = ea.cell AND ea.vec_id <> qa.vec_id
+       |    JOIN n nq ON nq.vec_id = qa.vec_id
+       |    JOIN n ne ON ne.vec_id = ea.vec_id
+       |  WHERE qa.vec_id % 100 = 0
+       |)
+       |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
+       |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   // --------------------------------------------------------------- P5b
   // Embedding-cosine near-dup pairs: exact all-pairs at gate scale
   // (the sanctioned brute-force baseline — the kernel streams the
@@ -459,6 +519,7 @@ object Pipeline {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -472,6 +533,7 @@ object Pipeline {
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_ann_ivf" -> qAnnIvfSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,

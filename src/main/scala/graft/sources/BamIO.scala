@@ -286,6 +286,42 @@ object BamIO {
     a | (b << 8) | (c << 16) | (d << 24)
   }
 
+  /** Parse "chr1:100-200" interval strings (1-based inclusive;
+    * "chr1" alone = whole contig; ref: util/IntervalUtil.java +
+    * the hadoopbam.bam.intervals property format). */
+  def parseIntervals(spec: String, header: SamHeader): Seq[(String, Int, Int)] = {
+    val refLen = header.refs.map(r => r.name -> r.length).toMap
+    spec.split(",").toSeq.filter(_.nonEmpty).map { iv =>
+      iv.split(":") match {
+        case Array(contig) =>
+          (contig, 1, refLen.getOrElse(contig, Int.MaxValue))
+        case Array(contig, range) =>
+          val Array(s, e) = range.split("-").map(_.replace(",", "").trim)
+          (contig, s.toInt, e.toInt)
+        case _ => throw new IllegalArgumentException(s"bad interval: $iv")
+      }
+    }
+  }
+
+  /** Coordinate-sort (range partition on (refIdx, pos) — balanced
+    * writers, no single-task sort) and write with an SO:coordinate
+    * header (ref: util/GetSortedBAMHeader.java + sorted write path). */
+  def writeSorted(ds: Dataset[SamRecord], header: SamHeader, file: String,
+                  granularity: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val refOrder = header.refs.map(_.name).zipWithIndex.toMap
+    val orderMap = typedLit(refOrder)
+    val sorted = ds.toDF()
+      .withColumn("_refIdx", coalesce(orderMap(col("rname")), lit(Int.MaxValue)))
+      .repartitionByRange(col("_refIdx"), col("pos"))
+      .sortWithinPartitions(col("_refIdx"), col("pos"))
+      .drop("_refIdx")
+      .as[SamRecord]
+    write(sorted, header.asCoordinateSorted, file, granularity)
+  }
+
   // --------------------------------------------------------------- write
 
   /** Write `ds` as a single BAM file + sidecar splitting index.

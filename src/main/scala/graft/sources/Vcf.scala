@@ -103,6 +103,32 @@ object Vcf {
       .toDS()
   }
 
+  /** Write a BGZF-compressed VCF (.vcf.bgz) with terminator — the
+    * splittable compressed form our own ranged reader (and tabix-era
+    * tooling) consumes. */
+  def writeBgzf(ds: Dataset[VcfVariant], header: VcfHeader, out: String): Unit = {
+    import ds.sparkSession.implicits._
+    val tmp = out + ".shards"
+    ds.map(formatLine).write.mode("overwrite").text(tmp)
+    val (fs, dir) = Fs.get(tmp)
+    val (_, outPath) = Fs.get(out)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val bg = new Bgzf.BgzfOutputStream(fs.create(outPath, true))
+    val w = new OutputStreamWriter(bg, UTF_8)
+    try {
+      if (header.lines.nonEmpty) { w.write(header.text); w.write('\n') }
+      val buf = new Array[Char](1 << 16)
+      parts.foreach { pp =>
+        val in = new InputStreamReader(fs.open(pp), UTF_8)
+        var r = in.read(buf)
+        while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
+        in.close()
+      }
+    } finally w.close() // BgzfOutputStream close appends the EOF terminator
+    fs.delete(dir, true)
+  }
+
   /** Write shards then merge into one .vcf with a single header
     * (ref: util/VCFFileMerger.java). */
   def write(ds: Dataset[VcfVariant], header: VcfHeader, out: String): Unit = {

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class RangedTextSpec extends SparkSpec {
+
+  test("ownership protocol: every line owned by exactly one range, any bounds") {
+    val dir = tmpDir("rt")
+    val f = s"$dir/t.txt"
+    val lines = (0 until 200).map(i => s"line-$i-${"x" * (i % 17)}")
+    Files.write(Paths.get(f), (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val len = Files.size(Paths.get(f))
+    // craft adversarial bounds: including one exactly at a line start
+    val lineStarts = lines.scanLeft(0L)((acc, l) => acc + l.length + 1)
+    for (bounds <- Seq(
+      Seq(0L, len),
+      Seq(0L, len / 3, 2 * len / 3, len),
+      Seq(0L, lineStarts(50), lineStarts(51), len), // bounds ON line starts
+      (0L to len by 37L) :+ len)) {
+      val got = bounds.distinct.sorted.sliding(2).collect { case Seq(a, b) if a < b =>
+        RangedText.readLines(f, a, b, bgzf = false).map(_.text).toSeq
+      }.toSeq.flatten
+      assert(got.sorted === lines.sorted, s"bounds=$bounds")
+    }
+  }
+
+  test("ownership protocol holds over BGZF with block-aligned bounds") {
+    val dir = tmpDir("rtb")
+    val f = s"$dir/t.txt.bgz"
+    val lines = (0 until 500).map(i => s"row-$i-${"y" * (i % 23)}")
+    val out = new Bgzf.BgzfOutputStream(new java.io.FileOutputStream(f), blockSize = 256)
+    out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    out.close()
+    val got = RangedText.lines(spark, f, splitSize = 700).map(_.text).collect()
+    assert(got.sorted === lines.sorted.toArray)
+    // many ranges actually used
+    assert(RangedText.ranges(f, 700).size > 3)
+  }
+}
+
+class BamUtilSpec extends SparkSpec {
+  import graft.model.{SamHeader, SamRef}
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr1\tLN:10000\n@SQ\tSN:chr2\tLN:8000",
+    Array(SamRef("chr1", 10000), SamRef("chr2", 8000)))
+
+  test("interval spec parsing (IntervalUtil analog)") {
+    val ivs = BamIO.parseIntervals("chr1:100-200,chr2,chr1:1000-2000", header)
+    assert(ivs === Seq(("chr1", 100, 200), ("chr2", 1, 8000), ("chr1", 1000, 2000)))
+  }
+
+  test("writeSorted produces a coordinate-sorted BAM with rewritten header") {
+    import spark.implicits._
+    val recs = (0 until 200).map { i =>
+      graft.model.SamRecord(s"q$i", 0, if (i % 2 == 0) "chr2" else "chr1",
+        1 + (i * 97) % 5000, 60, "10M", "*", 0, 0, "ACGTACGTAC", "IIIIIIIIII",
+        Array.empty)
+    }
+    val dir = tmpDir("bamsort")
+    val file = s"$dir/sorted.bam"
+    BamIO.writeSorted(spark.createDataset(recs).repartition(5), header, file)
+    val h = BamIO.readHeader(file)
+    assert(h.sortOrder === "coordinate")
+    // sequential read order must be (refIdx, pos) ascending
+    val back = BamIO.read(spark, file, splitSize = 1L << 30).collect()
+    val keys = back.map(r => (header.refs.map(_.name).indexOf(r.rname), r.pos))
+    // single range read preserves file order only per-partition; read
+    // sequentially instead
+    val (fs, p) = Fs.get(file)
+    val in = new Bgzf.BgzfInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    BamCodec.readHeader(in)
+    val seqKeys = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var sz = 0
+    while ({ sz = { val a = in.read(); if (a < 0) -1 else a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24) }; sz > 0 }) {
+      val buf = new Array[Byte](sz)
+      var o = 0
+      while (o < sz) o += in.read(buf, o, sz - o)
+      val r = BamCodec.decode(buf, header.refs)
+      seqKeys += ((header.refs.map(_.name).indexOf(r.rname), r.pos))
+    }
+    assert(seqKeys.length === 200)
+    assert(seqKeys.toSeq === seqKeys.sorted.toSeq)
+    assert(keys.length === 200)
+  }
+}
+
+class VcfBgzfSpec extends SparkSpec {
+  test("writeBgzf emits a splittable, terminated .vcf.bgz our reader consumes") {
+    import spark.implicits._
+    val header = Vcf.VcfHeader(Seq("##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"))
+    val vs = (0 until 150).map(i => Vcf.parseLine(
+      s"chr1\t${100 + i}\trs$i\tA\tC\t50\tPASS\tDP=$i"))
+    val dir = tmpDir("vcfbgz")
+    val out = s"$dir/o.vcf.bgz"
+    Vcf.writeBgzf(spark.createDataset(vs).repartition(3), header, out)
+    assert(RangedText.isBgzf(out))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(bytes.takeRight(Bgzf.EofMarker.length) === Bgzf.EofMarker)
+    val back = Vcf.read(spark, out, splitSize = 1024).collect()
+    assert(back.map(_.pos).sorted === vs.map(_.pos).sorted.toArray)
+    assert(Vcf.readHeader(out).lines === header.lines)
+  }
+}
