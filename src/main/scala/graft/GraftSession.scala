@@ -34,9 +34,20 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .withExtensions(new GraftExtensions)
 
-  /** Attach graft to an existing session (tests, notebooks). */
+  /** Attach graft's SQL functions to an EXISTING session (tests,
+    * notebooks).  NOTE the asymmetry (ADVICE r1): Catalyst optimizer
+    * rules (plans.RangeJoinRule) cannot be injected into an
+    * already-built session — naive overlap joins will run unrewritten
+    * here.  Build via [[local]]/[[configure]] (or
+    * `--conf spark.sql.extensions=graft.GraftExtensions`) to get the
+    * full engine; a warning is logged to make the difference visible.
+    */
   def register(spark: SparkSession): SparkSession = {
     functions.GraftFunctions.registerAll(spark)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "graft: register() adds SQL functions only; optimizer rules " +
+        "(RangeJoinRule) require GraftSession.local()/configure or " +
+        "spark.sql.extensions=graft.GraftExtensions")
     spark
   }
 }

@@ -171,6 +171,31 @@ class RangeJoinRuleSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import graft.operators.Skew
+
+  test("salted join equals the plain join on a hot-key distribution") {
+    import spark.implicits._
+    // 90% of rows share one key — the pathological case
+    val big = (0 until 20000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong)).toDF("k", "v")
+    val small = Seq(("hot", 1), ("k0", 2), ("k3", 3)).toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum($"v" * $"w")).head().getLong(0)
+    val salted = Skew.saltedJoin(big, small, "k", $"v", nSalts = 8)
+      .agg(sum($"v" * $"w")).head().getLong(0)
+    assert(salted === plain)
+  }
+
+  test("salted two-phase aggregation equals plain groupBy") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v"), count(lit(1))).head()
+    val salted = Skew.saltedSum(df, "k", "v", $"v", 16).head()
+    assert(salted.getLong(1) === plain.getLong(1))
+    assert(salted.getLong(2) === plain.getLong(2))
+  }
+}
+
 class SessionizeStreamSpec extends SparkSpec {
 
   test("flatMapGroupsWithState sessionization emits closed sessions on watermark") {
@@ -202,6 +227,22 @@ class SessionizeStreamSpec extends SparkSpec {
       assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.total_value == 5.0),
         out.mkString(", "))
     } finally query.stop()
+  }
+
+  test("file-source streaming windowed counts equal the batch result") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchIn = Sessionize.eventsAsStreamInput(spark, "/root/testdata/sf0.001")
+    val dir = tmpDir("stream_in")
+    batchIn.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(batchIn.schema).parquet(dir)
+    val q = Sessionize.windowedCounts(streamIn)
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("wc_out").collect()
+    val batch = Sessionize.windowedCounts(batchIn).collect()
+    assert(streamed.map(_.getLong(2)).sum === batch.map(_.getLong(2)).sum)
+    assert(streamed.length === batch.length)
   }
 
   test("windowed aggregation with watermark over the events table (batch parity)") {

@@ -88,6 +88,36 @@ class BamUtilSpec extends SparkSpec {
   }
 }
 
+class BcfIOSpec extends SparkSpec {
+  test("distributed BCF write + indexed ranged read round-trips sites") {
+    import spark.implicits._
+    val dicts = BcfIO.Dicts(Array("chr1", "chr2"), Array("PASS", "q10"),
+      Array("DP", "AF"))
+    val vs = (0 until 400).map { i =>
+      graft.model.VcfVariant(
+        chrom = dicts.contigs(i % 2), pos = 100L + i, id = s"rs$i", ref = "A",
+        alt = Array(if (i % 3 == 0) "G" else "C"),
+        qual = if (i % 7 == 0) None else Some(i.toDouble),
+        filter = if (i % 5 == 0) "q10" else "PASS",
+        infoKeys = Array("DP"), infoValues = Array(s"$i"),
+        format = Array.empty, genotypes = Array.empty)
+    }
+    val dir = tmpDir("bcfio")
+    val file = s"$dir/t.bcf"
+    BcfIO.write(spark.createDataset(vs).repartition(4), dicts, file, granularity = 50)
+    assert(new java.io.File(file + ".sidx").exists())
+    assert(GraftIO.detect(file) === GraftIO.BcfFormat)
+    val back = BcfIO.read(spark, file).collect()
+    assert(back.length === 400)
+    val byId = back.map(v => v.id -> v).toMap
+    vs.foreach { v =>
+      val b = byId(v.id)
+      assert(b.chrom === v.chrom && b.pos === v.pos && b.filter === v.filter)
+      assert(b.infoValues.toSeq === v.infoValues.toSeq)
+    }
+  }
+}
+
 class VcfBgzfSpec extends SparkSpec {
   test("writeBgzf emits a splittable, terminated .vcf.bgz our reader consumes") {
     import spark.implicits._
