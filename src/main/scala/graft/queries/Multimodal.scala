@@ -60,6 +60,39 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: a real implementation would rescale pixel data; the
+    * stub deterministically derives the output payload from input
+    * payload + target dims so the partition-local pipeline shape
+    * (decode → transform → re-encode) is end-to-end testable. */
+  final case class Resized(doc_id: Long, width: Long, height: Long, payload: Array[Byte])
+
+  def resizeStub(spark: SparkSession, in: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    in.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val sig = md5Hex(m.payload).getBytes(UTF_8)
+        Resized(m.doc_id, w.toLong, h.toLong, sig.take(16))
+      })
+      .toDF()
+  }
+
+  /** STUB frame sampling: emits every `stride`-th "frame" of a fake
+    * video payload — one row per sampled frame, the flatMap shape a
+    * real ffmpeg-backed sampler would use. */
+  final case class Frame(doc_id: Long, frame_no: Long, frame_sig: Long)
+
+  def frameSampleStub(spark: SparkSession, in: DataFrame, nFrames: Int,
+                      stride: Int): DataFrame = {
+    import spark.implicits._
+    in.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        (0 until nFrames by stride).map { f =>
+          Frame(m.doc_id, f.toLong, hash32(m.payload ++ BigInt(f).toByteArray))
+        }
+      })
+      .toDF()
+  }
+
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
     val in = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -171,6 +171,34 @@ class RangeJoinRuleSpec extends SparkSpec {
   }
 }
 
+class MultimodalSpec extends SparkSpec {
+  import graft.queries.Multimodal
+  import org.apache.spark.sql.functions.{col => c}
+
+  private def payloads = {
+    import spark.implicits._
+    Seq((1L, "image-bytes-one"), (2L, "image-bytes-two"))
+      .toDF("doc_id", "text")
+      .select(c("doc_id"), c("text").cast("binary").as("payload"))
+  }
+
+  test("decode stub extracts deterministic typed metadata, no shuffle") {
+    val meta = Multimodal.decodeMeta(spark, payloads)
+    val rows = meta.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 640)) // width
+    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("resize and frame-sample stubs keep the partition-local pipeline shape") {
+    val resized = Multimodal.resizeStub(spark, payloads, 224, 224)
+    assert(resized.collect().forall(r => r.getLong(1) == 224 && r.getLong(2) == 224))
+    val frames = Multimodal.frameSampleStub(spark, payloads, nFrames = 10, stride = 3)
+    assert(frames.count() === 2 * 4) // frames 0,3,6,9 per doc
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import graft.operators.Skew
 
