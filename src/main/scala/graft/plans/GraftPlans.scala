@@ -51,7 +51,15 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           def binsOf(start: Expression, end: Expression, child: LogicalPlan): (LogicalPlan, Attribute) = {
             val lo = IntegralDivide(Cast(start, LongType), w)
             val hi = IntegralDivide(Cast(end, LongType), w)
-            val gen = Explode(Sequence(Cast(lo, LongType), Cast(hi, LongType),
+            // least/greatest guards rows with inverted bounds (start >
+            // end): Sequence would throw on a descending range, but a
+            // naive join can still match such rows — covering
+            // [min,max] keeps every qualifying bin (max(aStart,bStart)
+            // of a qualifying pair always lies within it) without ever
+            // producing an illegal sequence.
+            val loL = Cast(lo, LongType)
+            val hiL = Cast(hi, LongType)
+            val gen = Explode(Sequence(Least(Seq(loL, hiL)), Greatest(Seq(loL, hiL)),
               Some(Literal(1L)), Some(conf.sessionLocalTimeZone)))
             val binAttr = AttributeReference(BinName, LongType, nullable = true)()
             (Generate(gen, Nil, outer = false, None, Seq(binAttr), child), binAttr)
@@ -99,10 +107,15 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     }
-    // need one of each orientation: aStart <= bEnd and bStart <= aEnd
-    for {
-      (_, aStart, bEnd) <- les.find(_._1 == 'L')
-      (_, bStart, aEnd) <- les.find(_._1 == 'R')
-    } yield (aStart, aEnd, bStart, bEnd)
+    // need EXACTLY one conjunct of each orientation — with several
+    // '<='-conjuncts per direction the endpoint pairing is ambiguous
+    // (e.g. an unrelated a.x <= b.y predicate could be picked as an
+    // interval bound and blow up the bin fan-out), so we stay
+    // conservative and leave the join untouched.
+    val ls = les.filter(_._1 == 'L')
+    val rs = les.filter(_._1 == 'R')
+    if (ls.length == 1 && rs.length == 1)
+      Some((ls.head._2, rs.head._3, rs.head._2, ls.head._3))
+    else None
   }
 }

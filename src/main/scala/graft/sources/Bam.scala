@@ -17,7 +17,7 @@ import graft.model.{SamHeader, SamRecord, SamRef}
   */
 object BamCodec {
 
-  val Magic: Array[Byte] = "BAM".getBytes(UTF_8)
+  val Magic: Array[Byte] = ("BAM" + "\u0001").getBytes(UTF_8)
   private val SeqCode = "=ACMGRSVTWYHKDBN"
   private val CigarOps = "MIDNSHP=X"
 
@@ -77,6 +77,8 @@ object BamCodec {
     val seqLen = if (r.seq == "*") 0 else r.seq.length
     require(r.qual == "*" || r.qual.length == seqLen,
       s"qual length ${r.qual.length} != seq length $seqLen for ${r.qname}")
+    require(name.length <= 254, // spec cap: l_read_name is uint8 incl NUL
+      s"qname longer than 254 bytes: ${r.qname.take(40)}…")
     val buf = new ByteArrayOutputStream(64 + name.length + seqLen)
     val o = new DataOutputStream(buf)
     def refId(nm: String): Int = if (nm == "*") -1 else refIdx(nm)

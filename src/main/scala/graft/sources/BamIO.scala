@@ -167,15 +167,27 @@ object BamIO {
     out.toSeq
   }
 
-  /** A chunk [first record key, next chunk's first key) overlaps the
-    * intervals?  Conservative when the next key is unknown. */
-  private def chunkOverlaps(refId: Int, pos: Int, nextKey: Option[(Int, Int)],
+  /** Longest read span assumed when pruning by record-START keys —
+    * reads starting up to this many bases before an interval may still
+    * overlap it (spliced/long reads).  Conservative default; chunks
+    * kept in excess only cost I/O, never correctness. */
+  val MaxReadSpan: Int = 1 << 16
+
+  /** A chunk [first record key, next chunk's first key) can contain a
+    * record overlapping the intervals?  Index keys are 0-based
+    * (stored as rec.pos - 1); intervals are 1-based inclusive.
+    * Conservative in both unknown directions: the chunk start is
+    * padded by MaxReadSpan (reads starting earlier can span into the
+    * interval), unknown next keys keep the chunk. */
+  private def chunkOverlaps(refId: Int, pos0: Int, nextKey: Option[(Int, Int)],
                             ivs: Seq[(Int, Int, Int)]): Boolean = {
     if (refId < 0) return true // unmapped tail — kept (optional in ref)
+    val pos1 = pos0 + 1 // 1-based start of chunk's first record
     ivs.exists { case (ri, s, e) =>
-      val startsBeforeEnd = refId < ri || (refId == ri && pos <= e)
+      val startsBeforeEnd = refId < ri || (refId == ri && pos1 <= e)
       val endsAfterStart = nextKey match {
-        case Some((nr, np)) => nr > ri || (nr == ri && np >= s) || nr < 0
+        case Some((nr, np0)) =>
+          nr > ri || nr < 0 || (nr == ri && np0 + 1 + MaxReadSpan >= s)
         case None => true
       }
       startsBeforeEnd && endsAfterStart
@@ -382,7 +394,7 @@ object BamIO {
     BamCodec.writeHeader(headerBuf, header)
     val headerBytes = headerBuf.toByteArray
     var coffset = 0L
-    coffset += Bgzf.writeBlockTo(out, headerBytes, 0, headerBytes.length)
+    coffset += Bgzf.writeBlocksTo(out, headerBytes, 0, headerBytes.length)
     val allEntries = new ArrayBuffer[SplittingIndex.Entry]()
     shardInfo.foreach { case (pid, shardLen, _, entries) =>
       entries.foreach { case (vo, refId, pos) =>

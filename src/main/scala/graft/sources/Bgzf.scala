@@ -238,9 +238,27 @@ object Bgzf {
     }
   }
 
-  /** Deflate one payload as a single BGZF block; returns bytes written. */
+  /** Deflate a payload of ANY size as one or more BGZF blocks;
+    * returns bytes written.  (Large BAM/BCF headers exceed one block.) */
+  def writeBlocksTo(out: OutputStream, data: Array[Byte], off: Int, len: Int,
+                    level: Int = 6): Long = {
+    var written = 0L
+    var o = off
+    var remaining = len
+    do {
+      val c = math.min(remaining, 0xff00)
+      written += writeBlockTo(out, data, o, c, level)
+      o += c
+      remaining -= c
+    } while (remaining > 0)
+    written
+  }
+
+  /** Deflate one payload as a single BGZF block; returns bytes written.
+    * Payload must fit one block — use [[writeBlocksTo]] otherwise. */
   def writeBlockTo(out: OutputStream, data: Array[Byte], off: Int, len: Int,
                    level: Int = 6): Int = {
+    require(len <= 0xff00, s"BGZF block payload $len exceeds 65280 bytes")
     val def_ = new Deflater(level, true)
     def_.setInput(data, off, len)
     def_.finish()

@@ -159,7 +159,10 @@ object Qseq {
   def formatLine(s: SequencedFragment): String = {
     val nameIdx = {
       val h = s.name.indexOf('#')
-      if (h > 0) s.name.substring(h + 1, math.max(h + 1, s.name.indexOf('/'))) else "0"
+      val sl = if (h >= 0) s.name.indexOf('/', h + 1) else -1
+      if (h >= 0 && sl > h) s.name.substring(h + 1, sl)
+      else if (h >= 0) s.name.substring(h + 1)
+      else "0"
     }
     Seq(s.instrument, s.runNumber, s.lane, s.tile, s.xpos, s.ypos, nameIdx,
       s.read, s.sequence.replace('N', '.'),

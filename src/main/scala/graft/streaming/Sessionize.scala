@@ -24,7 +24,15 @@ object Sessionize {
 
   /** Sessionize a (possibly streaming) Dataset[Event]: sessions close
     * after `gapSec` of event-time inactivity (emitted on watermark
-    * passage for streams). */
+    * passage for streams).
+    *
+    * Append-mode caveat (inherent to eager emission): a session closed
+    * by an intra-batch gap is emitted immediately; an in-watermark
+    * late event landing inside that already-emitted span starts a new
+    * session rather than amending the emitted row.  Exactly-once
+    * session boundaries under arbitrary lateness require holding
+    * emission until the watermark passes (end + gap), which the
+    * timeout path provides for batch-final sessions. */
   def sessions(events: Dataset[Event], gapSec: Long,
                watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -54,8 +62,8 @@ object Sessionize {
               else if (e.ts_us - acc.end_us > gapUs) {
                 out += Session(user, acc.start_us, acc.end_us, acc.n, acc.total)
                 acc = SessionAcc(e.ts_us, e.ts_us, 1, e.value)
-              } else acc = SessionAcc(acc.start_us, math.max(acc.end_us, e.ts_us),
-                acc.n + 1, acc.total + e.value)
+              } else acc = SessionAcc(math.min(acc.start_us, e.ts_us),
+                math.max(acc.end_us, e.ts_us), acc.n + 1, acc.total + e.value)
             }
             if (acc != null) {
               state.update(acc)

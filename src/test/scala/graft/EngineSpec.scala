@@ -162,6 +162,36 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("ambiguous multi-<= conditions are left untouched; inverted bounds don't crash") {
+    import spark.implicits._
+    // two '<='-conjuncts in the same orientation → pairing ambiguous → no rewrite
+    val a = Seq((1L, 5L, 10L, 20L)).toDF("id", "prio", "s1", "e1")
+    val b = Seq((9L, 7L, 15L, 25L)).toDF("id2", "cap", "s2", "e2")
+    val ambiguous = a.join(b,
+      $"prio" <= $"cap" && $"s1" <= $"e2" && $"s2" <= $"e1")
+    assert(!ambiguous.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    assert(ambiguous.count() === 1)
+    // inverted interval rows must not produce an illegal Sequence
+    val inv = Seq((1L, 30L, 10L), (2L, 5L, 50L)).toDF("id", "s1", "e1")
+    val tgt = Seq((9L, 12L, 40L)).toDF("id2", "s2", "e2")
+    val joined = inv.join(tgt, $"s1" <= $"e2" && $"s2" <= $"e1")
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    // row 1 (30,10): 30<=40 && 12<=10 false → no match; row 2 matches
+    assert(joined.select("id").as[Long].collect().sorted === Array(2L))
+  }
+
+  test("outer overlap joins are NOT rewritten (rule is inner-only)") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 20L), (2L, 100L, 110L)).toDF("id", "s1", "e1")
+    val b = Seq((9L, 15L, 25L)).toDF("id2", "s2", "e2")
+    val joined = a.join(b, $"s1" <= $"e2" && $"s2" <= $"e1", "left_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
+    // semantics preserved: unmatched left row survives with nulls
+    assert(joined.count() === 2)
+    assert(joined.filter($"id2".isNull).count() === 1)
+  }
+
   test("equality-only joins are left untouched") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

@@ -108,6 +108,26 @@ class BamSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("interval pruning keeps long reads that start before the interval") {
+    import spark.implicits._
+    // regression: chunk pruning by record-START keys must not drop a
+    // read whose span reaches into the interval from far upstream
+    val recs = (
+      SamRecord("long1", 0, "chr1", 100, 60, "5000M", "*", 0, 0, "*", "*", Array.empty) +:
+      (0 until 300).map(i => SamRecord(s"s$i", 0, "chr1", 1 + i * 30, 60, "20M",
+        "*", 0, 0, "ACGTACGTACGTACGTACGT", "IIIIIIIIIIIIIIIIIIII", Array.empty))
+    ).sortBy(_.pos)
+    val dir = tmpDir("bamlong")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(recs).coalesce(1), header, file, granularity = 20)
+    val got = BamIO.read(spark, file, intervals = Seq(("chr1", 4000, 4500)), splitSize = 512)
+      .collect().map(_.qname).sorted
+    val expect = recs.filter(r => r.rname == "chr1" && r.pos <= 4500 && r.end >= 4000)
+      .map(_.qname).sorted.toArray
+    assert(expect.contains("long1"))
+    assert(got === expect)
+  }
+
   test("splitting index stores monotonic virtual offsets") {
     import spark.implicits._
     val dir = tmpDir("bam5")

@@ -257,7 +257,7 @@ class GraftIOSpec extends SparkSpec {
     // BAM: BGZF-wrapped magic
     val bos = new java.io.ByteArrayOutputStream()
     val bo = new Bgzf.BgzfOutputStream(bos)
-    bo.write("BAMrest-of-header".getBytes(UTF_8))
+    bo.write("BAM\u0001rest-of-header".getBytes(UTF_8))
     bo.close()
     val bam = write("a.bam", bos.toByteArray)
     assert(GraftIO.detect(bam) === GraftIO.BamFormat)
@@ -268,7 +268,7 @@ class GraftIOSpec extends SparkSpec {
     bo2.close()
     val vcfbgz = write("a.vcf.bgz", bos2.toByteArray)
     assert(GraftIO.detect(vcfbgz) === GraftIO.VcfFormat)
-    val cram = write("a.cram", "CRAM ".getBytes(UTF_8) ++ new Array[Byte](20))
+    val cram = write("a.cram", "CRAM\u0003\u0000".getBytes(UTF_8) ++ new Array[Byte](20))
     assert(GraftIO.detect(cram) === GraftIO.CramFormat)
     // headerless SAM by content heuristic
     val hless = write("noext1", "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII".getBytes(UTF_8))
@@ -277,6 +277,47 @@ class GraftIOSpec extends SparkSpec {
 }
 
 class BcfSpec extends SparkSpec {
+  test("INFO keys resolve through the header dictionary, not record order") {
+    // regression: a record whose keys are a subset/reordering of the
+    // dictionary must keep its own key names
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val infoKeys = Array("DP", "AF", "DB")
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C"),
+      Some(5.0), "PASS", Array("AF", "DB"), Array("0.5", ""),
+      Array.empty, Array.empty)
+    val dir = tmpDir("bcfk")
+    Bcf.write(s"$dir/k.bcf", "##h", Seq(v), contigs, filters, infoKeys)
+    val (_, back) = Bcf.read(s"$dir/k.bcf", contigs, filters, infoKeys)
+    assert(back.head.infoKeys.toSeq === Seq("AF", "DB"))
+    assert(back.head.infoValues.toSeq === Seq("0.5", ""))
+  }
+
+  test("long typed strings (>=127 bytes) round-trip via the length escape") {
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val infoKeys = Array("ANN")
+    val long = "x" * 300
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C"),
+      None, "PASS", Array("ANN"), Array(long), Array.empty, Array.empty)
+    val dir = tmpDir("bcfl")
+    Bcf.write(s"$dir/l.bcf", "##h", Seq(v, v.copy(pos = 11L)), contigs, filters, infoKeys)
+    val (_, back) = Bcf.read(s"$dir/l.bcf", contigs, filters, infoKeys)
+    assert(back.length === 2)
+    assert(back.forall(_.infoValues.head === long))
+  }
+
+  test("many filters (>14) and large filter indices round-trip") {
+    val contigs = Array("chr1")
+    val filters = (0 until 200).map(i => s"f$i").toArray
+    val infoKeys = Array.empty[String]
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C"),
+      None, (0 until 20).map(i => s"f${i * 9}").mkString(";"),
+      Array.empty, Array.empty, Array.empty, Array.empty)
+    val dir = tmpDir("bcff")
+    Bcf.write(s"$dir/f.bcf", "##h", Seq(v), contigs, filters, infoKeys)
+    val (_, back) = Bcf.read(s"$dir/f.bcf", contigs, filters, infoKeys)
+    assert(back.head.filter === v.filter)
+  }
+
   test("site-level BCF2 round-trip over BGZF") {
     val dir = tmpDir("bcf")
     val f = s"$dir/t.bcf"
@@ -307,8 +348,9 @@ class BcfSpec extends SparkSpec {
 }
 
 class CramSpec extends SparkSpec {
-  test("ITF8 varint round-trips") {
-    val vals = Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455, Int.MaxValue)
+  test("ITF8 varint round-trips (incl. 5-byte negatives, htsjdk layout)") {
+    val vals = Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455,
+      Int.MaxValue, -1, Int.MinValue, 0x12345678)
     vals.foreach { v =>
       val bos = new java.io.ByteArrayOutputStream()
       Cram.writeItf8(bos, v)
