@@ -18,6 +18,21 @@ object Fs {
     val path = new Path(p)
     (path.getFileSystem(new Configuration()), path)
   }
+
+  /** Byte-concatenate a shard directory's part-* files into `out` in
+    * name order — the single merge primitive every sharded writer
+    * (SAM/BAM/FASTQ/VCF/BCF) funnels through. */
+  def concatParts(fs: FileSystem, shardDir: Path, out: java.io.OutputStream): Unit = {
+    val parts = fs.listStatus(shardDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val buf = new Array[Byte](1 << 20)
+    parts.foreach { p =>
+      val in = fs.open(p)
+      var r = in.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      in.close()
+    }
+  }
 }
 
 /** Sidecar splitting index: record-start virtual offsets (+ the

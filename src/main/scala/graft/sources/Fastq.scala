@@ -124,16 +124,8 @@ object Fastq {
   private[sources] def concatText(shardDir: String, out: String): Unit = {
     val (fs, dir) = Fs.get(shardDir)
     val (_, outPath) = Fs.get(out)
-    val parts = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val w = fs.create(outPath, true)
-    val buf = new Array[Byte](1 << 20)
-    parts.foreach { p =>
-      val in = fs.open(p)
-      var r = in.read(buf)
-      while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
-      in.close()
-    }
+    Fs.concatParts(fs, dir, w)
     w.close()
     fs.delete(dir, true)
   }

@@ -112,20 +112,11 @@ object Vcf {
     ds.map(formatLine).write.mode("overwrite").text(tmp)
     val (fs, dir) = Fs.get(tmp)
     val (_, outPath) = Fs.get(out)
-    val parts = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val bg = new Bgzf.BgzfOutputStream(fs.create(outPath, true))
-    val w = new OutputStreamWriter(bg, UTF_8)
     try {
-      if (header.lines.nonEmpty) { w.write(header.text); w.write('\n') }
-      val buf = new Array[Char](1 << 16)
-      parts.foreach { pp =>
-        val in = new InputStreamReader(fs.open(pp), UTF_8)
-        var r = in.read(buf)
-        while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
-        in.close()
-      }
-    } finally w.close() // BgzfOutputStream close appends the EOF terminator
+      if (header.lines.nonEmpty) bg.write((header.text + "\n").getBytes(UTF_8))
+      Fs.concatParts(fs, dir, bg)
+    } finally bg.close() // BgzfOutputStream close appends the EOF terminator
     fs.delete(dir, true)
   }
 
@@ -137,18 +128,10 @@ object Vcf {
     ds.map(formatLine).write.mode("overwrite").text(tmp)
     val (fs, dir) = Fs.get(tmp)
     val (_, outPath) = Fs.get(out)
-    val parts = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val w = new OutputStreamWriter(fs.create(outPath, true), UTF_8)
+    val w = fs.create(outPath, true)
     try {
-      if (header.lines.nonEmpty) { w.write(header.text); w.write('\n') }
-      val buf = new Array[Char](1 << 16)
-      parts.foreach { pp =>
-        val in = new InputStreamReader(fs.open(pp), UTF_8)
-        var r = in.read(buf)
-        while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
-        in.close()
-      }
+      if (header.lines.nonEmpty) w.write((header.text + "\n").getBytes(UTF_8))
+      Fs.concatParts(fs, dir, w)
     } finally w.close()
     fs.delete(dir, true)
   }
