@@ -54,13 +54,14 @@ object GraftFunctions {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double ${ev.value}0 = 0.0;
+           |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  ${ev.value}0 += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
            |}
-           |${ev.value} = ${ev.value}0;
+           |${ev.value} = $acc;
          """.stripMargin
       })
 

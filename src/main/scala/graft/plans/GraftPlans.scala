@@ -31,8 +31,21 @@ object GraftPlans {
   * traversal / interval machinery (ref: util/IntervalUtil.java,
   * BAMInputFormat bounded traversal) as a general optimizer rewrite.
   *
-  * Bin width: spark.graft.rangejoin.binwidth (default 64) — choose ≈
-  * the median interval length so intervals span ≤ 2 bins.
+  * Confs:
+  *  - spark.graft.rangejoin.enabled (default true): kill switch — an
+  *    accidental non-interval '<='-pair shape can opt out per session.
+  *  - spark.graft.rangejoin.binwidth (default 64): ≈ median interval
+  *    length so typical intervals span ≤ 2 bins. Must be > 0; an
+  *    invalid value disables the rewrite with a warning rather than
+  *    failing queries.
+  *  - spark.graft.rangejoin.maxBinsPerRow (default 4096): per-row bin
+  *    fan-out cap. Rows whose interval covers more bins (megabase
+  *    spans at default width) would bloat the Generate output — they
+  *    are split out and joined through a broadcast nested-loop
+  *    fallback instead (wide rows are rare by construction, so the
+  *    broadcast is small), unioned with the binned join of the narrow
+  *    majority. Exactly the same pairs come out; Sequence can never
+  *    throw its max-length error. Set <= 0 to uncap.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -41,42 +54,105 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.getTagValue(Rewritten).isEmpty && j.resolved &&
+        if j.getTagValue(Rewritten).isEmpty && j.resolved && enabled &&
           !cond.references.exists(_.name == BinName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       findOverlapPair(conjuncts, left, right) match {
         case Some((aStart, aEnd, bStart, bEnd)) =>
-          val w = Literal(conf.getConfString("spark.graft.rangejoin.binwidth", "64").toLong)
+          binWidth match {
+            case None => j // invalid binwidth conf — warned, no rewrite
+            case Some(width) =>
+              val w = Literal(width)
+              val cap = maxBinsPerRow
 
-          def binsOf(start: Expression, end: Expression, child: LogicalPlan): (LogicalPlan, Attribute) = {
-            val lo = IntegralDivide(Cast(start, LongType), w)
-            val hi = IntegralDivide(Cast(end, LongType), w)
-            // least/greatest guards rows with inverted bounds (start >
-            // end): Sequence would throw on a descending range, but a
-            // naive join can still match such rows — covering
-            // [min,max] keeps every qualifying bin (max(aStart,bStart)
-            // of a qualifying pair always lies within it) without ever
-            // producing an illegal sequence.
-            val loL = Cast(lo, LongType)
-            val hiL = Cast(hi, LongType)
-            val gen = Explode(Sequence(Least(Seq(loL, hiL)), Greatest(Seq(loL, hiL)),
-              Some(Literal(1L)), Some(conf.sessionLocalTimeZone)))
-            val binAttr = AttributeReference(BinName, LongType, nullable = true)()
-            (Generate(gen, Nil, outer = false, None, Seq(binAttr), child), binAttr)
+              def binBounds(start: Expression, end: Expression): (Expression, Expression) = {
+                val lo = Cast(IntegralDivide(Cast(start, LongType), w), LongType)
+                val hi = Cast(IntegralDivide(Cast(end, LongType), w), LongType)
+                // least/greatest guards rows with inverted bounds
+                // (start > end): Sequence would throw on a descending
+                // range, but a naive join can still match such rows —
+                // covering [min,max] keeps every qualifying bin.
+                (Least(Seq(lo, hi)), Greatest(Seq(lo, hi)))
+              }
+
+              def binsOf(start: Expression, end: Expression, child: LogicalPlan): (LogicalPlan, Attribute) = {
+                val (loL, hiL) = binBounds(start, end)
+                val gen = Explode(Sequence(loL, hiL,
+                  Some(Literal(1L)), Some(conf.sessionLocalTimeZone)))
+                val binAttr = AttributeReference(BinName, LongType, nullable = true)()
+                (Generate(gen, Nil, outer = false, None, Seq(binAttr), child), binAttr)
+              }
+
+              def nBins(start: Expression, end: Expression): Expression = {
+                val (loL, hiL) = binBounds(start, end)
+                Add(Subtract(hiL, loL), Literal(1L))
+              }
+
+              // capped: partition each side into narrow (binned path)
+              // and wide (fallback path) rows. Null endpoints fall out
+              // of both filters — they cannot satisfy the overlap
+              // predicate, so the original join drops them too.
+              val (leftSrc, wideLeft) =
+                if (cap <= 0) (left, None)
+                else (Filter(LessThanOrEqual(nBins(aStart, aEnd), Literal(cap)), left),
+                      Some(Filter(GreaterThan(nBins(aStart, aEnd), Literal(cap)), left)))
+              val (rightSrc, wideRight) =
+                if (cap <= 0) (right, None)
+                else (Filter(LessThanOrEqual(nBins(bStart, bEnd), Literal(cap)), right),
+                      Some(Filter(GreaterThan(nBins(bStart, bEnd), Literal(cap)), right)))
+
+              val (leftGen, leftBin) = binsOf(aStart, aEnd, leftSrc)
+              val (rightGen, rightBin) = binsOf(bStart, bEnd, rightSrc)
+              val countOnce = EqualTo(leftBin,
+                Cast(IntegralDivide(
+                  Greatest(Seq(Cast(aStart, LongType), Cast(bStart, LongType))), w), LongType))
+              val newCond = (EqualTo(leftBin, rightBin) +: countOnce +: conjuncts)
+                .reduce(And)
+              val binnedJoin = Join(leftGen, rightGen, Inner, Some(newCond), hint)
+              binnedJoin.setTagValue(Rewritten, true)
+              val binned = Project(j.output, binnedJoin)
+
+              (wideLeft, wideRight) match {
+                case (Some(wl), Some(wr)) =>
+                  // (wideA × allB) ∪ (narrowA × wideB) ∪ binned(narrowA, narrowB)
+                  // — disjoint, complete. The wide side is broadcast-
+                  // hinted: rare rows, and the hint guarantees BNLJ
+                  // over a cartesian regardless of size estimates.
+                  val bl = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
+                  val br = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+                  val wideAJoin = Join(wl, right, Inner, Some(cond), bl)
+                  wideAJoin.setTagValue(Rewritten, true)
+                  val wideBJoin = Join(leftSrc, wr, Inner, Some(cond), br)
+                  wideBJoin.setTagValue(Rewritten, true)
+                  Union(Seq(binned,
+                    Project(j.output, wideAJoin), Project(j.output, wideBJoin)))
+                case _ => binned
+              }
           }
-
-          val (leftGen, leftBin) = binsOf(aStart, aEnd, left)
-          val (rightGen, rightBin) = binsOf(bStart, bEnd, right)
-          val countOnce = EqualTo(leftBin,
-            Cast(IntegralDivide(
-              Greatest(Seq(Cast(aStart, LongType), Cast(bStart, LongType))), w), LongType))
-          val newCond = (EqualTo(leftBin, rightBin) +: countOnce +: conjuncts)
-            .reduce(And)
-          val newJoin = Join(leftGen, rightGen, Inner, Some(newCond), hint)
-          newJoin.setTagValue(Rewritten, true)
-          Project(j.output, newJoin)
         case None => j
       }
+  }
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangejoin.enabled", "true").toBoolean
+
+  private def binWidth: Option[Long] = {
+    val raw = conf.getConfString("spark.graft.rangejoin.binwidth", "64")
+    val parsed = try Some(raw.toLong) catch { case _: NumberFormatException => None }
+    parsed.filter(_ > 0).orElse {
+      logWarning(s"spark.graft.rangejoin.binwidth=$raw is not a positive integer; " +
+        "range-join rewrite disabled")
+      None
+    }
+  }
+
+  private def maxBinsPerRow: Long = {
+    val raw = conf.getConfString("spark.graft.rangejoin.maxBinsPerRow", "4096")
+    try raw.toLong catch {
+      case _: NumberFormatException =>
+        logWarning(s"spark.graft.rangejoin.maxBinsPerRow=$raw is not an integer; using 4096")
+        4096L
+    }
   }
 
   /** Find aStart <= bEnd ∧ bStart <= aEnd with the four endpoint

@@ -46,28 +46,38 @@ object Fs {
   */
 object SplittingIndex {
   final case class Entry(vo: Long, refId: Int, pos: Int)
+
+  /** `maxSpan` = file-wide maximum reference span of any mapped record
+    * (end - pos + 1), recorded at write time; -1 = unknown (v1 index).
+    * It is the exact pad needed for start-key chunk pruning — spliced
+    * RNA-seq reads (CIGAR N over megabase introns) and ultralong reads
+    * make any fixed guess unsafe. */
+  final case class Index(granularity: Int, entries: Array[Entry],
+                         endVo: Long, maxSpan: Int)
   private val Magic = 0x47534958 // "GSIX"
 
   def write(fs: FileSystem, path: Path, granularity: Int,
-            entries: Seq[Entry], endVo: Long): Unit = {
+            entries: Seq[Entry], endVo: Long, maxSpan: Int = -1): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(fs.create(path, true)))
-    out.writeInt(Magic); out.writeInt(1); out.writeInt(granularity)
+    out.writeInt(Magic); out.writeInt(2); out.writeInt(granularity)
+    out.writeInt(maxSpan)
     out.writeInt(entries.length)
     entries.foreach { e => out.writeLong(e.vo); out.writeInt(e.refId); out.writeInt(e.pos) }
     out.writeLong(endVo)
     out.close()
   }
 
-  def read(fs: FileSystem, path: Path): Option[(Int, Array[Entry], Long)] = {
+  def read(fs: FileSystem, path: Path): Option[Index] = {
     if (!fs.exists(path)) return None
     val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
     try {
       if (in.readInt() != Magic) return None
-      in.readInt() // version
+      val version = in.readInt()
       val gran = in.readInt()
+      val maxSpan = if (version >= 2) in.readInt() else -1
       val n = in.readInt()
       val es = Array.fill(n)(Entry(in.readLong(), in.readInt(), in.readInt()))
-      Some((gran, es, in.readLong()))
+      Some(Index(gran, es, in.readLong(), maxSpan))
     } finally in.close()
   }
 
@@ -114,8 +124,8 @@ object BamIO {
 
     val ranges: Seq[(Long, Long)] =
       SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
-        case Some((_, entries, endVo)) =>
-          splitsFromIndex(header, entries, endVo, headerEndVo, intervals, splitSize)
+        case Some(idx) =>
+          splitsFromIndex(header, idx, headerEndVo, intervals, splitSize)
         case None =>
           // foreign BAM: a spec .bai + intervals gives exact bounded
           // traversal (chunk ranges from the binning index, linear
@@ -146,24 +156,29 @@ object BamIO {
 
   /** Chunk boundaries from the sidecar index, pruned against intervals
     * when the BAM is coordinate-sorted (bounded traversal,
-    * ref: BAMInputFormat.java:150-190). */
-  private def splitsFromIndex(header: SamHeader, entries: Array[SplittingIndex.Entry],
-                              endVo: Long, headerEndVo: Long,
+    * ref: BAMInputFormat.java:150-190).  Pruning requires a known
+    * file-wide max read span (v2 index) to pad chunk starts — with an
+    * unknown bound a spliced/ultralong read could span from a pruned
+    * chunk into an interval, so pruning is disabled entirely. */
+  private def splitsFromIndex(header: SamHeader, index: SplittingIndex.Index,
+                              headerEndVo: Long,
                               intervals: Seq[(String, Int, Int)],
                               splitSize: Long): Seq[(Long, Long)] = {
+    val entries = index.entries
+    val endVo = index.endVo
     val all = SplittingIndex.Entry(headerEndVo,
       entries.headOption.map(_.refId).getOrElse(-1),
       entries.headOption.map(_.pos).getOrElse(-1)) +: entries.toSeq
     val chunks: Seq[(SplittingIndex.Entry, Long)] =
       all.zip(all.drop(1).map(_.vo) :+ endVo).filter { case (e, end) => e.vo < end }
     val pruned =
-      if (intervals.isEmpty || header.sortOrder != "coordinate") chunks
+      if (intervals.isEmpty || header.sortOrder != "coordinate" || index.maxSpan < 0) chunks
       else {
         val refIdx = header.refs.map(_.name).zipWithIndex.toMap
         val ivs = intervals.flatMap { case (c, s, e) => refIdx.get(c).map(ri => (ri, s, e)) }
         chunks.zipWithIndex.filter { case ((e, _), i) =>
           val nextKey = if (i + 1 < chunks.length) Some((chunks(i + 1)._1.refId, chunks(i + 1)._1.pos)) else None
-          chunkOverlaps(e.refId, e.pos, nextKey, ivs)
+          chunkOverlaps(e.refId, e.pos, nextKey, ivs, index.maxSpan)
         }.map(_._1)
       }
     // coalesce contiguous chunks up to splitSize compressed bytes
@@ -182,27 +197,23 @@ object BamIO {
     out.toSeq
   }
 
-  /** Longest read span assumed when pruning by record-START keys —
-    * reads starting up to this many bases before an interval may still
-    * overlap it (spliced/long reads).  Conservative default; chunks
-    * kept in excess only cost I/O, never correctness. */
-  val MaxReadSpan: Int = 1 << 16
-
   /** A chunk [first record key, next chunk's first key) can contain a
     * record overlapping the intervals?  Index keys are 0-based
     * (stored as rec.pos - 1); intervals are 1-based inclusive.
-    * Conservative in both unknown directions: the chunk start is
-    * padded by MaxReadSpan (reads starting earlier can span into the
-    * interval), unknown next keys keep the chunk. */
+    * `maxSpan` is the file-wide bound on record reference span from
+    * the v2 sidecar index: a record starting up to maxSpan-1 bases
+    * before an interval can still reach into it, so the chunk's last
+    * possible start (next chunk's first key) is padded by it.
+    * Unknown next keys keep the chunk. */
   private def chunkOverlaps(refId: Int, pos0: Int, nextKey: Option[(Int, Int)],
-                            ivs: Seq[(Int, Int, Int)]): Boolean = {
+                            ivs: Seq[(Int, Int, Int)], maxSpan: Int): Boolean = {
     if (refId < 0) return true // unmapped tail — kept (optional in ref)
     val pos1 = pos0 + 1 // 1-based start of chunk's first record
     ivs.exists { case (ri, s, e) =>
       val startsBeforeEnd = refId < ri || (refId == ri && pos1 <= e)
       val endsAfterStart = nextKey match {
         case Some((nr, np0)) =>
-          nr > ri || nr < 0 || (nr == ri && np0 + 1 + MaxReadSpan >= s)
+          nr > ri || nr < 0 || (nr == ri && np0.toLong + maxSpan >= s)
         case None => true
       }
       startsBeforeEnd && endsAfterStart
@@ -385,11 +396,16 @@ object BamIO {
       val entries = new ArrayBuffer[(Long, Int, Int)]()
       var n = 0L
       var count = 0L
+      var maxSpan = 0
       it.foreach { rec =>
         if (n % granularity == 0) {
           out.blockBoundary() // align indexed records to block starts
           entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
             refIdx.get(rec.rname).getOrElse(-1), rec.pos - 1))
+        }
+        if (rec.pos > 0) {
+          val span = rec.end - rec.pos + 1
+          if (span > maxSpan) maxSpan = span
         }
         val data = BamCodec.encode(rec, refIdx)
         val len = data.length
@@ -400,7 +416,7 @@ object BamIO {
       out.blockBoundary()
       val shardLen = out.compressedOffset
       out.closeWithoutTerminator()
-      Iterator.single((pid, shardLen, count, entries.toArray))
+      Iterator.single((pid, shardLen, count, entries.toArray, maxSpan))
     }.collect().sortBy(_._1)
 
     // driver: header block + concat shards + EOF, shifting index VOs
@@ -411,7 +427,7 @@ object BamIO {
     var coffset = 0L
     coffset += Bgzf.writeBlocksTo(out, headerBytes, 0, headerBytes.length)
     val allEntries = new ArrayBuffer[SplittingIndex.Entry]()
-    shardInfo.foreach { case (pid, shardLen, _, entries) =>
+    shardInfo.foreach { case (pid, shardLen, _, entries, _) =>
       entries.foreach { case (vo, refId, pos) =>
         allEntries += SplittingIndex.Entry(Bgzf.virtualOffset(Bgzf.voCompressed(vo) + coffset,
           Bgzf.voUncompressed(vo)), refId, pos)
@@ -428,8 +444,9 @@ object BamIO {
     out.write(Bgzf.EofMarker)
     out.close()
     fs.delete(tmpDir, true)
+    val fileMaxSpan = if (shardInfo.isEmpty) 0 else shardInfo.map(_._5).max
     SplittingIndex.write(fs, SplittingIndex.indexPath(path), granularity,
-      allEntries.toSeq, endVo)
+      allEntries.toSeq, endVo, fileMaxSpan)
     val _ = spark
   }
 }

@@ -348,9 +348,9 @@ object BcfIO {
     }
     val headerEndVo = hin.virtualPos
     hin.close()
-    val (_, entries, endVo) = SplittingIndex.read(fs, SplittingIndex.indexPath(path))
+    val sidx = SplittingIndex.read(fs, SplittingIndex.indexPath(path))
       .getOrElse(throw new IllegalStateException(s"no splitting index for $file"))
-    val bounds = (headerEndVo +: entries.map(_.vo).toSeq :+ endVo).distinct.sorted
+    val bounds = (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
     val ranges = bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
     val contigs = dicts.contigs; val filters = dicts.filters; val infoKeys = dicts.infoKeys
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
@@ -407,15 +407,58 @@ object Cram {
   final case class Container(offset: Long, length: Int, refSeqId: Int,
                              startPos: Int, span: Int, nRecords: Int)
 
-  /** ITF8: CRAM's variable-length int (public CRAM spec §2.3). */
+  /** ITF8: CRAM's variable-length int (public CRAM spec §2.3).
+    * Every byte is EOF-checked: a truncation mid-varint must surface
+    * as EOFException rather than OR-ing -1 into the value as data.
+    */
   def readItf8(in: InputStream): Int = {
-    val b0 = in.read()
-    if (b0 < 0) throw new EOFException()
+    val b0 = rd(in)
     if ((b0 & 0x80) == 0) b0
-    else if ((b0 & 0x40) == 0) ((b0 & 0x3f) << 8) | in.read()
-    else if ((b0 & 0x20) == 0) ((b0 & 0x1f) << 16) | (in.read() << 8) | in.read()
-    else if ((b0 & 0x10) == 0) ((b0 & 0x0f) << 24) | (in.read() << 16) | (in.read() << 8) | in.read()
-    else ((b0 & 0x0f) << 28) | (in.read() << 20) | (in.read() << 12) | (in.read() << 4) | (in.read() & 0x0f)
+    else if ((b0 & 0x40) == 0) ((b0 & 0x3f) << 8) | rd(in)
+    else if ((b0 & 0x20) == 0) ((b0 & 0x1f) << 16) | (rd(in) << 8) | rd(in)
+    else if ((b0 & 0x10) == 0) ((b0 & 0x0f) << 24) | (rd(in) << 16) | (rd(in) << 8) | rd(in)
+    else ((b0 & 0x0f) << 28) | (rd(in) << 20) | (rd(in) << 12) | (rd(in) << 4) | (rd(in) & 0x0f)
+  }
+
+  private def rd(in: InputStream): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException("truncated varint")
+    b
+  }
+
+  /** LTF8: CRAM's variable-length long (public CRAM spec §2.3).  The
+    * count of leading 1-bits in the first byte gives the number of
+    * additional payload bytes (0..8); unlike ITF8 there is no 4-bit
+    * tail trick — all continuation bytes carry 8 value bits.  Used by
+    * the container header's record-counter and bases fields, which
+    * exceed ITF8's range on real WGS files (counter > 2^28 reads).
+    */
+  def readLtf8(in: InputStream): Long = {
+    val b0 = rd(in)
+    var extra = 0
+    while (extra < 8 && ((b0 << extra) & 0x80) != 0) extra += 1
+    var v: Long = if (extra >= 8) 0L else (b0 & (0xff >>> (extra + 1))).toLong
+    var i = 0
+    while (i < extra) { v = (v << 8) | rd(in); i += 1 }
+    v
+  }
+
+  def writeLtf8(o: java.io.OutputStream, v: Long): Unit = {
+    // Smallest width whose value-bit capacity holds v: (7 - extra)
+    // bits in byte 0 plus 8 per extra byte = 7 + 7*extra total.
+    var extra = 0
+    while (extra < 8 && (v >>> (7 + 7 * extra)) != 0) extra += 1
+    if (extra == 0) o.write(v.toInt & 0x7f)
+    else if (extra >= 8) {
+      o.write(0xff)
+      var i = 7
+      while (i >= 0) { o.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    } else {
+      val prefix = (0xff << (8 - extra)) & 0xff // `extra` leading ones, then a zero
+      o.write(prefix | ((v >>> (8 * extra)) & (0xff >>> (extra + 1))).toInt)
+      var i = extra - 1
+      while (i >= 0) { o.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
   }
 
   def writeItf8(o: java.io.OutputStream, v: Int): Unit = {
@@ -456,21 +499,26 @@ object Cram {
         val start = readItf8(counting)
         val span = readItf8(counting)
         val nRec = readItf8(counting)
-        // skip remaining header fields: counter(ltf8~skip 8ish), bases,
-        // nBlocks, landmarks — then the container body
         out += Container(off, clen, refId, start, span, nRec)
-        // skip rest conservatively: read until we've consumed... the
-        // container length counts the COMPRESSED body after the header;
-        // remaining header: record counter (we approximate with itf8),
-        // bases(itf8), nblocks(itf8), landmarks(array), crc32(4)
-        readItf8(counting); readItf8(counting); readItf8(counting)
+        // Remaining header per CRAM 3.0 §8: record counter (LTF8),
+        // bases (LTF8), nBlocks (ITF8), landmarks (array<ITF8>),
+        // crc32; then `clen` bytes of compressed container body.
+        readLtf8(counting); readLtf8(counting); readItf8(counting)
         val nLandmarks = readItf8(counting)
         (0 until nLandmarks).foreach(_ => readItf8(counting))
         counting.skipFully(4) // crc
         counting.skipFully(clen)
         off += counting.count
         continue = off < len
-      } catch { case _: EOFException => continue = false }
+      } catch {
+        case e: EOFException =>
+          // EOF before the first byte of a container = clean end of
+          // file; EOF mid-container = truncated input, surface it.
+          if (counting.count > 0)
+            throw new java.io.IOException(
+              s"truncated CRAM container at offset $off (${counting.count} bytes into header)", e)
+          continue = false
+      }
     }
     in.close()
     out.toSeq

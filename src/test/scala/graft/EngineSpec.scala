@@ -142,8 +142,67 @@ class RangeJoinRuleSpec extends SparkSpec {
   test("naive overlap join is rewritten to a binned equi-join (no cartesian)") {
     val plan = naiveJoin().queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("__graft_bin"), plan)
+    // the bulk path must be a hash join on the bin keys; the only
+    // nested-loop joins allowed are the broadcast fallbacks for rows
+    // wider than the fan-out cap (empty here)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("uncapped mode plans no nested-loop fallback branches") {
+    withConf("spark.graft.rangejoin.maxBinsPerRow" -> "0") {
+      val plan = naiveJoin().queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("spark.graft.rangejoin.enabled=false leaves the join untouched") {
+    withConf("spark.graft.rangejoin.enabled" -> "false") {
+      val plan = naiveJoin().queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bin"), plan)
+    }
+  }
+
+  test("invalid binwidth disables the rewrite instead of failing the query") {
+    withConf("spark.graft.rangejoin.binwidth" -> "0") {
+      assert(!naiveJoin().queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(naiveJoin().count() > 0)
+    }
+    withConf("spark.graft.rangejoin.binwidth" -> "bogus") {
+      assert(!naiveJoin().queryExecution.executedPlan.toString.contains("__graft_bin"))
+    }
+  }
+
+  test("intervals wider than maxBinsPerRow still return exact pairs (fallback path)") {
+    import spark.implicits._
+    // cap = 4 bins @ width 64 = 256 bases; the wide rows span far more
+    withConf("spark.graft.rangejoin.maxBinsPerRow" -> "4") {
+      val a = Seq((1L, 0L, 1000000L), (2L, 100L, 150L), (3L, 500L, 520L)).toDF("id", "s1", "e1")
+      val b = Seq((10L, 120L, 2000000L), (11L, 510L, 515L), (12L, 5000000L, 5000100L))
+        .toDF("id2", "s2", "e2")
+      val joined = a.join(b, $"s1" <= $"e2" && $"s2" <= $"e1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      val got = joined.select("id", "id2").as[(Long, Long)].collect().sorted
+      val expect = (for {
+        (i, s1, e1) <- Seq((1L, 0L, 1000000L), (2L, 100L, 150L), (3L, 500L, 520L))
+        (j2, s2, e2) <- Seq((10L, 120L, 2000000L), (11L, 510L, 515L), (12L, 5000000L, 5000100L))
+        if s1 <= e2 && s2 <= e1
+      } yield (i, j2)).sorted
+      assert(got.toSeq === expect)
+    }
+  }
+
+  private def withConf(kv: (String, String))(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
   }
 
   test("rewritten join returns exactly the overlap pairs, once each") {

@@ -134,10 +134,49 @@ class BamSpec extends SparkSpec {
     val file = s"$dir/t.bam"
     BamIO.write(spark.createDataset(sorted).repartition(4), header, file, granularity = 100)
     val (fs, _) = Fs.get(file)
-    val Some((gran, entries, endVo)) = SplittingIndex.read(fs, new Path(file + ".sidx"))
-    assert(gran === 100)
-    assert(entries.nonEmpty)
-    assert(entries.map(_.vo).toSeq === entries.map(_.vo).sorted.toSeq)
-    assert(entries.last.vo < endVo)
+    val idx = SplittingIndex.read(fs, new Path(file + ".sidx")).get
+    assert(idx.granularity === 100)
+    assert(idx.entries.nonEmpty)
+    assert(idx.entries.map(_.vo).toSeq === idx.entries.map(_.vo).sorted.toSeq)
+    assert(idx.entries.last.vo < idx.endVo)
+  }
+
+  private val longHeader = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:2000000",
+    Array(SamRef("chr1", 2000000)))
+
+  test("sidecar index records the file-wide max read span (v2)") {
+    import spark.implicits._
+    val recs = Seq(
+      SamRecord("spliced", 0, "chr1", 100, 60, "20M1000000N20M", "*", 0, 0, "*", "*", Array.empty),
+      SamRecord("short", 0, "chr1", 500, 60, "20M", "*", 0, 0, "*", "*", Array.empty))
+    val dir = tmpDir("bamspan")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(recs).coalesce(1), longHeader, file)
+    val (fs, _) = Fs.get(file)
+    val idx = SplittingIndex.read(fs, new Path(file + ".sidx")).get
+    assert(idx.maxSpan === 1000040) // 20M + 1M N + 20M reference span
+  }
+
+  test("megabase-spliced read upstream of interval is never pruned away") {
+    import spark.implicits._
+    // The spliced read starts ~1Mb before the interval — far beyond any
+    // fixed pad guess — and must still be returned (v2 index pads by
+    // the recorded file-wide max span).
+    val recs = (
+      SamRecord("spliced", 0, "chr1", 100, 60, "20M1000000N20M", "*", 0, 0, "*", "*", Array.empty) +:
+      (0 until 400).map(i => SamRecord(s"s$i", 0, "chr1", 1 + i * 2500, 60, "20M",
+        "*", 0, 0, "ACGTACGTACGTACGTACGT", "IIIIIIIIIIIIIIIIIIII", Array.empty))
+    ).sortBy(_.pos)
+    val dir = tmpDir("bamsplice")
+    val file = s"$dir/t.bam"
+    BamIO.write(spark.createDataset(recs).coalesce(1), longHeader, file, granularity = 20)
+    val iv = Seq(("chr1", 1000000, 1000200))
+    val got = BamIO.read(spark, file, intervals = iv, splitSize = 512)
+      .collect().map(_.qname).sorted
+    val expect = recs.filter(r => r.rname == "chr1" && r.pos <= 1000200 && r.end >= 1000000)
+      .map(_.qname).sorted.toArray
+    assert(expect.contains("spliced"))
+    assert(got === expect)
   }
 }

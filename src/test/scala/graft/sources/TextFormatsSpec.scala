@@ -359,9 +359,35 @@ class CramSpec extends SparkSpec {
     }
   }
 
-  test("container enumeration walks a synthetic CRAM") {
-    val dir = tmpDir("cram")
-    val f = s"$dir/t.cram"
+  test("LTF8 varlong round-trips (no ITF8 tail trick; up to 9 bytes)") {
+    val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 28) - 1,
+      1L << 28, (1L << 28) + 7, 300000000L, (1L << 35) + 12345,
+      (1L << 49) + 1, (1L << 56) - 1, 1L << 56, Long.MaxValue, -1L,
+      Long.MinValue)
+    vals.foreach { v =>
+      val bos = new java.io.ByteArrayOutputStream()
+      Cram.writeLtf8(bos, v)
+      val got = Cram.readLtf8(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(got === v, s"ltf8 $v")
+    }
+  }
+
+  test("ITF8/LTF8 throw EOFException on truncated continuation bytes") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Cram.writeItf8(bos, 0x12345678)
+    val full = bos.toByteArray
+    intercept[java.io.EOFException] {
+      Cram.readItf8(new java.io.ByteArrayInputStream(full, 0, full.length - 2))
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    Cram.writeLtf8(bos2, 300000000L)
+    val full2 = bos2.toByteArray
+    intercept[java.io.EOFException] {
+      Cram.readLtf8(new java.io.ByteArrayInputStream(full2, 0, full2.length - 1))
+    }
+  }
+
+  private def synthCram(bodies: Seq[Int], counterBase: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bos.write("CRAM".getBytes(UTF_8))
     bos.write(3); bos.write(0)
@@ -370,23 +396,42 @@ class CramSpec extends SparkSpec {
       bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
       bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
     }
-    val bodies = Seq(100, 200, 50)
     bodies.zipWithIndex.foreach { case (blen, i) =>
       w32(blen) // container length (body)
       Cram.writeItf8(bos, i % 2) // ref id
       Cram.writeItf8(bos, 1000 * i) // start
       Cram.writeItf8(bos, 500) // span
       Cram.writeItf8(bos, 10 + i) // n records
-      Cram.writeItf8(bos, 0); Cram.writeItf8(bos, 0); Cram.writeItf8(bos, 1) // counter/bases/nblocks
+      // record counter / bases are LTF8 (CRAM 3.0 §8) — use values
+      // past 2^28 to prove the parse doesn't fall back to ITF8.
+      Cram.writeLtf8(bos, counterBase + 10L * i)
+      Cram.writeLtf8(bos, counterBase * 150 + i)
+      Cram.writeItf8(bos, 1) // n blocks
       Cram.writeItf8(bos, 0) // n landmarks
       w32(0) // crc
       bos.write(new Array[Byte](blen))
     }
-    Files.write(Paths.get(f), bos.toByteArray)
+    bos.toByteArray
+  }
+
+  test("container enumeration walks a synthetic CRAM (LTF8 counters > 2^28)") {
+    val dir = tmpDir("cram")
+    val f = s"$dir/t.cram"
+    Files.write(Paths.get(f), synthCram(Seq(100, 200, 50), counterBase = 300000000L))
     val cs = Cram.enumerateContainers(f)
     assert(cs.length === 3)
     assert(cs.map(_.nRecords) === Seq(10, 11, 12))
     assert(cs.map(_.refSeqId) === Seq(0, 1, 0))
     assert(cs.head.offset === 26)
+  }
+
+  test("truncated CRAM container surfaces IOException, not silent stop") {
+    val dir = tmpDir("cram-trunc")
+    val f = s"$dir/t.cram"
+    val bytes = synthCram(Seq(100, 200), counterBase = 300000000L)
+    // cut inside the second container's body
+    Files.write(Paths.get(f), bytes.take(bytes.length - 10))
+    val e = intercept[java.io.IOException](Cram.enumerateContainers(f))
+    assert(e.getMessage.contains("truncated CRAM container"))
   }
 }
