@@ -127,18 +127,23 @@ object BamIO {
         case Some(idx) =>
           splitsFromIndex(header, idx, headerEndVo, intervals, splitSize)
         case None =>
-          // foreign BAM: a spec .bai + intervals gives exact bounded
-          // traversal (chunk ranges from the binning index, linear
-          // lower bound); otherwise fall back to split guessing
-          val bai = if (intervals.nonEmpty)
-            Bai.read(fs, Bai.indexPath(path)) else None
-          bai match {
-            case Some(idx) =>
-              val refIdx = header.refs.map(_.name).zipWithIndex.toMap
-              val chunks = intervals.flatMap { case (c, s0, e0) =>
+          // foreign BAM: a spec .bai or .csi + intervals gives exact
+          // bounded traversal (chunk ranges from the binning index,
+          // linear/loffset lower bound); otherwise split guessing
+          val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+          val baiChunks: Option[Seq[Bai.Chunk]] =
+            if (intervals.isEmpty) None
+            else Bai.read(fs, Bai.indexPath(path)).map { idx =>
+              intervals.flatMap { case (c, s0, e0) =>
                 refIdx.get(c).map(ri => Bai.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
               }
-              Bai.merge(chunks).map(c => (c.beg, c.end))
+            }.orElse(Csi.read(fs, Csi.indexPath(path)).map { idx =>
+              intervals.flatMap { case (c, s0, e0) =>
+                refIdx.get(c).map(ri => Csi.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
+              }
+            })
+          baiChunks match {
+            case Some(chunks) => Bai.merge(chunks).map(c => (c.beg, c.end))
             case None =>
               val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
               bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq

@@ -70,10 +70,14 @@ object Bcf {
   }
 
   /** Encode one variant's shared (site) block. `contigIdx`/`filterIdx`
-    * map names to header dictionary offsets. */
+    * map names to header dictionary offsets.  `nFmt`/`nSample` are the
+    * genotype-matrix dimensions recorded in the shared block (0/0 for
+    * a sites-only record; the matrix itself lives in the indiv block,
+    * [[encodeIndiv]]). */
   def encode(v: VcfVariant, contigIdx: Map[String, Int],
              filterIdx: Map[String, Int],
-             infoIdx: Map[String, Int]): Array[Byte] = {
+             infoIdx: Map[String, Int],
+             nFmt: Int = 0, nSample: Int = 0): Array[Byte] = {
     val buf = new ByteArrayOutputStream(96)
     val o = new DataOutputStream(buf)
     def w32(x: Int): Unit = { o.write(x & 0xff); o.write((x >> 8) & 0xff); o.write((x >> 16) & 0xff); o.write((x >> 24) & 0xff) }
@@ -84,7 +88,7 @@ object Bcf {
       .getOrElse(0x7f800001)) // missing float
     val nAllele = 1 + v.alt.length
     w32((v.infoKeys.length & 0xffff) | (nAllele << 16)) // n_info | n_allele<<16
-    w32(0) // n_fmt<<24 | n_sample (sites only)
+    w32((nSample & 0xffffff) | (nFmt << 24)) // n_fmt<<24 | n_sample
     writeTyped(o, if (v.id == ".") "" else v.id)
     writeTyped(o, v.ref)
     v.alt.foreach(a => writeTyped(o, a))
@@ -106,7 +110,8 @@ object Bcf {
   }
 
   def decode(data: Array[Byte], contigs: Array[String], filters: Array[String],
-             infoKeys: Array[String]): VcfVariant = {
+             infoKeys: Array[String], indiv: Array[Byte] = Array.emptyByteArray,
+             fmtKeys: Array[String] = Array.empty): VcfVariant = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val chrom = contigs(b.getInt)
     val pos = b.getInt + 1L
@@ -116,7 +121,9 @@ object Bcf {
     val nInfoAllele = b.getInt
     val nInfo = nInfoAllele & 0xffff
     val nAllele = nInfoAllele >>> 16
-    b.getInt // n_fmt/n_sample
+    val nFmtSample = b.getInt
+    val nSample = nFmtSample & 0xffffff
+    val nFmt = nFmtSample >>> 24
     val id0 = readTypedString(b)
     val ref = readTypedString(b)
     val alts = (1 until nAllele).map(_ => readTypedString(b)).toArray
@@ -131,14 +138,185 @@ object Bcf {
       ik(i) = infoKeys(keyIdx)
       iv(i) = readTypedString(b)
     }
+    val (fmt, gts) =
+      if (nFmt > 0 && nSample > 0 && indiv.nonEmpty && fmtKeys.nonEmpty)
+        decodeIndiv(indiv, fmtKeys, nFmt, nSample)
+      else (Array.empty[String], Array.empty[String])
     VcfVariant(chrom, pos, if (id0.isEmpty) "." else id0, ref, alts, qual,
-      filter, ik, iv, Array.empty, Array.empty)
+      filter, ik, iv, fmt, gts)
   }
 
-  /** Write sites as a BCF file (BGZF-wrapped, header text + records). */
+  // ------------------------------------------------- genotype matrix
+  // BCF2 indiv block: per FORMAT field, a typed int key offset + ONE
+  // type descriptor shared by all samples (vector width = max across
+  // samples) + n_sample fixed-width value vectors.  Reserved values
+  // (public BCF2 spec table 1): per-type MISSING and END_OF_VECTOR
+  // (vector padding).  GT uses the spec's (allele+1)<<1|phased ints.
+
+  private val FloatMissingBits = 0x7f800001
+  private val FloatEovBits = 0x7f800002
+
+  private def intMissing(sz: Int): Int = sz match {
+    case 1 => 0x80 - 256 // -128
+    case 2 => 0x8000 - 65536
+    case _ => 0x80000000
+  }
+  private def intEov(sz: Int): Int = sz match {
+    case 1 => 0x81 - 256
+    case 2 => 0x8001 - 65536
+    case _ => 0x80000001
+  }
+
+  private def writeIntOfSize(o: DataOutputStream, v: Int, sz: Int): Unit = sz match {
+    case 1 => o.write(v & 0xff)
+    case 2 => o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    case _ => o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+
+  private def writeVectorHeader(o: DataOutputStream, len: Int, t: Int): Unit = {
+    if (len < 15) o.write((len << 4) | t)
+    else { o.write((15 << 4) | t); writeTypedInt(o, len) }
+  }
+
+  /** Encode the genotype matrix (indiv block) of one variant.  Field
+    * element types are inferred per FORMAT key: GT → spec ints; else
+    * int8/16/32 if every element round-trips as an int, float if every
+    * element round-trips Float.toString, else a padded char vector —
+    * inference instead of header ##FORMAT Type= keeps the codec
+    * self-contained and always round-trip-exact. */
+  def encodeIndiv(v: VcfVariant, fmtIdx: Map[String, Int]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream(64)
+    val o = new DataOutputStream(buf)
+    val fields = v.genotypes.map(_.split(":", -1))
+    v.format.zipWithIndex.foreach { case (key, j) =>
+      val raw = fields.map(f => if (j < f.length && f(j).nonEmpty) f(j) else ".")
+      writeTypedInt(o, fmtIdx(key))
+      if (key == "GT") writeGt(o, raw) else writeFmtValues(o, raw)
+    }
+    o.flush()
+    buf.toByteArray
+  }
+
+  private def writeGt(o: DataOutputStream, raw: Array[String]): Unit = {
+    // per-sample allele codes: (allele+1)<<1 | phased ('.' allele = -1)
+    val per = raw.map { g =>
+      val codes = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      var phased = false
+      var tok = new java.lang.StringBuilder(4)
+      def flush(): Unit = {
+        val a = if (tok.length == 0 || tok.toString == ".") -1 else tok.toString.toInt
+        codes += (((a + 1) << 1) | (if (phased && codes.nonEmpty) 1 else 0))
+        tok.setLength(0)
+      }
+      while (i < g.length) {
+        val c = g.charAt(i)
+        if (c == '/' || c == '|') { flush(); phased = c == '|' }
+        else tok.append(c)
+        i += 1
+      }
+      flush()
+      codes.toArray
+    }
+    val width = per.map(_.length).max
+    writeVectorHeader(o, width, 1) // GT codes always fit int8 here
+    per.foreach { codes =>
+      codes.foreach(c => o.write(c & 0xff))
+      (codes.length until width).foreach(_ => o.write(0x81)) // EOV pad
+    }
+  }
+
+  private def writeFmtValues(o: DataOutputStream, raw: Array[String]): Unit = {
+    val split = raw.map(s => if (s == ".") Array(".") else s.split(",", -1))
+    val width = math.max(1, split.map(_.length).max)
+    val elems = split.flatten.filter(_ != ".")
+    def intOk(s: String): Boolean =
+      try { s.toInt.toString == s } catch { case _: NumberFormatException => false }
+    def floatOk(s: String): Boolean =
+      try { java.lang.Float.toString(s.toFloat) == s } catch { case _: NumberFormatException => false }
+    if (elems.nonEmpty && elems.forall(intOk)) {
+      val vs = elems.map(_.toInt)
+      // stay clear of each width's reserved band (MISSING/EOV)
+      val sz = if (vs.forall(v => v >= -120 && v <= 127)) 1
+        else if (vs.forall(v => v >= -32760 && v <= 32767)) 2
+        else 4
+      writeVectorHeader(o, width, if (sz == 1) 1 else if (sz == 2) 2 else 3)
+      split.foreach { es =>
+        es.foreach(e => writeIntOfSize(o, if (e == ".") intMissing(sz) else e.toInt, sz))
+        (es.length until width).foreach(_ => writeIntOfSize(o, intEov(sz), sz))
+      }
+    } else if (elems.nonEmpty && elems.forall(floatOk)) {
+      writeVectorHeader(o, width, 5)
+      split.foreach { es =>
+        es.foreach { e =>
+          val bits = if (e == ".") FloatMissingBits else java.lang.Float.floatToIntBits(e.toFloat)
+          writeIntOfSize(o, bits, 4)
+        }
+        (es.length until width).foreach(_ => writeIntOfSize(o, FloatEovBits, 4))
+      }
+    } else {
+      // char vector: the raw per-sample string (commas kept), 0-padded
+      val bytes = raw.map(_.getBytes(UTF_8))
+      val w = math.max(1, bytes.map(_.length).max)
+      writeVectorHeader(o, w, 7)
+      bytes.foreach { bs => o.write(bs); (bs.length until w).foreach(_ => o.write(0)) }
+    }
+  }
+
+  /** Decode an indiv block back to (format keys, per-sample strings). */
+  def decodeIndiv(data: Array[Byte], fmtKeys: Array[String], nFmt: Int,
+                  nSample: Int): (Array[String], Array[String]) = {
+    val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val fmt = new Array[String](nFmt)
+    val cols = Array.fill(nSample)(new java.lang.StringBuilder(16))
+    (0 until nFmt).foreach { j =>
+      val key = fmtKeys(readTypedIntV(b))
+      fmt(j) = key
+      val (t, width) = readTyped(b)
+      (0 until nSample).foreach { s =>
+        val str = t match {
+          case 7 =>
+            val bs = new Array[Byte](width)
+            b.get(bs)
+            var end = width
+            while (end > 0 && bs(end - 1) == 0) end -= 1
+            new String(bs, 0, end, UTF_8)
+          case 5 =>
+            val vs = (0 until width).map(_ => b.getInt)
+              .filter(_ != FloatEovBits)
+            vs.map(bits => if (bits == FloatMissingBits) "."
+              else java.lang.Float.toString(java.lang.Float.intBitsToFloat(bits)))
+              .mkString(",")
+          case sz1 =>
+            val sz = if (sz1 == 1) 1 else if (sz1 == 2) 2 else 4
+            val vs = (0 until width).map(_ => readInt(b, sz1)).filter(_ != intEov(sz))
+            if (key == "GT") gtString(vs)
+            else vs.map(v => if (v == intMissing(sz)) "." else v.toString).mkString(",")
+        }
+        if (j > 0) cols(s).append(':')
+        cols(s).append(str)
+      }
+    }
+    (fmt, cols.map(_.toString))
+  }
+
+  private def gtString(codes: Seq[Int]): String = {
+    val sb = new java.lang.StringBuilder(8)
+    codes.zipWithIndex.foreach { case (c, i) =>
+      if (i > 0) sb.append(if ((c & 1) == 1) '|' else '/')
+      val allele = (c >>> 1) - 1
+      if (allele < 0) sb.append('.') else sb.append(allele)
+    }
+    sb.toString
+  }
+
+  /** Write variants as a BCF file (BGZF-wrapped, header text +
+    * records).  With a non-empty `fmtKeys` dictionary, records carry
+    * their genotype matrix as a typed indiv block; otherwise sites
+    * only. */
   def write(path: String, headerText: String, variants: Seq[VcfVariant],
             contigs: Array[String], filters: Array[String],
-            infoKeys: Array[String]): Unit = {
+            infoKeys: Array[String], fmtKeys: Array[String] = Array.empty): Unit = {
     val (fs, p) = Fs.get(path)
     val out = new Bgzf.BgzfOutputStream(fs.create(p, true))
     val o = new DataOutputStream(out)
@@ -150,19 +328,26 @@ object Bcf {
     val contigIdx = contigs.zipWithIndex.toMap
     val filterIdx = filters.zipWithIndex.toMap
     val infoIdx = infoKeys.zipWithIndex.toMap
+    val fmtIdx = fmtKeys.zipWithIndex.toMap
     variants.foreach { v =>
-      val shared = encode(v, contigIdx, filterIdx, infoIdx)
+      val withGts = fmtKeys.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
+      val shared = encode(v, contigIdx, filterIdx, infoIdx,
+        nFmt = if (withGts) v.format.length else 0,
+        nSample = if (withGts) v.genotypes.length else 0)
+      val indiv = if (withGts) encodeIndiv(v, fmtIdx) else Array.emptyByteArray
       def w32(x: Int): Unit = { o.write(x & 0xff); o.write((x >> 8) & 0xff); o.write((x >> 16) & 0xff); o.write((x >> 24) & 0xff) }
       w32(shared.length)
-      w32(0) // l_indiv
+      w32(indiv.length)
       o.write(shared)
+      o.write(indiv)
     }
     o.flush()
     out.close()
   }
 
   def read(path: String, contigs: Array[String], filters: Array[String],
-           infoKeys: Array[String]): (String, Seq[VcfVariant]) = {
+           infoKeys: Array[String], fmtKeys: Array[String] = Array.empty):
+      (String, Seq[VcfVariant]) = {
     val (fs, p) = Fs.get(path)
     val in = new Bgzf.BgzfInputStream(new java.io.BufferedInputStream(fs.open(p)))
     val magic = new Array[Byte](5)
@@ -178,8 +363,9 @@ object Bcf {
       val lIndiv = readIntLe(in)
       val shared = new Array[Byte](lShared)
       readFully(in, shared)
-      if (lIndiv > 0) { val skip = new Array[Byte](lIndiv); readFully(in, skip) }
-      out += decode(shared, contigs, filters, infoKeys)
+      val indiv = new Array[Byte](lIndiv)
+      if (lIndiv > 0) readFully(in, indiv)
+      out += decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
       lShared = readIntLeOrEof(in)
     }
     in.close()
@@ -222,10 +408,12 @@ object Bcf {
 object BcfIO {
 
   final case class Dicts(contigs: Array[String], filters: Array[String],
-                        infoKeys: Array[String]) {
+                        infoKeys: Array[String],
+                        fmtKeys: Array[String] = Array.empty) {
     def headerText: String =
       s"##fileformat=VCFv4.3\n##graft_contigs=${contigs.mkString(",")}\n" +
-        s"##graft_filters=${filters.mkString(",")}\n##graft_info=${infoKeys.mkString(",")}"
+        s"##graft_filters=${filters.mkString(",")}\n##graft_info=${infoKeys.mkString(",")}" +
+        (if (fmtKeys.isEmpty) "" else s"\n##graft_format=${fmtKeys.mkString(",")}")
   }
 
   object Dicts {
@@ -234,7 +422,7 @@ object BcfIO {
         text.linesIterator.find(_.startsWith(s"##graft_$k="))
           .map(_.substring(s"##graft_$k=".length).split(",").filter(_.nonEmpty))
           .getOrElse(Array.empty)
-      Dicts(grab("contigs"), grab("filters"), grab("info"))
+      Dicts(grab("contigs"), grab("filters"), grab("info"), grab("format"))
     }
   }
 
@@ -247,6 +435,7 @@ object BcfIO {
     val contigIdx = dicts.contigs.zipWithIndex.toMap
     val filterIdx = dicts.filters.zipWithIndex.toMap
     val infoIdx = dicts.infoKeys.zipWithIndex.toMap
+    val fmtIdx = dicts.fmtKeys.zipWithIndex.toMap
 
     val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
       val (tfs, _) = Fs.get(tmpDirStr)
@@ -260,11 +449,17 @@ object BcfIO {
           entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
             contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1))
         }
-        val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx)
+        val withGts = fmtIdx.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
+        val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx,
+          nFmt = if (withGts) v.format.length else 0,
+          nSample = if (withGts) v.genotypes.length else 0)
+        val indiv = if (withGts) Bcf.encodeIndiv(v, fmtIdx) else Array.emptyByteArray
         val len = shared.length
+        val li = indiv.length
         out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
-        out.write(Array[Byte](0, 0, 0, 0)) // l_indiv (sites only)
+        out.write(Array[Byte](li.toByte, (li >> 8).toByte, (li >> 16).toByte, (li >> 24).toByte))
         out.write(shared)
+        out.write(indiv)
         n += 1
       }
       out.blockBoundary()
@@ -352,7 +547,8 @@ object BcfIO {
       .getOrElse(throw new IllegalStateException(s"no splitting index for $file"))
     val bounds = (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
     val ranges = bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
-    val contigs = dicts.contigs; val filters = dicts.filters; val infoKeys = dicts.infoKeys
+    val contigs = dicts.contigs; val filters = dicts.filters
+    val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (startVo, endVo2) =>
         val (tfs, tpath) = Fs.get(file)
@@ -375,12 +571,10 @@ object BcfIO {
               val shared = new Array[Byte](lShared)
               var o = 0
               while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
-              if (lIndiv > 0) {
-                val sk = new Array[Byte](lIndiv)
-                var o2 = 0
-                while (o2 < lIndiv) { val r = in.read(sk, o2, lIndiv - o2); require(r > 0); o2 += r }
-              }
-              nextV = Bcf.decode(shared, contigs, filters, infoKeys)
+              val indiv = new Array[Byte](lIndiv)
+              var o2 = 0
+              while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
+              nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
             }
           }
           override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }

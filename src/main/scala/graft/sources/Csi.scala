@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataOutputStream, EOFException}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** CSI (coordinate-sorted index) reader/writer — the generalized-depth
+  * successor of BAI from the public CSIv1 spec (htslib).  BAI's fixed
+  * 5-level / 14-bit-leaf binning caps contigs at 512 Mbp; CSI
+  * parameterizes `min_shift` and `depth`, so long contigs (plant
+  * genomes, concatenated pan-genomes) index fine.  File layout is the
+  * spec's: BGZF-wrapped, per-bin chunk lists, and a per-bin `loffset`
+  * virtual-offset lower bound replacing BAI's separate linear index.
+  *
+  * Role mirror of the reference's index use (LinearBAMIndex.java /
+  * BAMInputFormat bounded traversal), at CSI generality.  With
+  * min_shift=14, depth=5 the binning is bit-identical to BAI.
+  */
+object Csi {
+
+  import Bai.Chunk
+
+  /** `loffset` = virtual-offset lower bound for records overlapping
+    * the bin's interval (min record-start VO of the bin's first
+    * 2^min_shift window; 0 = unknown). */
+  final case class BinEntry(loffset: Long, chunks: Seq[Chunk])
+  final case class RefIndex(bins: Map[Int, BinEntry])
+  final case class Index(minShift: Int, depth: Int, refs: Array[RefIndex])
+
+  private val Magic = Array[Byte]('C', 'S', 'I', 1)
+
+  def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".csi")
+
+  // ------------------------------------------------------------ binning
+
+  /** Smallest bin fully containing [beg, end0) 0-based half-open
+    * (htslib reg2bin_level generalization). */
+  def reg2bin(beg: Int, end0: Int, minShift: Int, depth: Int): Int = {
+    val end = end0 - 1
+    var l = depth
+    var s = minShift
+    var t = ((1 << (depth * 3)) - 1) / 7
+    while (l > 0) {
+      if ((beg >> s) == (end >> s)) return t + (beg >> s)
+      l -= 1
+      s += 3
+      t -= 1 << (l * 3)
+    }
+    0
+  }
+
+  /** All bins overlapping [beg, end0) 0-based half-open. */
+  def reg2bins(beg: Int, end0: Int, minShift: Int, depth: Int): Seq[Int] = {
+    val end = end0 - 1
+    val out = mutable.ArrayBuffer[Int]()
+    var l = 0
+    var t = 0
+    var s = minShift + depth * 3
+    while (l <= depth) {
+      out ++= (t + (beg >> s)) to (t + (end >> s))
+      s -= 3
+      t += 1 << (l * 3)
+      l += 1
+    }
+    out.toSeq
+  }
+
+  /** 0-based start position of a bin's interval. */
+  def binStart(bin: Int, minShift: Int, depth: Int): Int = {
+    var l = depth
+    var t = ((1 << (depth * 3)) - 1) / 7
+    while (l > 0 && bin < t) { l -= 1; t -= 1 << (l * 3) }
+    (bin - t) << (minShift + 3 * (depth - l))
+  }
+
+  // ---------------------------------------------------------------- I/O
+
+  def write(fs: FileSystem, path: Path, idx: Index): Unit = {
+    val out = new DataOutputStream(new Bgzf.BgzfOutputStream(fs.create(path, true)))
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w64(v: Long): Unit = { w32(v.toInt); w32((v >>> 32).toInt) }
+    out.write(Magic)
+    w32(idx.minShift)
+    w32(idx.depth)
+    w32(0) // l_aux
+    w32(idx.refs.length)
+    idx.refs.foreach { r =>
+      w32(r.bins.size)
+      r.bins.toSeq.sortBy(_._1).foreach { case (bin, e) =>
+        w32(bin)
+        w64(e.loffset)
+        w32(e.chunks.length)
+        e.chunks.foreach { c => w64(c.beg); w64(c.end) }
+      }
+    }
+    out.close()
+  }
+
+  def read(fs: FileSystem, path: Path): Option[Index] = {
+    if (!fs.exists(path)) return None
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
+    try {
+      val magic = new Array[Byte](4)
+      var got = 0
+      while (got < 4) {
+        val r = in.read(magic, got, 4 - got)
+        if (r < 0) return None
+        got += r
+      }
+      if (!java.util.Arrays.equals(magic, Magic)) return None
+      def r32(): Int = {
+        val a = in.read(); val b = in.read(); val c = in.read(); val d = in.read()
+        if ((a | b | c | d) < 0) throw new EOFException("truncated CSI")
+        a | (b << 8) | (c << 16) | (d << 24)
+      }
+      def r64(): Long = (r32().toLong & 0xffffffffL) | (r32().toLong << 32)
+      val minShift = r32()
+      val depth = r32()
+      val lAux = r32()
+      if (lAux > 0) { var i = 0; while (i < lAux) { if (in.read() < 0) throw new EOFException(); i += 1 } }
+      val nRef = r32()
+      val refs = Array.fill(nRef) {
+        val nBin = r32()
+        RefIndex((0 until nBin).map { _ =>
+          val bin = r32()
+          val loffset = r64()
+          val nChunk = r32()
+          bin -> BinEntry(loffset, (0 until nChunk).map(_ => Chunk(r64(), r64())))
+        }.toMap)
+      }
+      Some(Index(minShift, depth, refs))
+    } finally in.close()
+  }
+
+  // ----------------------------------------------------------- querying
+
+  /** Merged chunk ranges for one interval (1-based inclusive).  The
+    * lower bound is the max loffset over the bins containing `start`
+    * (the chain of `start`'s leaf) — valid because loffset is a
+    * window-min: any record overlapping the query either overlaps that
+    * bin's first window (VO ≥ its min) or starts after it (VO ≥ by
+    * coordinate order). */
+  def chunksFor(idx: Index, refId: Int, start1: Int, end1: Int): Seq[Chunk] = {
+    if (refId < 0 || refId >= idx.refs.length) return Nil
+    val r = idx.refs(refId)
+    val beg = start1 - 1
+    val minVo = reg2bins(beg, beg + 1, idx.minShift, idx.depth)
+      .flatMap(b => r.bins.get(b)).map(_.loffset).foldLeft(0L)(math.max)
+    val raw = reg2bins(beg, end1, idx.minShift, idx.depth)
+      .flatMap(b => r.bins.getOrElse(b, BinEntry(0L, Nil)).chunks)
+      .filter(_.end > minVo)
+      .map(c => Chunk(math.max(c.beg, minVo), c.end))
+      .sortBy(_.beg)
+    Bai.merge(raw)
+  }
+
+  // ----------------------------------------------------------- indexing
+
+  /** Build a CSI from a coordinate-sorted BAM in one sequential driver
+    * pass (Bai.build generalized to parameterized binning). */
+  def build(file: String, minShift: Int = 14, depth: Int = 5): Index = {
+    val (fs, path) = Fs.get(file)
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
+    val header = BamCodec.readHeader(in)
+    val nRef = header.refs.length
+    val bins = Array.fill(nRef)(mutable.Map[Int, mutable.ArrayBuffer[Chunk]]())
+    val winMin = Array.fill(nRef)(mutable.ArrayBuffer[Long]()) // min VO per 2^minShift window
+
+    var recStart = in.virtualPos
+    var ok = true
+    while (ok) {
+      val a = in.read()
+      if (a < 0) ok = false
+      else {
+        val sz = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+        val data = new Array[Byte](sz)
+        var o = 0
+        while (o < sz) {
+          val r = in.read(data, o, sz - o)
+          if (r < 0) throw new EOFException("truncated BAM record")
+          o += r
+        }
+        val recEnd = in.virtualPos
+        val rec = BamCodec.decode(data, header.refs)
+        val refId = header.refs.indexWhere(_.name == rec.rname)
+        if (refId >= 0 && rec.pos > 0) {
+          val beg0 = rec.pos - 1
+          val end0 = math.max(rec.end, rec.pos)
+          val bin = reg2bin(beg0, end0, minShift, depth)
+          val bs = bins(refId).getOrElseUpdate(bin, mutable.ArrayBuffer())
+          if (bs.nonEmpty && bs.last.end == recStart)
+            bs(bs.length - 1) = Chunk(bs.last.beg, recEnd)
+          else bs += Chunk(recStart, recEnd)
+          val wBeg = beg0 >> minShift
+          val wEnd = (end0 - 1) >> minShift
+          val lin = winMin(refId)
+          while (lin.length <= wEnd) lin += 0L
+          (wBeg to wEnd).foreach { w =>
+            if (lin(w) == 0L || recStart < lin(w)) lin(w) = recStart
+          }
+        }
+        recStart = recEnd
+      }
+    }
+    in.close()
+    Index(minShift, depth, (0 until nRef).map { i =>
+      RefIndex(bins(i).map { case (bin, chunks) =>
+        val w = binStart(bin, minShift, depth) >> minShift
+        val loff = if (w < winMin(i).length) winMin(i)(w) else 0L
+        bin -> BinEntry(loff, chunks.toSeq)
+      }.toMap)
+    }.toArray)
+  }
+
+  def buildAndWrite(file: String, minShift: Int = 14, depth: Int = 5): Unit = {
+    val (fs, path) = Fs.get(file)
+    write(fs, indexPath(path), build(file, minShift, depth))
+  }
+}

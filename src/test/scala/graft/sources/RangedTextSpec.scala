@@ -116,6 +116,114 @@ class BcfIOSpec extends SparkSpec {
       assert(b.infoValues.toSeq === v.infoValues.toSeq)
     }
   }
+
+  test("distributed BCF round-trips the genotype matrix (fmt dictionary in header)") {
+    import spark.implicits._
+    val dicts = BcfIO.Dicts(Array("chr1"), Array("PASS"), Array("DP"),
+      fmtKeys = Array("GT", "DP", "AD"))
+    val vs = (0 until 200).map { i =>
+      graft.model.VcfVariant(
+        chrom = "chr1", pos = 100L + i, id = s"rs$i", ref = "A", alt = Array("C"),
+        qual = None, filter = "PASS", infoKeys = Array("DP"), infoValues = Array(s"$i"),
+        format = Array("GT", "DP", "AD"),
+        genotypes = Array(
+          s"${i % 2}/1:${i % 120}:${i},${i * 2}",
+          if (i % 7 == 0) "./.:.:." else s"1|1:${90 + i % 9}:${i + 1}"))
+    }
+    val dir = tmpDir("bcfgt")
+    val file = s"$dir/g.bcf"
+    BcfIO.write(spark.createDataset(vs).repartition(3), dicts, file, granularity = 40)
+    // dictionaries (incl. format) ride the header text
+    assert(BcfIO.readDicts(file).fmtKeys.toSeq === Seq("GT", "DP", "AD"))
+    val back = BcfIO.read(spark, file).collect()
+    assert(back.length === 200)
+    val byId = back.map(v => v.id -> v).toMap
+    vs.foreach { v =>
+      val b = byId(v.id)
+      assert(b.format.toSeq === v.format.toSeq, v.id)
+      assert(b.genotypes.toSeq === v.genotypes.toSeq, v.id)
+    }
+  }
+}
+
+class CsiSpec extends SparkSpec {
+  import graft.model.{SamHeader, SamRecord, SamRef}
+
+  test("reg2bin/reg2bins at min_shift=14, depth=5 are bit-identical to BAI") {
+    val cases = Seq((0, 100), (16383, 16385), (100000, 200000),
+      (1 << 20, (1 << 20) + 50000), (536870000, 536870911))
+    cases.foreach { case (b, e) =>
+      assert(Csi.reg2bins(b, e, 14, 5).sorted === Bai.reg2bins(b, e).sorted, s"[$b,$e)")
+    }
+    assert(Csi.reg2bin(16000, 16100, 14, 5) === BamCodec.reg2bin(16000, 16100))
+    assert(Csi.reg2bin(0, 1 << 26, 14, 5) === BamCodec.reg2bin(0, 1 << 26))
+  }
+
+  test("binStart inverts reg2bin level placement") {
+    Seq((14, 5), (14, 6), (12, 4)).foreach { case (ms, d) =>
+      Seq((0, 1), (5000, 5100), (1 << 20, (1 << 20) + 10), (1 << 28, (1 << 28) + 5))
+        .foreach { case (b, e) =>
+          val bin = Csi.reg2bin(b, e, ms, d)
+          val start = Csi.binStart(bin, ms, d)
+          assert(start <= b, s"bin $bin start $start beg $b")
+        }
+    }
+  }
+
+  test("CSI round-trips and bounded traversal via .csi matches the filter") {
+    import spark.implicits._
+    val header = SamHeader(
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:100000",
+      Array(SamRef("chr1", 100000), SamRef("chr2", 100000)))
+    val recs = (0 until 1000).map { i =>
+      SamRecord(s"q$i", 0, if (i < 600) "chr1" else "chr2",
+        1 + (if (i < 600) i * 150 else (i - 600) * 200), 60, "30M", "*", 0, 0,
+        "ACGTACGTACGTACGTACGTACGTACGTAC", "I" * 30, Array.empty)
+    }
+    val dir = tmpDir("csi")
+    val file = s"$dir/t.bam"
+    BamIO.writeSorted(spark.createDataset(recs).repartition(4), header, file)
+    Csi.buildAndWrite(file)
+    val (fs, p) = Fs.get(file)
+    val idx = Csi.read(fs, Csi.indexPath(new org.apache.hadoop.fs.Path(file))).get
+    assert(idx.minShift === 14 && idx.depth === 5)
+    assert(idx.refs.length === 2 && idx.refs(0).bins.nonEmpty)
+    // no graft sidecar, no .bai: the CSI path must serve the intervals
+    fs.delete(SplittingIndex.indexPath(p), false)
+    val iv = Seq(("chr1", 30000, 60000))
+    val got = BamIO.read(spark, file, intervals = iv).collect().map(_.qname).sorted
+    val expect = recs.filter(r => r.rname == "chr1" && r.pos <= 60000 && r.end >= 30000)
+      .map(_.qname).sorted.toArray
+    assert(got === expect)
+    assert(got.nonEmpty)
+    val chunks = Csi.chunksFor(idx, 0, 30000, 60000)
+    assert(chunks.nonEmpty)
+  }
+
+  test("depth=6 CSI indexes a contig past BAI's 512 Mbp limit") {
+    import spark.implicits._
+    // positions beyond 2^29 overflow BAI's 5-level binning; CSI with
+    // one extra level covers 2^32
+    val header = SamHeader(
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:big1\tLN:1200000000",
+      Array(SamRef("big1", 1200000000)))
+    val recs = (0 until 300).map { i =>
+      SamRecord(s"q$i", 0, "big1", 1 + i * 4000000, 60, "30M", "*", 0, 0,
+        "ACGTACGTACGTACGTACGTACGTACGTAC", "I" * 30, Array.empty)
+    }
+    val dir = tmpDir("csibig")
+    val file = s"$dir/big.bam"
+    BamIO.writeSorted(spark.createDataset(recs).coalesce(1), header, file)
+    Csi.buildAndWrite(file, minShift = 14, depth = 6)
+    val (fs, p) = Fs.get(file)
+    fs.delete(SplittingIndex.indexPath(p), false)
+    val iv = Seq(("big1", 900000000, 1000000000))
+    val got = BamIO.read(spark, file, intervals = iv).collect().map(_.qname).sorted
+    val expect = recs.filter(r => r.pos <= 1000000000 && r.end >= 900000000)
+      .map(_.qname).sorted.toArray
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
 
 class BaiSpec extends SparkSpec {

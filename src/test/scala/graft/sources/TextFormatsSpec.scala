@@ -345,6 +345,54 @@ class BcfSpec extends SparkSpec {
       assert(b.qual.map(_.toFloat) === v.qual.map(_.toFloat))
     }
   }
+
+  test("genotype matrix round-trips with typed vectors (GT/int/float/char)") {
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val infoKeys = Array("DP")
+    val fmtKeys = Array("GT", "DP", "GQ", "AD", "VAF", "FT")
+    val vs = Seq(
+      // mixed ploidy + phasing + missing alleles
+      graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C", "T"), Some(30.0), "PASS",
+        Array("DP"), Array("55"),
+        Array("GT", "DP", "AD", "VAF", "FT"),
+        Array("0/1:35:12,23:0.657:PASS", "1|2:40:0,40:1.0:lowq", ".:.:.:.:.")),
+      // haploid + missing-in-the-middle + multi-value int with varying arity
+      graft.model.VcfVariant("chr1", 11L, "rs2", "G", Array("A"), None, "PASS",
+        Array.empty, Array.empty,
+        Array("GT", "GQ", "AD"),
+        Array("1:99:3", "./.:.:4,5", "0|1:12:6,7")),
+      // values forcing int16 and int32 widths
+      graft.model.VcfVariant("chr1", 12L, "rs3", "T", Array("C"), None, "PASS",
+        Array.empty, Array.empty,
+        Array("GT", "DP"),
+        Array("0/0:30000", "0/1:2000000")),
+      // sites-only record in the same file
+      graft.model.VcfVariant("chr1", 13L, "rs4", "T", Array("G"), None, "PASS",
+        Array.empty, Array.empty, Array.empty, Array.empty))
+    val dir = tmpDir("bcfg")
+    val f = s"$dir/g.bcf"
+    Bcf.write(f, "##h", vs, contigs, filters, infoKeys, fmtKeys)
+    val (_, back) = Bcf.read(f, contigs, filters, infoKeys, fmtKeys)
+    assert(back.length === vs.length)
+    back.zip(vs).foreach { case (b, v) =>
+      assert(b.format.toSeq === v.format.toSeq, v.id)
+      assert(b.genotypes.toSeq === v.genotypes.toSeq, v.id)
+    }
+  }
+
+  test("genotype columns are skipped cleanly when no format dictionary is given") {
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val fmtKeys = Array("GT", "DP")
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C"), None, "PASS",
+      Array.empty, Array.empty, Array("GT", "DP"), Array("0/1:9", "1/1:7"))
+    val dir = tmpDir("bcfs")
+    val f = s"$dir/s.bcf"
+    Bcf.write(f, "##h", Seq(v), contigs, filters, Array.empty, fmtKeys)
+    // reader without fmtKeys: sites still decode, matrix is dropped
+    val (_, back) = Bcf.read(f, contigs, filters, Array.empty)
+    assert(back.head.chrom === "chr1" && back.head.pos === 10L)
+    assert(back.head.genotypes.isEmpty)
+  }
 }
 
 class CramSpec extends SparkSpec {
