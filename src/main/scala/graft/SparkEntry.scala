@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Genomic, Multimodal, Pipeline, Relational}
+import graft.queries.{Analytics, Genomic, Multimodal, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Genomic.queries ++ Pipeline.queries ++ Multimodal.queries
+    Relational.queries ++ Genomic.queries ++ Pipeline.queries ++
+      Multimodal.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++ Multimodal.oracle
+    Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++
+      Multimodal.oracle ++ Analytics.oracle
 }

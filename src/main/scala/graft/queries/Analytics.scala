@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOf
+
+/** Point-in-time / statistics operators a training-data pipeline
+  * leans on beyond SURVEY §2.2-2.3: as-of join (feature lookup at
+  * event time), top-k per group (best-of-stratum selection), exact
+  * per-group median, z-score standardization, deterministic hash
+  * sampling, corpus n-gram statistics, and text normalization.
+  *
+  * All follow the oracle-parity rules of [[Relational]] (DECIMAL
+  * sums, BIGINT casts, identical float expression trees, total
+  * deterministic ORDER BY).
+  */
+object Analytics {
+
+  // ------------------------------------------------------- as-of join
+  // For each purchase event, the most recent click by the same user
+  // at-or-before the purchase (the point-in-time state lookup of
+  // feature-store pipelines).  Spark side runs the union+window
+  // [[AsOf]] operator — one shuffle, O(|L|+|R|); the DuckDB oracle is
+  // its native ASOF JOIN.  Clicks are pre-deduped to one row per
+  // (user, ts) (max event_id) so the at-tie match is well-defined.
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts_us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("c_us"))
+      .agg(max("event_id").cast("bigint").as("c_event"))
+    AsOf.joinAsOf(purchases, clicks, on = Seq("user_id"),
+        leftTs = "p_us", rightTs = "c_us")
+      .filter(col("c_event").isNotNull) // inner semantics, like ASOF JOIN
+      .select("p_event", "user_id", "p_us", "c_event", "c_us")
+      .orderBy("p_event")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_event, user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us, CAST(MAX(event_id) AS BIGINT) AS c_event
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+      |)
+      |SELECT p.p_event, p.user_id, p.p_us, c.c_event, c.c_us
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us
+      |ORDER BY p_event""".stripMargin
+
+  // -------------------------------------------------- top-k per group
+  // Highest-quality k documents per (lang, source) stratum — the
+  // selection step of curated-subset building.  One shuffle on the
+  // group key; rank prunes before anything downstream materializes.
+  def qTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(desc("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("lang", "source", "rk")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT lang, source, doc_id, n_chars, rk FROM (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+      |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin
+
+  // ------------------------------------------------ exact group median
+  // Exact (not approximate) per-group median via rank selection: the
+  // middle one-or-two rows per group, averaged.  Two window passes +
+  // a tiny aggregate — no per-group sort-and-collect on the driver.
+  def qMedianGroup(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val grp = Window.partitionBy("l_returnflag")
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .withColumn("rn", row_number().over(ord).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(grp))
+      .filter(expr("rn = (cnt + 1) DIV 2 OR rn = (cnt + 2) DIV 2"))
+      .groupBy("l_returnflag")
+      .agg(
+        (sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("double") /
+          count(lit(1)).cast("double")).as("median_price"),
+        count(lit(1)).as("n_mid"))
+      .orderBy("l_returnflag")
+  }
+
+  val qMedianGroupSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS median_price,
+      |  COUNT(*) AS n_mid
+      |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------- z-score per stratum
+  // Per-language standardization of document length.  Sums stay in
+  // exact BIGINT (integer column), so the mean/variance inputs are
+  // identical regardless of aggregation order; the float expression
+  // tree is written identically on both sides.
+  private val zExpr =
+    "(CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+
+  def qZscore(s: SparkSession, d: String): DataFrame = {
+    val grp = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars")
+      .withColumn("s1", sum("n_chars").over(grp))
+      .withColumn("s2", sum(expr("n_chars * n_chars")).over(grp))
+      .withColumn("n", count(lit(1)).over(grp))
+      .select(col("doc_id"), col("lang"), col("n_chars"), expr(zExpr).as("z"))
+      .orderBy("doc_id")
+  }
+
+  val qZscoreSql: String =
+    s"""SELECT doc_id, lang, n_chars, $zExpr AS z FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s1,
+      |    CAST(SUM(n_chars * n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s2,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- deterministic hash sample
+  // Content-hash stratified sampling (~10%): reproducible across
+  // engines, runs, and cluster sizes — unlike rand()-based sampling —
+  // and embarrassingly parallel (pure per-row predicate, no shuffle).
+  def qSampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(expr("graft_hash32(text) % 10 = 0"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val qSampleHashSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+      |WHERE ${Pipeline.duckHash32("text")} % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- corpus n-gram counts
+  // Global bigram frequency table (top 100) — the corpus-statistics
+  // pass of tokenizer/quality work.  Explode + count is one shuffle
+  // on the bigram; map-side partial agg collapses the long tail
+  // before it moves.
+  def qNgramCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(100)
+
+  val qNgramCountsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2
+      |), b AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM toks)
+      |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+
+  // -------------------------------------------- text normalization
+  // Canonicalize (lowercase, strip punctuation, collapse whitespace)
+  // and group — the normalization front of near-dup pipelines.  Pure
+  // per-row codegen'd expressions + one hash aggregate.
+  def qNormalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))")
+        .as("norm_text"), col("doc_id"))
+      .groupBy("norm_text")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("keep_id")
+
+  val qNormalizeTextSql: String =
+    """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |            ' +', ' ', 'g')) AS norm_text,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_median_group" -> (qMedianGroup _),
+    "q_zscore" -> (qZscore _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_ngram_counts" -> (qNgramCounts _),
+    "q_normalize_text" -> (qNormalizeText _))
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_median_group" -> qMedianGroupSql,
+    "q_zscore" -> qZscoreSql,
+    "q_sample_hash" -> qSampleHashSql,
+    "q_ngram_counts" -> qNgramCountsSql,
+    "q_normalize_text" -> qNormalizeTextSql)
+}

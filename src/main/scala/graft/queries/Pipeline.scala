@@ -32,7 +32,7 @@ object Pipeline {
   private def hash32(x: String): String = s"graft_hash32($x)"
 
   /** Same hash in DuckDB SQL. */
-  private def duckHash32(x: String): String =
+  private[queries] def duckHash32(x: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), " +
       s"i -> CAST(strpos('0123456789abcdef', substr(md5($x), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
 

@@ -371,3 +371,70 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(total === events.count())
   }
 }
+
+class AsOfSpec extends SparkSpec {
+  import graft.operators.AsOf
+
+  test("as-of join matches a brute-force point-in-time lookup, ties inclusive") {
+    import spark.implicits._
+    // left: (id, key, ts); right: (key, ts, payload)
+    val left = Seq(
+      (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 50L),
+      (4L, "b", 100L), (5L, "b", 400L), (6L, "c", 10L))
+      .toDF("id", "k", "lts")
+    val right = Seq(
+      ("a", 100L, 10L), ("a", 200L, 11L), ("a", 300L, 12L),
+      ("b", 90L, 20L), ("b", 400L, 21L))
+      .toDF("k", "rts", "payload")
+    val got = AsOf.joinAsOf(left, right, on = Seq("k"), leftTs = "lts", rightTs = "rts")
+      .select("id", "payload").as[(Long, Option[Long])].collect().toMap
+    // brute force: max rts <= lts per key
+    val rs = Seq(("a", 100L, 10L), ("a", 200L, 11L), ("a", 300L, 12L),
+      ("b", 90L, 20L), ("b", 400L, 21L))
+    val lf = Seq((1L, "a", 100L), (2L, "a", 205L), (3L, "a", 50L),
+      (4L, "b", 100L), (5L, "b", 400L), (6L, "c", 10L))
+    lf.foreach { case (id, k, lts) =>
+      val expect = rs.filter(r => r._1 == k && r._2 <= lts).sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === expect, s"id=$id")
+    }
+    // id=1 is the inclusive tie (lts == rts == 100) and must match
+    assert(got(1L) === Some(10L))
+    // id=6 has no right row at all -> null payload survives as None
+    assert(got(6L) === None)
+  }
+
+  test("as-of join tie-break picks the largest right row at equal (key, ts)") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "lts")
+    val right = Seq(("a", 100L, 7L), ("a", 100L, 9L), ("a", 100L, 8L))
+      .toDF("k", "rts", "payload")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts",
+      rightTieBreak = Seq("payload"))
+      .select("payload").as[Long].head()
+    assert(got === 9L)
+  }
+
+  test("as-of join plans one shuffle on the key, no nested-loop join") {
+    import spark.implicits._
+    val left = (0 until 5000).map(i => (i.toLong, s"k${i % 37}", (i * 13L) % 10000))
+      .toDF("id", "k", "lts")
+    val right = (0 until 2000).map(i => (s"k${i % 37}", (i * 29L) % 10000, i.toLong))
+      .toDF("k", "rts", "payload")
+    val df = AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts", Seq("payload"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Window"), plan)
+    // correctness at this size too, vs brute force on a sample
+    val got = df.filter($"id" < 50).select("id", "payload")
+      .as[(Long, Option[Long])].collect().toMap
+    val rs = (0 until 2000).map(i => (s"k${i % 37}", (i * 29L) % 10000, i.toLong))
+    (0 until 50).foreach { i =>
+      val (k, lts) = (s"k${i % 37}", (i * 13L) % 10000)
+      val expect = rs.filter(r => r._1 == k && r._2 <= lts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(i.toLong) === expect, s"id=$i")
+    }
+  }
+}
