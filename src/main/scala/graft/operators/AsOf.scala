@@ -39,7 +39,11 @@ object AsOf {
                rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     val payloadCols = right.columns.filterNot(on.contains).toSeq
-    val r = right.select(
+    // a null right timestamp can never satisfy rightTs <= leftTs; it
+    // must not ride the window as "earliest known state" (asc ordering
+    // would put it first and last(ignoreNulls) would match it)
+    val rightNonNull = right.filter(col(rightTs).isNotNull)
+    val r = rightNonNull.select(
       on.map(col) ++ Seq(
         col(rightTs).cast("long").as("__asof_ts"),
         lit(0).as("__asof_side"),

@@ -118,11 +118,19 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   // — disjoint, complete. The wide side is broadcast-
                   // hinted: rare rows, and the hint guarantees BNLJ
                   // over a cartesian regardless of size estimates.
+                  // The fallback condition carries a REDUNDANT flipped
+                  // copy of one overlap conjunct (bStart <= aEnd also
+                  // as aEnd >= bStart): semantically a no-op, but it
+                  // makes findOverlapPair see two '<='-conjuncts in
+                  // one direction and refuse the shape — a structural
+                  // re-rewrite guard that, unlike the tag, survives
+                  // node reconstruction by sibling rules.
+                  val guardedCond = And(cond, GreaterThanOrEqual(aEnd, bStart))
                   val bl = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
                   val br = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
-                  val wideAJoin = Join(wl, right, Inner, Some(cond), bl)
+                  val wideAJoin = Join(wl, right, Inner, Some(guardedCond), bl)
                   wideAJoin.setTagValue(Rewritten, true)
-                  val wideBJoin = Join(leftSrc, wr, Inner, Some(cond), br)
+                  val wideBJoin = Join(leftSrc, wr, Inner, Some(guardedCond), br)
                   wideBJoin.setTagValue(Rewritten, true)
                   Union(Seq(binned,
                     Project(j.output, wideAJoin), Project(j.output, wideBJoin)))
@@ -134,7 +142,13 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.rangejoin.enabled", "true").toBoolean
+    conf.getConfString("spark.graft.rangejoin.enabled", "true").trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other =>
+        logWarning(s"spark.graft.rangejoin.enabled=$other is not true/false; treating as true")
+        true
+    }
 
   private def binWidth: Option[Long] = {
     val raw = conf.getConfString("spark.graft.rangejoin.binwidth", "64")

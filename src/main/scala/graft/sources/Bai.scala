@@ -78,17 +78,10 @@ object Bai {
 
   // ----------------------------------------------------------- querying
 
-  /** Bins overlapping [beg, end) 0-based (SAM spec §5.3 reg2bins). */
-  def reg2bins(beg: Int, end0: Int): Seq[Int] = {
-    val end = end0 - 1
-    val out = mutable.ArrayBuffer(0)
-    out ++= (1 + (beg >> 26)) to (1 + (end >> 26))
-    out ++= (9 + (beg >> 23)) to (9 + (end >> 23))
-    out ++= (73 + (beg >> 20)) to (73 + (end >> 20))
-    out ++= (585 + (beg >> 17)) to (585 + (end >> 17))
-    out ++= (4681 + (beg >> 14)) to (4681 + (end >> 14))
-    out.toSeq
-  }
+  /** Bins overlapping [beg, end) 0-based (SAM spec §5.3 reg2bins) —
+    * BAI is CSI binning fixed at min_shift=14, depth=5, so the one
+    * parameterized implementation serves both. */
+  def reg2bins(beg: Int, end0: Int): Seq[Int] = Csi.reg2bins(beg, end0, 14, 5)
 
   /** Merged chunk ranges for one interval (1-based inclusive), linear
     * index applied as a lower bound. */
@@ -134,7 +127,9 @@ object Bai {
       val a = in.read()
       if (a < 0) ok = false
       else {
-        val sz = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+        val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+        if ((b1 | b2 | b3) < 0) throw new EOFException("truncated BAM record length")
+        val sz = a | (b1 << 8) | (b2 << 16) | (b3 << 24)
         val data = new Array[Byte](sz)
         var o = 0
         while (o < sz) {

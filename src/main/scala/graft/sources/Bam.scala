@@ -240,15 +240,7 @@ object BamCodec {
   }
 
   /** SAM spec reg2bin (§5.3, public pseudo-code). */
-  def reg2bin(beg: Int, end0: Int): Int = {
-    val end = end0 - 1
-    if (beg >> 14 == end >> 14) ((1 << 15) - 1) / 7 + (beg >> 14)
-    else if (beg >> 17 == end >> 17) ((1 << 12) - 1) / 7 + (beg >> 17)
-    else if (beg >> 20 == end >> 20) ((1 << 9) - 1) / 7 + (beg >> 20)
-    else if (beg >> 23 == end >> 23) ((1 << 6) - 1) / 7 + (beg >> 23)
-    else if (beg >> 26 == end >> 26) ((1 << 3) - 1) / 7 + (beg >> 26)
-    else 0
-  }
+  def reg2bin(beg: Int, end0: Int): Int = Csi.reg2bin(beg, end0, 14, 5)
 
   // ------------------------------------------------- boundary discovery
 

@@ -183,7 +183,11 @@ object Bcf {
     * int8/16/32 if every element round-trips as an int, float if every
     * element round-trips Float.toString, else a padded char vector —
     * inference instead of header ##FORMAT Type= keeps the codec
-    * self-contained and always round-trip-exact. */
+    * self-contained.  Round-trip is exact up to BCF2's rectangular
+    * matrix: a sample string with fewer fields than FORMAT keys (legal
+    * VCF trailing omission, "1:99" under GT:GQ:AD) materializes the
+    * absent fields as "." on decode ("1:99:.") — the same
+    * canonicalization htslib applies. */
   def encodeIndiv(v: VcfVariant, fmtIdx: Map[String, Int]): Array[Byte] = {
     val buf = new ByteArrayOutputStream(64)
     val o = new DataOutputStream(buf)
@@ -219,10 +223,15 @@ object Bcf {
       codes.toArray
     }
     val width = per.map(_.length).max
-    writeVectorHeader(o, width, 1) // GT codes always fit int8 here
+    // size by the largest code, clear of each width's reserved band —
+    // allele indices >= 63 push codes past int8 (big multi-allelic
+    // sites), so the width is chosen, not assumed
+    val maxCode = per.iterator.flatten.foldLeft(0)(math.max)
+    val sz = if (maxCode <= 127) 1 else if (maxCode <= 32767) 2 else 4
+    writeVectorHeader(o, width, if (sz == 1) 1 else if (sz == 2) 2 else 3)
     per.foreach { codes =>
-      codes.foreach(c => o.write(c & 0xff))
-      (codes.length until width).foreach(_ => o.write(0x81)) // EOV pad
+      codes.foreach(c => writeIntOfSize(o, c, sz))
+      (codes.length until width).foreach(_ => writeIntOfSize(o, intEov(sz), sz))
     }
   }
 
@@ -234,7 +243,10 @@ object Bcf {
       try { s.toInt.toString == s } catch { case _: NumberFormatException => false }
     def floatOk(s: String): Boolean =
       try { java.lang.Float.toString(s.toFloat) == s } catch { case _: NumberFormatException => false }
-    if (elems.nonEmpty && elems.forall(intOk)) {
+    // int32's reserved band (Int.MinValue..Int.MinValue+7) cannot be
+    // guarded by widening — such values take the char path instead
+    val int32Safe = !elems.exists(e => intOk(e) && e.toInt <= Int.MinValue + 7)
+    if (elems.nonEmpty && elems.forall(intOk) && int32Safe) {
       val vs = elems.map(_.toInt)
       // stay clear of each width's reserved band (MISSING/EOV)
       val sz = if (vs.forall(v => v >= -120 && v <= 127)) 1

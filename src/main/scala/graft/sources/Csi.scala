@@ -158,15 +158,31 @@ object Csi {
 
   // ----------------------------------------------------------- indexing
 
+  /** Smallest depth whose bin tree spans `maxRefLen` bases at
+    * `minShift` (htslib derives depth from the longest contig the
+    * same way). */
+  def depthFor(maxRefLen: Long, minShift: Int = 14): Int = {
+    var depth = 0
+    while (depth < 16 && (maxRefLen - 1) >> (minShift + 3 * depth) != 0) depth += 1
+    math.max(depth, 1)
+  }
+
   /** Build a CSI from a coordinate-sorted BAM in one sequential driver
-    * pass (Bai.build generalized to parameterized binning). */
-  def build(file: String, minShift: Int = 14, depth: Int = 5): Index = {
+    * pass (Bai.build generalized to parameterized binning).  `depth`
+    * <= 0 derives the depth from the header's longest contig — a
+    * fixed default would silently mis-bin records past its capacity
+    * (cross-level bin-number collisions) on long contigs. */
+  def build(file: String, minShift: Int = 14, depth: Int = 0): Index = {
     val (fs, path) = Fs.get(file)
     val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
     val header = BamCodec.readHeader(in)
     val nRef = header.refs.length
+    val d = if (depth > 0) depth
+      else depthFor(math.max(1L, header.refs.map(_.length.toLong).foldLeft(0L)(math.max)), minShift)
+    val maxPos = (1L << (minShift + 3 * d)) - 1
     val bins = Array.fill(nRef)(mutable.Map[Int, mutable.ArrayBuffer[Chunk]]())
     val winMin = Array.fill(nRef)(mutable.ArrayBuffer[Long]()) // min VO per 2^minShift window
+    val refIdxByName = header.refs.map(_.name).zipWithIndex.toMap
 
     var recStart = in.virtualPos
     var ok = true
@@ -174,7 +190,9 @@ object Csi {
       val a = in.read()
       if (a < 0) ok = false
       else {
-        val sz = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+        val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+        if ((b1 | b2 | b3) < 0) throw new EOFException("truncated BAM record length")
+        val sz = a | (b1 << 8) | (b2 << 16) | (b3 << 24)
         val data = new Array[Byte](sz)
         var o = 0
         while (o < sz) {
@@ -184,11 +202,14 @@ object Csi {
         }
         val recEnd = in.virtualPos
         val rec = BamCodec.decode(data, header.refs)
-        val refId = header.refs.indexWhere(_.name == rec.rname)
+        val refId = refIdxByName.getOrElse(rec.rname, -1)
         if (refId >= 0 && rec.pos > 0) {
           val beg0 = rec.pos - 1
           val end0 = math.max(rec.end, rec.pos)
-          val bin = reg2bin(beg0, end0, minShift, depth)
+          require(end0 <= maxPos,
+            s"record at ${rec.rname}:${rec.pos} spans past index capacity $maxPos " +
+              s"(min_shift=$minShift depth=$d); increase depth")
+          val bin = reg2bin(beg0, end0, minShift, d)
           val bs = bins(refId).getOrElseUpdate(bin, mutable.ArrayBuffer())
           if (bs.nonEmpty && bs.last.end == recStart)
             bs(bs.length - 1) = Chunk(bs.last.beg, recEnd)
@@ -205,16 +226,16 @@ object Csi {
       }
     }
     in.close()
-    Index(minShift, depth, (0 until nRef).map { i =>
+    Index(minShift, d, (0 until nRef).map { i =>
       RefIndex(bins(i).map { case (bin, chunks) =>
-        val w = binStart(bin, minShift, depth) >> minShift
+        val w = binStart(bin, minShift, d) >> minShift
         val loff = if (w < winMin(i).length) winMin(i)(w) else 0L
         bin -> BinEntry(loff, chunks.toSeq)
       }.toMap)
     }.toArray)
   }
 
-  def buildAndWrite(file: String, minShift: Int = 14, depth: Int = 5): Unit = {
+  def buildAndWrite(file: String, minShift: Int = 14, depth: Int = 0): Unit = {
     val (fs, path) = Fs.get(file)
     write(fs, indexPath(path), build(file, minShift, depth))
   }

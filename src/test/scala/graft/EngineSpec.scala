@@ -175,6 +175,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("garbage enabled conf degrades to enabled instead of throwing") {
+    withConf("spark.graft.rangejoin.enabled" -> "yes") {
+      // not a valid boolean: warn + default true, query still works
+      val df = naiveJoin()
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(df.count() > 0)
+    }
+  }
+
   test("intervals wider than maxBinsPerRow still return exact pairs (fallback path)") {
     import spark.implicits._
     // cap = 4 bins @ width 64 = 256 bases; the wide rows span far more
@@ -401,6 +410,18 @@ class AsOfSpec extends SparkSpec {
     assert(got(1L) === Some(10L))
     // id=6 has no right row at all -> null payload survives as None
     assert(got(6L) === None)
+  }
+
+  test("null right timestamps never match (not 'earliest known state')") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "lts")
+    val right = Seq(("a", Option.empty[Long], 5L), ("a", Some(400L), 6L))
+      .toDF("k", "rts", "payload")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts")
+      .select("payload").as[Option[Long]].head()
+    // the only non-null right ts (400) is after lts=100 -> no match;
+    // the null-ts row must not be carried forward by the window
+    assert(got === None)
   }
 
   test("as-of join tie-break picks the largest right row at equal (key, ts)") {

@@ -183,7 +183,7 @@ class CsiSpec extends SparkSpec {
     val dir = tmpDir("csi")
     val file = s"$dir/t.bam"
     BamIO.writeSorted(spark.createDataset(recs).repartition(4), header, file)
-    Csi.buildAndWrite(file)
+    Csi.buildAndWrite(file, minShift = 14, depth = 5)
     val (fs, p) = Fs.get(file)
     val idx = Csi.read(fs, Csi.indexPath(new org.apache.hadoop.fs.Path(file))).get
     assert(idx.minShift === 14 && idx.depth === 5)
@@ -200,10 +200,10 @@ class CsiSpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
-  test("depth=6 CSI indexes a contig past BAI's 512 Mbp limit") {
+  test("auto depth CSI indexes a contig past BAI's 512 Mbp limit") {
     import spark.implicits._
-    // positions beyond 2^29 overflow BAI's 5-level binning; CSI with
-    // one extra level covers 2^32
+    // positions beyond 2^29 overflow BAI's 5-level binning; build()
+    // derives the needed depth (6 here) from the header contig length
     val header = SamHeader(
       "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:big1\tLN:1200000000",
       Array(SamRef("big1", 1200000000)))
@@ -214,8 +214,10 @@ class CsiSpec extends SparkSpec {
     val dir = tmpDir("csibig")
     val file = s"$dir/big.bam"
     BamIO.writeSorted(spark.createDataset(recs).coalesce(1), header, file)
-    Csi.buildAndWrite(file, minShift = 14, depth = 6)
+    Csi.buildAndWrite(file) // no explicit depth
     val (fs, p) = Fs.get(file)
+    val idx = Csi.read(fs, Csi.indexPath(p)).get
+    assert(idx.depth === 6)
     fs.delete(SplittingIndex.indexPath(p), false)
     val iv = Seq(("big1", 900000000, 1000000000))
     val got = BamIO.read(spark, file, intervals = iv).collect().map(_.qname).sorted
@@ -223,6 +225,26 @@ class CsiSpec extends SparkSpec {
       .map(_.qname).sorted.toArray
     assert(got === expect)
     assert(got.nonEmpty)
+  }
+
+  test("depthFor matches capacity boundaries; undersized explicit depth errors") {
+    import spark.implicits._
+    assert(Csi.depthFor(1L << 14) === 1)
+    assert(Csi.depthFor((1L << 29)) === 5)
+    assert(Csi.depthFor((1L << 29) + 1) === 6)
+    assert(Csi.depthFor(1200000000L) === 6)
+    // an explicit depth too small for the data must fail loudly, not
+    // silently mis-bin
+    val header = SamHeader(
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:big1\tLN:1200000000",
+      Array(SamRef("big1", 1200000000)))
+    val recs = Seq(SamRecord("q0", 0, "big1", 900000000, 60, "30M", "*", 0, 0,
+      "ACGTACGTACGTACGTACGTACGTACGTAC", "I" * 30, Array.empty))
+    val dir = tmpDir("csishort")
+    val file = s"$dir/s.bam"
+    BamIO.writeSorted(spark.createDataset(recs).coalesce(1), header, file)
+    val e = intercept[IllegalArgumentException](Csi.build(file, depth = 5))
+    assert(e.getMessage.contains("index capacity"))
   }
 }
 

@@ -380,6 +380,42 @@ class BcfSpec extends SparkSpec {
     }
   }
 
+  test("GT with allele indices past int8 (>=63) and huge DP round-trip via wider ints") {
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val fmtKeys = Array("GT", "DP")
+    // allele 63 -> code 128 (int8 overflow), allele 64 phased -> 131
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A",
+      (1 to 70).map(i => s"ALT$i").toArray, None, "PASS",
+      Array.empty, Array.empty,
+      Array("GT", "DP"),
+      Array("0/63:5", "63|64:2000000000", "./.:."))
+    // int32 reserved band values must not decode as missing/EOV
+    val v2 = graft.model.VcfVariant("chr1", 11L, "rs2", "A", Array("C"), None, "PASS",
+      Array.empty, Array.empty,
+      Array("XX"),
+      Array(s"${Int.MinValue}", s"${Int.MinValue + 1}", "7"))
+    val dir = tmpDir("bcfwide")
+    val f = s"$dir/w.bcf"
+    Bcf.write(f, "##h", Seq(v, v2), contigs, filters, Array.empty, fmtKeys ++ Array("XX"))
+    val (_, back) = Bcf.read(f, contigs, filters, Array.empty, fmtKeys ++ Array("XX"))
+    assert(back(0).genotypes.toSeq === v.genotypes.toSeq)
+    assert(back(1).genotypes.toSeq === v2.genotypes.toSeq)
+  }
+
+  test("short-arity genotypes canonicalize trailing omitted fields to '.'") {
+    val contigs = Array("chr1"); val filters = Array("PASS")
+    val fmtKeys = Array("GT", "GQ", "AD")
+    val v = graft.model.VcfVariant("chr1", 10L, "rs1", "A", Array("C"), None, "PASS",
+      Array.empty, Array.empty,
+      Array("GT", "GQ", "AD"),
+      Array("1:99", "0/1:12:6,7")) // first sample omits AD
+    val dir = tmpDir("bcfar")
+    val f = s"$dir/a.bcf"
+    Bcf.write(f, "##h", Seq(v), contigs, filters, Array.empty, fmtKeys)
+    val (_, back) = Bcf.read(f, contigs, filters, Array.empty, fmtKeys)
+    assert(back.head.genotypes.toSeq === Seq("1:99:.", "0/1:12:6,7"))
+  }
+
   test("genotype columns are skipped cleanly when no format dictionary is given") {
     val contigs = Array("chr1"); val filters = Array("PASS")
     val fmtKeys = Array("GT", "DP")
