@@ -66,4 +66,34 @@ class PlanAuditSpec extends SparkSpec {
     // two HashAggregate layers (partial + final) around the exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("q_asof_join is a pure union+window plan — no join operator at all") {
+    val plan = planOf(graft.queries.Analytics.qAsofJoin(spark, sf))
+    assert(!plan.contains("Join"), plan) // no SMJ/BHJ/BNLJ/cartesian anywhere
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("q_topk_per_group prunes to k rows per group before the final sort") {
+    val plan = planOf(graft.queries.Analytics.qTopkPerGroup(spark, sf))
+    // Spark's rank-limit pushdown keeps only k rows per group flowing
+    // out of the window — the property that makes top-k viable at
+    // 100 TB (without it the full table reaches the filter)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q_ngram_counts ends in top-k selection, not a global sort of all bigrams") {
+    val plan = planOf(graft.queries.Analytics.qNgramCounts(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial agg
+  }
+
+  test("q_sample_hash predicate evaluates at the scan stage (no shuffle before sampling)") {
+    val plan = planOf(graft.queries.Analytics.qSampleHash(spark, sf))
+    // the hash predicate rides the scan's DataFilters — sampling is a
+    // pure map-side row filter; the only exchange is the final orderBy
+    assert(plan.linesIterator.exists(l =>
+      l.contains("DataFilters:") && l.contains("graft_hash32")), plan)
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+  }
 }
