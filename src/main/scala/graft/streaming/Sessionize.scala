@@ -87,6 +87,72 @@ object Sessionize {
   /** Batch events table → streaming-shaped input (ts BIGINT ns → µs). */
   def eventsAsStreamInput(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
         col("value"), col("event_type"))
+
+  // ------------------------------------------------ streaming as-of
+  // The streaming expression of operators.AsOf: enrich each query-side
+  // event with the latest state-side event at-or-before it, per key.
+  // State per key is the minimal sufficient set of state events: all
+  // above the watermark (a not-yet-arrived query may still precede
+  // them) plus the single latest one at-or-below it (the match for
+  // every future query, since queries below the watermark are late by
+  // definition).  State is therefore bounded by the watermark delay,
+  // not the stream length.
+  //
+  // Same eager-emission caveat as sessions(): a state event arriving
+  // late (within the watermark) after a query was already emitted
+  // does not amend the emitted row.
+
+  final case class Tagged(user_id: Long, ts_us: Long, event_id: Long,
+                          is_query: Boolean, ts: java.sql.Timestamp)
+  final case class StateBuf(clicks: List[(Long, Long)]) // (ts_us, event_id) asc
+  final case class Enriched(user_id: Long, p_event: Long, p_us: Long,
+                            c_event: Option[Long], c_us: Option[Long])
+
+  def enrichAsOf(tagged: Dataset[Tagged],
+                 watermarkDelay: String = "10 minutes"): Dataset[Enriched] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StateBuf, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Tagged], state: GroupState[StateBuf]) =>
+          // state rows first at equal ts -> inclusive at-tie match;
+          // event_id last -> the largest state event wins a ts tie
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.is_query, r.event_id))
+          var clicks = state.getOption.map(_.clicks).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[Enriched]()
+          sorted.foreach { r =>
+            if (!r.is_query) {
+              // insert keeping (ts, id) ascending order
+              val (before, after) = clicks.partition(c =>
+                c._1 < r.ts_us || (c._1 == r.ts_us && c._2 <= r.event_id))
+              clicks = before ::: (r.ts_us, r.event_id) :: after
+            } else {
+              val m = clicks.takeWhile(_._1 <= r.ts_us).lastOption
+              out += Enriched(user, r.event_id, r.ts_us, m.map(_._2), m.map(_._1))
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (below, above) = clicks.partition(_._1 <= wmUs)
+          state.update(StateBuf(below.lastOption.toList ::: above))
+          out.iterator
+      }
+  }
+
+  /** events table → Tagged stream input for [[enrichAsOf]]
+    * (purchases = query side, clicks = state side). */
+  def purchasesAndClicks(events: DataFrame): Dataset[Tagged] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("event_type") === "purchase").as("is_query"),
+        timestamp_micros(col("ts_us")).as("ts"))
+      .as[Tagged]
+  }
 }

@@ -379,6 +379,68 @@ class SessionizeStreamSpec extends SparkSpec {
     val total = counts.map(_.getLong(2)).sum
     assert(total === events.count())
   }
+
+  test("streaming as-of enrichment equals the batch AsOf operator") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, max}
+    import graft.operators.AsOf
+    import spark.implicits._
+    val events = Sessionize.eventsAsStreamInput(spark, "/root/testdata/sf0.001")
+    val tagged = Sessionize.purchasesAndClicks(events)
+    val dir = tmpDir("asof_stream_in")
+    tagged.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(tagged.schema).parquet(dir).as[Sessionize.Tagged]
+    val q = Sessionize.enrichAsOf(streamIn)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("asof_out").as[Sessionize.Enriched]
+      .collect().filter(_.c_event.isDefined)
+      .map(e => (e.p_event, e.c_event.get, e.c_us.get)).sorted
+
+    // batch: AsOf operator on purchases vs per-(user, ts) deduped clicks
+    val purchases = tagged.filter(_.is_query).toDF()
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts_us").as("p_us"))
+    val clicks = tagged.filter(!_.is_query).toDF()
+      .groupBy(col("user_id"), col("ts_us").as("c_us"))
+      .agg(max("event_id").as("c_event"))
+    val batch = AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "p_us", "c_us")
+      .filter(col("c_event").isNotNull)
+      .select("p_event", "c_event", "c_us")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming as-of state stays bounded by the watermark (prune check)") {
+    import spark.implicits._
+    val sq = spark
+    implicit val sc = sq.sqlContext
+    val mem = MemoryStream[Sessionize.Tagged]
+    val out = Sessionize.enrichAsOf(mem.toDS(), watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory")
+      .queryName("asof_prune_out").outputMode("append").start()
+    try {
+      val base = 1700000000000000L
+      def t(us: Long) = new java.sql.Timestamp(us / 1000)
+      // batch 1: two old clicks, then a purchase after them
+      mem.addData(
+        Sessionize.Tagged(1, base, 10, is_query = false, t(base)),
+        Sessionize.Tagged(1, base + 1000000, 11, is_query = false, t(base + 1000000)),
+        Sessionize.Tagged(1, base + 2000000, 100, is_query = true, t(base + 2000000)))
+      query.processAllAvailable()
+      // batch 2: watermark has advanced past both clicks; only the
+      // latest (id 11) may remain in state and must still match
+      mem.addData(
+        Sessionize.Tagged(1, base + 3000000, 101, is_query = true, t(base + 3000000)))
+      query.processAllAvailable()
+      val got = spark.table("asof_prune_out").as[Sessionize.Enriched]
+        .collect().sortBy(_.p_event)
+      assert(got.length === 2)
+      assert(got(0).c_event === Some(11L)) // latest click at purchase time
+      assert(got(1).c_event === Some(11L)) // pruned state still serves
+    } finally query.stop()
+  }
 }
 
 class AsOfSpec extends SparkSpec {
