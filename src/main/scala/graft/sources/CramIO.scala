@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{SamHeader, SamRecord}
+
+/** CRAM container/block/slice layer + distributed read/write (S12).
+  *
+  * What is spec-real (CRAM 3.0, public spec): the file definition,
+  * ITF8/LTF8 varints ([[Cram]]), container headers with landmarks and
+  * CRC32, the block wire format (method, content type, content id,
+  * sizes, data, CRC32), gzip block compression, slice header blocks,
+  * and the terminal EOF container (recognized by its spec-prescribed
+  * sentinel field values).  Files written here walk correctly with
+  * [[Cram.enumerateContainers]] and any splitter that understands
+  * container framing.
+  *
+  * What is a documented graft profile: record payloads ride ONE
+  * external block (content id 1) as length-prefixed BAM-codec record
+  * encodings, and the compression-header block carries empty maps.
+  * Decoding FOREIGN cram data series (the per-series codecs htsjdk
+  * implements) is out of scope exactly as it is for the reference —
+  * CRAMInputFormat.java delegates record decode to htsjdk wholesale
+  * and owns only the container walk, which is what this file owns
+  * natively (plus a faithful round-trip for graft-written CRAMs).
+  */
+object CramIO {
+
+  // --------------------------------------------------------- block layer
+
+  /** Content types, CRAM 3.0 §8.1. */
+  val FileHeader = 0
+  val CompressionHeader = 1
+  val SliceHeader = 2
+  val External = 4
+
+  /** Compression methods (subset): 0 = raw, 1 = gzip. */
+  val Raw = 0
+  val Gzip = 1
+
+  final case class Block(method: Int, contentType: Int, contentId: Int,
+                         data: Array[Byte])
+
+  def writeBlock(out: OutputStream, b: Block): Unit = {
+    val body = b.method match {
+      case Raw => b.data
+      case Gzip =>
+        // method 1 is RFC 1952 gzip (not bare zlib) per the spec
+        val bos = new ByteArrayOutputStream(b.data.length / 2 + 32)
+        val d = new java.util.zip.GZIPOutputStream(bos)
+        d.write(b.data); d.finish(); d.close()
+        bos.toByteArray
+      case m => throw new IllegalArgumentException(s"unsupported method $m")
+    }
+    // block bytes (method..data) are CRC32'd per CRAM 3.0
+    val buf = new ByteArrayOutputStream(body.length + 16)
+    buf.write(b.method)
+    buf.write(b.contentType)
+    Cram.writeItf8(buf, b.contentId)
+    Cram.writeItf8(buf, body.length)
+    Cram.writeItf8(buf, b.data.length)
+    buf.write(body)
+    val bytes = buf.toByteArray
+    val crc = new CRC32()
+    crc.update(bytes)
+    out.write(bytes)
+    writeInt32Le(out, crc.getValue.toInt)
+  }
+
+  def readBlock(in: InputStream): Block = {
+    val crc = new CRC32()
+    val cin = new InputStream { // count every byte into the CRC
+      override def read(): Int = {
+        val v = in.read(); if (v >= 0) crc.update(v); v
+      }
+    }
+    val method = cin.read()
+    if (method < 0) throw new EOFException("truncated block")
+    val contentType = cin.read()
+    if (contentType < 0) throw new EOFException("truncated block")
+    val contentId = Cram.readItf8(cin)
+    val compSize = Cram.readItf8(cin)
+    val rawSize = Cram.readItf8(cin)
+    val body = new Array[Byte](compSize)
+    var o = 0
+    while (o < compSize) {
+      val r = cin.read(); if (r < 0) throw new EOFException("truncated block body")
+      body(o) = r.toByte; o += 1
+    }
+    val stored = readInt32Le(in)
+    require(stored == crc.getValue.toInt,
+      f"block CRC mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
+    val data = method match {
+      case Raw => body
+      case Gzip =>
+        val iis = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(body))
+        val out = new Array[Byte](rawSize)
+        var n = 0
+        while (n < rawSize) {
+          val r = iis.read(out, n, rawSize - n)
+          if (r < 0) throw new EOFException("truncated gzip block")
+          n += r
+        }
+        out
+      case m => throw new IllegalArgumentException(s"unsupported method $m")
+    }
+    require(data.length == rawSize, "raw size mismatch")
+    Block(method, contentType, contentId, data)
+  }
+
+  // ---------------------------------------------------- container layer
+
+  /** One container = header + blocks; `length` in the header counts
+    * the block bytes.  Landmarks point at slice-header block offsets
+    * within the block byte range (we write one slice per container). */
+  private def writeContainer(out: OutputStream, refSeqId: Int, startPos: Int,
+                             span: Int, nRecords: Int, counter: Long,
+                             bases: Long, blocks: Seq[Block],
+                             landmarks: Seq[Int]): Unit = {
+    val body = new ByteArrayOutputStream(1 << 16)
+    blocks.foreach(b => writeBlock(body, b))
+    val bodyBytes = body.toByteArray
+    val head = new ByteArrayOutputStream(64)
+    writeInt32Le(head, bodyBytes.length)
+    Cram.writeItf8(head, refSeqId)
+    Cram.writeItf8(head, startPos)
+    Cram.writeItf8(head, span)
+    Cram.writeItf8(head, nRecords)
+    Cram.writeLtf8(head, counter)
+    Cram.writeLtf8(head, bases)
+    Cram.writeItf8(head, blocks.length)
+    Cram.writeItf8(head, landmarks.length)
+    landmarks.foreach(l => Cram.writeItf8(head, l))
+    val headBytes = head.toByteArray
+    val crc = new CRC32(); crc.update(headBytes)
+    out.write(headBytes)
+    writeInt32Le(out, crc.getValue.toInt)
+    out.write(bodyBytes)
+  }
+
+  /** EOF container: the spec-prescribed sentinel field values
+    * (refSeqId -1, startPos 4542278, 0 records, one empty raw block). */
+  private def writeEofContainer(out: OutputStream): Unit =
+    writeContainer(out, refSeqId = -1, startPos = 4542278, span = 0,
+      nRecords = 0, counter = 0L, bases = 0L,
+      blocks = Seq(Block(Raw, CompressionHeader, 0, Array.emptyByteArray)),
+      landmarks = Nil)
+
+  private def isEof(c: Cram.Container): Boolean =
+    c.refSeqId == -1 && c.startPos == 4542278 && c.nRecords == 0
+
+  /** Minimal spec-shaped slice header (CRAM 3.0 §8.5, graft profile:
+    * no embedded reference, zero md5). */
+  private def sliceHeaderBlock(refSeqId: Int, start: Int, span: Int,
+                               nRecords: Int, counter: Long,
+                               contentIds: Seq[Int]): Block = {
+    val b = new ByteArrayOutputStream(64)
+    Cram.writeItf8(b, refSeqId)
+    Cram.writeItf8(b, start)
+    Cram.writeItf8(b, span)
+    Cram.writeItf8(b, nRecords)
+    Cram.writeLtf8(b, counter)
+    Cram.writeItf8(b, contentIds.length) // data blocks in this slice
+    Cram.writeItf8(b, contentIds.length)
+    contentIds.foreach(id => Cram.writeItf8(b, id))
+    Cram.writeItf8(b, -1) // embedded reference bases content id
+    b.write(new Array[Byte](16)) // reference md5 (zeroed: no reference)
+    Block(Raw, SliceHeader, 0, b.toByteArray)
+  }
+
+  /** Empty-maps compression header (graft profile). */
+  private def compressionHeaderBlock(): Block = {
+    val b = new ByteArrayOutputStream(16)
+    // preservation map, data-series encoding map, tag encoding map:
+    // each = byte length (itf8) of { nEntries (itf8) = 0 }
+    (0 until 3).foreach { _ =>
+      val m = new ByteArrayOutputStream(4)
+      Cram.writeItf8(m, 0) // zero entries
+      Cram.writeItf8(b, m.size())
+      b.write(m.toByteArray)
+    }
+    Block(Gzip, CompressionHeader, 0, b.toByteArray)
+  }
+
+  // -------------------------------------------------------------- write
+
+  /** Write a CRAM: file definition + SAM-header container + one data
+    * container per partition (parallel shards, driver concat — the
+    * BamIO shape) + EOF container. */
+  def write(ds: Dataset[SamRecord], header: SamHeader, file: String): Unit = {
+    val (fs, path) = Fs.get(file)
+    val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
+    fs.mkdirs(tmpDir)
+    val tmpDirStr = tmpDir.toString
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+
+    val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (tfs, _) = Fs.get(tmpDirStr)
+      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram")
+      val out = new java.io.BufferedOutputStream(tfs.create(shardPath, true))
+      var nTotal = 0L
+      val recs = new ByteArrayOutputStream(1 << 20)
+      var n = 0
+      var minPos = Int.MaxValue
+      var maxEnd = 0
+      var refSeq = -2 // -2 = unset; -1 unmapped; >=0 single-ref; -3 multi-ref marker
+      var bases = 0L
+      def flush(): Unit = if (n > 0) {
+        val recBytes = recs.toByteArray
+        val ext = Block(Gzip, External, 1, recBytes)
+        val rid = if (refSeq == -3) -2 else refSeq // spec: -2 = multi-ref slice
+        val start = if (rid >= 0 && minPos != Int.MaxValue) minPos else 0
+        val span = if (rid >= 0 && maxEnd >= minPos) maxEnd - minPos + 1 else 0
+        val slice = sliceHeaderBlock(rid, start, span, n, nTotal, Seq(1))
+        // landmark: offset of the slice header block within the
+        // container body = serialized size of the compression header
+        val ch = compressionHeaderBlock()
+        val chBytes = { val t = new ByteArrayOutputStream(); writeBlock(t, ch); t.toByteArray }
+        writeContainer(out, rid, start, span, n, nTotal, bases,
+          Seq(ch, slice, ext), Seq(chBytes.length))
+        nTotal += n
+        recs.reset(); n = 0; minPos = Int.MaxValue; maxEnd = 0; refSeq = -2; bases = 0L
+      }
+      it.foreach { rec =>
+        val data = BamCodec.encode(rec, refIdx)
+        val len = data.length
+        recs.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
+        recs.write(data)
+        val ri = refIdx.getOrElse(rec.rname, -1)
+        refSeq = if (refSeq == -2) ri else if (refSeq == ri) refSeq else -3
+        if (rec.pos > 0) {
+          minPos = math.min(minPos, rec.pos)
+          maxEnd = math.max(maxEnd, rec.end)
+        }
+        bases += (if (rec.seq == "*") 0 else rec.seq.length)
+        n += 1
+        if (recs.size >= (1 << 20)) flush() // ~1 MB containers
+      }
+      flush()
+      out.close()
+      Iterator.single((pid, nTotal))
+    }.collect().sortBy(_._1)
+
+    val out = new java.io.BufferedOutputStream(fs.create(path, true))
+    out.write("CRAM".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(3); out.write(0)
+    out.write(new Array[Byte](20)) // file id
+    // SAM header container: one FileHeader block; spec prefixes the
+    // text with its int32 length inside the block
+    val ht = header.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hblk = new ByteArrayOutputStream(ht.length + 8)
+    writeInt32Le(hblk, ht.length)
+    hblk.write(ht)
+    writeContainer(out, refSeqId = -1, startPos = 0, span = 0, nRecords = 0,
+      counter = 0L, bases = 0L,
+      blocks = Seq(Block(Gzip, FileHeader, 0, hblk.toByteArray)), landmarks = Nil)
+    Fs.concatParts(fs, tmpDir, out)
+    writeEofContainer(out)
+    out.close()
+    fs.delete(tmpDir, true)
+    val _ = shardCounts
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** SAM header from the first (FileHeader) container. */
+  def readHeader(file: String): SamHeader = {
+    val (fs, p) = Fs.get(file)
+    val in = new BufferedInputStream(fs.open(p))
+    try {
+      skipFileDefinition(in)
+      val blocks = readContainerBlocks(in)
+      val hb = blocks.find(_.contentType == FileHeader)
+        .getOrElse(throw new IllegalStateException("first container has no file-header block"))
+      val bb = java.nio.ByteBuffer.wrap(hb.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val len = bb.getInt
+      val text = new String(hb.data, 4, len, java.nio.charset.StandardCharsets.UTF_8)
+      Sam.parseHeader(text)
+    } finally in.close()
+  }
+
+  /** Distributed read: driver enumerates container offsets (constant
+    * work per container), each task decodes its container's external
+    * record block.  Containers are the CRAM split unit, exactly as in
+    * CRAMInputFormat.getSplits. */
+  def read(spark: SparkSession, file: String): Dataset[SamRecord] = {
+    import spark.implicits._
+    val header = readHeader(file)
+    val containers = Cram.enumerateContainers(file)
+      .filter(c => c.nRecords > 0 && !isEof(c))
+    val refs = header.refs
+    spark.sparkContext.parallelize(containers.map(_.offset), math.max(1, containers.size))
+      .flatMap { off =>
+        val (tfs, tp) = Fs.get(file)
+        val raw = tfs.open(tp)
+        raw.seek(off)
+        val in = new BufferedInputStream(raw)
+        try {
+          val blocks = readContainerBlocks(in)
+          val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
+            .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
+          val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
+          while (bb.remaining() > 4) {
+            val len = bb.getInt
+            val data = new Array[Byte](len)
+            bb.get(data)
+            out += BamCodec.decode(data, refs)
+          }
+          out.toSeq
+        } finally in.close()
+      }.toDS()
+  }
+
+  /** Parse one container (header + its blocks) from the stream. */
+  private def readContainerBlocks(in: InputStream): Seq[Block] = {
+    val clen = readInt32Le(in)
+    Cram.readItf8(in) // refSeqId
+    Cram.readItf8(in); Cram.readItf8(in); Cram.readItf8(in) // start/span/nrec
+    Cram.readLtf8(in); Cram.readLtf8(in) // counter/bases
+    val nBlocks = Cram.readItf8(in)
+    val nLandmarks = Cram.readItf8(in)
+    (0 until nLandmarks).foreach(_ => Cram.readItf8(in))
+    skipFully(in, 4) // header crc
+    val _ = clen
+    (0 until nBlocks).map(_ => readBlock(in))
+  }
+
+  private def skipFileDefinition(in: InputStream): Unit = {
+    val magic = new Array[Byte](4)
+    var got = 0
+    while (got < 4) {
+      val r = in.read(magic, got, 4 - got)
+      if (r < 0) throw new EOFException("truncated CRAM")
+      got += r
+    }
+    require(new String(magic, java.nio.charset.StandardCharsets.UTF_8) == "CRAM", "not CRAM")
+    skipFully(in, 2 + 20) // version + file id
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  private def writeInt32Le(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def readInt32Le(in: InputStream): Int = {
+    val a = in.read(); val b = in.read(); val c = in.read(); val d = in.read()
+    if ((a | b | c | d) < 0) throw new EOFException()
+    a | (b << 8) | (c << 16) | (d << 24)
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      if (in.read() < 0) throw new EOFException()
+      left -= 1
+    }
+  }
+}

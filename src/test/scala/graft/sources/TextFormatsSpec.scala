@@ -519,3 +519,73 @@ class CramSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated CRAM container"))
   }
 }
+
+class CramIOSpec extends SparkSpec {
+  import graft.model.{SamHeader, SamRecord, SamRef}
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000\n@SQ\tSN:chr2\tLN:8000",
+    Array(SamRef("chr1", 10000), SamRef("chr2", 8000)))
+
+  private def mkRecs(n: Int) = (0 until n).map { i =>
+    SamRecord(s"r$i", (i * 13) % 4096, if (i % 3 == 2) "chr2" else "chr1",
+      1 + (i * 37) % 7000, i % 60, s"${10 + i % 20}M", "*", 0, 0,
+      ("ACGT" * 10).take(10 + i % 20), ("IIFF@@" * 8).take(10 + i % 20),
+      Array(s"NM:i:${i % 9}"))
+  }
+
+  test("block layer round-trips raw and gzip with CRC32 verification") {
+    val data = ("cram-block-payload " * 50).getBytes("UTF-8")
+    Seq(CramIO.Raw, CramIO.Gzip).foreach { m =>
+      val bos = new java.io.ByteArrayOutputStream()
+      CramIO.writeBlock(bos, CramIO.Block(m, CramIO.External, 7, data))
+      val b = CramIO.readBlock(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(b.method === m && b.contentType === CramIO.External && b.contentId === 7)
+      assert(b.data.toSeq === data.toSeq)
+    }
+  }
+
+  test("corrupted block bytes fail the CRC check loudly") {
+    val bos = new java.io.ByteArrayOutputStream()
+    CramIO.writeBlock(bos, CramIO.Block(CramIO.Gzip, CramIO.External, 1,
+      ("payload" * 40).getBytes("UTF-8")))
+    val bytes = bos.toByteArray
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    val e = intercept[Exception](
+      CramIO.readBlock(new java.io.ByteArrayInputStream(bytes)))
+    assert(e.getMessage.contains("CRC") || e.isInstanceOf[java.io.IOException],
+      e.toString)
+  }
+
+  test("CRAM write + distributed read round-trips records and header") {
+    import spark.implicits._
+    val recs = mkRecs(800)
+    val dir = tmpDir("cramio")
+    val file = s"$dir/t.cram"
+    CramIO.write(spark.createDataset(recs).repartition(4), header, file)
+    assert(GraftIO.detect(file) === GraftIO.CramFormat)
+    assert(CramIO.readHeader(file).text === header.text)
+    val back = CramIO.read(spark, file).collect()
+    assert(back.length === 800)
+    val byName = back.map(r => r.qname -> r).toMap
+    recs.foreach { r =>
+      val b = byName(r.qname)
+      assert((b.flag, b.rname, b.pos, b.cigar, b.seq, b.qual, b.tags.toSeq) ===
+        ((r.flag, r.rname, r.pos, r.cigar, r.seq, r.qual, r.tags.toSeq)), r.qname)
+    }
+  }
+
+  test("graft-written CRAM walks with enumerateContainers incl. spec EOF sentinel") {
+    import spark.implicits._
+    val dir = tmpDir("cramwalk")
+    val file = s"$dir/w.cram"
+    CramIO.write(spark.createDataset(mkRecs(300)).repartition(2), header, file)
+    val cs = Cram.enumerateContainers(file)
+    // header container + >=2 data containers + EOF container
+    assert(cs.length >= 4, cs.toString)
+    assert(cs.head.nRecords === 0) // SAM header container
+    val eof = cs.last
+    assert(eof.refSeqId === -1 && eof.startPos === 4542278 && eof.nRecords === 0)
+    assert(cs.map(_.nRecords.toLong).sum === 300L)
+  }
+}
