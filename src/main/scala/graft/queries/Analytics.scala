@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOf
+import graft.operators.{AsOf, Skew}
 
 /** Point-in-time / statistics operators a training-data pipeline
   * leans on beyond SURVEY §2.2-2.3: as-of join (feature lookup at
@@ -200,6 +200,32 @@ object Analytics {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  // ------------------------------------------------- salted skew join
+  // The explicit hot-key mitigation ([[Skew.saltedJoin]]) gated
+  // against the PLAIN join oracle: spreading each supplier key over 8
+  // deterministic salts (and replicating the small side per salt)
+  // must change nothing but the shuffle layout.  This is the tool for
+  // the pathological key AQE's skew split can't rebalance.
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), nSalts = 8)
+      .groupBy("s_nationkey")
+      .agg(
+        sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -207,7 +233,8 @@ object Analytics {
     "q_zscore" -> (qZscore _),
     "q_sample_hash" -> (qSampleHash _),
     "q_ngram_counts" -> (qNgramCounts _),
-    "q_normalize_text" -> (qNormalizeText _))
+    "q_normalize_text" -> (qNormalizeText _),
+    "q_skew_join" -> (qSkewJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
@@ -216,5 +243,6 @@ object Analytics {
     "q_zscore" -> qZscoreSql,
     "q_sample_hash" -> qSampleHashSql,
     "q_ngram_counts" -> qNgramCountsSql,
-    "q_normalize_text" -> qNormalizeTextSql)
+    "q_normalize_text" -> qNormalizeTextSql,
+    "q_skew_join" -> qSkewJoinSql)
 }

@@ -45,7 +45,7 @@ object Pipeline {
       s"array_distinct(transform(sequence(0, size($tok) - $n), " +
       s"i -> concat_ws(' ', slice($tok, i + 1, $n)))) END"
 
-  private def duckShingles(n: Int): String =
+  private[queries] def duckShingles(n: Int): String =
     s"CASE WHEN len($duckTok) < $n THEN [''] ELSE " +
       s"list_distinct(list_transform(range(len($duckTok) - ${n - 1}), " +
       s"i -> array_to_string(($duckTok)[CAST(i + 1 AS INT):CAST(i + $n AS INT)], ' '))) END"
@@ -191,6 +191,38 @@ object Pipeline {
        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- P4b
+  // Containment similarity C(A,B) = |A∩B| / |A| — the DIRECTIONAL
+  // near-dup measure (is A mostly inside B?) that catches
+  // quote-inclusion and subset duplication jaccard misses.  Same
+  // blocked self-join + sorted-intersect kernel shape as P4; ordered
+  // pairs, so both directions are reported.
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("graft_shingles64(text, 2)").as("sh"))
+      .repartition(col("source"))
+    sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("graft_intersect_size(a.sh, b.sh)").as("inter"),
+        expr("size(a.sh)").as("la"))
+      .withColumn("containment", expr("CAST(inter AS DOUBLE) / la"))
+      .filter(col("containment") >= 0.3)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qContainmentSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, ${duckShingles(2)} AS sh FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+       |FROM s a JOIN s b ON a.source = b.source AND a.doc_id <> b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ P5/P6
@@ -516,6 +548,7 @@ object Pipeline {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -530,6 +563,7 @@ object Pipeline {
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_containment" -> qContainmentSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,

@@ -25,11 +25,13 @@ object GraftIO {
   }
 
   /** Read alignments whatever the container — SAM text (plain or
-    * BGZF) or BAM — like the reference's AnySAMInputFormat. */
+    * BGZF), BAM, or graft-profile CRAM — like the reference's
+    * AnySAMInputFormat. */
   def readAlignments(spark: org.apache.spark.sql.SparkSession, path: String):
       org.apache.spark.sql.Dataset[graft.model.SamRecord] = detect(path) match {
     case BamFormat => BamIO.read(spark, path)
     case SamFormat => Sam.read(spark, path)
+    case CramFormat => CramIO.read(spark, path)
     case other => throw new IllegalArgumentException(
       s"$path: not an alignment container (detected $other)")
   }
@@ -38,6 +40,7 @@ object GraftIO {
   def readAlignmentHeader(path: String): graft.model.SamHeader = detect(path) match {
     case BamFormat => BamIO.readHeader(path)
     case SamFormat => Sam.readHeader(path)
+    case CramFormat => CramIO.readHeader(path)
     case other => throw new IllegalArgumentException(s"$path: detected $other")
   }
 
