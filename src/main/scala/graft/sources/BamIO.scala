@@ -111,10 +111,14 @@ object BamIO {
   }
 
   /** Records overlapping any interval (contig, start, end) 1-based
-    * inclusive; empty = full scan.  `splitSize` in compressed bytes. */
+    * inclusive; empty = full scan.  `includeUnmapped` additionally
+    * returns unplaced-unmapped records during bounded traversal (the
+    * reference's setTraversalParameters second argument,
+    * ref: BAMInputFormat.java:150).  `splitSize` in compressed bytes. */
   def read(spark: SparkSession, file: String,
            intervals: Seq[(String, Int, Int)] = Nil,
-           splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
+           splitSize: Long = 64L * 1024 * 1024,
+           includeUnmapped: Boolean = false): Dataset[SamRecord] = {
     val (fs, path) = Fs.get(file)
     val fileLen = fs.getFileStatus(path).getLen
     val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
@@ -125,25 +129,35 @@ object BamIO {
     val ranges: Seq[(Long, Long)] =
       SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
         case Some(idx) =>
-          splitsFromIndex(header, idx, headerEndVo, intervals, splitSize)
+          splitsFromIndex(header, idx, headerEndVo, intervals, splitSize, includeUnmapped)
         case None =>
           // foreign BAM: a spec .bai or .csi + intervals gives exact
           // bounded traversal (chunk ranges from the binning index,
           // linear/loffset lower bound); otherwise split guessing
           val refIdx = header.refs.map(_.name).zipWithIndex.toMap
-          val baiChunks: Option[Seq[Bai.Chunk]] =
+          val baiChunks: Option[(Seq[Bai.Chunk], Long)] =
             if (intervals.isEmpty) None
             else Bai.read(fs, Bai.indexPath(path)).map { idx =>
-              intervals.flatMap { case (c, s0, e0) =>
+              (intervals.flatMap { case (c, s0, e0) =>
                 refIdx.get(c).map(ri => Bai.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
-              }
+              }, idx.refs.iterator.flatMap(_.bins.valuesIterator.flatten)
+                .map(_.end).foldLeft(headerEndVo)(math.max))
             }.orElse(Csi.read(fs, Csi.indexPath(path)).map { idx =>
-              intervals.flatMap { case (c, s0, e0) =>
+              (intervals.flatMap { case (c, s0, e0) =>
                 refIdx.get(c).map(ri => Csi.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
-              }
+              }, idx.refs.iterator.flatMap(_.bins.valuesIterator.map(_.chunks).flatten)
+                .map(_.end).foldLeft(headerEndVo)(math.max))
             })
           baiChunks match {
-            case Some(chunks) => Bai.merge(chunks).map(c => (c.beg, c.end))
+            case Some((chunks, mappedEndVo)) =>
+              // unplaced-unmapped records sort after every mapped
+              // chunk in a coordinate-sorted BAM; the binning index
+              // has no entries for them, so bounded traversal with
+              // includeUnmapped appends the tail range
+              val tail =
+                if (includeUnmapped) Seq((mappedEndVo, Bgzf.virtualOffset(fileLen, 0)))
+                else Nil
+              Bai.merge(chunks).map(c => (c.beg, c.end)) ++ tail
             case None =>
               val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
               bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
@@ -153,9 +167,10 @@ object BamIO {
     val refs = header.refs
     val iv = intervals.toArray
     import spark.implicits._
+    val withUnmapped = includeUnmapped
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.length))
       .flatMap { case (startVo, endVo) =>
-        readRange(file, startVo, endVo, refs, iv)
+        readRange(file, startVo, endVo, refs, iv, withUnmapped)
       }.toDS()
   }
 
@@ -168,7 +183,8 @@ object BamIO {
   private def splitsFromIndex(header: SamHeader, index: SplittingIndex.Index,
                               headerEndVo: Long,
                               intervals: Seq[(String, Int, Int)],
-                              splitSize: Long): Seq[(Long, Long)] = {
+                              splitSize: Long,
+                              includeUnmapped: Boolean = false): Seq[(Long, Long)] = {
     val entries = index.entries
     val endVo = index.endVo
     val all = SplittingIndex.Entry(headerEndVo,
@@ -183,7 +199,10 @@ object BamIO {
         val ivs = intervals.flatMap { case (c, s, e) => refIdx.get(c).map(ri => (ri, s, e)) }
         chunks.zipWithIndex.filter { case ((e, _), i) =>
           val nextKey = if (i + 1 < chunks.length) Some((chunks(i + 1)._1.refId, chunks(i + 1)._1.pos)) else None
-          chunkOverlaps(e.refId, e.pos, nextKey, ivs, index.maxSpan)
+          chunkOverlaps(e.refId, e.pos, nextKey, ivs, index.maxSpan) ||
+            // the unmapped tail sorts last: a chunk reaches into it iff
+            // its next chunk starts unmapped (or it is the last chunk)
+            (includeUnmapped && nextKey.forall(_._1 < 0))
         }.map(_._1)
       }
     // coalesce contiguous chunks up to splitSize compressed bytes
@@ -297,7 +316,8 @@ object BamIO {
   /** Task-side: iterate records with start VO in [startVo, endVo). */
   private def readRange(file: String, startVo: Long, endVo: Long,
                         refs: Array[graft.model.SamRef],
-                        intervals: Array[(String, Int, Int)]): Iterator[SamRecord] = {
+                        intervals: Array[(String, Int, Int)],
+                        includeUnmapped: Boolean = false): Iterator[SamRecord] = {
     val (fs, path) = Fs.get(file)
     val raw = fs.open(path)
     raw.seek(Bgzf.voCompressed(startVo))
@@ -320,7 +340,9 @@ object BamIO {
             o += r
           }
           val rec = BamCodec.decode(data, refs)
-          if (intervals.isEmpty || overlaps(rec, intervals)) nextRec = rec
+          if (intervals.isEmpty || overlaps(rec, intervals) ||
+            (includeUnmapped && rec.isUnmapped && (rec.rname == "*" || rec.pos == 0)))
+            nextRec = rec
         }
       }
       override def hasNext: Boolean = { if (nextRec == null) fetch(); nextRec != null }

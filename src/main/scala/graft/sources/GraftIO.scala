@@ -44,6 +44,17 @@ object GraftIO {
     case other => throw new IllegalArgumentException(s"$path: detected $other")
   }
 
+  /** Write alignments in the container the path's extension names
+    * (ref: KeyIgnoringAnySAMOutputFormat — format from output path). */
+  def writeAlignments(ds: org.apache.spark.sql.Dataset[graft.model.SamRecord],
+                      header: graft.model.SamHeader, path: String): Unit = {
+    val name = path.toLowerCase
+    if (name.endsWith(".bam")) BamIO.write(ds, header, path)
+    else if (name.endsWith(".cram")) CramIO.write(ds, header, path)
+    else if (name.endsWith(".sam")) Sam.write(ds, header, path)
+    else throw new IllegalArgumentException(s"$path: unknown alignment extension")
+  }
+
   private def readHead(path: String, n: Int): Array[Byte] = {
     val (fs, p) = Fs.get(path)
     val in = new BufferedInputStream(fs.open(p))

@@ -118,6 +118,17 @@ object Sam {
     } finally w.close()
   }
 
+  /** Write records as-is (partition order preserved, no sort; the
+    * reference's KeyIgnoringSAMRecordWriter shape): parallel text
+    * shards + single-header merge. */
+  def write(ds: Dataset[SamRecord], header: SamHeader, out: String): Unit = {
+    val tmp = out + ".shards"
+    writeShards(ds, tmp)
+    mergeShards(tmp, out, header)
+    val (fs, t) = Fs.get(tmp)
+    fs.delete(t, true)
+  }
+
   /** One-call sorted write: coordinate-sort (range partition — no
     * single-reducer funnel), write shards, merge with a header
     * rewritten to SO:coordinate (ref: util/GetSortedBAMHeader.java). */

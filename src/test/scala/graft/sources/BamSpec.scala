@@ -158,6 +158,50 @@ class BamSpec extends SparkSpec {
     assert(idx.maxSpan === 1000040) // 20M + 1M N + 20M reference span
   }
 
+  test("bounded traversal returns unplaced-unmapped only when asked (sidecar + bai)") {
+    import spark.implicits._
+    val mapped = (0 until 200).map(i => SamRecord(s"m$i", 0, "chr1", 1 + i * 40, 60,
+      "20M", "*", 0, 0, "ACGTACGTACGTACGTACGT", "IIIIIIIIIIIIIIIIIIII", Array.empty))
+    val unmapped = (0 until 15).map(i => SamRecord(s"u$i", 4, "*", 0, 0, "*", "*", 0, 0,
+      "ACGT", "IIII", Array.empty))
+    val dir = tmpDir("bamunm")
+    val file = s"$dir/t.bam"
+    // coordinate order: mapped then the unmapped tail
+    BamIO.write(spark.createDataset(mapped ++ unmapped).coalesce(1), header, file,
+      granularity = 30)
+    val iv = Seq(("chr1", 1000, 2000))
+    val without = BamIO.read(spark, file, intervals = iv).collect().map(_.qname)
+    assert(!without.exists(_.startsWith("u")))
+    val withU = BamIO.read(spark, file, intervals = iv, includeUnmapped = true)
+      .collect().map(_.qname)
+    assert(withU.count(_.startsWith("u")) === 15)
+    assert(withU.filterNot(_.startsWith("u")).sorted === without.sorted)
+    // same semantics through the foreign .bai path
+    val (fs, p) = Fs.get(file)
+    Bai.buildAndWrite(file)
+    fs.delete(SplittingIndex.indexPath(p), false)
+    val baiWith = BamIO.read(spark, file, intervals = iv, includeUnmapped = true)
+      .collect().map(_.qname)
+    assert(baiWith.sorted === withU.sorted)
+    val baiWithout = BamIO.read(spark, file, intervals = iv).collect().map(_.qname)
+    assert(baiWithout.sorted === without.sorted)
+  }
+
+  test("writeAlignments dispatches on extension for sam/bam/cram round-trips") {
+    import spark.implicits._
+    val recs = (0 until 120).map(mkRecord)
+    val dir = tmpDir("anywrite")
+    Seq("t.bam", "t.cram", "t.sam").foreach { fname =>
+      val path = s"$dir/$fname"
+      GraftIO.writeAlignments(spark.createDataset(recs).repartition(3), header, path)
+      val back = GraftIO.readAlignments(spark, path).collect()
+      assert(back.length === 120, fname)
+      assert(back.map(_.qname).sorted === recs.map(_.qname).sorted.toArray, fname)
+    }
+    intercept[IllegalArgumentException](
+      GraftIO.writeAlignments(spark.createDataset(recs), header, s"$dir/t.xyz"))
+  }
+
   test("megabase-spliced read upstream of interval is never pruned away") {
     import spark.implicits._
     // The spliced read starts ~1Mb before the interval — far beyond any
