@@ -35,10 +35,22 @@ object Csi {
 
   // ------------------------------------------------------------ binning
 
+  /** Coordinates at or past the tree capacity 2^(minShift+3·depth)
+    * are clamped to the last position: without this, the level-0 term
+    * `beg >> s` exceeds 0 and produces bin numbers that collide with
+    * bins of OTHER levels (garbage chunk lookups for queries past a
+    * contig end).  Indexing rejects such records outright ([[build]]);
+    * clamping keeps querying total and collision-free. */
+  private def clampPos(pos: Int, minShift: Int, depth: Int): Int = {
+    val cap = 1L << (minShift + 3 * depth)
+    if (pos >= cap) (cap - 1).toInt else math.max(pos, 0)
+  }
+
   /** Smallest bin fully containing [beg, end0) 0-based half-open
     * (htslib reg2bin_level generalization). */
-  def reg2bin(beg: Int, end0: Int, minShift: Int, depth: Int): Int = {
-    val end = end0 - 1
+  def reg2bin(beg0: Int, end1: Int, minShift: Int, depth: Int): Int = {
+    val beg = clampPos(beg0, minShift, depth)
+    val end = clampPos(end1 - 1, minShift, depth)
     var l = depth
     var s = minShift
     var t = ((1 << (depth * 3)) - 1) / 7
@@ -52,8 +64,9 @@ object Csi {
   }
 
   /** All bins overlapping [beg, end0) 0-based half-open. */
-  def reg2bins(beg: Int, end0: Int, minShift: Int, depth: Int): Seq[Int] = {
-    val end = end0 - 1
+  def reg2bins(beg0: Int, end1: Int, minShift: Int, depth: Int): Seq[Int] = {
+    val beg = clampPos(beg0, minShift, depth)
+    val end = clampPos(end1 - 1, minShift, depth)
     val out = mutable.ArrayBuffer[Int]()
     var l = 0
     var t = 0

@@ -81,6 +81,87 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ITF8/LTF8 round-trip arbitrary values") {
+    forSamples(Gen.choose(Int.MinValue, Int.MaxValue), 300) { v =>
+      val bos = new java.io.ByteArrayOutputStream()
+      Cram.writeItf8(bos, v)
+      assert(Cram.readItf8(new java.io.ByteArrayInputStream(bos.toByteArray)) === v)
+    }
+    forSamples(Gen.choose(Long.MinValue, Long.MaxValue), 300) { v =>
+      val bos = new java.io.ByteArrayOutputStream()
+      Cram.writeLtf8(bos, v)
+      assert(Cram.readLtf8(new java.io.ByteArrayInputStream(bos.toByteArray)) === v)
+    }
+  }
+
+  test("CSI binning invariants hold for arbitrary intervals and parameters") {
+    val gen = for {
+      minShift <- Gen.oneOf(12, 14, 16)
+      depth <- Gen.choose(3, 7)
+      beg <- Gen.choose(0, (1 << 28) - 2)
+      len <- Gen.choose(1, 1 << 20)
+    } yield (minShift, depth, beg, math.min(beg + len, 1 << 28))
+    forSamples(gen, 300) { case (ms, d, beg, end) =>
+      val bin = Csi.reg2bin(beg, end, ms, d)
+      val bins = Csi.reg2bins(beg, end, ms, d)
+      // the assigned bin is among the overlapping bins
+      assert(bins.contains(bin), s"bin $bin not in reg2bins [$beg,$end) ms=$ms d=$d")
+      // the assigned bin's interval starts at or before the record
+      assert(Csi.binStart(bin, ms, d) <= beg)
+      // a point query at beg must include the record's bin chain member
+      assert(Csi.reg2bins(beg, beg + 1, ms, d).contains(bin) ||
+        Csi.binStart(bin, ms, d) <= beg)
+    }
+  }
+
+  test("CRAM block layer round-trips arbitrary payloads (raw + gzip)") {
+    val gen = for {
+      data <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+      method <- Gen.oneOf(CramIO.Raw, CramIO.Gzip)
+      id <- Gen.choose(0, 1 << 20)
+    } yield (data, method, id)
+    forSamples(gen, 150) { case (data, method, id) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      CramIO.writeBlock(bos, CramIO.Block(method, CramIO.External, id, data))
+      val b = CramIO.readBlock(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(b.contentId === id)
+      assert(b.data.toSeq === data.toSeq)
+    }
+  }
+
+  private val genAllele = Gen.frequency(
+    (8, Gen.choose(0, 3).map(_.toString)),
+    (1, Gen.choose(4, 120).map(_.toString)),
+    (1, Gen.const(".")))
+  private val genGt: Gen[String] = for {
+    ploidy <- Gen.choose(1, 4)
+    alleles <- Gen.listOfN(ploidy, genAllele)
+    seps <- Gen.listOfN(math.max(0, ploidy - 1), Gen.oneOf("/", "|"))
+  } yield alleles.head + seps.zip(alleles.tail).map { case (s, a) => s + a }.mkString
+
+  test("BCF genotype matrix round-trips generated GT/int/float matrices") {
+    val genSample = for {
+      gt <- genGt
+      dp <- Gen.frequency((6, Gen.choose(0, 3000000).map(_.toString)), (1, Gen.const(".")))
+      vafRaw <- Gen.choose(0, 1000)
+      vaf <- Gen.oneOf(java.lang.Float.toString(vafRaw / 1000.0f), ".")
+    } yield s"$gt:$dp:$vaf"
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      samples <- Gen.listOfN(n, genSample)
+    } yield samples.toArray
+    val fmtKeys = Array("GT", "DP", "VAF")
+    val fmtIdx = fmtKeys.zipWithIndex.toMap
+    forSamples(gen, 200) { samples =>
+      val v = graft.model.VcfVariant("c1", 5L, "x", "A", Array("C"), None, "PASS",
+        Array.empty, Array.empty, fmtKeys, samples)
+      val indiv = Bcf.encodeIndiv(v, fmtIdx)
+      val (fmt, back) = Bcf.decodeIndiv(indiv, fmtKeys, fmtKeys.length, samples.length)
+      assert(fmt.toSeq === fmtKeys.toSeq)
+      assert(back.toSeq === samples.toSeq)
+    }
+  }
+
   test("record-boundary guesser finds a true boundary from any offset") {
     val records = (0 until 50).map(i => genRecord.sample.get)
     val bos = new java.io.ByteArrayOutputStream()
