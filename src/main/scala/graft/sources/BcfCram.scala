@@ -680,54 +680,57 @@ object Cram {
   }
 
   /** Walk container headers to enumerate split points (every container
-    * start is a valid split; ref: CRAMInputFormat.getSplits). */
+    * start is a valid split; ref: CRAMInputFormat.getSplits).  Only
+    * HEADER bytes are read — container bodies are seek()ed past, so
+    * driver-side enumeration of a 1 TB CRAM touches ~tens of bytes per
+    * container, not the terabyte. */
   def enumerateContainers(path: String): Seq[Container] = {
     val (fs, p) = Fs.get(path)
     val len = fs.getFileStatus(p).getLen
-    val in = new java.io.BufferedInputStream(fs.open(p))
-    val magic = new Array[Byte](4)
-    var off = 0L
-    (0 until 4).foreach(i => magic(i) = in.read().toByte)
-    require(new String(magic, UTF_8) == "CRAM", "not a CRAM file")
-    in.skip(2) // version major/minor
-    val fileId = new Array[Byte](20)
-    var r = 0
-    var got = 0
-    while (got < 20 && r >= 0) { r = in.read(fileId, got, 20 - got); if (r > 0) got += r }
-    off = 26
-    val out = scala.collection.mutable.ArrayBuffer[Container]()
-    var continue = off < len
-    while (continue) {
-      val counting = new CountingInputStream(in)
-      try {
-        val clen = readInt32Le(counting)
-        val refId = readItf8(counting)
-        val start = readItf8(counting)
-        val span = readItf8(counting)
-        val nRec = readItf8(counting)
-        out += Container(off, clen, refId, start, span, nRec)
-        // Remaining header per CRAM 3.0 §8: record counter (LTF8),
-        // bases (LTF8), nBlocks (ITF8), landmarks (array<ITF8>),
-        // crc32; then `clen` bytes of compressed container body.
-        readLtf8(counting); readLtf8(counting); readItf8(counting)
-        val nLandmarks = readItf8(counting)
-        (0 until nLandmarks).foreach(_ => readItf8(counting))
-        counting.skipFully(4) // crc
-        counting.skipFully(clen)
-        off += counting.count
-        continue = off < len
-      } catch {
-        case e: EOFException =>
-          // EOF before the first byte of a container = clean end of
-          // file; EOF mid-container = truncated input, surface it.
-          if (counting.count > 0)
+    val raw = fs.open(p)
+    try {
+      val magic = new Array[Byte](4)
+      raw.readFully(0L, magic)
+      require(new String(magic, UTF_8) == "CRAM", "not a CRAM file")
+      var off = 26L // file definition: magic + version + 20-byte id
+      val out = scala.collection.mutable.ArrayBuffer[Container]()
+      var continue = off < len
+      while (continue) {
+        raw.seek(off)
+        // small fresh buffer per container: read-ahead past the header
+        // is harmless because the next iteration seeks absolutely
+        val counting = new CountingInputStream(new java.io.BufferedInputStream(raw, 512))
+        try {
+          val clen = readInt32Le(counting)
+          val refId = readItf8(counting)
+          val start = readItf8(counting)
+          val span = readItf8(counting)
+          val nRec = readItf8(counting)
+          out += Container(off, clen, refId, start, span, nRec)
+          // Remaining header per CRAM 3.0 §8: record counter (LTF8),
+          // bases (LTF8), nBlocks (ITF8), landmarks (array<ITF8>),
+          // crc32; then `clen` bytes of compressed container body.
+          readLtf8(counting); readLtf8(counting); readItf8(counting)
+          val nLandmarks = readItf8(counting)
+          (0 until nLandmarks).foreach(_ => readItf8(counting))
+          val headerLen = counting.count + 4 // + crc32
+          if (off + headerLen + clen > len)
             throw new java.io.IOException(
-              s"truncated CRAM container at offset $off (${counting.count} bytes into header)", e)
-          continue = false
+              s"truncated CRAM container at offset $off (body runs past EOF)")
+          off += headerLen + clen // seek past the body on next loop
+          continue = off < len
+        } catch {
+          case e: EOFException =>
+            // EOF before the first byte of a container = clean end of
+            // file; EOF mid-header = truncated input, surface it.
+            if (counting.count > 0)
+              throw new java.io.IOException(
+                s"truncated CRAM container at offset $off (${counting.count} bytes into header)", e)
+            continue = false
+        }
       }
-    }
-    in.close()
-    out.toSeq
+      out.toSeq
+    } finally raw.close()
   }
 
   private def readInt32Le(in: InputStream): Int = {

@@ -72,24 +72,28 @@ object CramIO {
 
   def readBlock(in: InputStream): Block = {
     val crc = new CRC32()
-    val cin = new InputStream { // count every byte into the CRC
+    val hin = new InputStream { // header bytes (few) go through the CRC
       override def read(): Int = {
         val v = in.read(); if (v >= 0) crc.update(v); v
       }
     }
-    val method = cin.read()
+    val method = hin.read()
     if (method < 0) throw new EOFException("truncated block")
-    val contentType = cin.read()
+    val contentType = hin.read()
     if (contentType < 0) throw new EOFException("truncated block")
-    val contentId = Cram.readItf8(cin)
-    val compSize = Cram.readItf8(cin)
-    val rawSize = Cram.readItf8(cin)
+    val contentId = Cram.readItf8(hin)
+    val compSize = Cram.readItf8(hin)
+    val rawSize = Cram.readItf8(hin)
+    // body is read and CRC'd in bulk — this is the per-container hot
+    // path of the distributed read
     val body = new Array[Byte](compSize)
     var o = 0
     while (o < compSize) {
-      val r = cin.read(); if (r < 0) throw new EOFException("truncated block body")
-      body(o) = r.toByte; o += 1
+      val r = in.read(body, o, compSize - o)
+      if (r < 0) throw new EOFException("truncated block body")
+      o += r
     }
+    crc.update(body, 0, compSize)
     val stored = readInt32Le(in)
     require(stored == crc.getValue.toInt,
       f"block CRC mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
@@ -122,7 +126,17 @@ object CramIO {
                              landmarks: Seq[Int]): Unit = {
     val body = new ByteArrayOutputStream(1 << 16)
     blocks.foreach(b => writeBlock(body, b))
-    val bodyBytes = body.toByteArray
+    writeContainerRaw(out, refSeqId, startPos, span, nRecords, counter, bases,
+      blocks.length, landmarks, body.toByteArray)
+  }
+
+  /** Same, from an already-serialized block body (lets the writer
+    * measure landmark offsets without serializing blocks twice). */
+  private def writeContainerRaw(out: OutputStream, refSeqId: Int, startPos: Int,
+                                span: Int, nRecords: Int, counter: Long,
+                                bases: Long, nBlocks: Int,
+                                landmarks: Seq[Int],
+                                bodyBytes: Array[Byte]): Unit = {
     val head = new ByteArrayOutputStream(64)
     writeInt32Le(head, bodyBytes.length)
     Cram.writeItf8(head, refSeqId)
@@ -131,7 +145,7 @@ object CramIO {
     Cram.writeItf8(head, nRecords)
     Cram.writeLtf8(head, counter)
     Cram.writeLtf8(head, bases)
-    Cram.writeItf8(head, blocks.length)
+    Cram.writeItf8(head, nBlocks)
     Cram.writeItf8(head, landmarks.length)
     landmarks.foreach(l => Cram.writeItf8(head, l))
     val headBytes = head.toByteArray
@@ -171,9 +185,16 @@ object CramIO {
     Block(Raw, SliceHeader, 0, b.toByteArray)
   }
 
-  /** Empty-maps compression header (graft profile). */
+  /** Profile marker: distinguishes graft-profile record payloads from
+    * foreign (htsjdk-style data-series) CRAMs before decode. */
+  private val ProfileMarker = "GRFT1".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Empty-maps compression header, prefixed with the graft profile
+    * marker (readers of real CRAM compression headers parse maps by
+    * their own framing; our reader checks the marker instead). */
   private def compressionHeaderBlock(): Block = {
     val b = new ByteArrayOutputStream(16)
+    b.write(ProfileMarker)
     // preservation map, data-series encoding map, tag encoding map:
     // each = byte length (itf8) of { nEntries (itf8) = 0 }
     (0 until 3).foreach { _ =>
@@ -184,6 +205,10 @@ object CramIO {
     }
     Block(Gzip, CompressionHeader, 0, b.toByteArray)
   }
+
+  private def isGraftProfile(data: Array[Byte]): Boolean =
+    data.length >= ProfileMarker.length &&
+      java.util.Arrays.equals(java.util.Arrays.copyOf(data, ProfileMarker.length), ProfileMarker)
 
   // -------------------------------------------------------------- write
 
@@ -215,12 +240,15 @@ object CramIO {
         val start = if (rid >= 0 && minPos != Int.MaxValue) minPos else 0
         val span = if (rid >= 0 && maxEnd >= minPos) maxEnd - minPos + 1 else 0
         val slice = sliceHeaderBlock(rid, start, span, n, nTotal, Seq(1))
-        // landmark: offset of the slice header block within the
-        // container body = serialized size of the compression header
-        val ch = compressionHeaderBlock()
-        val chBytes = { val t = new ByteArrayOutputStream(); writeBlock(t, ch); t.toByteArray }
-        writeContainer(out, rid, start, span, n, nTotal, bases,
-          Seq(ch, slice, ext), Seq(chBytes.length))
+        // serialize the body once; the landmark (slice header offset)
+        // falls out of the running size
+        val body = new ByteArrayOutputStream(recBytes.length / 2 + 256)
+        writeBlock(body, compressionHeaderBlock())
+        val landmark = body.size()
+        writeBlock(body, slice)
+        writeBlock(body, ext)
+        writeContainerRaw(out, rid, start, span, n, nTotal, bases,
+          nBlocks = 3, Seq(landmark), body.toByteArray)
         nTotal += n
         recs.reset(); n = 0; minPos = Int.MaxValue; maxEnd = 0; refSeq = -2; bases = 0L
       }
@@ -282,36 +310,68 @@ object CramIO {
     } finally in.close()
   }
 
-  /** Distributed read: driver enumerates container offsets (constant
-    * work per container), each task decodes its container's external
-    * record block.  Containers are the CRAM split unit, exactly as in
-    * CRAMInputFormat.getSplits. */
-  def read(spark: SparkSession, file: String): Dataset[SamRecord] = {
+  /** Distributed read: driver enumerates container offsets (header
+    * bytes only), groups containers into split-sized partitions, and
+    * each task decodes its containers' external record blocks.
+    * Containers are the CRAM split unit, exactly as in
+    * CRAMInputFormat.getSplits — grouped so a terabyte file yields
+    * thousands of tasks, not one per ~1 MB container. */
+  def read(spark: SparkSession, file: String,
+           splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
     import spark.implicits._
     val header = readHeader(file)
     val containers = Cram.enumerateContainers(file)
       .filter(c => c.nRecords > 0 && !isEof(c))
+    // reject foreign CRAMs up front with a clear error, instead of
+    // misreading their data-series bytes as graft record payloads
+    containers.headOption.foreach { first =>
+      val (fs, p) = Fs.get(file)
+      val raw = fs.open(p)
+      try {
+        raw.seek(first.offset)
+        val blocks = readContainerBlocks(new BufferedInputStream(raw))
+        val ok = blocks.exists(b =>
+          b.contentType == CompressionHeader && isGraftProfile(b.data))
+        if (!ok) throw new UnsupportedOperationException(
+          s"$file is a foreign CRAM (no graft profile marker): record decode of " +
+            "external data-series codecs is delegated (as the reference delegates " +
+            "to htsjdk); container enumeration/splitting is still available via " +
+            "Cram.enumerateContainers")
+      } finally raw.close()
+    }
+    // group whole containers into ~splitSize partitions
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    var cur = scala.collection.mutable.ArrayBuffer[Long]()
+    var acc = 0L
+    containers.foreach { c =>
+      if (cur.nonEmpty && acc + c.length > splitSize) {
+        groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long](); acc = 0L
+      }
+      cur += c.offset; acc += c.length
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
     val refs = header.refs
-    spark.sparkContext.parallelize(containers.map(_.offset), math.max(1, containers.size))
-      .flatMap { off =>
+    spark.sparkContext.parallelize(groups.toSeq, math.max(1, groups.size))
+      .flatMap { offsets =>
         val (tfs, tp) = Fs.get(file)
         val raw = tfs.open(tp)
-        raw.seek(off)
-        val in = new BufferedInputStream(raw)
+        val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
         try {
-          val blocks = readContainerBlocks(in)
-          val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
-            .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
-          val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
-          while (bb.remaining() > 4) {
-            val len = bb.getInt
-            val data = new Array[Byte](len)
-            bb.get(data)
-            out += BamCodec.decode(data, refs)
+          offsets.foreach { off =>
+            raw.seek(off)
+            val blocks = readContainerBlocks(new BufferedInputStream(raw))
+            val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
+              .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
+            val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            while (bb.remaining() > 4) {
+              val len = bb.getInt
+              val data = new Array[Byte](len)
+              bb.get(data)
+              out += BamCodec.decode(data, refs)
+            }
           }
           out.toSeq
-        } finally in.close()
+        } finally raw.close()
       }.toDS()
   }
 

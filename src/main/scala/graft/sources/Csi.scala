@@ -47,15 +47,18 @@ object Csi {
   }
 
   /** Smallest bin fully containing [beg, end0) 0-based half-open
-    * (htslib reg2bin_level generalization). */
+    * (htslib reg2bin_level generalization).  All shifts are done in
+    * Long: minShift + 3·depth reaches 32 at the auto-depth for
+    * >512 Mbp contigs, and a JVM Int shift would silently wrap
+    * (shift count mod 32), emitting colliding bin numbers. */
   def reg2bin(beg0: Int, end1: Int, minShift: Int, depth: Int): Int = {
-    val beg = clampPos(beg0, minShift, depth)
-    val end = clampPos(end1 - 1, minShift, depth)
+    val beg = clampPos(beg0, minShift, depth).toLong
+    val end = clampPos(end1 - 1, minShift, depth).toLong
     var l = depth
     var s = minShift
     var t = ((1 << (depth * 3)) - 1) / 7
     while (l > 0) {
-      if ((beg >> s) == (end >> s)) return t + (beg >> s)
+      if ((beg >> s) == (end >> s)) return t + (beg >> s).toInt
       l -= 1
       s += 3
       t -= 1 << (l * 3)
@@ -65,14 +68,14 @@ object Csi {
 
   /** All bins overlapping [beg, end0) 0-based half-open. */
   def reg2bins(beg0: Int, end1: Int, minShift: Int, depth: Int): Seq[Int] = {
-    val beg = clampPos(beg0, minShift, depth)
-    val end = clampPos(end1 - 1, minShift, depth)
+    val beg = clampPos(beg0, minShift, depth).toLong
+    val end = clampPos(end1 - 1, minShift, depth).toLong
     val out = mutable.ArrayBuffer[Int]()
     var l = 0
     var t = 0
     var s = minShift + depth * 3
     while (l <= depth) {
-      out ++= (t + (beg >> s)) to (t + (end >> s))
+      out ++= (t + (beg >> s).toInt) to (t + (end >> s).toInt)
       s -= 3
       t += 1 << (l * 3)
       l += 1
@@ -80,12 +83,14 @@ object Csi {
     out.toSeq
   }
 
-  /** 0-based start position of a bin's interval. */
+  /** 0-based start position of a bin's interval (clamped to Int range
+    * for the capacity-2^32 case). */
   def binStart(bin: Int, minShift: Int, depth: Int): Int = {
     var l = depth
     var t = ((1 << (depth * 3)) - 1) / 7
     while (l > 0 && bin < t) { l -= 1; t -= 1 << (l * 3) }
-    (bin - t) << (minShift + 3 * (depth - l))
+    val v = (bin - t).toLong << (minShift + 3 * (depth - l))
+    math.min(v, Int.MaxValue.toLong).toInt
   }
 
   // ---------------------------------------------------------------- I/O

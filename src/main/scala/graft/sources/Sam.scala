@@ -143,10 +143,6 @@ object Sam {
       .sortWithinPartitions(col("_refIdx"), col("pos"))
       .drop("_refIdx")
     import spark.implicits._
-    val tmp = out + ".shards"
-    writeShards(sorted.as[SamRecord], tmp)
-    mergeShards(tmp, out, header.asCoordinateSorted)
-    val (fs, t) = Fs.get(tmp)
-    fs.delete(t, true)
+    write(sorted.as[SamRecord], header.asCoordinateSorted, out)
   }
 }

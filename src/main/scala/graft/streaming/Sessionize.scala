@@ -120,9 +120,17 @@ object Sessionize {
       .flatMapGroupsWithState[StateBuf, Enriched](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Tagged], state: GroupState[StateBuf]) =>
+          // Under NoTimeout Spark does NOT filter below-watermark input
+          // to this function (only EventTimeTimeout does), so late rows
+          // must be dropped here: the pruning invariant below assumes
+          // no query older than the watermark ever arrives — a late
+          // query would otherwise silently mis-match against pruned
+          // state instead of being dropped like any other late event.
+          val wmFloorUs = state.getCurrentWatermarkMs() * 1000L
+          val sorted = rows.filter(_.ts_us >= wmFloorUs)
+            .toSeq.sortBy(r => (r.ts_us, r.is_query, r.event_id))
           // state rows first at equal ts -> inclusive at-tie match;
           // event_id last -> the largest state event wins a ts tie
-          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.is_query, r.event_id))
           var clicks = state.getOption.map(_.clicks).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer[Enriched]()
           sorted.foreach { r =>

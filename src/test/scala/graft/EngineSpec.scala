@@ -439,6 +439,14 @@ class SessionizeStreamSpec extends SparkSpec {
       assert(got.length === 2)
       assert(got(0).c_event === Some(11L)) // latest click at purchase time
       assert(got(1).c_event === Some(11L)) // pruned state still serves
+      // batch 3: a purchase BELOW the watermark must be dropped, not
+      // mis-matched against pruned state (NoTimeout does not filter
+      // late input rows for us — the function must)
+      mem.addData(
+        Sessionize.Tagged(1, base + 500000, 102, is_query = true, t(base + 500000)))
+      query.processAllAvailable()
+      val after = spark.table("asof_prune_out").as[Sessionize.Enriched].collect()
+      assert(after.length === 2, after.mkString(", "))
     } finally query.stop()
   }
 }

@@ -98,19 +98,22 @@ class PropertySpec extends AnyFunSuite {
     val gen = for {
       minShift <- Gen.oneOf(12, 14, 16)
       depth <- Gen.choose(3, 7)
-      beg <- Gen.choose(0, (1 << 28) - 2)
+      // cover coordinates past 2^29 (where minShift+3*depth hits 32
+      // and Int shifts would wrap) and past tree capacity (clamped)
+      beg <- Gen.choose(0, Int.MaxValue - (1 << 21))
       len <- Gen.choose(1, 1 << 20)
-    } yield (minShift, depth, beg, math.min(beg + len, 1 << 28))
-    forSamples(gen, 300) { case (ms, d, beg, end) =>
+    } yield (minShift, depth, beg, beg + len)
+    forSamples(gen, 500) { case (ms, d, beg, end) =>
       val bin = Csi.reg2bin(beg, end, ms, d)
       val bins = Csi.reg2bins(beg, end, ms, d)
       // the assigned bin is among the overlapping bins
       assert(bins.contains(bin), s"bin $bin not in reg2bins [$beg,$end) ms=$ms d=$d")
       // the assigned bin's interval starts at or before the record
       assert(Csi.binStart(bin, ms, d) <= beg)
-      // a point query at beg must include the record's bin chain member
-      assert(Csi.reg2bins(beg, beg + 1, ms, d).contains(bin) ||
-        Csi.binStart(bin, ms, d) <= beg)
+      // an in-capacity point query at beg must fetch the record's bin
+      if (end.toLong <= (1L << (ms + 3 * d)))
+        assert(Csi.reg2bins(beg, beg + 1, ms, d).contains(bin),
+          s"point query at $beg misses bin $bin ms=$ms d=$d")
     }
   }
 

@@ -575,6 +575,46 @@ class CramIOSpec extends SparkSpec {
     }
   }
 
+  test("foreign CRAM (no profile marker) is rejected with a clear error") {
+    import spark.implicits._
+    // simulate an htsjdk-written file: keep a CramIO-written header
+    // container, then append a structurally valid data container whose
+    // compression header lacks the graft marker
+    val dir = tmpDir("cramforeign")
+    val file = s"$dir/f.cram"
+    val ht = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000"
+    val recs = Seq(graft.model.SamRecord("q0", 0, "chr1", 10, 60, "5M", "*", 0, 0,
+      "ACGTA", "IIIII", Array.empty))
+    val header = graft.model.SamHeader(ht, Array(graft.model.SamRef("chr1", 1000)))
+    CramIO.write(spark.createDataset(recs).coalesce(1), header, file)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val cs = Cram.enumerateContainers(file)
+    val dataOff = cs(1).offset.toInt // first data container
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, dataOff)
+    // marker-less data container
+    val body = new java.io.ByteArrayOutputStream()
+    CramIO.writeBlock(body, CramIO.Block(CramIO.Raw, CramIO.CompressionHeader, 0, Array[Byte](0, 0, 0)))
+    CramIO.writeBlock(body, CramIO.Block(CramIO.Raw, CramIO.External, 7, Array[Byte](1, 2, 3, 4)))
+    val bb = body.toByteArray
+    def w32(o: java.io.OutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    w32(out, bb.length)
+    Cram.writeItf8(out, 0); Cram.writeItf8(out, 10); Cram.writeItf8(out, 5)
+    Cram.writeItf8(out, 1) // nRecords > 0 → data container
+    Cram.writeLtf8(out, 0L); Cram.writeLtf8(out, 0L)
+    Cram.writeItf8(out, 2); Cram.writeItf8(out, 0)
+    w32(out, 0) // header crc (not verified by enumeration)
+    out.write(bb)
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), out.toByteArray)
+    // the out-of-band rewrite invalidates Hadoop's local checksum sidecar
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/.f.cram.crc"))
+    val e = intercept[UnsupportedOperationException](CramIO.read(spark, file).collect())
+    assert(e.getMessage.contains("foreign CRAM"))
+  }
+
   test("graft-written CRAM walks with enumerateContainers incl. spec EOF sentinel") {
     import spark.implicits._
     val dir = tmpDir("cramwalk")
