@@ -159,7 +159,8 @@ object BamIO {
                 else Nil
               Bai.merge(chunks).map(c => (c.beg, c.end)) ++ tail
             case None =>
-              val bounds = splitsByGuessing(fs, path, fileLen, header, headerEndVo, splitSize)
+              val bounds = splitsByGuessing(fs, path, fileLen, headerEndVo, splitSize,
+                data => BamCodec.guessRecordStart(data, header.refs.length))
               bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
           }
       }
@@ -245,11 +246,13 @@ object BamIO {
   }
 
   /** No index: fixed byte-range split targets; at each target the
-    * driver finds the next BGZF block, inflates a window, and guesses
-    * the first record start (BAMSplitGuesser.java re-expression). */
-  private def splitsByGuessing(fs: FileSystem, path: Path, fileLen: Long,
-                               header: SamHeader, headerEndVo: Long,
-                               splitSize: Long): Array[Long] = {
+    * driver finds the next BGZF block, inflates a window, and asks
+    * `guessRecord` for the first record-start offset within it
+    * (BAMSplitGuesser.java re-expression; the BCF reader reuses this
+    * scaffold with its own record guesser, like BCFSplitGuesser). */
+  private[sources] def splitsByGuessing(fs: FileSystem, path: Path, fileLen: Long,
+                               headerEndVo: Long, splitSize: Long,
+                               guessRecord: Array[Byte] => Int): Array[Long] = {
     val targets = (Bgzf.voCompressed(headerEndVo) + splitSize) until fileLen by splitSize
     val bounds = new ArrayBuffer[Long]()
     bounds += headerEndVo
@@ -278,7 +281,7 @@ object BamIO {
               if (got > 0) buf.write(tmp, 0, got)
             }
           } catch { case _: EOFException => () } // window may cut a block
-          val rec = BamCodec.guessRecordStart(buf.toByteArray, header.refs.length)
+          val rec = guessRecord(buf.toByteArray)
           if (rec >= 0) {
             // rec is an uncompressed offset from blockOff's block start;
             // walk blocks to express it as a virtual offset

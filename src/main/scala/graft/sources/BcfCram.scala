@@ -384,6 +384,56 @@ object Bcf {
     (headerText, out.toSeq)
   }
 
+  /** Guess the first BCF record start within inflated `data` —
+    * re-expression of BCFSplitGuesser.java: scan for a plausible
+    * (l_shared, l_indiv) pair whose site fields validate, then
+    * confirm by chaining across `confirm` records. */
+  def guessRecordStart(data: Array[Byte], nContigs: Int, confirm: Int = 3): Int = {
+    var p = 0
+    while (p <= data.length - 32) {
+      if (plausibleChain(data, p, nContigs, confirm)) return p
+      p += 1
+    }
+    -1
+  }
+
+  private def plausibleChain(data: Array[Byte], off: Int, nContigs: Int,
+                             confirm: Int): Boolean = {
+    var p = off
+    var seen = 0
+    while (seen < confirm) {
+      if (p > data.length - 8) return seen > 0 // ran off cleanly after ≥1 valid
+      val b = ByteBuffer.wrap(data, p, math.min(32, data.length - p))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val lShared = b.getInt
+      val lIndiv = b.getInt
+      if (lShared < 24 || lShared > (1 << 24)) return false
+      if (lIndiv < 0 || lIndiv > (1 << 26)) return false
+      if (p + 8L + lShared + lIndiv > data.length) return seen > 0
+      if (b.remaining() >= 24) {
+        val chrom = b.getInt
+        val pos = b.getInt
+        val rlen = b.getInt
+        b.getInt // qual bits — any float pattern is legal
+        val nia = b.getInt
+        val nfs = b.getInt
+        val nAllele = nia >>> 16
+        val nSample = nfs & 0xffffff
+        val nFmt = nfs >>> 24
+        if (chrom < 0 || chrom >= nContigs) return false
+        if (pos < -1) return false
+        if (rlen < 0 || rlen > (1 << 29)) return false
+        if (nAllele < 1) return false
+        // sample data lives in the indiv block and only there
+        if (lIndiv == 0 && (nSample != 0 || nFmt != 0)) return false
+        if (lIndiv > 0 && nSample == 0) return false
+      }
+      p += 8 + lShared + lIndiv
+      seen += 1
+    }
+    true
+  }
+
   private def readFully(in: InputStream, buf: Array[Byte]): Unit = {
     var off = 0
     while (off < buf.length) {
@@ -530,7 +580,8 @@ object BcfIO {
     } finally in.close()
   }
 
-  def read(spark: org.apache.spark.sql.SparkSession, file: String):
+  def read(spark: org.apache.spark.sql.SparkSession, file: String,
+           splitSize: Long = 64L * 1024 * 1024):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
     val (fs, path) = Fs.get(file)
@@ -555,9 +606,17 @@ object BcfIO {
     }
     val headerEndVo = hin.virtualPos
     hin.close()
-    val sidx = SplittingIndex.read(fs, SplittingIndex.indexPath(path))
-      .getOrElse(throw new IllegalStateException(s"no splitting index for $file"))
-    val bounds = (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
+    val bounds: Seq[Long] = SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
+      case Some(sidx) =>
+        (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
+      case None =>
+        // foreign BCF: BGZF block discovery at byte targets + record
+        // guessing, exactly the BAM shape (ref: BCFSplitGuesser.java)
+        val fileLen = fs.getFileStatus(path).getLen
+        val nContigs = dicts.contigs.length
+        BamIO.splitsByGuessing(fs, path, fileLen, headerEndVo, splitSize,
+          data => Bcf.guessRecordStart(data, nContigs)).toSeq
+    }
     val ranges = bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
     val contigs = dicts.contigs; val filters = dicts.filters
     val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys

@@ -117,6 +117,27 @@ class BcfIOSpec extends SparkSpec {
     }
   }
 
+  test("foreign BCF without sidecar index reads via record-start guessing") {
+    import spark.implicits._
+    val dicts = BcfIO.Dicts(Array("chr1", "chr2"), Array("PASS"), Array("DP"))
+    val vs = (0 until 400).map { i =>
+      graft.model.VcfVariant(
+        chrom = dicts.contigs(i % 2), pos = 100L + i, id = s"rs$i", ref = "A",
+        alt = Array("C"), qual = Some(i.toDouble), filter = "PASS",
+        infoKeys = Array("DP"), infoValues = Array(s"$i"),
+        format = Array.empty, genotypes = Array.empty)
+    }
+    val dir = tmpDir("bcfguess")
+    val file = s"$dir/t.bcf"
+    BcfIO.write(spark.createDataset(vs).repartition(3), dicts, file, granularity = 40)
+    val (fs, p) = Fs.get(file)
+    fs.delete(SplittingIndex.indexPath(p), false)
+    // small splits force several guessed boundaries
+    val back = BcfIO.read(spark, file, splitSize = 4096).collect()
+    assert(back.length === 400)
+    assert(back.map(_.id).sorted === vs.map(_.id).sorted.toArray)
+  }
+
   test("distributed BCF round-trips the genotype matrix (fmt dictionary in header)") {
     import spark.implicits._
     val dicts = BcfIO.Dicts(Array("chr1"), Array("PASS"), Array("DP"),
