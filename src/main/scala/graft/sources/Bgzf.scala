@@ -312,3 +312,86 @@ object Bgzf {
     -1
   }
 }
+
+/** BGZF block index sidecar (".gbi") — re-expression of
+  * util/BGZFBlockIndexer.java / BGZFBlockIndex.java: verified block
+  * start offsets sampled every ~`granularity` compressed bytes, so
+  * split placement for ANY BGZF-compressed file (text or binary) is a
+  * binary search instead of a 256 KB window scan per target.  At
+  * 100 TB that turns driver-side split planning from hundreds of GB
+  * of reads into one small sidecar fetch.  Built in one header-seek
+  * pass (payloads are never read).
+  */
+object BgzfBlockIndex {
+
+  private val Magic = 0x47424958 // "GBIX"
+
+  def indexPath(file: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(file.getParent, file.getName + ".gbi")
+
+  def write(fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+            offsets: Seq[Long], fileLen: Long): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(path, true)))
+    out.writeInt(Magic); out.writeInt(1)
+    out.writeLong(fileLen)
+    out.writeInt(offsets.length)
+    offsets.foreach(out.writeLong)
+    out.close()
+  }
+
+  /** (sampled block offsets ascending, indexed file length). */
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+           path: org.apache.hadoop.fs.Path): Option[(Array[Long], Long)] = {
+    if (!fs.exists(path)) return None
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      if (in.readInt() != Magic) return None
+      in.readInt() // version
+      val len = in.readLong()
+      val n = in.readInt()
+      Some((Array.fill(n)(in.readLong()), len))
+    } finally in.close()
+  }
+
+  /** Walk block headers (seek + 18 bytes each; payloads untouched) and
+    * sample one offset per `granularity` compressed bytes. */
+  def build(file: String, granularity: Long = 1L << 20): Seq[Long] = {
+    val (fs, p) = Fs.get(file)
+    val len = fs.getFileStatus(p).getLen
+    val raw = fs.open(p)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var off = 0L
+      var nextSample = 0L
+      val hdr = new Array[Byte](18)
+      while (off < len - Bgzf.EofMarker.length) {
+        raw.readFully(off, hdr, 0, math.min(18, (len - off).toInt))
+        val bsize = Bgzf.parseBsize(hdr, 0)
+        require(bsize > 0, s"not a BGZF block at offset $off")
+        if (off >= nextSample) {
+          out += off
+          nextSample = off + granularity
+        }
+        off += bsize
+      }
+      out.toSeq
+    } finally raw.close()
+  }
+
+  def buildAndWrite(file: String, granularity: Long = 1L << 20): Unit = {
+    val (fs, p) = Fs.get(file)
+    write(fs, indexPath(p), build(file, granularity), fs.getFileStatus(p).getLen)
+  }
+
+  /** Smallest indexed offset >= target (file length if none). */
+  def ceilOffset(offsets: Array[Long], fileLen: Long, target: Long): Long = {
+    var lo = 0; var hi = offsets.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (offsets(mid) < target) lo = mid + 1 else hi = mid
+    }
+    if (lo < offsets.length) offsets(lo) else fileLen
+  }
+}

@@ -58,25 +58,40 @@ object RangedText {
   }
 
   /** BGZF: place range bounds on verified block starts near each
-    * splitSize target. */
+    * splitSize target — from the `.gbi` block index when one exists
+    * (binary search, no I/O per target), else by window-scanning for
+    * block magic at each target. */
   private def blockAlignedBounds(path: String, len: Long, splitSize: Long): Seq[Long] = {
     val (fs, p) = Fs.get(path)
-    val raw = fs.open(p)
-    try {
-      val out = scala.collection.mutable.ArrayBuffer(0L)
-      var t = splitSize
-      while (t < len) {
-        raw.seek(t)
-        val window = new Array[Byte](256 * 1024)
-        var n = 0; var r = 0
-        while (n < window.length && r >= 0) { r = raw.read(window, n, window.length - n); if (r > 0) n += r }
-        val off = Bgzf.findBlockStart(java.util.Arrays.copyOf(window, n), 0)
-        if (off >= 0 && t + off < len) out += t + off
-        t += splitSize
-      }
-      out += len
-      out.distinct.sorted.toSeq
-    } finally raw.close()
+    BgzfBlockIndex.read(fs, BgzfBlockIndex.indexPath(p)) match {
+      case Some((offsets, idxLen)) if idxLen == len =>
+        val out = scala.collection.mutable.ArrayBuffer(0L)
+        var t = splitSize
+        while (t < len) {
+          val b = BgzfBlockIndex.ceilOffset(offsets, len, t)
+          if (b < len) out += b
+          t += splitSize
+        }
+        out += len
+        out.distinct.sorted.toSeq
+      case _ =>
+        val raw = fs.open(p)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer(0L)
+          var t = splitSize
+          while (t < len) {
+            raw.seek(t)
+            val window = new Array[Byte](256 * 1024)
+            var n = 0; var r = 0
+            while (n < window.length && r >= 0) { r = raw.read(window, n, window.length - n); if (r > 0) n += r }
+            val off = Bgzf.findBlockStart(java.util.Arrays.copyOf(window, n), 0)
+            if (off >= 0 && t + off < len) out += t + off
+            t += splitSize
+          }
+          out += len
+          out.distinct.sorted.toSeq
+        } finally raw.close()
+    }
   }
 
   /** Iterator of lines owned by the compressed-domain range

@@ -39,6 +39,31 @@ class RangedTextSpec extends SparkSpec {
     // many ranges actually used
     assert(RangedText.ranges(f, 700).size > 3)
   }
+
+  test("BGZF block index makes split placement index-driven, same results") {
+    val dir = tmpDir("rtgbi")
+    val f = s"$dir/t.txt.bgz"
+    val lines = (0 until 500).map(i => s"idx-$i-${"z" * (i % 19)}")
+    val out = new Bgzf.BgzfOutputStream(new java.io.FileOutputStream(f), blockSize = 256)
+    out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    out.close()
+    val noIndex = RangedText.ranges(f, 700)
+    BgzfBlockIndex.buildAndWrite(f, granularity = 512)
+    val (fs, p) = Fs.get(f)
+    val (offsets, idxLen) = BgzfBlockIndex.read(fs, BgzfBlockIndex.indexPath(p)).get
+    assert(offsets.nonEmpty && offsets.head === 0L)
+    assert(idxLen === Files.size(Paths.get(f)))
+    // every sampled offset is a true block start
+    val bytes = Files.readAllBytes(Paths.get(f))
+    offsets.foreach { o =>
+      assert(Bgzf.parseBsize(bytes, o.toInt) > 0, s"offset $o not a block start")
+    }
+    val withIndex = RangedText.ranges(f, 700)
+    assert(withIndex.size > 3)
+    val got = RangedText.lines(spark, f, splitSize = 700).map(_.text).collect()
+    assert(got.sorted === lines.sorted.toArray)
+    val _ = noIndex
+  }
 }
 
 class BamUtilSpec extends SparkSpec {
