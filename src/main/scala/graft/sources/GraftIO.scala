@@ -44,6 +44,17 @@ object GraftIO {
     case other => throw new IllegalArgumentException(s"$path: detected $other")
   }
 
+  /** Read variants whatever the container — VCF text (plain or BGZF)
+    * or BCF2 — like the reference's VCFInputFormat, which sniffs
+    * VCFFormat vs BCF by magic. */
+  def readVariants(spark: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.Dataset[graft.model.VcfVariant] = detect(path) match {
+    case VcfFormat => Vcf.read(spark, path)
+    case BcfFormat => BcfIO.read(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"$path: not a variant container (detected $other)")
+  }
+
   /** Write alignments in the container the path's extension names
     * (ref: KeyIgnoringAnySAMOutputFormat — format from output path). */
   def writeAlignments(ds: org.apache.spark.sql.Dataset[graft.model.SamRecord],

@@ -142,6 +142,23 @@ class BcfIOSpec extends SparkSpec {
     }
   }
 
+  test("readVariants dispatches by magic: BCF and VCF through one entry point") {
+    import spark.implicits._
+    val dicts = BcfIO.Dicts(Array("chr1"), Array("PASS"), Array("DP"))
+    val vs = (0 until 50).map { i =>
+      graft.model.VcfVariant("chr1", 100L + i, s"rs$i", "A", Array("C"),
+        Some(i.toDouble), "PASS", Array("DP"), Array(s"$i"),
+        Array.empty, Array.empty)
+    }
+    val dir = tmpDir("anyvar")
+    val bcf = s"$dir/t.bcf"
+    BcfIO.write(spark.createDataset(vs).coalesce(1), dicts, bcf)
+    assert(GraftIO.readVariants(spark, bcf).collect().map(_.id).sorted ===
+      vs.map(_.id).sorted.toArray)
+    intercept[IllegalArgumentException](
+      GraftIO.readVariants(spark, s"$dir/t.bcf.sidx")) // not a variant container
+  }
+
   test("foreign BCF without sidecar index reads via record-start guessing") {
     import spark.implicits._
     val dicts = BcfIO.Dicts(Array("chr1", "chr2"), Array("PASS"), Array("DP"))
