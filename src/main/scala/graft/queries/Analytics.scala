@@ -76,8 +76,11 @@ object Analytics {
 
   // ------------------------------------------------ exact group median
   // Exact (not approximate) per-group median via rank selection: the
-  // middle one-or-two rows per group, averaged.  Two window passes +
-  // a tiny aggregate — no per-group sort-and-collect on the driver.
+  // middle one-or-two rows per group, averaged.  Both window passes
+  // share one partitioning (one shuffle); the count() pass reuses the
+  // already-sorted run, which measures FASTER than a second scan +
+  // broadcast-join of pre-aggregated counts (tried: 2.2s vs 1.5s at
+  // sf0.1) — the join variant pays a full extra scan of the table.
   def qMedianGroup(s: SparkSession, d: String): DataFrame = {
     val ord = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
