@@ -92,6 +92,34 @@ object FormatDemo {
     println(s"[demo] detect(bam)=${GraftIO.detect(bam)}; any-alignment reader: " +
       s"${GraftIO.readAlignments(spark, sam).count()} from SAM, " +
       s"${GraftIO.readAlignments(spark, bam).count()} from BAM")
+
+    // CRAM: container/block/slice layer, distributed read, autodetect
+    val cram = s"$outDir/demo.cram"
+    GraftIO.writeAlignments(ds, header, cram)
+    val cramBack = GraftIO.readAlignments(spark, cram).count()
+    val containers = Cram.enumerateContainers(cram)
+    println(s"[demo] CRAM: wrote $n, read $cramBack across ${containers.size} containers " +
+      s"(detect=${GraftIO.detect(cram)})")
+
+    // CSI: generalized binning index as the foreign-index fallback
+    Csi.buildAndWrite(bam)
+    dfs.delete(Bai.indexPath(dp), false)
+    val viaCsi = BamIO.read(spark, bam, intervals = Seq(("chrA", 100, 300))).count()
+    println(s"[demo] CSI bounded traversal (no sidecar, no .bai): chrA:100-300 -> $viaCsi " +
+      s"(matches: ${viaCsi == bounded})")
+
+    // BCF with typed genotype matrices through the variant dispatch
+    val gtDicts = BcfIO.Dicts(Array("chr0", "chr1", "chr2"), Array("PASS"),
+      Array("DP"), fmtKeys = Array("GT", "DP"))
+    val gtVars = variants.limit(500)
+      .map(v => v.copy(chrom = v.chrom, format = Array("GT", "DP"),
+        genotypes = Array(s"0/1:${v.pos % 100}", s"1|1:${v.pos % 90}")))
+    val bcf = s"$outDir/demo.bcf"
+    BcfIO.write(gtVars, gtDicts, bcf)
+    val gtBack = GraftIO.readVariants(spark, bcf)
+    println(s"[demo] BCF: ${gtBack.count()} variants with genotypes " +
+      s"(first: ${gtBack.orderBy("pos").head().genotypes.mkString(",")}; " +
+      s"detect=${GraftIO.detect(bcf)})")
     spark.stop()
   }
 }
