@@ -156,6 +156,30 @@ object Analytics {
       |WHERE ${Pipeline.duckHash32("text")} % 10 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------- fixed-size stratified sample
+  // Exactly k documents per language, chosen by content-hash rank —
+  // the deterministic analog of per-stratum reservoir sampling
+  // (identical across runs, engines, and cluster sizes; rand() is
+  // none of those).  One window shuffle; rank pushdown prunes to k
+  // rows per stratum before anything else runs.
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(expr("graft_hash32(text)").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .filter(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  val qSampleStratifiedSql: String =
+    s"""SELECT lang, doc_id, n_chars, rk FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ${Pipeline.duckHash32("text")} ASC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   // -------------------------------------------- corpus n-gram counts
   // Global bigram frequency table (top 100) — the corpus-statistics
   // pass of tokenizer/quality work.  Explode + count is one shuffle
@@ -235,6 +259,7 @@ object Analytics {
     "q_median_group" -> (qMedianGroup _),
     "q_zscore" -> (qZscore _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_ngram_counts" -> (qNgramCounts _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_skew_join" -> (qSkewJoin _))
@@ -245,6 +270,7 @@ object Analytics {
     "q_median_group" -> qMedianGroupSql,
     "q_zscore" -> qZscoreSql,
     "q_sample_hash" -> qSampleHashSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_ngram_counts" -> qNgramCountsSql,
     "q_normalize_text" -> qNormalizeTextSql,
     "q_skew_join" -> qSkewJoinSql)
