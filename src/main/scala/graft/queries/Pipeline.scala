@@ -71,7 +71,12 @@ object Pipeline {
   // ~s⁴ — at this corpus's s̄ ≈ 0.03 that is ~10⁻⁶ per band-pair
   // instead of the ~10⁻³ of 2-row bands, i.e. hundreds of candidates
   // rather than ~1M).
-  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** The LSH candidate + exact-verify pair pipeline (shared by the
+    * pair query above and the clustering query below). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("graft_minhash128(graft_shingles32(text, 3))").as("sig"))
@@ -107,7 +112,6 @@ object Pipeline {
         expr("CAST(inter AS DOUBLE) / (size(sha) + size(shb) - inter)"))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   val qDedupMinhashSql: String =
@@ -122,6 +126,65 @@ object Pipeline {
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- P2b
+  // Near-dup CLUSTERING: connected components over the verified pair
+  // graph, labels = min reachable doc_id — the step real dedup
+  // pipelines need beyond pairs (pick ONE representative per cluster,
+  // not per edge; A~B and B~C must collapse to one keeper even when
+  // A~C was never a candidate).  Distributed min-label propagation:
+  // each round is one join + one aggregate, rounds ≤ graph diameter
+  // (near-dup clusters are shallow).  No driver-side graph ever
+  // materializes — the loop only orchestrates.
+  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbr = edges.join(labels, edges("src") === labels("doc"))
+        .select(col("dst").as("doc"), col("label"))
+      val next = labels.select("doc", "label").union(nbr)
+        .groupBy("doc").agg(min("label").as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupClusterSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, ${duckShingles(3)} AS sh FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), reach AS (
+       |  SELECT DISTINCT src AS doc, src AS r FROM e
+       |  UNION
+       |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+       |)
+       |SELECT doc AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- P3
   // SimHash: 32-bit signature over distinct-token hashes; docs sharing
@@ -546,6 +609,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
@@ -561,6 +625,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_containment" -> qContainmentSql,
