@@ -22,6 +22,11 @@ object Bai {
   final case class RefIndex(bins: Map[Int, Seq[Chunk]], linear: Array[Long])
   final case class Index(refs: Array[RefIndex])
 
+  /** htsjdk/samtools write a metadata pseudo-bin per ref: its "chunks"
+    * are (unmapped-region VOs) and (mapped count, unmapped count) —
+    * NOT real chunk ranges.  It must never feed chunk resolution. */
+  val PseudoBin = 37450
+
   private val Magic = Array[Byte]('B', 'A', 'I', 1)
 
   def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".bai")
@@ -92,7 +97,8 @@ object Bai {
     val minVo =
       if (r.linear.isEmpty) 0L
       else r.linear(math.min(beg >> 14, r.linear.length - 1))
-    val raw = reg2bins(beg, end1).flatMap(b => r.bins.getOrElse(b, Nil))
+    val raw = reg2bins(beg, end1).filter(_ != PseudoBin)
+      .flatMap(b => r.bins.getOrElse(b, Nil))
       .filter(_.end > minVo)
       .map(c => Chunk(math.max(c.beg, minVo), c.end))
       .sortBy(_.beg)

@@ -138,9 +138,14 @@ object BamIO {
           val baiChunks: Option[(Seq[Bai.Chunk], Long)] =
             if (intervals.isEmpty) None
             else Bai.read(fs, Bai.indexPath(path)).map { idx =>
+              // pseudo-bin 37450 carries counts, not VOs — exclude it
+              // from the mapped-end fold as well as chunk resolution
               (intervals.flatMap { case (c, s0, e0) =>
                 refIdx.get(c).map(ri => Bai.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
-              }, idx.refs.iterator.flatMap(_.bins.valuesIterator.flatten)
+              }, idx.refs.iterator
+                .flatMap(_.bins.iterator.collect {
+                  case (bin, cs) if bin != Bai.PseudoBin => cs
+                }.flatten)
                 .map(_.end).foldLeft(headerEndVo)(math.max))
             }.orElse(Csi.read(fs, Csi.indexPath(path)).map { idx =>
               (intervals.flatMap { case (c, s0, e0) =>

@@ -346,6 +346,17 @@ class BaiSpec extends SparkSpec {
     val chunks = Bai.chunksFor(idx, 0, 30000, 60000)
     assert(chunks.nonEmpty)
   }
+
+  test("metadata pseudo-bin 37450 never feeds chunk resolution") {
+    // htsjdk-style index: a real bin plus the pseudo-bin whose "chunks"
+    // are counts, not virtual offsets
+    val real = Bai.Chunk(1L << 16, 2L << 16)
+    val pseudo = Seq(Bai.Chunk(0L, 0L), Bai.Chunk(12345L, 7L)) // counts
+    val idx = Bai.Index(Array(Bai.RefIndex(
+      Map(4681 -> Seq(real), Bai.PseudoBin -> pseudo), Array(0L))))
+    val chunks = Bai.chunksFor(idx, 0, 1, 16384)
+    assert(chunks === Seq(real))
+  }
 }
 
 class VcfBgzfSpec extends SparkSpec {
