@@ -39,6 +39,13 @@ object AsOf {
                rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     val payloadCols = right.columns.filterNot(on.contains).toSeq
+    require(payloadCols.nonEmpty,
+      "as-of join right side has no payload columns beyond the keys — " +
+        "nothing to attach (struct() of zero fields is also invalid)")
+    val clash = payloadCols.intersect(left.columns)
+    require(clash.isEmpty,
+      s"as-of join would emit duplicate output columns ${clash.mkString(", ")} — " +
+        "rename the right-side payload columns (e.g. prefix them) before joining")
     // a null right timestamp can never satisfy rightTs <= leftTs; it
     // must not ride the window as "earliest known state" (asc ordering
     // would put it first and last(ignoreNulls) would match it)

@@ -126,7 +126,9 @@ object Analytics {
     Tables.documents(s, d)
       .select("doc_id", "lang", "n_chars")
       .withColumn("s1", sum("n_chars").over(grp))
-      .withColumn("s2", sum(expr("n_chars * n_chars")).over(grp))
+      // widen BEFORE multiplying: an INT-width product wraps silently
+      // in Spark for n_chars >= 46341 (DuckDB would error instead)
+      .withColumn("s2", sum(expr("CAST(n_chars AS BIGINT) * n_chars")).over(grp))
       .withColumn("n", count(lit(1)).over(grp))
       .select(col("doc_id"), col("lang"), col("n_chars"), expr(zExpr).as("z"))
       .orderBy("doc_id")
@@ -136,7 +138,7 @@ object Analytics {
     s"""SELECT doc_id, lang, n_chars, $zExpr AS z FROM (
       |  SELECT doc_id, lang, n_chars,
       |    CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s1,
-      |    CAST(SUM(n_chars * n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s2,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s2,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin

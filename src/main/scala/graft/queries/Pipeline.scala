@@ -161,6 +161,10 @@ object Pipeline {
       rounds += 1
     }
     edges.unpersist()
+    // partially-propagated labels are WRONG components, not an
+    // approximation — fail loudly rather than return them
+    if (!converged) throw new IllegalStateException(
+      s"connected-components label propagation did not converge in $rounds rounds")
     labels
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -148,9 +148,17 @@ object BamIO {
                 }.flatten)
                 .map(_.end).foldLeft(headerEndVo)(math.max))
             }.orElse(Csi.read(fs, Csi.indexPath(path)).map { idx =>
+              // as with BAI's 37450, exclude the CSI metadata
+              // pseudo-bin (maxBin+1 at this depth): an htslib-written
+              // .csi stores file-span VOs there, which would drag
+              // mappedEndVo to EOF and zero out the unmapped tail
+              val pseudo = Csi.pseudoBin(idx.depth)
               (intervals.flatMap { case (c, s0, e0) =>
                 refIdx.get(c).map(ri => Csi.chunksFor(idx, ri, s0, e0)).getOrElse(Nil)
-              }, idx.refs.iterator.flatMap(_.bins.valuesIterator.map(_.chunks).flatten)
+              }, idx.refs.iterator
+                .flatMap(_.bins.iterator.collect {
+                  case (bin, e) if bin != pseudo => e.chunks
+                }.flatten)
                 .map(_.end).foldLeft(headerEndVo)(math.max))
             })
           baiChunks match {

@@ -367,7 +367,9 @@ object BgzfBlockIndex {
       var nextSample = 0L
       val hdr = new Array[Byte](18)
       while (off < len - Bgzf.EofMarker.length) {
-        raw.readFully(off, hdr, 0, math.min(18, (len - off).toInt))
+        // Long min BEFORE narrowing: (len - off).toInt overflows past
+        // 2 GiB — exactly the files this index is for
+        raw.readFully(off, hdr, 0, math.min(18L, len - off).toInt)
         val bsize = Bgzf.parseBsize(hdr, 0)
         require(bsize > 0, s"not a BGZF block at offset $off")
         if (off >= nextSample) {

@@ -31,6 +31,12 @@ object Csi {
 
   private val Magic = Array[Byte]('C', 'S', 'I', 1)
 
+  /** Metadata pseudo-bin number for an index of `depth` levels
+    * (htslib stores per-ref record counts there; its "chunks" are
+    * counters/file-span VOs, not seekable ranges).  maxBin+1 — 37450
+    * at depth 5, matching BAI's fixed pseudo-bin. */
+  def pseudoBin(depth: Int): Int = ((1 << (3 * (depth + 1))) - 1) / 7 + 1
+
   def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".csi")
 
   // ------------------------------------------------------------ binning

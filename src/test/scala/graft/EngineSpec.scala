@@ -505,6 +505,23 @@ class AsOfSpec extends SparkSpec {
     assert(got === 9L)
   }
 
+  test("as-of join rejects ambiguous or empty right payloads") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L, 5L)).toDF("id", "k", "lts", "payload")
+    val right = Seq(("a", 90L, 7L)).toDF("k", "rts", "payload")
+    // right's `payload` collides with left's -> ambiguous output
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts")
+    }
+    assert(e1.getMessage.contains("payload"))
+    // right side with nothing beyond the keys: nothing to attach
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left.select("id", "k", "lts"),
+        right.select("k"), Seq("k"), "lts", "rts")
+    }
+    assert(e2.getMessage.contains("payload"))
+  }
+
   test("as-of join plans one shuffle on the key, no nested-loop join") {
     import spark.implicits._
     val left = (0 until 5000).map(i => (i.toLong, s"k${i % 37}", (i * 13L) % 10000))

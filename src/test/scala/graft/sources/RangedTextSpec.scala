@@ -357,6 +357,14 @@ class BaiSpec extends SparkSpec {
     val chunks = Bai.chunksFor(idx, 0, 1, 16384)
     assert(chunks === Seq(real))
   }
+
+  test("CSI pseudo-bin number matches the spec at every depth") {
+    // depth 5 must reproduce BAI's fixed 37450; each extra level
+    // multiplies the regular-bin count by 8
+    assert(Csi.pseudoBin(5) === Bai.PseudoBin)
+    assert(Csi.pseudoBin(6) === ((1 << 21) - 1) / 7 + 1)
+    assert(Csi.reg2bins(0, 1 << (14 + 15), 14, 5).max < Csi.pseudoBin(5))
+  }
 }
 
 class VcfBgzfSpec extends SparkSpec {
