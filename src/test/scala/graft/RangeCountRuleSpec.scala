@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RangeJoinCountRule: count-only aggregates over interval-overlap
+  * joins must become dual prefix-sum window plans (no pair stream),
+  * and must return bit-identical results to the naive join on every
+  * edge the inner join semantics cover: ties, duplicate intervals,
+  * inverted bounds, null keys/bounds, left- or right-side group keys,
+  * and global (ungrouped) counts.
+  */
+class RangeCountRuleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def reads: DataFrame = {
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, s"c${i % 3}", (i * 37L) % 500, (i * 37L) % 500 + (i % 90))
+    } ++ Seq(
+      (9001L, "c0", 300L, 200L),           // inverted bounds — still joinable
+      (9002L, null.asInstanceOf[String], 10L, 50L)) // null key — never matches
+    rows.toDF("read_id", "contig", "rstart", "rend")
+  }
+
+  private def targets: DataFrame = {
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"c${i % 3}", (i * 91L) % 500, (i * 91L) % 500 + (i % 60))
+    } ++ Seq(
+      (8001L, "c1", 450L, 400L),           // inverted target
+      (8002L, "c2", 499L, 499L))           // point interval
+    rows.toDF("target_id", "tcontig", "tstart", "tend")
+  }
+
+  private def overlapJoin = reads.join(targets,
+    col("contig") === col("tcontig") &&
+      col("rstart") <= col("tend") && col("tstart") <= col("rend"))
+
+  private def withRule[A](on: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.rangejoin.countPushdown", on.toString)
+    try f finally spark.conf.set("spark.graft.rangejoin.countPushdown", "true")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row2] =
+    df.collect().map(r => Row2(r.toSeq.map(String.valueOf).mkString("|"))).sortBy(_.s).toSeq
+  case class Row2(s: String)
+
+  test("grouped pair count matches the naive join exactly") {
+    val q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
+    val fast = withRule(on = true)(sortedRows(q))
+    val slow = withRule(on = false)(sortedRows(q))
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
+  test("rewritten plan has no pair-producing join — windows only (plus rare-row fallbacks)") {
+    val q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
+    val plan = withRule(on = true)(q.queryExecution.executedPlan.toString)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the binned Generate must NOT appear — count never needs pairs
+    assert(!plan.contains("Generate"), plan)
+    // the only joins are the two broadcast fallbacks over the rare
+    // inverted-bounds rows; the bulk flows through the windows
+    assert("Join".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("group keys can come from the left side too") {
+    val q = overlapJoin.groupBy("contig").agg(count(lit(1)).as("n"))
+    val fast = withRule(on = true)(sortedRows(q))
+    val slow = withRule(on = false)(sortedRows(q))
+    assert(fast === slow)
+    val plan = withRule(on = true)(q.queryExecution.executedPlan.toString)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("global (ungrouped) pair count matches") {
+    val q = overlapJoin.agg(count(lit(1)).as("pairs"))
+    val fast = withRule(on = true)(sortedRows(q))
+    val slow = withRule(on = false)(sortedRows(q))
+    assert(fast === slow)
+  }
+
+  test("grouping on an expression and extra count aliases still match") {
+    val q = overlapJoin.groupBy(expr("target_id % 7").as("bucket"))
+      .agg(count(lit(1)).as("a"), count(lit(1)).as("b"))
+    val fast = withRule(on = true)(sortedRows(q))
+    val slow = withRule(on = false)(sortedRows(q))
+    assert(fast === slow)
+  }
+
+  test("non-count aggregates are left alone (rule must not fire)") {
+    val q = overlapJoin.groupBy("target_id").agg(sum("rstart").as("s"))
+    val fast = withRule(on = true)(sortedRows(q))
+    val slow = withRule(on = false)(sortedRows(q))
+    assert(fast === slow)
+    val plan = withRule(on = true)(q.queryExecution.executedPlan.toString)
+    // the range-join rule still bins it, but no prefix-sum windows
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("groups that only exist through zero-count probes never surface") {
+    // a target on a contig with no reads at all: inner join emits no
+    // row, so the group must be absent — not present with count 0
+    val lonely = Seq((7777L, "zz", 0L, 1000L)).toDF("target_id", "tcontig", "tstart", "tend")
+    val q = reads.join(lonely,
+        col("contig") === col("tcontig") &&
+          col("rstart") <= col("tend") && col("tstart") <= col("rend"))
+      .groupBy("target_id").agg(count(lit(1)).as("n"))
+    assert(withRule(on = true)(q.count()) === 0L)
+  }
+}
