@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level statistics and hygiene operators that round out the
+  * training-data pipeline surface (SURVEY §2.3): TF-IDF term scoring,
+  * eval-set decontamination, exact multi-quantile profiling, event
+  * pivoting, and within-document repetition scoring.
+  *
+  * Oracle-parity rules as everywhere else: integer/BIGINT arithmetic
+  * until the last step, identical float expression trees on both
+  * sides, total deterministic ORDER BY.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------ tf-idf
+  // Top-3 TF-IDF terms per document — the keyword-extraction /
+  // relevance-weighting pass.  Shape at scale: one explode + two hash
+  // aggregates (term frequencies, document frequencies), a broadcast
+  // of the tiny df/N dims back onto terms, and a rank-pruned window
+  // (WindowGroupLimit keeps 3 rows per doc flowing).  All counts stay
+  // BIGINT.  The idf is the BM25 rational form (N−df+0.5)/(df+0.5)
+  // rather than a logarithm: +,−,/ are exactly-rounded IEEE ops that
+  // hash-match across engines, while ln() differs in the last ulp
+  // between the JVM and libm (measured).
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = terms
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(
+        "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    scored
+      .select(col("doc_id"), col("term"), col("score"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
+  val qTfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf AS DOUBLE) * ((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+      |      - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS score
+      |  FROM tf JOIN df ON tf.term = df.term
+      |)
+      |SELECT doc_id, term, score, rk FROM (
+      |  SELECT doc_id, term, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS BIGINT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // --------------------------------------------------- decontamination
+  // Benchmark-contamination check: which training documents share at
+  // least one 5-gram with the (hash-designated) eval set?  This is the
+  // n-gram overlap decontamination of large-corpus pipelines.  Shape
+  // at scale: explode DISTINCT shingles on both sides and equi-join on
+  // the shingle — work ∝ Σ_shingle df_train·df_eval, never
+  // |train|·|eval| — then one distinct + one aggregate.  The eval-set
+  // predicate is a deterministic content-hash row filter (no shuffle).
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isEval = expr("graft_hash32(text) % 20 = 0")
+    val sh = (src: DataFrame) => src.select(col("doc_id"),
+      explode(expr(Pipeline.shingles(5))).as("sh"))
+    val evalSh = sh(docs.filter(isEval))
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val trainSh = sh(docs.filter(!isEval))
+      .select(col("doc_id").as("train_id"), col("sh"))
+    trainSh.join(evalSh, "sh")
+      .select("train_id", "eval_id").distinct()
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy("train_id")
+  }
+
+  val qDecontaminateSql: String = {
+    val sh = Pipeline.duckShingles(5)
+    val hash = Pipeline.duckHash32("text")
+    s"""WITH e AS (
+       |  SELECT doc_id AS eval_id, unnest($sh) AS sh
+       |  FROM documents WHERE $hash % 20 = 0
+       |), tr AS (
+       |  SELECT doc_id AS train_id, unnest($sh) AS sh
+       |  FROM documents WHERE NOT ($hash % 20 = 0)
+       |), hits AS (
+       |  SELECT DISTINCT train_id, eval_id FROM tr JOIN e ON tr.sh = e.sh
+       |)
+       |SELECT train_id, COUNT(*) AS n_eval_hits
+       |FROM hits GROUP BY train_id ORDER BY train_id""".stripMargin
+  }
+
+  // ---------------------------------------------- exact multi-quantile
+  // Exact p25/p50/p75/p95 of document length per language in ONE
+  // window pass (nearest-rank definition, pure integer arithmetic —
+  // no float quantile interpolation to disagree across engines).
+  // Same single shuffle as one median; the conditional aggregate
+  // picks all four ranks in one reduction.
+  def qQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val grp = Window.partitionBy("lang")
+    val base = Tables.documents(s, d)
+      .select("lang", "n_chars", "doc_id")
+      .withColumn("rn", row_number().over(ord).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(grp))
+    def pick(pct: Int) =
+      max(when(expr(s"rn = (cnt * $pct + 99) DIV 100"), col("n_chars")))
+    base.groupBy("lang")
+      .agg(pick(25).as("p25"), pick(50).as("p50"),
+        pick(75).as("p75"), pick(95).as("p95"),
+        max("cnt").as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val qQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT lang,
+      |  MAX(CASE WHEN rn = (cnt * 25 + 99) // 100 THEN n_chars END) AS p25,
+      |  MAX(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_chars END) AS p50,
+      |  MAX(CASE WHEN rn = (cnt * 75 + 99) // 100 THEN n_chars END) AS p75,
+      |  MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN n_chars END) AS p95,
+      |  MAX(cnt) AS n_docs
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------- event pivot
+  // Per-user behavior profile: event_type pivoted to columns with an
+  // explicit value list (no discovery job), counts + exact DECIMAL
+  // value sums.  One hash aggregate with map-side partials; at 100 TB
+  // this is the flat-profile builder that feeds feature stores.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivotEvents(s: SparkSession, d: String): DataFrame = {
+    val agg = EventTypes.flatMap { t =>
+      Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(col("event_type") === t,
+          expr("CAST(value AS DECIMAL(18,4))"))).cast("double").as(s"v_$t"))
+    }
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(agg.head, agg.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val qPivotEventsSql: String = {
+    val cols = EventTypes.flatMap { t =>
+      Seq(
+        s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS v_$t")
+    }.mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // --------------------------------------------------- repetition score
+  // Within-document repetition: token count, distinct tokens, the
+  // most-frequent token's share, and the repetition ratio — the
+  // boilerplate/spam signal quality filters cut on.  Two-level
+  // aggregate keeps everything distributed (no per-doc collect); all
+  // counts BIGINT, ratios computed with identical float trees.
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"), max("c").as("max_c"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        expr("1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)").as("rep_ratio"),
+        expr("CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE)").as("top_share"))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+      |), a AS (
+      |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_uniq, MAX(c) AS max_c
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_uniq,
+      |  1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rep_ratio,
+      |  CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_share
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_quantiles" -> (qQuantiles _),
+    "q_pivot_events" -> (qPivotEvents _),
+    "q_repetition" -> (qRepetition _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_quantiles" -> qQuantilesSql,
+    "q_pivot_events" -> qPivotEventsSql,
+    "q_repetition" -> qRepetitionSql)
+}

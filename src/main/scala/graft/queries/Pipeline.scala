@@ -40,7 +40,7 @@ object Pipeline {
   private val duckTok = "string_split(lower(text), ' ')"
 
   /** Distinct word n-gram shingles. */
-  private def shingles(n: Int): String =
+  private[queries] def shingles(n: Int): String =
     s"CASE WHEN size($tok) < $n THEN array('') ELSE " +
       s"array_distinct(transform(sequence(0, size($tok) - $n), " +
       s"i -> concat_ws(' ', slice($tok, i + 1, $n)))) END"
