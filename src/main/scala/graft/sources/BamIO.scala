@@ -119,6 +119,26 @@ object BamIO {
            intervals: Seq[(String, Int, Int)] = Nil,
            splitSize: Long = 64L * 1024 * 1024,
            includeUnmapped: Boolean = false): Dataset[SamRecord] = {
+    val (header, ranges) = planSplits(file, intervals, splitSize, includeUnmapped)
+    val refs = header.refs
+    val iv = intervals.toArray
+    import spark.implicits._
+    val withUnmapped = includeUnmapped
+    spark.sparkContext.parallelize(ranges, math.max(1, ranges.length))
+      .flatMap { case (startVo, endVo) =>
+        readRange(file, startVo, endVo, refs, iv, withUnmapped)
+      }.toDS()
+  }
+
+  /** Driver-side split planning shared by the Dataset reader and the
+    * DataSource V2 scan: header + the virtual-offset ranges to read,
+    * from the sidecar index, a foreign .bai/.csi, or split guessing —
+    * pruned against `intervals` when the index allows (bounded
+    * traversal, ref: BAMInputFormat.java:150-190). */
+  private[sources] def planSplits(file: String,
+           intervals: Seq[(String, Int, Int)] = Nil,
+           splitSize: Long = 64L * 1024 * 1024,
+           includeUnmapped: Boolean = false): (SamHeader, Seq[(Long, Long)]) = {
     val (fs, path) = Fs.get(file)
     val fileLen = fs.getFileStatus(path).getLen
     val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
@@ -177,15 +197,7 @@ object BamIO {
               bounds.sliding(2).collect { case Array(a, b) if a < b => (a, b) }.toSeq
           }
       }
-    val nRef = header.refs.length
-    val refs = header.refs
-    val iv = intervals.toArray
-    import spark.implicits._
-    val withUnmapped = includeUnmapped
-    spark.sparkContext.parallelize(ranges, math.max(1, ranges.length))
-      .flatMap { case (startVo, endVo) =>
-        readRange(file, startVo, endVo, refs, iv, withUnmapped)
-      }.toDS()
+    (header, ranges)
   }
 
   /** Chunk boundaries from the sidecar index, pruned against intervals
@@ -330,7 +342,7 @@ object BamIO {
   }
 
   /** Task-side: iterate records with start VO in [startVo, endVo). */
-  private def readRange(file: String, startVo: Long, endVo: Long,
+  private[sources] def readRange(file: String, startVo: Long, endVo: Long,
                         refs: Array[graft.model.SamRef],
                         intervals: Array[(String, Int, Int)],
                         includeUnmapped: Boolean = false): Iterator[SamRecord] = {

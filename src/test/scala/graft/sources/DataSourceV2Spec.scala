@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{SamHeader, SamRecord, SamRef, SequencedFragment}
+
+/** DataSource V2 surface: spark.read.format("bam"/"fastq"/"vcf") must
+  * return exactly what the typed readers return, push interval
+  * predicates into the BAM scan (fewer partitions than a full scan on
+  * an indexed file), and prune columns to the required schema.
+  */
+class DataSourceV2Spec extends SparkSpec {
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:80000",
+    Array(SamRef("chr1", 100000), SamRef("chr2", 80000)))
+
+  private def mkRecord(i: Int): SamRecord = {
+    val contig = if (i % 3 == 2) "chr2" else "chr1"
+    val pos = 1 + (i * 37) % 90000
+    SamRecord(s"read$i", (i * 13) % 2048, contig, pos, i % 60,
+      s"${10 + i % 20}M", "*", 0, 0,
+      ("ACGT" * 10).take(10 + i % 20), ("IIII@@@@" * 5).take(10 + i % 20),
+      Array(s"NM:i:${i % 9}"))
+  }
+
+  private val sorted = (0 until 2000).map(mkRecord)
+    .sortBy(r => (if (r.rname == "chr1") 0 else 1, r.pos, r.qname))
+
+  private def writeBam(name: String): String = {
+    import spark.implicits._
+    val file = s"${tmpDir(name)}/t.bam"
+    // writeSorted: interval pruning is only sound on a genuinely
+    // coordinate-sorted file (repartition would scramble rows while
+    // the header still claimed SO:coordinate)
+    BamIO.writeSorted(spark.createDataset(sorted).repartition(4), header, file,
+      granularity = 50)
+    file
+  }
+
+  test("format(\"bam\") returns exactly the typed reader's rows") {
+    val file = writeBam("dsv2bam")
+    val v2 = spark.read.format("bam").load(file)
+    assert(v2.schema.fieldNames.toSeq ===
+      Seq("qname", "flag", "rname", "pos", "mapq", "cigar", "rnext", "pnext",
+        "tlen", "seq", "qual", "tags"))
+    val got = v2.select("qname", "rname", "pos").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    val want = sorted.map(r => (r.qname, r.rname, r.pos)).sorted
+    assert(got.toSeq === want)
+  }
+
+  test("interval predicates prune partitions through the index") {
+    val file = writeBam("dsv2prune")
+    val all = spark.read.format("bam").option("splitsize", "4096").load(file)
+    val full = all.select("qname").rdd.getNumPartitions
+    val filtered = spark.read.format("bam").option("splitsize", "4096").load(file)
+      .filter(col("rname") === "chr1" && col("pos") >= 10 && col("pos") <= 600)
+    val pruned = filtered.select("qname").rdd.getNumPartitions
+    assert(full > 2, s"fixture too small to split: $full")
+    assert(pruned < full, s"no chunk pruning: $pruned vs $full")
+    // and the answer is exact (residual predicates re-applied)
+    val got = filtered.select("qname").collect().map(_.getString(0)).sorted
+    val want = sorted.filter(r => r.rname == "chr1" && r.pos >= 10 && r.pos <= 600)
+      .map(_.qname).sorted.toArray
+    assert(got === want)
+    // pushdown is visible in the plan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"), plan)
+  }
+
+  test("option(\"intervals\") bounds the scan like the reference property") {
+    val file = writeBam("dsv2iv")
+    val df = spark.read.format("bam").option("intervals", "chr2:1-40000").load(file)
+    val got = df.select("qname").collect().map(_.getString(0)).sorted
+    val want = sorted.filter(r => r.rname == "chr2" && r.pos <= 40000 && r.end >= 1)
+      .map(_.qname).sorted.toArray
+    assert(got === want)
+  }
+
+  test("column pruning reaches the v2 scan") {
+    val file = writeBam("dsv2cols")
+    val df = spark.read.format("bam").load(file).select("rname", "pos")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("rname") && !s.contains("qual")),
+      scans.mkString("\n"))
+    assert(df.distinct().count() > 0)
+  }
+
+  test("format(\"fastq\") matches the typed FASTQ reader") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2fq")
+    val file = s"$dir/r.fastq"
+    val frags = (0 until 300).map { i =>
+      SequencedFragment(s"INST:4:FC:1:2:${i}:${i * 2} 1:N:0:ACGT", "ACGTACGT",
+        "IIIIIIII", "INST", 4, 1, 2, i, i * 2, 1, true)
+    }
+    Fastq.write(spark.createDataset(frags), file)
+    val typed = Fastq.read(spark, file).collect().map(_.name).sorted
+    val v2 = spark.read.format("fastq").load(file)
+      .select("name").collect().map(_.getString(0)).sorted
+    assert(v2 === typed)
+  }
+
+  test("format(\"vcf\") matches the typed VCF reader on a bgzipped file") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2vcf")
+    val file = s"$dir/c.vcf.bgz"
+    val hdr = Vcf.VcfHeader(Seq("##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"))
+    val vs = (0 until 400).map(i => Vcf.parseLine(
+      s"chr1\t${100 + i}\trs$i\tA\tC,G\t50\tPASS\tDP=$i;AF=0.5"))
+    Vcf.writeBgzf(spark.createDataset(vs), hdr, file)
+    val typed = Vcf.read(spark, file).collect().map(_.pos).sorted
+    val v2 = spark.read.format("vcf").option("splitsize", "4096").load(file)
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(v2 === typed)
+  }
+}
