@@ -37,7 +37,11 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // iterative queries persist intermediates; drop them so later
+      // queries are measured against a clean executor memory state
+      spark.catalog.clearCache()
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")

@@ -67,6 +67,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("q_range_join's count aggregate never materializes the pair stream") {
+    val plan = planOf(Genomic.qRangeJoin(spark, sf))
+    // RangeJoinCountRule: prefix-sum windows, no binned Generate, and
+    // the only joins are the broadcast fallbacks for inverted bounds
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Join".r.findAllIn(plan).length <= 2, plan)
+  }
+
   test("q_asof_join is a pure union+window plan — no join operator at all") {
     val plan = planOf(graft.queries.Analytics.qAsofJoin(spark, sf))
     assert(!plan.contains("Join"), plan) // no SMJ/BHJ/BNLJ/cartesian anywhere
