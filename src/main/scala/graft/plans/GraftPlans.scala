@@ -269,9 +269,14 @@ object RangeJoinCountRule extends Rule[LogicalPlan] with OverlapPatterns {
   import org.apache.spark.sql.catalyst.expressions.aggregate._
   import org.apache.spark.sql.types.IntegerType
 
+  /** Respects both its own switch and the family-wide
+    * spark.graft.rangejoin.enabled kill switch — opting out of the
+    * range-join rewrites must disable ALL of them. */
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangejoin.countPushdown", "true")
-      .trim.equalsIgnoreCase("true")
+      .trim.equalsIgnoreCase("true") &&
+      !conf.getConfString("spark.graft.rangejoin.enabled", "true")
+        .trim.equalsIgnoreCase("false")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -338,6 +343,10 @@ object RangeJoinCountRule extends Rule[LogicalPlan] with OverlapPatterns {
       else return None
     val (t, r) = if (tIsRight) (right, left) else (left, right)
     val (tS, tE, rS, rE) = if (tIsRight) (bS, bE, aS, aE) else (aS, aE, bS, bE)
+    // no equi key → the windows would have an empty partitionBy: one
+    // task sorts |A|+|B| rows, strictly worse at scale than the
+    // binned join RangeJoinRule produces — leave the plan alone
+    if (equiPairs.isEmpty) return None
     val keyPairs = equiPairs.map { case (l, rr) => if (tIsRight) (rr, l) else (l, rr) }
     val tKeys = keyPairs.map(_._1)
     val rKeys = keyPairs.map(_._2)

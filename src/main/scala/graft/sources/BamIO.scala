@@ -345,7 +345,16 @@ object BamIO {
   private[sources] def readRange(file: String, startVo: Long, endVo: Long,
                         refs: Array[graft.model.SamRef],
                         intervals: Array[(String, Int, Int)],
-                        includeUnmapped: Boolean = false): Iterator[SamRecord] = {
+                        includeUnmapped: Boolean = false): Iterator[SamRecord] =
+    openRange(file, startVo, endVo, refs, intervals, includeUnmapped)._1
+
+  /** [[readRange]] plus an explicit closer for consumers that may
+    * abandon the iterator early (DataSource V2 readers under LIMIT). */
+  private[sources] def openRange(file: String, startVo: Long, endVo: Long,
+                        refs: Array[graft.model.SamRef],
+                        intervals: Array[(String, Int, Int)],
+                        includeUnmapped: Boolean = false)
+      : (Iterator[SamRecord], () => Unit) = {
     val (fs, path) = Fs.get(file)
     val raw = fs.open(path)
     raw.seek(Bgzf.voCompressed(startVo))
@@ -379,7 +388,7 @@ object BamIO {
         val r = nextRec; nextRec = null; r
       }
     }
-    it
+    (it, () => try in.close() catch { case _: java.io.IOException => () })
   }
 
   private def overlaps(r: SamRecord, ivs: Array[(String, Int, Int)]): Boolean =

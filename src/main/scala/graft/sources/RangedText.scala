@@ -100,7 +100,14 @@ object RangedText {
     * multi-line framers (FASTQ) that stop on their own record-head
     * ownership rule but need the tail lines of their last record. */
   def readLines(path: String, start: Long, end: Long, bgzf: Boolean,
-                stopAtEnd: Boolean = true): Iterator[Line] = {
+                stopAtEnd: Boolean = true): Iterator[Line] =
+    openLines(path, start, end, bgzf, stopAtEnd)._1
+
+  /** [[readLines]] plus an explicit closer for consumers that may
+    * abandon the iterator early (DataSource V2 readers under LIMIT):
+    * the stream otherwise closes only at range end / EOF. */
+  def openLines(path: String, start: Long, end: Long, bgzf: Boolean,
+                stopAtEnd: Boolean = true): (Iterator[Line], () => Unit) = {
     val (fs, p) = Fs.get(path)
     val raw = fs.open(p)
     raw.seek(start)
@@ -156,6 +163,6 @@ object RangedText {
         val l = nextLine; nextLine = null; l
       }
     }
-    it
+    (it, () => try in.close() catch { case _: java.io.IOException => () })
   }
 }

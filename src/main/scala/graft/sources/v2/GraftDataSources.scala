@@ -2,8 +2,6 @@ package graft.sources.v2
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -15,7 +13,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.model.{SamRecord, SequencedFragment, VcfVariant}
-import graft.sources.{BamIO, Bgzf, Fastq, RangedText, Vcf}
+import graft.sources.{BamIO, Fastq, RangedText, Vcf}
 
 /** DataSource V2 façade over the graft format codecs — the Spark-first
   * re-expression of the reference's InputFormats as first-class
@@ -31,21 +29,28 @@ import graft.sources.{BamIO, Bgzf, Fastq, RangedText, Vcf}
   * bounds prunes BGZF chunks through the sidecar/.bai/.csi index
   * before any task launches — the reference's bounded traversal
   * (ref: BAMInputFormat.java:150-190, `hadoopbam.bam.intervals`)
-  * surfacing as ordinary Catalyst predicate pushdown.  Pushed filters
-  * are also re-applied by Spark (over-approximate chunk pruning stays
-  * exactly correct).  Column pruning projects the typed record onto
-  * the required schema before rows reach the exchange.
+  * surfacing as ordinary Catalyst predicate pushdown.  Filter-derived
+  * intervals prune CHUNKS only — records inside surviving chunks all
+  * flow to Spark, which re-applies every predicate exactly (pushing
+  * them into the record-level overlap filter would wrongly drop rows
+  * the residual keeps, e.g. zero-reference-length reads whose
+  * end < pos).  The `intervals` OPTION, by contrast, is the
+  * reference's property-style authoritative filter and does apply
+  * record-level overlap semantics.  Column pruning projects the typed
+  * record onto the required schema before rows reach the exchange.
   *
   * Partition planning = the same driver-side split placement the
-  * Dataset readers use (one task per virtual-offset range), so a
-  * 1000-executor cluster fans out identically through SQL and the
-  * typed API.
+  * typed Dataset readers use (one task per virtual-offset range), so
+  * a 1000-executor cluster fans out identically through SQL and the
+  * typed API.  Multi-path loads plan partitions per file.
   */
 object GraftDataSources {
 
-  /** Serialize a case-class record stream onto a pruned schema. */
+  /** Serialize a case-class record stream onto a pruned schema.
+    * `closeUnderlying` releases the input stream when the scan stops
+    * before exhausting the iterator (LIMIT, task abort). */
   private[v2] class RecordReader[T](it: Iterator[T], enc: ExpressionEncoder[T],
-                                    pruned: StructType)
+                                    pruned: StructType, closeUnderlying: () => Unit)
       extends PartitionReader[InternalRow] {
     private val ser = enc.createSerializer()
     private val full = enc.schema
@@ -57,14 +62,25 @@ object GraftDataSources {
     override def next(): Boolean =
       if (it.hasNext) { cur = proj(ser(it.next())); true } else false
     override def get(): InternalRow = cur
-    override def close(): Unit = ()
+    override def close(): Unit = closeUnderlying()
   }
 
-  private[v2] def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-    require(p.isDefined, "graft source needs a load path")
-    p.get
+  /** Load paths: single `path` or the JSON-array `paths` the
+    * DataFrameReader writes for multi-path loads. */
+  private[v2] def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(js, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
+    val single = Option(options.get("path")).toSeq
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty, "graft source needs at least one load path")
+    all
   }
+
+  private[v2] def prune(full: StructType, required: StructType): StructType =
+    // keep only fields we actually have (Spark may ask for metadata cols)
+    StructType(required.filter(f => full.fieldNames.contains(f.name)))
 
   private[v2] abstract class SingleTable(tableName: String, tableSchema: StructType)
       extends Table with SupportsRead {
@@ -89,28 +105,28 @@ class BamDataSource extends TableProvider with DataSourceRegister {
 
 class BamTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
-      s"bam:${GraftDataSources.pathOf(options)}",
+      s"bam:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SamRecord]().schema) {
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new BamScanBuilder(GraftDataSources.pathOf(options), options)
+    new BamScanBuilder(GraftDataSources.pathsOf(options), options)
 }
 
-class BamScanBuilder(path: String, options: CaseInsensitiveStringMap)
+class BamScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private val fullSchema = ExpressionEncoder[SamRecord]().schema
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var intervals: Seq[(String, Int, Int)] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep only fields we actually have (Spark may ask for metadata cols)
-    required = StructType(requiredSchema.filter(f => fullSchema.fieldNames.contains(f.name)))
+    required = GraftDataSources.prune(fullSchema, requiredSchema)
 
   /** Consume `rname` equality/IN plus `pos` bounds as a bounded-
-    * traversal interval set.  Everything is returned as residual —
-    * chunk pruning over-approximates (a record can overlap an
-    * interval without starting in it), Spark re-checks exactly. */
+    * traversal interval set for CHUNK pruning.  Everything is
+    * returned as residual — the chunks over-approximate and Spark
+    * re-checks every predicate exactly. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val contigs: Option[Seq[String]] = filters.collectFirst {
       case EqualTo("rname", c: String) => Seq(c)
@@ -140,51 +156,45 @@ class BamScanBuilder(path: String, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  private var intervals: Seq[(String, Int, Int)] = Nil
-
   override def build(): Scan = {
     val optIntervals = Option(options.get("intervals"))
     val splitSize = Option(options.get("splitsize")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     val includeUnmapped = Option(options.get("includeunmapped")).exists(_.toBoolean)
-    new BamScan(path, required, pushed, intervals, optIntervals, splitSize, includeUnmapped)
+    new BamScan(paths, required, pushed, intervals, optIntervals, splitSize,
+      includeUnmapped)
   }
 }
 
-class BamScan(path: String, pruned: StructType, pushed: Array[Filter],
+class BamScan(paths: Seq[String], pruned: StructType, pushed: Array[Filter],
               filterIntervals: Seq[(String, Int, Int)],
               optionIntervals: Option[String], splitSize: Long,
               includeUnmapped: Boolean) extends Scan with Batch {
 
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
-  override def description(): String = {
-    val iv = effectiveIntervals
-    s"graft bam $path intervals=${if (iv.isEmpty) "*" else iv.mkString(",")} " +
+  override def description(): String =
+    s"graft bam ${paths.mkString(",")} " +
+      s"intervals=${optionIntervals.getOrElse(if (filterIntervals.isEmpty) "*"
+        else filterIntervals.mkString(","))} " +
       s"pushed=${pushed.mkString("[", ",", "]")}"
-  }
 
-  /** Explicit option intervals (the reference's property style) are
-    * authoritative record filters; filter-derived intervals are an
-    * optimization (residual predicates re-check exactly). */
-  private lazy val planned = {
-    val (header, _) = BamIO.planSplits(path, Nil, Long.MaxValue)
-    val iv = optionIntervals match {
-      case Some(spec) => BamIO.parseIntervals(spec, header)
-      case None => filterIntervals
-    }
-    val (h, ranges) = BamIO.planSplits(path, iv, splitSize, includeUnmapped)
-    (h, iv, ranges)
-  }
-  private def effectiveIntervals: Seq[(String, Int, Int)] = planned._2
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (header, iv, ranges) = planned
-    ranges.map { case (s, e) =>
-      BamPartition(path, s, e, header.refs, iv.toArray, includeUnmapped)
-        : InputPartition
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { path =>
+      // option intervals are authoritative record filters (parsed
+      // against each file's own header); filter-derived intervals
+      // prune chunks only — records are re-filtered by Spark
+      val optIv = optionIntervals.map { spec =>
+        BamIO.parseIntervals(spec, BamIO.readHeader(path))
+      }
+      val pruneIv = optIv.getOrElse(filterIntervals)
+      val (header, ranges) =
+        BamIO.planSplits(path, pruneIv, splitSize, includeUnmapped)
+      ranges.map { case (s, e) =>
+        BamPartition(path, s, e, header.refs,
+          optIv.getOrElse(Nil).toArray, includeUnmapped): InputPartition
+      }
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = new BamReaderFactory(pruned)
 }
@@ -197,13 +207,85 @@ case class BamPartition(file: String, startVo: Long, endVo: Long,
 class BamReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BamPartition]
-    val it = BamIO.readRange(bp.file, bp.startVo, bp.endVo, bp.refs,
+    val (it, closer) = BamIO.openRange(bp.file, bp.startVo, bp.endVo, bp.refs,
       bp.intervals, bp.includeUnmapped)
-    new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned)
+    new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned, closer)
   }
 }
 
-// ---------------------------------------------------------------- FASTQ
+// ------------------------------------------- splittable text formats
+
+/** Per-range record framing; returns the iterator plus a closer for
+  * early-terminated scans. */
+trait RangeFraming[T] extends Serializable {
+  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+      : (Iterator[T], () => Unit)
+}
+
+object FastqFraming extends RangeFraming[SequencedFragment] {
+  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+      : (Iterator[SequencedFragment], () => Unit) = {
+    val endBound = if (bgzf) graft.sources.Bgzf.virtualOffset(end, 0) else end
+    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = false)
+    (Fastq.frame(lines, start, endBound), closer)
+  }
+}
+
+object VcfFraming extends RangeFraming[VcfVariant] {
+  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+      : (Iterator[VcfVariant], () => Unit) = {
+    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
+    (lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
+      .map(l => Vcf.parseLine(l.text)), closer)
+  }
+}
+
+/** Shared scan builder for the text-framed formats (FASTQ, VCF):
+  * column pruning + per-file range partitioning. */
+class TextFramedScanBuilder[T](options: CaseInsensitiveStringMap,
+                               enc: ExpressionEncoder[T], framing: RangeFraming[T])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = enc.schema
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftDataSources.prune(enc.schema, r)
+  override def build(): Scan = {
+    val splitSize = Option(options.get("splitsize")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    new TextFramedScan[T](GraftDataSources.pathsOf(options), splitSize, required,
+      enc, framing)
+  }
+}
+
+class TextFramedScan[T](paths: Seq[String], splitSize: Long, pruned: StructType,
+                        enc: ExpressionEncoder[T], framing: RangeFraming[T])
+    extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { path =>
+      val bgzf = RangedText.isBgzf(path)
+      RangedText.ranges(path, splitSize).map { case (s, e) =>
+        TextRangePartition(path, s, e, bgzf): InputPartition
+      }
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextFramedReaderFactory[T](pruned, enc, framing)
+}
+
+case class TextRangePartition(path: String, start: Long, end: Long,
+                              bgzf: Boolean) extends InputPartition
+
+class TextFramedReaderFactory[T](pruned: StructType, enc: ExpressionEncoder[T],
+                                 framing: RangeFraming[T])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val tp = p.asInstanceOf[TextRangePartition]
+    val (it, closer) = framing.frame(tp.path, tp.start, tp.end, tp.bgzf)
+    new GraftDataSources.RecordReader(it, enc, pruned, closer)
+  }
+}
+
+// ---------------------------------------------------------- FASTQ / VCF
 
 class FastqDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fastq"
@@ -217,72 +299,12 @@ class FastqDataSource extends TableProvider with DataSourceRegister {
 
 class FastqTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
-      s"fastq:${GraftDataSources.pathOf(options)}",
+      s"fastq:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SequencedFragment]().schema) {
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
-      with SupportsPushDownRequiredColumns {
-    private var required: StructType = schema
-    override def pruneColumns(r: StructType): Unit =
-      required = StructType(r.filter(f => schema.fieldNames.contains(f.name)))
-    override def build(): Scan = {
-      val path = GraftDataSources.pathOf(options)
-      val splitSize = Option(options.get("splitsize")).map(_.toLong)
-        .getOrElse(64L * 1024 * 1024)
-      new TextFramedScan[SequencedFragment](path, splitSize, required,
-        ExpressionEncoder[SequencedFragment](), FastqFraming)
-    }
-  }
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new TextFramedScanBuilder[SequencedFragment](options,
+      ExpressionEncoder[SequencedFragment](), FastqFraming)
 }
-
-/** Per-range record framing for splittable text-ish formats. */
-trait RangeFraming[T] extends Serializable {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean): Iterator[T]
-}
-
-object FastqFraming extends RangeFraming[SequencedFragment] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean): Iterator[SequencedFragment] = {
-    val endBound = if (bgzf) Bgzf.virtualOffset(end, 0) else end
-    Fastq.frame(RangedText.readLines(path, start, end, bgzf, stopAtEnd = false),
-      start, endBound)
-  }
-}
-
-object VcfFraming extends RangeFraming[VcfVariant] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean): Iterator[VcfVariant] =
-    RangedText.readLines(path, start, end, bgzf, stopAtEnd = true)
-      .filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
-      .map(l => Vcf.parseLine(l.text))
-}
-
-class TextFramedScan[T](path: String, splitSize: Long, pruned: StructType,
-                        enc: ExpressionEncoder[T], framing: RangeFraming[T])
-    extends Scan with Batch {
-  override def readSchema(): StructType = pruned
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val bgzf = RangedText.isBgzf(path)
-    RangedText.ranges(path, splitSize).map { case (s, e) =>
-      TextRangePartition(path, s, e, bgzf): InputPartition
-    }.toArray
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TextFramedReaderFactory[T](pruned, enc, framing)
-}
-
-case class TextRangePartition(path: String, start: Long, end: Long,
-                              bgzf: Boolean) extends InputPartition
-
-class TextFramedReaderFactory[T](pruned: StructType, enc: ExpressionEncoder[T],
-                                 framing: RangeFraming[T])
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val tp = p.asInstanceOf[TextRangePartition]
-    new GraftDataSources.RecordReader(
-      framing.frame(tp.path, tp.start, tp.end, tp.bgzf), enc, pruned)
-  }
-}
-
-// ------------------------------------------------------------------ VCF
 
 class VcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vcf"
@@ -296,19 +318,9 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
 
 class VcfTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
-      s"vcf:${GraftDataSources.pathOf(options)}",
+      s"vcf:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[VcfVariant]().schema) {
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
-      with SupportsPushDownRequiredColumns {
-    private var required: StructType = schema
-    override def pruneColumns(r: StructType): Unit =
-      required = StructType(r.filter(f => schema.fieldNames.contains(f.name)))
-    override def build(): Scan = {
-      val path = GraftDataSources.pathOf(options)
-      val splitSize = Option(options.get("splitsize")).map(_.toLong)
-        .getOrElse(64L * 1024 * 1024)
-      new TextFramedScan[VcfVariant](path, splitSize, required,
-        ExpressionEncoder[VcfVariant](), VcfFraming)
-    }
-  }
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new TextFramedScanBuilder[VcfVariant](options,
+      ExpressionEncoder[VcfVariant](), VcfFraming)
 }

@@ -41,20 +41,50 @@ class RangeCountRuleSpec extends SparkSpec {
     try f finally spark.conf.set("spark.graft.rangejoin.countPushdown", "true")
   }
 
-  private def sortedRows(df: DataFrame): Seq[Row2] =
-    df.collect().map(r => Row2(r.toSeq.map(String.valueOf).mkString("|"))).sortBy(_.s).toSeq
+  /** The query must be BUILT inside the conf scope: a Dataset caches
+    * its QueryExecution, so collecting a pre-built frame under a
+    * different conf re-runs the same physical plan and the
+    * "fast vs slow" comparison silently compares the rewrite against
+    * itself. */
+  private def sortedRows(mk: => DataFrame): Seq[Row2] =
+    mk.collect().map(r => Row2(r.toSeq.map(String.valueOf).mkString("|"))).sortBy(_.s).toSeq
   case class Row2(s: String)
 
   test("grouped pair count matches the naive join exactly") {
-    val q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
+    def q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
     val fast = withRule(on = true)(sortedRows(q))
     val slow = withRule(on = false)(sortedRows(q))
     assert(fast === slow)
     assert(fast.nonEmpty)
   }
 
+  test("the naive baseline really is a different plan (guard against vacuous compare)") {
+    def q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n"))
+    val fastPlan = withRule(on = true)(q.queryExecution.executedPlan.toString)
+    val slowPlan = withRule(on = false)(q.queryExecution.executedPlan.toString)
+    assert(fastPlan.contains("Window") && !slowPlan.contains("Window"),
+      s"fast:\n$fastPlan\nslow:\n$slowPlan")
+  }
+
+  test("keyless overlap join is left alone (empty partitionBy would serialize)") {
+    def q = reads.join(targets,
+        col("rstart") <= col("tend") && col("tstart") <= col("rend"))
+      .agg(count(lit(1)).as("pairs"))
+    val plan = withRule(on = true)(q.queryExecution.optimizedPlan.toString)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("spark.graft.rangejoin.enabled=false disables count pushdown too") {
+    def q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n"))
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+  }
+
   test("rewritten plan has no pair-producing join — windows only (plus rare-row fallbacks)") {
-    val q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
+    def q = overlapJoin.groupBy("target_id").agg(count(lit(1)).as("n_reads"))
     val plan = withRule(on = true)(q.queryExecution.executedPlan.toString)
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
@@ -67,7 +97,7 @@ class RangeCountRuleSpec extends SparkSpec {
   }
 
   test("group keys can come from the left side too") {
-    val q = overlapJoin.groupBy("contig").agg(count(lit(1)).as("n"))
+    def q = overlapJoin.groupBy("contig").agg(count(lit(1)).as("n"))
     val fast = withRule(on = true)(sortedRows(q))
     val slow = withRule(on = false)(sortedRows(q))
     assert(fast === slow)
@@ -77,14 +107,14 @@ class RangeCountRuleSpec extends SparkSpec {
   }
 
   test("global (ungrouped) pair count matches") {
-    val q = overlapJoin.agg(count(lit(1)).as("pairs"))
+    def q = overlapJoin.agg(count(lit(1)).as("pairs"))
     val fast = withRule(on = true)(sortedRows(q))
     val slow = withRule(on = false)(sortedRows(q))
     assert(fast === slow)
   }
 
   test("grouping on an expression and extra count aliases still match") {
-    val q = overlapJoin.groupBy(expr("target_id % 7").as("bucket"))
+    def q = overlapJoin.groupBy(expr("target_id % 7").as("bucket"))
       .agg(count(lit(1)).as("a"), count(lit(1)).as("b"))
     val fast = withRule(on = true)(sortedRows(q))
     val slow = withRule(on = false)(sortedRows(q))
@@ -92,7 +122,7 @@ class RangeCountRuleSpec extends SparkSpec {
   }
 
   test("non-count aggregates are left alone (rule must not fire)") {
-    val q = overlapJoin.groupBy("target_id").agg(sum("rstart").as("s"))
+    def q = overlapJoin.groupBy("target_id").agg(sum("rstart").as("s"))
     val fast = withRule(on = true)(sortedRows(q))
     val slow = withRule(on = false)(sortedRows(q))
     assert(fast === slow)

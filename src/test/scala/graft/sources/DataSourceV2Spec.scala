@@ -79,6 +79,27 @@ class DataSourceV2Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("pushed filters keep zero-reference-length records the residual keeps") {
+    import spark.implicits._
+    // a fully-soft-clipped read has end = pos + 0 - 1 < pos: record-
+    // level OVERLAP filtering would drop it even though the residual
+    // predicate (pos >= lo) keeps it — pushdown must prune chunks only
+    val recs = (sorted.take(200) :+
+      SamRecord("softclip", 0, "chr1", 500, 30, "30S", "*", 0, 0,
+        "ACGT" * 8, "I" * 32, Array.empty[String]))
+      .sortBy(r => (if (r.rname == "chr1") 0 else 1, r.pos, r.qname))
+    val file = s"${tmpDir("dsv2soft")}/t.bam"
+    BamIO.writeSorted(spark.createDataset(recs).repartition(2), header, file,
+      granularity = 20)
+    val got = spark.read.format("bam").option("splitsize", "2048").load(file)
+      .filter(col("rname") === "chr1" && col("pos") >= 400 && col("pos") <= 600)
+      .select("qname").collect().map(_.getString(0)).sorted
+    val want = recs.filter(r => r.rname == "chr1" && r.pos >= 400 && r.pos <= 600)
+      .map(_.qname).sorted.toArray
+    assert(got === want)
+    assert(got.contains("softclip"))
+  }
+
   test("column pruning reaches the v2 scan") {
     val file = writeBam("dsv2cols")
     val df = spark.read.format("bam").load(file).select("rname", "pos")
