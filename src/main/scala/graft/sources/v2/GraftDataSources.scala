@@ -231,6 +231,21 @@ object FastqFraming extends RangeFraming[SequencedFragment] {
   }
 }
 
+object SamFraming extends RangeFraming[SamRecord] {
+  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+      : (Iterator[SamRecord], () => Unit) = {
+    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
+    (lines.map(_.text).filter(l => l.nonEmpty && !l.startsWith("@")).map(parse), closer)
+  }
+  /** Same field semantics as Sam.parseLines' expression chain. */
+  private def parse(l: String): SamRecord = {
+    val p = l.split("\t")
+    SamRecord(p(0), p(1).toInt, p(2), p(3).toInt, p(4).toInt, p(5), p(6),
+      p(7).toInt, p(8).toInt, p(9), p(10),
+      if (p.length > 11) p.slice(11, p.length) else Array.empty[String])
+  }
+}
+
 object VcfFraming extends RangeFraming[VcfVariant] {
   def frame(path: String, start: Long, end: Long, bgzf: Boolean)
       : (Iterator[VcfVariant], () => Unit) = {
@@ -304,6 +319,25 @@ class FastqTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[SequencedFragment](options,
       ExpressionEncoder[SequencedFragment](), FastqFraming)
+}
+
+class SamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sam"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExpressionEncoder[SamRecord]().schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SamTable(new CaseInsensitiveStringMap(properties))
+}
+
+class SamTable(options: CaseInsensitiveStringMap)
+    extends GraftDataSources.SingleTable(
+      s"sam:${GraftDataSources.pathsOf(options).mkString(",")}",
+      ExpressionEncoder[SamRecord]().schema) {
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new TextFramedScanBuilder[SamRecord](options,
+      ExpressionEncoder[SamRecord](), SamFraming)
 }
 
 class VcfDataSource extends TableProvider with DataSourceRegister {

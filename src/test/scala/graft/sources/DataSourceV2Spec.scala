@@ -109,6 +109,21 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.distinct().count() > 0)
   }
 
+  test("format(\"sam\") matches the typed SAM reader and multi-path load unions files") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2sam")
+    val (f1, f2) = (s"$dir/a.sam", s"$dir/b.sam")
+    val (h1, h2) = (sorted.take(300), sorted.slice(300, 500))
+    Sam.write(spark.createDataset(h1), header, f1)
+    Sam.write(spark.createDataset(h2), header, f2)
+    val typed = (Sam.read(spark, f1).collect() ++ Sam.read(spark, f2).collect())
+      .map(_.qname).sorted
+    val v2 = spark.read.format("sam").load(f1, f2)
+      .select("qname").collect().map(_.getString(0)).sorted
+    assert(v2 === typed)
+    assert(v2.length === 500)
+  }
+
   test("format(\"fastq\") matches the typed FASTQ reader") {
     import spark.implicits._
     val dir = tmpDir("dsv2fq")
