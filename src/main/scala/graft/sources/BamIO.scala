@@ -454,36 +454,58 @@ object BamIO {
 
     // each task: shard BGZF + local index entries (vo relative to shard)
     val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (tfs, _) = Fs.get(tmpDirStr)
-      val shardPath = new Path(tmpDirStr, f"part-$pid%05d.bam")
-      val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
-      val entries = new ArrayBuffer[(Long, Int, Int)]()
-      var n = 0L
-      var count = 0L
-      var maxSpan = 0
-      it.foreach { rec =>
-        if (n % granularity == 0) {
-          out.blockBoundary() // align indexed records to block starts
-          entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
-            refIdx.get(rec.rname).getOrElse(-1), rec.pos - 1))
-        }
-        if (rec.pos > 0) {
-          val span = rec.end - rec.pos + 1
-          if (span > maxSpan) maxSpan = span
-        }
-        val data = BamCodec.encode(rec, refIdx)
-        val len = data.length
-        out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
-        out.write(data)
-        n += 1; count += 1
-      }
-      out.blockBoundary()
-      val shardLen = out.compressedOffset
-      out.closeWithoutTerminator()
-      Iterator.single((pid, shardLen, count, entries.toArray, maxSpan))
-    }.collect().sortBy(_._1)
+      Iterator.single(writeShard(it, new Path(tmpDirStr, f"part-$pid%05d.bam"),
+        refIdx, granularity, pid))
+    }.collect().sortBy(_.pid)
+    mergeShardInfo(file, header, tmpDirStr, shardInfo, granularity)
+    val _ = spark
+  }
 
-    // driver: header block + concat shards + EOF, shifting index VOs
+  /** One task's shard + its local (shard-relative) index entries —
+    * shared by the typed writer and the DataSource V2 sink. */
+  final case class ShardInfo(pid: Int, shardLen: Long, count: Long,
+                             entries: Array[(Long, Int, Int)], maxSpan: Int)
+    extends Serializable
+
+  private[sources] def writeShard(it: Iterator[SamRecord], shardPath: Path,
+                                  refIdx: Map[String, Int], granularity: Int,
+                                  pid: Int): ShardInfo = {
+    val (tfs, _) = Fs.get(shardPath.toString)
+    val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
+    val entries = new ArrayBuffer[(Long, Int, Int)]()
+    var n = 0L
+    var count = 0L
+    var maxSpan = 0
+    it.foreach { rec =>
+      if (n % granularity == 0) {
+        out.blockBoundary() // align indexed records to block starts
+        entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
+          refIdx.get(rec.rname).getOrElse(-1), rec.pos - 1))
+      }
+      if (rec.pos > 0) {
+        val span = rec.end - rec.pos + 1
+        if (span > maxSpan) maxSpan = span
+      }
+      val data = BamCodec.encode(rec, refIdx)
+      val len = data.length
+      out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
+      out.write(data)
+      n += 1; count += 1
+    }
+    out.blockBoundary()
+    val shardLen = out.compressedOffset
+    out.closeWithoutTerminator()
+    ShardInfo(pid, shardLen, count, entries.toArray, maxSpan)
+  }
+
+  /** Driver-side merge: header block + shards in pid order + EOF
+    * terminator, shifting each shard's index entries by the bytes
+    * before it; writes the v2 sidecar index. */
+  private[sources] def mergeShardInfo(file: String, header: SamHeader,
+                                      tmpDirStr: String, shardInfo: Seq[ShardInfo],
+                                      granularity: Int): Unit = {
+    val (fs, path) = Fs.get(file)
+    val tmpDir = new Path(tmpDirStr)
     val out = new BufferedOutputStream(fs.create(path, true))
     val headerBuf = new ByteArrayOutputStream()
     BamCodec.writeHeader(headerBuf, header)
@@ -491,26 +513,25 @@ object BamIO {
     var coffset = 0L
     coffset += Bgzf.writeBlocksTo(out, headerBytes, 0, headerBytes.length)
     val allEntries = new ArrayBuffer[SplittingIndex.Entry]()
-    shardInfo.foreach { case (pid, shardLen, _, entries, _) =>
-      entries.foreach { case (vo, refId, pos) =>
+    shardInfo.foreach { si =>
+      si.entries.foreach { case (vo, refId, pos) =>
         allEntries += SplittingIndex.Entry(Bgzf.virtualOffset(Bgzf.voCompressed(vo) + coffset,
           Bgzf.voUncompressed(vo)), refId, pos)
       }
-      val shardPath = new Path(tmpDirStr, f"part-$pid%05d.bam")
+      val shardPath = new Path(tmpDirStr, f"part-${si.pid}%05d.bam")
       val sin = fs.open(shardPath)
       val buf = new Array[Byte](1 << 20)
       var r = sin.read(buf)
       while (r > 0) { out.write(buf, 0, r); r = sin.read(buf) }
       sin.close()
-      coffset += shardLen
+      coffset += si.shardLen
     }
     val endVo = Bgzf.virtualOffset(coffset, 0)
     out.write(Bgzf.EofMarker)
     out.close()
     fs.delete(tmpDir, true)
-    val fileMaxSpan = if (shardInfo.isEmpty) 0 else shardInfo.map(_._5).max
+    val fileMaxSpan = if (shardInfo.isEmpty) 0 else shardInfo.map(_.maxSpan).max
     SplittingIndex.write(fs, SplittingIndex.indexPath(path), granularity,
       allEntries.toSeq, endVo, fileMaxSpan)
-    val _ = spark
   }
 }

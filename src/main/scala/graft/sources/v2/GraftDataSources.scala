@@ -83,11 +83,13 @@ object GraftDataSources {
     StructType(required.filter(f => full.fieldNames.contains(f.name)))
 
   private[v2] abstract class SingleTable(tableName: String, tableSchema: StructType)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
   }
 }
 
@@ -109,6 +111,9 @@ class BamTable(options: CaseInsensitiveStringMap)
       ExpressionEncoder[SamRecord]().schema) {
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new BamScanBuilder(GraftDataSources.pathsOf(options), options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BamWriteBuilder(GraftDataSources.pathsOf(options).head, info)
 }
 
 class BamScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
@@ -319,6 +324,11 @@ class FastqTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[SequencedFragment](options,
       ExpressionEncoder[SequencedFragment](), FastqFraming)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TextWriteBuilder[SequencedFragment](GraftDataSources.pathsOf(options).head, info,
+      ExpressionEncoder[SequencedFragment]().schema, GraftDataSinks.RowCodecs.fastq,
+      TextFormats.fastqRecord, () => Nil)
 }
 
 class SamDataSource extends TableProvider with DataSourceRegister {
@@ -338,6 +348,15 @@ class SamTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[SamRecord](options,
       ExpressionEncoder[SamRecord](), SamFraming)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TextWriteBuilder[SamRecord](GraftDataSources.pathsOf(options).head, info,
+      ExpressionEncoder[SamRecord]().schema, GraftDataSinks.RowCodecs.sam,
+      TextFormats.samLine,
+      () => {
+        val h = GraftDataSinks.samHeaderFrom(Option(info.options.get("header")))
+        if (h.text.isEmpty) Nil else h.text.split("\n", -1).toSeq
+      })
 }
 
 class VcfDataSource extends TableProvider with DataSourceRegister {
@@ -357,4 +376,11 @@ class VcfTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[VcfVariant](options,
       ExpressionEncoder[VcfVariant](), VcfFraming)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TextWriteBuilder[VcfVariant](GraftDataSources.pathsOf(options).head, info,
+      ExpressionEncoder[VcfVariant]().schema, GraftDataSinks.RowCodecs.vcf,
+      TextFormats.vcfLine,
+      () => Option(info.options.get("header"))
+        .map(h => Vcf.readHeader(h).lines).getOrElse(Nil))
 }

@@ -139,6 +139,82 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2 === typed)
   }
 
+  test("format(\"bam\") write round-trips (header option, sidecar index, reordered columns)") {
+    val src = writeBam("dsv2wsrc")
+    val out = s"${tmpDir("dsv2wout")}/o.bam"
+    val df = spark.read.format("bam").load(src)
+    // reversed column order: the sink must reorder by name, not position
+    df.select(df.columns.reverse.map(col): _*)
+      .write.format("bam").option("header", src).mode("overwrite").save(out)
+    assert(new java.io.File(out + ".sidx").exists())
+    val back = spark.read.format("bam").load(out)
+      .select("qname", "pos").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val want = sorted.map(r => (r.qname, r.pos)).sorted
+    assert(back.toSeq === want)
+  }
+
+  test("format(\"sam\") and format(\"fastq\") writes round-trip") {
+    import spark.implicits._
+    val src = writeBam("dsv2wsam")
+    val out = s"${tmpDir("dsv2wsamo")}/o.sam"
+    spark.read.format("bam").load(src)
+      .write.format("sam").option("header", src).mode("overwrite").save(out)
+    val back = spark.read.format("sam").load(out)
+      .select("qname").collect().map(_.getString(0)).sorted
+    assert(back.toSeq === sorted.map(_.qname).sorted)
+    // header landed exactly once, at the top
+    val first = scala.io.Source.fromFile(out).getLines().take(1).toList.head
+    assert(first.startsWith("@HD"))
+
+    // fastq: v2 write+read must equal the typed writer's round trip
+    // (formatRecord/parseName normalize casava metadata in the name)
+    val dirFq = tmpDir("dsv2wfq")
+    val (fqV2, fqTyped) = (s"$dirFq/v2.fastq", s"$dirFq/typed.fastq")
+    val frags = (0 until 120).map { i =>
+      SequencedFragment(s"I:1:F:1:1:$i:$i 1:N:0:AC", "ACGTACGT", "IIIIIIII",
+        "I", 1, 1, 1, i, i, 1, true)
+    }
+    spark.createDataset(frags).toDF()
+      .write.format("fastq").mode("overwrite").save(fqV2)
+    Fastq.write(spark.createDataset(frags), fqTyped)
+    val fqBack = spark.read.format("fastq").load(fqV2)
+      .select("name").collect().map(_.getString(0)).sorted
+    val fqWant = Fastq.read(spark, fqTyped).collect().map(_.name).sorted
+    assert(fqBack.toSeq === fqWant.toSeq)
+    assert(fqBack.length === 120)
+  }
+
+  test("format(\"vcf\") write carries header lines and BGZF-compresses .bgz targets") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2wvcf")
+    val srcFile = s"$dir/src.vcf.bgz"
+    val hdr = Vcf.VcfHeader(Seq("##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"))
+    val vs = (0 until 200).map(i => Vcf.parseLine(
+      s"chr1\t${100 + i}\trs$i\tA\tC\t50\tPASS\tDP=$i"))
+    Vcf.writeBgzf(spark.createDataset(vs), hdr, srcFile)
+    val out = s"$dir/out.vcf.bgz"
+    spark.read.format("vcf").load(srcFile)
+      .write.format("vcf").option("header", srcFile).mode("overwrite").save(out)
+    assert(RangedText.isBgzf(out))
+    assert(Vcf.readHeader(out).lines === hdr.lines)
+    val back = spark.read.format("vcf").load(out)
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(back.toSeq === vs.map(_.pos).sorted)
+  }
+
+  test("BAM/SAM writes without a header option fail with a clear error") {
+    val src = writeBam("dsv2whdr")
+    val out = s"${tmpDir("dsv2whdro")}/o.bam"
+    val e = intercept[Exception] {
+      spark.read.format("bam").load(src)
+        .write.format("bam").mode("overwrite").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("header")), msgs(e).mkString(" | "))
+  }
+
   test("format(\"vcf\") matches the typed VCF reader on a bgzipped file") {
     import spark.implicits._
     val dir = tmpDir("dsv2vcf")
