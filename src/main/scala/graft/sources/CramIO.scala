@@ -319,11 +319,22 @@ object CramIO {
   def read(spark: SparkSession, file: String,
            splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
     import spark.implicits._
+    val (header, groups) = planGroups(file, splitSize)
+    val refs = header.refs
+    spark.sparkContext.parallelize(groups, math.max(1, groups.size))
+      .flatMap { offsets => readGroup(file, offsets, refs) }
+      .toDS()
+  }
+
+  /** Driver-side planning shared with the DataSource V2 scan: header
+    * + whole containers grouped into ~splitSize partitions.  Rejects
+    * foreign CRAMs up front with a clear error, instead of misreading
+    * their data-series bytes as graft record payloads. */
+  private[sources] def planGroups(file: String, splitSize: Long)
+      : (SamHeader, Seq[Seq[Long]]) = {
     val header = readHeader(file)
     val containers = Cram.enumerateContainers(file)
       .filter(c => c.nRecords > 0 && !isEof(c))
-    // reject foreign CRAMs up front with a clear error, instead of
-    // misreading their data-series bytes as graft record payloads
     containers.headOption.foreach { first =>
       val (fs, p) = Fs.get(file)
       val raw = fs.open(p)
@@ -339,7 +350,6 @@ object CramIO {
             "Cram.enumerateContainers")
       } finally raw.close()
     }
-    // group whole containers into ~splitSize partitions
     val groups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
     var cur = scala.collection.mutable.ArrayBuffer[Long]()
     var acc = 0L
@@ -350,29 +360,31 @@ object CramIO {
       cur += c.offset; acc += c.length
     }
     if (cur.nonEmpty) groups += cur.toSeq
-    val refs = header.refs
-    spark.sparkContext.parallelize(groups.toSeq, math.max(1, groups.size))
-      .flatMap { offsets =>
-        val (tfs, tp) = Fs.get(file)
-        val raw = tfs.open(tp)
-        val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
-        try {
-          offsets.foreach { off =>
-            raw.seek(off)
-            val blocks = readContainerBlocks(new BufferedInputStream(raw))
-            val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
-              .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
-            val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            while (bb.remaining() > 4) {
-              val len = bb.getInt
-              val data = new Array[Byte](len)
-              bb.get(data)
-              out += BamCodec.decode(data, refs)
-            }
-          }
-          out.toSeq
-        } finally raw.close()
-      }.toDS()
+    (header, groups.toSeq)
+  }
+
+  /** Task-side: decode all records of one container group. */
+  private[sources] def readGroup(file: String, offsets: Seq[Long],
+                                 refs: Array[graft.model.SamRef]): Seq[SamRecord] = {
+    val (tfs, tp) = Fs.get(file)
+    val raw = tfs.open(tp)
+    val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
+    try {
+      offsets.foreach { off =>
+        raw.seek(off)
+        val blocks = readContainerBlocks(new BufferedInputStream(raw))
+        val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
+          .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
+        val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        while (bb.remaining() > 4) {
+          val len = bb.getInt
+          val data = new Array[Byte](len)
+          bb.get(data)
+          out += BamCodec.decode(data, refs)
+        }
+      }
+      out.toSeq
+    } finally raw.close()
   }
 
   /** Parse one container (header + its blocks) from the stream. */

@@ -305,6 +305,67 @@ class TextFramedReaderFactory[T](pruned: StructType, enc: ExpressionEncoder[T],
   }
 }
 
+// ----------------------------------------------------------------- CRAM
+
+class CramDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cram"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExpressionEncoder[SamRecord]().schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CramTable(new CaseInsensitiveStringMap(properties))
+}
+
+class CramTable(options: CaseInsensitiveStringMap)
+    extends GraftDataSources.SingleTable(
+      s"cram:${GraftDataSources.pathsOf(options).mkString(",")}",
+      ExpressionEncoder[SamRecord]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ) // write stays on the typed API
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
+      with SupportsPushDownRequiredColumns {
+    private var required: StructType = schema()
+    override def pruneColumns(r: StructType): Unit =
+      required = GraftDataSources.prune(schema(), r)
+    override def build(): Scan = {
+      val splitSize = Option(options.get("splitsize")).map(_.toLong)
+        .getOrElse(64L * 1024 * 1024)
+      new CramScan(GraftDataSources.pathsOf(options), splitSize, required)
+    }
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    throw new UnsupportedOperationException(
+      "cram writes go through graft.sources.CramIO.write (typed API)")
+}
+
+class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { path =>
+      val (header, groups) = graft.sources.CramIO.planGroups(path, splitSize)
+      groups.map(g => CramPartition(path, g, header.refs): InputPartition)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CramReaderFactory(pruned)
+}
+
+case class CramPartition(file: String, offsets: Seq[Long],
+                         refs: Array[graft.model.SamRef]) extends InputPartition
+
+class CramReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CramPartition]
+    // readGroup materializes one container group; nothing left open
+    new GraftDataSources.RecordReader(
+      graft.sources.CramIO.readGroup(cp.file, cp.offsets, cp.refs).iterator,
+      ExpressionEncoder[SamRecord](), pruned, () => ())
+  }
+}
+
 // ---------------------------------------------------------- FASTQ / VCF
 
 class FastqDataSource extends TableProvider with DataSourceRegister {

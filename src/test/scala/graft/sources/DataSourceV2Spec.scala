@@ -124,6 +124,17 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2.length === 500)
   }
 
+  test("format(\"cram\") matches the typed CRAM reader") {
+    import spark.implicits._
+    val file = s"${tmpDir("dsv2cram")}/t.cram"
+    CramIO.write(spark.createDataset(sorted.take(600)).repartition(3), header, file)
+    val typed = CramIO.read(spark, file).collect().map(_.qname).sorted
+    val v2 = spark.read.format("cram").option("splitsize", "4096").load(file)
+      .select("qname").collect().map(_.getString(0)).sorted
+    assert(v2 === typed)
+    assert(v2.length === 600)
+  }
+
   test("format(\"fastq\") matches the typed FASTQ reader") {
     import spark.implicits._
     val dir = tmpDir("dsv2fq")
