@@ -470,13 +470,26 @@ object BamIO {
   private[sources] def writeShard(it: Iterator[SamRecord], shardPath: Path,
                                   refIdx: Map[String, Int], granularity: Int,
                                   pid: Int): ShardInfo = {
-    val (tfs, _) = Fs.get(shardPath.toString)
-    val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
-    val entries = new ArrayBuffer[(Long, Int, Int)]()
-    var n = 0L
-    var count = 0L
-    var maxSpan = 0
-    it.foreach { rec =>
+    val w = new ShardWriter(shardPath, refIdx, granularity, pid)
+    try { it.foreach(w.write); w.finish() }
+    catch { case e: Throwable => w.abort(); throw e }
+  }
+
+  /** Incremental shard writer (one record at a time — nothing buffers
+    * the partition in memory), shared by [[writeShard]] and the
+    * DataSource V2 sink's per-row writes. */
+  private[sources] final class ShardWriter(shardPath: Path, refIdx: Map[String, Int],
+                                           granularity: Int, pid: Int) {
+    private val out = {
+      val (tfs, _) = Fs.get(shardPath.toString)
+      new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
+    }
+    private val entries = new ArrayBuffer[(Long, Int, Int)]()
+    private var n = 0L
+    private var count = 0L
+    private var maxSpan = 0
+
+    def write(rec: SamRecord): Unit = {
       if (n % granularity == 0) {
         out.blockBoundary() // align indexed records to block starts
         entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
@@ -492,10 +505,17 @@ object BamIO {
       out.write(data)
       n += 1; count += 1
     }
-    out.blockBoundary()
-    val shardLen = out.compressedOffset
-    out.closeWithoutTerminator()
-    ShardInfo(pid, shardLen, count, entries.toArray, maxSpan)
+
+    def finish(): ShardInfo = {
+      out.blockBoundary()
+      val shardLen = out.compressedOffset
+      out.closeWithoutTerminator()
+      ShardInfo(pid, shardLen, count, entries.toArray, maxSpan)
+    }
+
+    def abort(): Unit =
+      try out.closeWithoutTerminator()
+      catch { case _: java.io.IOException => () }
   }
 
   /** Driver-side merge: header block + shards in pid order + EOF

@@ -96,6 +96,17 @@ object GraftDataSinks {
     if (path.endsWith(".bam")) BamIO.readHeader(path) else Sam.readHeader(path)
   }
 
+  /** Single-file sinks rewrite the target wholesale; only
+    * mode("overwrite") expresses that honestly.  Appending to a BAM
+    * needs a sort-merge — that's writeSorted's job on the typed API. */
+  private[v2] def requireOverwrite(truncated: Boolean, target: String,
+                                   fmt: String): Unit = {
+    val (fs, p) = Fs.get(target)
+    if (!truncated && fs.exists(p)) throw new UnsupportedOperationException(
+      s"$fmt writes rewrite the whole file and $target already exists — " +
+        "use mode(\"overwrite\") (append would silently drop the existing records)")
+  }
+
   /** Commit-side concat of text shards with optional header; BGZF-
     * compresses when the target name says so. */
   private[v2] def mergeTextShards(target: String, tmp: String,
@@ -117,13 +128,20 @@ object GraftDataSinks {
 
 class BamWriteBuilder(target: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this // both modes rewrite the file
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val header = GraftDataSinks.samHeaderFrom(Option(info.options.get("header")))
-      val granularity = Option(info.options.get("granularity")).map(_.toInt).getOrElse(1000)
-      new BamBatchWrite(target, header, granularity, info.schema(),
-        GraftDataSinks.shardDir(target, info.queryId()))
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    // append would silently destroy existing records (the merge
+    // rewrites the whole file) — only overwrite is honest here
+    GraftDataSinks.requireOverwrite(truncated, target, "bam")
+    // resolve the header NOW so a bad/missing option fails before any
+    // task launches, not after the whole job has run
+    val header = GraftDataSinks.samHeaderFrom(Option(info.options.get("header")))
+    val granularity = Option(info.options.get("granularity")).map(_.toInt).getOrElse(1000)
+    new Write {
+      override def toBatch: BatchWrite =
+        new BamBatchWrite(target, header, granularity, info.schema(),
+          GraftDataSinks.shardDir(target, info.queryId()))
     }
   }
 }
@@ -155,28 +173,34 @@ class BamWriterFactory(tmp: String, refIdx: Map[String, Int], granularity: Int,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardingDataWriter[BamShardDone](tmp, partitionId, taskId, "bam") {
-      private val buf = new scala.collection.mutable.ArrayBuffer[SamRecord]()
-      override def write(row: InternalRow): Unit = buf += decoder.decode(row)
-      override def finishShard(shardPath: Path): BamShardDone =
-        BamShardDone(BamIO.writeShard(buf.iterator, shardPath, refIdx,
-          granularity, partitionId))
+      // streams record-by-record — a multi-GB partition never buffers
+      private val shard = new BamIO.ShardWriter(attemptPath, refIdx, granularity, partitionId)
+      override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
+      override def finishAttempt(): BamShardDone = BamShardDone(shard.finish())
+      override def abortAttempt(): Unit = shard.abort()
     }
 }
 
 /** Write-to-temp + rename-on-commit shard writer: the commit
   * coordinator guarantees one winner per partition, and the rename
-  * keeps speculative attempts from interleaving bytes. */
+  * keeps speculative attempts from interleaving bytes.  Subclasses
+  * stream rows into the attempt file as they arrive. */
 abstract class ShardingDataWriter[M <: WriterCommitMessage](
     tmp: String, partitionId: Int, taskId: Long, ext: String)
     extends DataWriter[InternalRow] {
   protected val attemptPath = new Path(tmp, f"attempt-$partitionId%05d-$taskId.$ext.tmp")
   protected val finalPath = new Path(tmp, f"part-$partitionId%05d.$ext")
-  /** Flush buffered rows to `shardPath`, return the commit message. */
-  def finishShard(shardPath: Path): M
+  /** Close the attempt file, return the commit message. */
+  def finishAttempt(): M
+  /** Close/discard the attempt file's sink. */
+  def abortAttempt(): Unit
   override def commit(): WriterCommitMessage = {
     val (fs, _) = Fs.get(tmp)
-    fs.mkdirs(new Path(tmp))
-    val m = finishShard(attemptPath)
+    val m = finishAttempt()
+    // a stage retry can leave a committed shard from a lost attempt;
+    // HDFS rename does not overwrite, so clear the slot first (the
+    // coordinator guarantees we are the only live committer)
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(attemptPath, finalPath)) {
       fs.delete(attemptPath, false)
       throw new java.io.IOException(s"could not commit shard $finalPath")
@@ -184,6 +208,7 @@ abstract class ShardingDataWriter[M <: WriterCommitMessage](
     m
   }
   override def abort(): Unit = {
+    abortAttempt()
     val (fs, _) = Fs.get(tmp)
     fs.delete(attemptPath, false)
   }
@@ -200,20 +225,27 @@ class TextWriteBuilder[T](target: String, info: LogicalWriteInfo,
                           format: T => String,
                           headerLines: () => Seq[String])
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new BatchWrite {
-      private val tmp = GraftDataSinks.shardDir(target, info.queryId())
-      override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
-        val decoder = new GraftDataSinks.RowDecoder(fullSchema, info.schema(), fromRow)
-        decoder.validate()
-        new TextWriterFactory[T](tmp, decoder, format)
-      }
-      override def commit(messages: Array[WriterCommitMessage]): Unit =
-        GraftDataSinks.mergeTextShards(target, tmp, headerLines())
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        val (fs, p) = Fs.get(tmp)
-        fs.delete(p, true)
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    GraftDataSinks.requireOverwrite(truncated, target, "single-file text")
+    // resolve header lines NOW: a missing/bad header option must fail
+    // before any task launches, not at driver commit after the job ran
+    val header = headerLines()
+    new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val tmp = GraftDataSinks.shardDir(target, info.queryId())
+        override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
+          val decoder = new GraftDataSinks.RowDecoder(fullSchema, info.schema(), fromRow)
+          decoder.validate()
+          new TextWriterFactory[T](tmp, decoder, format)
+        }
+        override def commit(messages: Array[WriterCommitMessage]): Unit =
+          GraftDataSinks.mergeTextShards(target, tmp, header)
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          val (fs, p) = Fs.get(tmp)
+          fs.delete(p, true)
+        }
       }
     }
   }
@@ -223,15 +255,21 @@ class TextWriterFactory[T](tmp: String, decoder: GraftDataSinks.RowDecoder[T],
                            format: T => String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardingDataWriter[TextShardDone](tmp, partitionId, taskId, "txt") {
-      private val buf = new scala.collection.mutable.ArrayBuffer[String]()
-      override def write(row: InternalRow): Unit = buf += format(decoder.decode(row))
-      override def finishShard(shardPath: Path): TextShardDone = {
+      // streams line-by-line — a multi-GB partition never buffers
+      private val out = {
         val (fs, _) = Fs.get(tmp)
-        val out = new BufferedOutputStream(fs.create(shardPath, true))
-        try buf.foreach { l => out.write(l.getBytes(UTF_8)); out.write('\n') }
-        finally out.close()
+        new BufferedOutputStream(fs.create(attemptPath, true))
+      }
+      override def write(row: InternalRow): Unit = {
+        out.write(format(decoder.decode(row)).getBytes(UTF_8))
+        out.write('\n')
+      }
+      override def finishAttempt(): TextShardDone = {
+        out.close()
         TextShardDone(partitionId)
       }
+      override def abortAttempt(): Unit =
+        try out.close() catch { case _: java.io.IOException => () }
     }
 }
 

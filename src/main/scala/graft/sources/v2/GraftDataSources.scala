@@ -242,9 +242,11 @@ object SamFraming extends RangeFraming[SamRecord] {
     val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
     (lines.map(_.text).filter(l => l.nonEmpty && !l.startsWith("@")).map(parse), closer)
   }
-  /** Same field semantics as Sam.parseLines' expression chain. */
+  /** Same field semantics as Sam.parseLines' expression chain.
+    * limit -1 like SQL split: a trailing empty field (e.g. empty
+    * qual) must survive, not throw ArrayIndexOutOfBounds. */
   private def parse(l: String): SamRecord = {
-    val p = l.split("\t")
+    val p = l.split("\t", -1)
     SamRecord(p(0), p(1).toInt, p(2), p(3).toInt, p(4).toInt, p(5), p(6),
       p(7).toInt, p(8).toInt, p(9), p(10),
       if (p.length > 11) p.slice(11, p.length) else Array.empty[String])
@@ -442,6 +444,10 @@ class VcfTable(options: CaseInsensitiveStringMap)
     new TextWriteBuilder[VcfVariant](GraftDataSources.pathsOf(options).head, info,
       ExpressionEncoder[VcfVariant]().schema, GraftDataSinks.RowCodecs.vcf,
       TextFormats.vcfLine,
-      () => Option(info.options.get("header"))
-        .map(h => Vcf.readHeader(h).lines).getOrElse(Nil))
+      // a header-less VCF is spec-invalid (no ##fileformat/#CHROM) and
+      // breaks foreign tooling — required, like the typed writer
+      () => Vcf.readHeader(Option(info.options.get("header"))
+        .getOrElse(throw new IllegalArgumentException(
+          "VCF writes need option(\"header\", <path to an existing .vcf/.vcf.bgz>) " +
+            "— a header-less VCF is spec-invalid"))).lines)
 }

@@ -214,16 +214,33 @@ class DataSourceV2Spec extends SparkSpec {
     assert(back.toSeq === vs.map(_.pos).sorted)
   }
 
-  test("BAM/SAM writes without a header option fail with a clear error") {
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("BAM/SAM/VCF writes without a header option fail before any task runs") {
+    import spark.implicits._
     val src = writeBam("dsv2whdr")
-    val out = s"${tmpDir("dsv2whdro")}/o.bam"
-    val e = intercept[Exception] {
-      spark.read.format("bam").load(src)
-        .write.format("bam").mode("overwrite").save(out)
+    val dir = tmpDir("dsv2whdro")
+    val sam = spark.read.format("bam").load(src)
+    val vcf = spark.createDataset(Seq(Vcf.parseLine(
+      "chr1\t100\trs1\tA\tC\t50\tPASS\tDP=1"))).toDF()
+    Seq("bam" -> sam, "sam" -> sam, "vcf" -> vcf).foreach { case (fmt, df) =>
+      val e = intercept[Exception] {
+        df.write.format(fmt).mode("overwrite").save(s"$dir/o.$fmt")
+      }
+      assert(msgs(e).exists(_.contains("header")), s"$fmt: ${msgs(e).mkString(" | ")}")
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("header")), msgs(e).mkString(" | "))
+  }
+
+  test("append mode onto an existing file is rejected, not silently truncated") {
+    val src = writeBam("dsv2wapp")
+    val out = s"${tmpDir("dsv2wappo")}/o.bam"
+    val df = spark.read.format("bam").load(src)
+    df.write.format("bam").option("header", src).mode("overwrite").save(out)
+    val e = intercept[Exception] {
+      df.write.format("bam").option("header", src).mode("append").save(out)
+    }
+    assert(msgs(e).exists(_.contains("overwrite")), msgs(e).mkString(" | "))
   }
 
   test("format(\"vcf\") matches the typed VCF reader on a bgzipped file") {
