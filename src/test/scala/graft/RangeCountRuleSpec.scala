@@ -131,6 +131,42 @@ class RangeCountRuleSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("generative: random interval tables match a local brute-force count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      key <- Gen.frequency(4 -> Gen.oneOf("a", "b", "c"), 1 -> Gen.const(null: String))
+      s <- Gen.choose(-50L, 50L)
+      // mostly well-formed, some inverted, some point intervals
+      len <- Gen.frequency(6 -> Gen.choose(0L, 30L), 1 -> Gen.choose(-20L, -1L))
+    } yield (key, s, s + len)
+    val tblGen = for {
+      nl <- Gen.choose(0, 120)
+      nr <- Gen.choose(0, 60)
+      ls <- Gen.listOfN(nl, rowGen)
+      rs <- Gen.listOfN(nr, rowGen)
+    } yield (ls, rs)
+    (0 until 25).foreach { i =>
+      val (ls, rs) = tblGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val l = ls.zipWithIndex.map { case ((k, s, e), id) => (id.toLong, k, s, e) }
+        .toDF("lid", "k", "ls", "le")
+      val r = rs.zipWithIndex.map { case ((k, s, e), id) => (id.toLong, k, s, e) }
+        .toDF("rid", "k2", "rs", "re")
+      def q = l.join(r, col("k") === col("k2") &&
+          col("ls") <= col("re") && col("rs") <= col("le"))
+        .groupBy("rid").agg(count(lit(1)).as("n"))
+      val got = withRule(on = true)(
+        q.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq)
+      // local brute force over the same rows
+      val expect = rs.zipWithIndex.flatMap { case ((k2, s2, e2), rid) =>
+        val n = ls.count { case (k1, s1, e1) =>
+          k1 != null && k2 != null && k1 == k2 && s1 <= e2 && s2 <= e1 }
+        if (n > 0) Some((rid.toLong, n.toLong)) else None
+      }.sorted
+      assert(got === expect, s"seed=$i")
+    }
+  }
+
   test("groups that only exist through zero-count probes never surface") {
     // a target on a contig with no reads at all: inner join emits no
     // row, so the group must be absent — not present with count 0
