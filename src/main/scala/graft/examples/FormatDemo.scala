@@ -108,6 +108,21 @@ object FormatDemo {
     println(s"[demo] CSI bounded traversal (no sidecar, no .bai): chrA:100-300 -> $viaCsi " +
       s"(matches: ${viaCsi == bounded})")
 
+    // DataSource V2: the same formats as SQL tables — BAM predicate
+    // pushdown prunes chunks through the index before tasks launch
+    val sqlReads = spark.read.format("bam").load(bam)
+      .filter(col("rname") === "chrA" && col("pos").between(100, 300))
+    val sqlPlan = sqlReads.queryExecution.executedPlan.toString
+    println(s"[demo] DSv2 bam: ${sqlReads.count()} rows via SQL filter " +
+      s"(pushdown in plan: ${sqlPlan.contains("pushed")}); " +
+      s"sam table: ${spark.read.format("sam").load(sam).count()}; " +
+      s"cram table: ${spark.read.format("cram").load(cram).count()}")
+    val v2out = s"$outDir/demo_v2.bam"
+    spark.read.format("bam").load(bam)
+      .write.format("bam").option("header", bam).mode("overwrite").save(v2out)
+    println(s"[demo] DSv2 bam write: ${BamIO.read(spark, v2out).count()} rows back " +
+      s"(sidecar: ${new java.io.File(v2out + ".sidx").exists()})")
+
     // BCF with typed genotype matrices through the variant dispatch
     val gtDicts = BcfIO.Dicts(Array("chr0", "chr1", "chr2"), Array("PASS"),
       Array("DP"), fmtKeys = Array("GT", "DP"))
