@@ -145,6 +145,8 @@ class BamScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
       case GreaterThanOrEqual("pos", v: Number) => lo = math.max(lo, v.longValue()); true
       case LessThan("pos", v: Number) => hi = math.min(hi, v.longValue() - 1); true
       case LessThanOrEqual("pos", v: Number) => hi = math.min(hi, v.longValue()); true
+      case EqualTo("pos", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue()); true
       case _ => false
     }
     pushed = contigs match {

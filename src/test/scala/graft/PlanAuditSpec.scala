@@ -98,6 +98,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial agg
   }
 
+  test("q_tfidf broadcasts the df dim and rank-prunes per doc") {
+    val plan = planOf(graft.queries.Corpus.qTfidf(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan) // only 3 rows/doc flow on
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_decontaminate joins shingles with a broadcast, no shuffle join") {
+    val plan = planOf(graft.queries.Corpus.qDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan) // eval side is tiny
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_pivot_events and q_quantiles keep map-side partial aggregation") {
+    val p1 = planOf(graft.queries.Corpus.qPivotEvents(spark, sf))
+    assert("HashAggregate".r.findAllIn(p1).length >= 2, p1)
+    val p2 = planOf(graft.queries.Corpus.qQuantiles(spark, sf))
+    // one window partitioning feeds both rn and cnt — a single exchange
+    // before the final orderBy range partitioner
+    assert("Exchange hashpartitioning".r.findAllIn(p2).length === 1, p2)
+  }
+
   test("q_sample_hash predicate evaluates at the scan stage (no shuffle before sampling)") {
     val plan = planOf(graft.queries.Analytics.qSampleHash(spark, sf))
     // the hash predicate rides the scan's DataFilters — sampling is a
