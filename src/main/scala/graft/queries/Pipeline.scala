@@ -142,21 +142,29 @@ object Pipeline {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
+    var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .persist()
+      .persist() // the persisted frame — unpersist must target IT,
+                 // not a projection derived from it (no-op otherwise)
+    var labels = cached
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      // carry each doc's previous label through the aggregation so the
+      // convergence check needs no second join: every doc appears
+      // exactly once in the self branch (old = its previous label,
+      // null on neighbor rows; min ignores nulls)
       val nbr = edges.join(labels, edges("src") === labels("doc"))
-        .select(col("dst").as("doc"), col("label"))
-      val next = labels.select("doc", "label").union(nbr)
-        .groupBy("doc").agg(min("label").as("label"))
+        .select(col("dst").as("doc"), col("label"),
+          lit(null).cast("long").as("old"))
+      val next = labels.select(col("doc"), col("label"), col("label").as("old"))
+        .union(nbr)
+        .groupBy("doc").agg(min("label").as("label"), min("old").as("old"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("label") < col("old")).limit(1).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc", "label")
       converged = changed == 0
       rounds += 1
     }
