@@ -169,7 +169,7 @@ object Corpus {
   val qPivotEventsSql: String = {
     val cols = EventTypes.flatMap { t =>
       Seq(
-        s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS v_$t")
     }.mkString(",\n  ")
     s"""SELECT user_id,

@@ -59,8 +59,14 @@ def main():
                 continue
             # exact value compare, column by column
             bad = []
+            warned = []
             for c in sp.columns:
                 a, b = sp[c], du[c]
+                if str(a.dtype) != str(b.dtype):
+                    # The driver's hash compare is dtype-sensitive (e.g.
+                    # DuckDB HUGEINT vs Spark BIGINT fails it even when
+                    # values match) — surface every coercion we perform.
+                    warned.append((c, str(a.dtype), str(b.dtype)))
                 try:
                     b = b.astype(a.dtype)
                 except Exception:
@@ -74,7 +80,8 @@ def main():
                 print(f"FAIL {name}: value diffs {bad}")
                 n_fail += 1
             else:
-                print(f"PASS {name} ({len(sp)} rows)")
+                w = f" DTYPE-WARN {warned}" if warned else ""
+                print(f"PASS {name} ({len(sp)} rows){w}")
                 n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
