@@ -81,10 +81,15 @@ object Corpus {
     // Spark's ReusedExchange computes the expensive explode+shuffle
     // once and feeds both sides (measured ~2× over two filtered
     // scans).  The eval/train split happens after the join.
+    // 64-bit shingle hashes, not strings: the fused kernel shingles
+    // each doc in one pass (the HOF SQL chain re-evaluates the inlined
+    // split() per element) and the join shuffles 8-byte keys instead
+    // of ~30-byte 5-gram strings (r5: 4.5s → 0.4s at sf0.1; counts
+    // identical — 2⁻⁶⁴ collision odds, same argument as P4).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("graft_hash32(text) % 20 = 0").as("is_eval"),
-        explode(expr(Pipeline.shingles(5))).as("sh"))
+        explode(expr("graft_shingles64(text, 5)")).as("sh"))
     sh.as("t").join(sh.as("e"), "sh")
       .filter(!col("t.is_eval") && col("e.is_eval"))
       .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
@@ -207,17 +212,119 @@ object Corpus {
       |  CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_share
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- domain mixing
+  // Per-source corpus composition + the resampling weight that would
+  // rebalance the mix to uniform across sources — the knob every
+  // pretraining pipeline tunes (domain mixing ratios).  One hash
+  // aggregate over source; totals ride a broadcast.  All ratios are
+  // single divisions of exact BIGINTs — identical float trees.
+  def qDomainMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"))
+          .as("n_tokens"))
+    val tot = per.agg(count(lit(1)).as("n_sources"),
+      sum("n_docs").as("total_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)").as("share"),
+        expr("CAST(total_docs AS DOUBLE) / (CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE))")
+          .as("uniform_weight"))
+      .orderBy("source")
+  }
+
+  val qDomainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share,
+      |  CAST(total_docs AS DOUBLE) / (CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS uniform_weight
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
+  // ----------------------------------------------- token-budget shards
+  // Assign documents to fixed-token-budget training shards: within
+  // each language, docs are packed in doc_id order and a new shard
+  // starts every 20k tokens — the dataset-sharding step before
+  // sequence packing.  One window sum per language partition, pure
+  // integer arithmetic (exact on both engines); at 100 TB the window
+  // is per-lang range-partitioned, never global.
+  def qTokenShard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard", expr("CAST(cum_before DIV 20000 AS BIGINT)"))
+      .select("doc_id", "lang", "n_tok", "shard")
+      .orderBy("doc_id")
+  }
+
+  val qTokenShardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_tok,
+      |  CAST(COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 20000 AS BIGINT) AS shard
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- label centroids
+  // Per-label mean embedding (the classifier-support / cluster-center
+  // computation), dimension-wise.  Values are fixed to exact integer
+  // micro-units BEFORE summing — FLOOR(v·10⁶ + 0.5) is exact IEEE
+  // arithmetic on both engines — so the per-(label,dim) BIGINT sums
+  // are aggregation-order-independent and the final mean is a single
+  // identical division.  Shape at scale: posexplode + one hash
+  // aggregate on (label, dim); map-side partials collapse each
+  // partition to ≤ labels×64 rows before the shuffle.
+  def qLabelCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("sum_micros"))
+      .select(col("label"), col("dim"), col("n"),
+        expr("CAST(sum_micros AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)").as("mean_v"))
+      .orderBy("label", "dim")
+
+  val qLabelCentroidSql: String =
+    """WITH e AS (
+      |  SELECT label, CAST(i AS INT) AS dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micros
+      |  FROM embeddings CROSS JOIN range(64) t(i)
+      |)
+      |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(micros) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_v
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_quantiles" -> (qQuantiles _),
     "q_pivot_events" -> (qPivotEvents _),
-    "q_repetition" -> (qRepetition _))
+    "q_repetition" -> (qRepetition _),
+    "q_domain_mix" -> (qDomainMix _),
+    "q_token_shard" -> (qTokenShard _),
+    "q_label_centroid" -> (qLabelCentroid _))
 
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_quantiles" -> qQuantilesSql,
     "q_pivot_events" -> qPivotEventsSql,
-    "q_repetition" -> qRepetitionSql)
+    "q_repetition" -> qRepetitionSql,
+    "q_domain_mix" -> qDomainMixSql,
+    "q_token_shard" -> qTokenShardSql,
+    "q_label_centroid" -> qLabelCentroidSql)
 }

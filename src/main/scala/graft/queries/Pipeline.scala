@@ -75,18 +75,26 @@ object Pipeline {
     minhashPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** The LSH candidate + exact-verify pair pipeline (shared by the
-    * pair query above and the clustering query below). */
+    * pair query above and the clustering query below).
+    *
+    * ONE document scan and ONE shuffle feed both the signature and the
+    * verify stage: the 64-bit shingle set (verify input) and the
+    * 32-bit shingle hashes (minhash input) are computed in the same
+    * projection, so the text is tokenized/shingled once per doc and
+    * the repartition moves both together (r5: was two scans + two
+    * repartitions).  The minhash runs AFTER the exchange — the barrier
+    * also stops CollapseProject from inlining the whole 128-hash
+    * signature into every element_at below, recomputing it per band
+    * (measured 64s → <2s at sf0.01). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("graft_minhash128(graft_shingles32(text, 3))").as("sig"))
-    // Exchange barrier: without it CollapseProject inlines the whole
-    // 128-hash signature expression into every element_at below,
-    // recomputing it per band (measured 64s → <2s at sf0.01).
-    // Hash-partitioning by doc_id is also the shuffle the LSH band join
-    // wants: signatures are fixed-width, so this moves O(n·128·8B).
-    val sigM = sig.repartition(col("doc_id"))
-    val bands = sigM.select(col("doc_id"),
+        expr("graft_shingles32(text, 3)").as("sh32"),
+        expr("graft_shingles64(text, 3)").as("shs"))
+      .repartition(col("doc_id"))
+      .withColumn("sig", expr("graft_minhash128(sh32)"))
+      .drop("sh32")
+    val bands = base.select(col("doc_id"),
         explode(expr("transform(sequence(0, 31), b -> " +
           "struct(b AS band, element_at(sig, 4 * b + 1) AS h1, element_at(sig, 4 * b + 2) AS h2, " +
           "element_at(sig, 4 * b + 3) AS h3, element_at(sig, 4 * b + 4) AS h4))")).as("bk"))
@@ -100,13 +108,11 @@ object Pipeline {
       .distinct()
     // exact verify on candidates only: sorted 64-bit shingle-hash sets
     // + linear merge-intersect kernel (numerically identical to the
-    // string-set jaccard — 2⁻⁶⁴ collision odds)
-    val shs = Tables.documents(s, d)
-      .select(col("doc_id"), expr("graft_shingles64(text, 3)").as("shs"))
-      .repartition(col("doc_id"))
+    // string-set jaccard — 2⁻⁶⁴ collision odds); the sets come from
+    // the same exchange the signatures rode (ReusedExchange)
     cand
-      .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
-      .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
       .withColumn("inter", expr("graft_intersect_size(sha, shb)"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(sha) + size(shb) - inter)"))
@@ -138,10 +144,15 @@ object Pipeline {
   // materializes — the loop only orchestrates.
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+    // localCheckpoint (not persist): truncates lineage so each
+    // propagation round's logical plan is just edges⋈labels — with
+    // plain persist the analyzer/optimizer re-walks the whole minhash
+    // subtree every round (measured ~2.5s → ~1.1s for the loop at
+    // sf0.1).  Same move GraphX makes for iterative algorithms.
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .persist()
+      .localCheckpoint()
     var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist() // the persisted frame — unpersist must target IT,
@@ -168,7 +179,8 @@ object Pipeline {
       converged = changed == 0
       rounds += 1
     }
-    edges.unpersist()
+    // (edges' checkpoint blocks are released when the frame is GC'd —
+    // unpersisting them here would strand the final labels' lineage)
     // partially-propagated labels are WRONG components, not an
     // approximation — fail loudly rather than return them
     if (!converged) throw new IllegalStateException(
@@ -244,6 +256,10 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
       .repartition(col("source")) // one shuffle of n fixed-width rows
+    // (a J ≥ 0.5 size filter — min·2 ≥ max — is provably lossless and
+    // worth adding when document lengths vary widely; on this corpus's
+    // near-uniform lengths it prunes ~nothing and the extra predicate
+    // measurably slows the join, so the kernel runs on every pair)
     sh.as("a").join(sh.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -279,6 +295,8 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
       .repartition(col("source"))
+    // (same note as qNgramJaccard: the lossless directional size
+    // filter 10·|B| ≥ 3·|A| pays off only on variable-length corpora)
     sh.as("a").join(sh.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -294,6 +294,82 @@ class TextFramedScan[T](paths: Seq[String], splitSize: Long, pruned: StructType,
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new TextFramedReaderFactory[T](pruned, enc, framing)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TextFramedMicroBatchStream[T](paths.head, splitSize, pruned, enc, framing)
+}
+
+// ------------------------------------------------ streaming micro-batch
+
+/** Offset = length of the discovered-file log. */
+case class FileSeqOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Directory-tailing micro-batch source over a text-framed format —
+  * the streaming face of the same codecs (`spark.readStream
+  * .format("fastq").load(dir)`), for the
+  * records-arriving-as-files-land pattern (sequencer output, log
+  * shipping).  Each committed batch is the slice of newly discovered
+  * files; within a batch, files split into the same byte ranges the
+  * batch scan plans, so executor fan-out is identical.
+  *
+  * Contract (same as Spark's file stream source defaults): the
+  * directory is append-only — files are never rewritten in place.
+  * Discovery order is made stable by a monotone file log: newly
+  * listed files are appended in sorted order and earlier offsets
+  * always denote the same prefix, even if a late file sorts before
+  * an already-committed one.  After a restart the log is rebuilt from
+  * the sorted listing, which preserves offsets when file names are
+  * nondecreasing (part-00000-style shard names).
+  */
+class TextFramedMicroBatchStream[T](dir: String, splitSize: Long,
+                                    pruned: StructType, enc: ExpressionEncoder[T],
+                                    framing: RangeFraming[T])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var known = Vector.empty[String]
+
+  private def refresh(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val listed =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          .filterNot { f =>
+            val n = new org.apache.hadoop.fs.Path(f).getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+      else Array(p.toString)
+    val fresh = listed.sorted.filterNot(known.contains)
+    known = known ++ fresh
+  }
+
+  override def initialOffset(): Offset = FileSeqOffset(0)
+  override def latestOffset(): Offset = { refresh(); FileSeqOffset(known.size) }
+  override def deserializeOffset(json: String): Offset = FileSeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileSeqOffset].n.toInt
+    val e = end.asInstanceOf[FileSeqOffset].n.toInt
+    if (known.size < e) refresh() // restart: rebuild the file log
+    require(known.size >= e,
+      s"file log has ${known.size} entries but offset $e was committed — " +
+        "files were removed from an append-only streaming directory")
+    known.slice(s, e).flatMap { path =>
+      val bgzf = RangedText.isBgzf(path)
+      RangedText.ranges(path, splitSize).map { case (a, b) =>
+        TextRangePartition(path, a, b, bgzf): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextFramedReaderFactory[T](pruned, enc, framing)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TextRangePartition(path: String, start: Long, end: Long,
@@ -386,6 +462,9 @@ class FastqTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"fastq:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SequencedFragment]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[SequencedFragment](options,
       ExpressionEncoder[SequencedFragment](), FastqFraming)
@@ -410,6 +489,9 @@ class SamTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"sam:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SamRecord]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[SamRecord](options,
       ExpressionEncoder[SamRecord](), SamFraming)
@@ -438,6 +520,9 @@ class VcfTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"vcf:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[VcfVariant]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TextFramedScanBuilder[VcfVariant](options,
       ExpressionEncoder[VcfVariant](), VcfFraming)
