@@ -483,6 +483,65 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** word_ngrams(text, n): positional word n-gram STRINGS of
+    * lower(text) — `transform(sequence(0, size(t)-n), i ->
+    * concat_ws(' ', slice(t, i+1, n)))` fused into one pass (the HOF
+    * tree re-evaluates the inlined split() per element and pays a
+    * multi-second codegen/JIT warm-up on first use).  Fewer than n
+    * tokens → empty array. */
+  case class WordNgrams(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_ngrams"
+
+    override def nullSafeEval(t: Any, n: Any): Any =
+      GraftFunctions.wordNgrams(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $fn.wordNgrams($t, $n);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val tokens = {
+      val out = new scala.collection.mutable.ArrayBuffer[String]()
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') { out += s.substring(start, i); start = i + 1 }
+        i += 1
+      }
+      out += s.substring(start)
+      out
+    }
+    val m = tokens.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[UTF8String])
+    val arr = new Array[UTF8String](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** grams32(text, k): 32-bit md5 hash of every k-char gram of
     * lower(text), in position order (NOT distinct — winnowing needs
     * the positional sequence).  Equals
@@ -576,7 +635,9 @@ object GraftFunctions {
     ("graft_shingles64", "distinct word n-gram 64-bit hashes, sorted",
       es => ShingleHashes(es(0), es(1), wide = true)),
     ("graft_grams32", "positional k-char-gram 32-bit hashes",
-      es => Grams32(es(0), es(1))))
+      es => Grams32(es(0), es(1))),
+    ("graft_word_ngrams", "positional word n-gram strings",
+      es => WordNgrams(es(0), es(1))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

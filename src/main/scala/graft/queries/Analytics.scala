@@ -189,11 +189,9 @@ object Analytics {
   // before it moves.
   def qNgramCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(split(lower(col("text")), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
-        .as("bigram"))
+      // fused kernel: one tokenize+join pass per doc; docs with < 2
+      // tokens yield an empty array (≡ the old size(t) >= 2 filter)
+      .select(explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("bigram"))

@@ -100,6 +100,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_word_ngrams matches the transform/concat SQL chain") {
+    import spark.implicits._
+    val df = Seq("The quick Brown fox", "one two", "solo", "a  b").toDF("text")
+    val rows = df.select(
+      expr("graft_word_ngrams(text, 2)").as("k"),
+      expr("CASE WHEN size(split(lower(text), ' ')) < 2 THEN array() " +
+        "ELSE transform(sequence(0, size(split(lower(text), ' ')) - 2), " +
+        "i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i + 1])) END")
+        .as("s"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("graft_intersect_size equals array_intersect size on sorted arrays") {
     import spark.implicits._
     val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
