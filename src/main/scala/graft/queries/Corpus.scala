@@ -17,6 +17,13 @@ import graft.Tables
   */
 object Corpus {
 
+  /** Whitespace token count, spelled once per engine — P24/P25 (and
+    * P9's q_token_count) must never drift apart on tokenization. */
+  private val tokCount =
+    "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
+  private val duckTokCount =
+    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+
   // ------------------------------------------------------------ tf-idf
   // Top-3 TF-IDF terms per document — the keyword-extraction /
   // relevance-weighting pass.  Shape at scale: one explode + two hash
@@ -222,8 +229,7 @@ object Corpus {
     val per = Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"))
-          .as("n_tokens"))
+        sum(expr(tokCount)).as("n_tokens"))
     val tot = per.agg(count(lit(1)).as("n_sources"),
       sum("n_docs").as("total_docs"))
     per.crossJoin(broadcast(tot))
@@ -235,9 +241,9 @@ object Corpus {
   }
 
   val qDomainMixSql: String =
-    """WITH per AS (
+    s"""WITH per AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+      |    CAST(SUM($duckTokCount) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source
       |), tot AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
@@ -259,8 +265,7 @@ object Corpus {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("n_tok"))
+      .select(col("doc_id"), col("lang"), expr(tokCount).as("n_tok"))
       .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
       .withColumn("shard", expr("CAST(cum_before DIV 20000 AS BIGINT)"))
       .select("doc_id", "lang", "n_tok", "shard")
@@ -268,9 +273,8 @@ object Corpus {
   }
 
   val qTokenShardSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, lang,
-      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, $duckTokCount AS n_tok
       |  FROM documents
       |)
       |SELECT doc_id, lang, n_tok,
@@ -308,6 +312,47 @@ object Corpus {
       |  CAST(SUM(micros) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_v
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------- token rarity score
+  // Inverse-frequency document scoring — the cheap stand-in for the
+  // LM-perplexity filter of CCNet-style pipelines: documents made of
+  // rare tokens score high, boilerplate of corpus-dominant tokens
+  // scores low.  Per-token rarity is quantized to total DIV freq
+  // (BIGINT integer division — EXACT on both engines, where a float
+  // per-token ratio would hit the double→DECIMAL rounding boundary),
+  // summed exactly, divided once at the end.  Shape at scale: one
+  // explode, one token-frequency aggregate (Zipf-small → broadcast
+  // back), one per-doc aggregate.
+  def qRarityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(expr("total DIV freq")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_tok"), col("rarity_sum"),
+        expr("CAST(rarity_sum AS DOUBLE) / CAST(n_tok AS DOUBLE)").as("rarity_score"))
+      .orderBy("doc_id")
+  }
+
+  val qRarityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), f AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(total // freq) AS BIGINT) AS rarity_sum,
+      |  CAST(CAST(SUM(total // freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rarity_score
+      |FROM t JOIN f USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -316,7 +361,8 @@ object Corpus {
     "q_repetition" -> (qRepetition _),
     "q_domain_mix" -> (qDomainMix _),
     "q_token_shard" -> (qTokenShard _),
-    "q_label_centroid" -> (qLabelCentroid _))
+    "q_label_centroid" -> (qLabelCentroid _),
+    "q_rarity_score" -> (qRarityScore _))
 
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
@@ -326,5 +372,6 @@ object Corpus {
     "q_repetition" -> qRepetitionSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_token_shard" -> qTokenShardSql,
-    "q_label_centroid" -> qLabelCentroidSql)
+    "q_label_centroid" -> qLabelCentroidSql,
+    "q_rarity_score" -> qRarityScoreSql)
 }

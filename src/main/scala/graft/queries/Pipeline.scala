@@ -39,12 +39,9 @@ object Pipeline {
   private val tok = "split(lower(text), ' ')"
   private val duckTok = "string_split(lower(text), ' ')"
 
-  /** Distinct word n-gram shingles. */
-  private[queries] def shingles(n: Int): String =
-    s"CASE WHEN size($tok) < $n THEN array('') ELSE " +
-      s"array_distinct(transform(sequence(0, size($tok) - $n), " +
-      s"i -> concat_ws(' ', slice($tok, i + 1, $n)))) END"
-
+  // (the Spark-side string-shingle SQL builder is gone — every Spark
+  // query shingles through the fused graft_shingles32/64 kernels; the
+  // DuckDB oracles still spell the string form out below)
   private[queries] def duckShingles(n: Int): String =
     s"CASE WHEN len($duckTok) < $n THEN [''] ELSE " +
       s"list_distinct(list_transform(range(len($duckTok) - ${n - 1}), " +
@@ -78,22 +75,26 @@ object Pipeline {
     * pair query above and the clustering query below).
     *
     * ONE document scan and ONE shuffle feed both the signature and the
-    * verify stage: the 64-bit shingle set (verify input) and the
-    * 32-bit shingle hashes (minhash input) are computed in the same
-    * projection, so the text is tokenized/shingled once per doc and
-    * the repartition moves both together (r5: was two scans + two
-    * repartitions).  The minhash runs AFTER the exchange — the barrier
-    * also stops CollapseProject from inlining the whole 128-hash
-    * signature into every element_at below, recomputing it per band
-    * (measured 64s → <2s at sf0.01). */
+    * verify stage: the minhash signature and the 64-bit shingle set
+    * (verify input) are computed in the same map-side projection, so
+    * the text is tokenized/shingled once per doc and the repartition
+    * moves both together (r5: was two scans + two repartitions).  The
+    * exchange doubles as the barrier that stops CollapseProject from
+    * inlining the 128-hash signature into every element_at of the
+    * band explode, recomputing it per band (measured 64s → <2s at
+    * sf0.01; PlanAuditSpec asserts one minhash128 in the plan). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // the signature is computed BELOW the exchange (map side): the
+    // barrier then guarantees everything above references the
+    // shuffled `sig` attribute, so CollapseProject can never inline
+    // graft_minhash128 into the 128 element_at calls of the band
+    // explode (the pre-r2 failure mode) — and the shuffle moves
+    // fixed-width (sig, shs) rows, still one scan + one exchange
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("graft_shingles32(text, 3)").as("sh32"),
+        expr("graft_minhash128(graft_shingles32(text, 3))").as("sig"),
         expr("graft_shingles64(text, 3)").as("shs"))
       .repartition(col("doc_id"))
-      .withColumn("sig", expr("graft_minhash128(sh32)"))
-      .drop("sh32")
     val bands = base.select(col("doc_id"),
         explode(expr("transform(sequence(0, 31), b -> " +
           "struct(b AS band, element_at(sig, 4 * b + 1) AS h1, element_at(sig, 4 * b + 2) AS h2, " +
@@ -144,15 +145,20 @@ object Pipeline {
   // materializes — the loop only orchestrates.
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
-    // localCheckpoint (not persist): truncates lineage so each
-    // propagation round's logical plan is just edges⋈labels — with
-    // plain persist the analyzer/optimizer re-walks the whole minhash
-    // subtree every round (measured ~2.5s → ~1.1s for the loop at
-    // sf0.1).  Same move GraphX makes for iterative algorithms.
-    val edges = pairs.union(
+    // checkpoint (not persist): truncates lineage so each propagation
+    // round's logical plan is just edges⋈labels — with plain persist
+    // the analyzer/optimizer re-walks the whole minhash subtree every
+    // round (measured ~2.5s → ~1.1s for the loop at sf0.1).  When a
+    // reliable checkpoint dir is configured (a real cluster, where an
+    // executor loss would otherwise strand the blocks with no
+    // recompute path), use it; local runs fall back to executor-local
+    // checkpointing.
+    val rawEdges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .localCheckpoint()
+    val edges =
+      if (s.sparkContext.getCheckpointDir.isDefined) rawEdges.checkpoint()
+      else rawEdges.localCheckpoint()
     var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist() // the persisted frame — unpersist must target IT,

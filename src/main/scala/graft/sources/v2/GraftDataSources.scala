@@ -109,6 +109,9 @@ class BamTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"bam:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SamRecord]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new BamScanBuilder(GraftDataSources.pathsOf(options), options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -204,6 +207,16 @@ class BamScan(paths: Seq[String], pruned: StructType, pushed: Array[Filter],
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = new BamReaderFactory(pruned)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"streaming reads tail exactly one directory; got ${paths.size} paths")
+    require(optionIntervals.isEmpty && !includeUnmapped,
+      "bounded traversal (intervals/includeunmapped) applies to batch reads; " +
+        "filter the stream with ordinary predicates instead")
+    new BamMicroBatchStream(paths.head, splitSize, pruned, checkpointLocation)
+  }
 }
 
 case class BamPartition(file: String, startVo: Long, endVo: Long,
@@ -295,8 +308,13 @@ class TextFramedScan[T](paths: Seq[String], splitSize: Long, pruned: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new TextFramedReaderFactory[T](pruned, enc, framing)
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TextFramedMicroBatchStream[T](paths.head, splitSize, pruned, enc, framing)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"streaming reads tail exactly one directory; got ${paths.size} paths " +
+        s"(${paths.mkString(", ")}) — start one query per directory")
+    new TextFramedMicroBatchStream[T](paths.head, splitSize, pruned, enc,
+      framing, checkpointLocation)
+  }
 }
 
 // ------------------------------------------------ streaming micro-batch
@@ -320,31 +338,77 @@ case class FileSeqOffset(n: Long)
   * Discovery order is made stable by a monotone file log: newly
   * listed files are appended in sorted order and earlier offsets
   * always denote the same prefix, even if a late file sorts before
-  * an already-committed one.  After a restart the log is rebuilt from
-  * the sorted listing, which preserves offsets when file names are
-  * nondecreasing (part-00000-style shard names).
+  * an already-committed one.  The log is PERSISTED under the query's
+  * checkpoint location, so a restart resumes the exact same
+  * offset→file mapping — a file that landed while the stream was
+  * down is picked up as new, regardless of how its name sorts.
+  * A not-yet-created directory reads as empty (the producer may not
+  * have started), matching Spark's file stream source.
   */
-class TextFramedMicroBatchStream[T](dir: String, splitSize: Long,
-                                    pruned: StructType, enc: ExpressionEncoder[T],
-                                    framing: RangeFraming[T])
+abstract class FileLogMicroBatchStream(dir: String, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private var known = Vector.empty[String]
+  /** Batch-identical partition planning for one newly landed file. */
+  protected def planFile(path: String): Seq[InputPartition]
+
+  /** Filter on file NAMES the format claims (sidecar indexes and
+    * foreign files in the landing directory must not enter the log). */
+  protected def accepts(name: String): Boolean = true
+
+  private val hconf = new org.apache.hadoop.conf.Configuration()
+  private val logPath =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-file-log")
+
+  private var known: Vector[String] = loadLog()
+  private var knownSet: Set[String] = known.toSet
+
+  /** The committed offset→file mapping, one path per line in log
+    * order.  Written atomically (temp + rename) on every extension. */
+  private def loadLog(): Vector[String] = {
+    val fs = logPath.getFileSystem(hconf)
+    if (!fs.exists(logPath)) Vector.empty
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(logPath), java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toVector
+      finally in.close()
+    }
+  }
+
+  private def saveLog(): Unit = {
+    val fs = logPath.getFileSystem(hconf)
+    fs.mkdirs(logPath.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(logPath.getParent,
+      logPath.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(known.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    if (!fs.rename(tmp, logPath))
+      throw new java.io.IOException(s"could not commit file log $logPath")
+  }
 
   private def refresh(): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf)
     val listed =
-      if (fs.getFileStatus(p).isDirectory)
+      if (!fs.exists(p)) Array.empty[String] // producer not started yet
+      else if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filterNot { f =>
+          .filter { f =>
             val n = new org.apache.hadoop.fs.Path(f).getName
-            n.startsWith("_") || n.startsWith(".")
+            !n.startsWith("_") && !n.startsWith(".") && accepts(n)
           }
       else Array(p.toString)
-    val fresh = listed.sorted.filterNot(known.contains)
-    known = known ++ fresh
+    val fresh = listed.sorted.filterNot(knownSet.contains)
+    if (fresh.nonEmpty) {
+      known = known ++ fresh
+      knownSet = knownSet ++ fresh
+      saveLog()
+    }
   }
 
   override def initialOffset(): Offset = FileSeqOffset(0)
@@ -354,22 +418,50 @@ class TextFramedMicroBatchStream[T](dir: String, splitSize: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileSeqOffset].n.toInt
     val e = end.asInstanceOf[FileSeqOffset].n.toInt
-    if (known.size < e) refresh() // restart: rebuild the file log
+    if (known.size < e) refresh()
     require(known.size >= e,
       s"file log has ${known.size} entries but offset $e was committed — " +
         "files were removed from an append-only streaming directory")
-    known.slice(s, e).flatMap { path =>
-      val bgzf = RangedText.isBgzf(path)
-      RangedText.ranges(path, splitSize).map { case (a, b) =>
-        TextRangePartition(path, a, b, bgzf): InputPartition
-      }
-    }.toArray
+    known.slice(s, e).flatMap(planFile).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TextFramedReaderFactory[T](pruned, enc, framing)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+class TextFramedMicroBatchStream[T](dir: String, splitSize: Long,
+                                    pruned: StructType, enc: ExpressionEncoder[T],
+                                    framing: RangeFraming[T],
+                                    checkpointLocation: String)
+    extends FileLogMicroBatchStream(dir, checkpointLocation) {
+  override protected def planFile(path: String): Seq[InputPartition] = {
+    val bgzf = RangedText.isBgzf(path)
+    RangedText.ranges(path, splitSize).map { case (a, b) =>
+      TextRangePartition(path, a, b, bgzf): InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextFramedReaderFactory[T](pruned, enc, framing)
+}
+
+/** BAM shards landing in a directory (aligner output): each new file
+  * plans the same virtual-offset splits the batch scan would. */
+class BamMicroBatchStream(dir: String, splitSize: Long, pruned: StructType,
+                          checkpointLocation: String)
+    extends FileLogMicroBatchStream(dir, checkpointLocation) {
+  // aligners land .bam files alongside their sidecar indexes
+  // (.bam.sidx/.bai/.csi/.gbi) — only the alignments are records
+  override protected def accepts(name: String): Boolean = name.endsWith(".bam")
+  override protected def planFile(path: String): Seq[InputPartition] = {
+    val (header, ranges) = BamIO.planSplits(path, Nil, splitSize,
+      includeUnmapped = false)
+    ranges.map { case (s, e) =>
+      BamPartition(path, s, e, header.refs, Array.empty, includeUnmapped = false)
+        : InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BamReaderFactory(pruned)
 }
 
 case class TextRangePartition(path: String, start: Long, end: Long,

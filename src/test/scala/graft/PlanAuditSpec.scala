@@ -61,6 +61,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_dedup_minhash never recomputes the signature per band") {
+    // the exchange barrier must keep CollapseProject from inlining
+    // graft_minhash128 into the 128 element_at calls of the band
+    // explode (the pre-r2 128× recompute): every Generate must
+    // reference `sig` as a shuffled ATTRIBUTE, never the kernel call
+    val df = Pipeline.qDedupMinhash(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    val inlined = logical.linesIterator
+      .filter(_.contains("Generate explode"))
+      .filter(_.contains("graft_minhash128"))
+      .toSeq
+    assert(inlined.isEmpty, s"signature inlined into the band explode:\n$logical")
+    // and the duplicated band subtree (self-join) must compute once
+    // physically — the second branch rides a reused exchange (AQE
+    // materializes reuse at runtime, so execute before inspecting)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val plan = planOf(Relational.qGroupbyKey(spark, sf))
     // two HashAggregate layers (partial + final) around the exchange
@@ -109,6 +129,22 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(graft.queries.Corpus.qDecontaminate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan) // eval side is tiny
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r5 corpus queries keep partial aggregation and broadcast their dims") {
+    // q_domain_mix / q_rarity_score: per-group aggregates must have a
+    // map-side partial stage, and the tiny totals dim must broadcast
+    val mix = planOf(graft.queries.Corpus.qDomainMix(spark, sf))
+    assert("HashAggregate".r.findAllIn(mix).length >= 2, mix)
+    assert(mix.contains("Broadcast"), mix)
+    assert(!mix.contains("CartesianProduct"), mix)
+    val rare = planOf(graft.queries.Corpus.qRarityScore(spark, sf))
+    assert("HashAggregate".r.findAllIn(rare).length >= 2, rare)
+    assert(!rare.contains("CartesianProduct"), rare)
+    // q_label_centroid: posexplode then ONE shuffle on (label, dim)
+    val cent = planOf(graft.queries.Corpus.qLabelCentroid(spark, sf))
+    assert("HashAggregate".r.findAllIn(cent).length >= 2, cent)
+    assert(!cent.contains("SortMergeJoin"), cent)
   }
 
   test("q_pivot_events and q_quantiles keep map-side partial aggregation") {

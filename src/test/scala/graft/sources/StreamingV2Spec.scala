@@ -49,6 +49,44 @@ class StreamingV2Spec extends SparkSpec {
 
     // nothing new: restart appends nothing
     assert(runOnce() === 95L)
+
+    // a late file whose name sorts BEFORE committed ones lands while
+    // the stream is down — the persisted file log (not listing order)
+    // defines offsets, so it must still be read exactly once
+    writeFile(dir, "a-late.fastq", 95 until 105)
+    assert(runOnce() === 105L)
+    assert(runOnce() === 105L)
+  }
+
+  test("bam micro-batch stream tails a directory of alignment shards") {
+    import spark.implicits._
+    import graft.model.{SamHeader, SamRecord, SamRef}
+    val header = SamHeader(
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000",
+      Array(SamRef("chr1", 100000)))
+    def rec(i: Int) = SamRecord(s"r$i", 0, "chr1", 1 + i, 60, "10M", "*", 0, 0,
+      "ACGTACGTAC", "IIIIIIIIII", Array.empty)
+    val dir = tmpDir("bam_stream")
+    val ckpt = tmpDir("bam_ckpt")
+    val out = tmpDir("bam_out")
+    def writeShard(name: String, range: Range): Unit =
+      BamIO.writeSorted(spark.createDataset(range.map(rec)).coalesce(1),
+        header, s"$dir/$name")
+    writeShard("shard-000.bam", 0 until 30)
+
+    def runOnce(): Long = {
+      val q = spark.readStream.format("bam").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).count()
+    }
+
+    assert(runOnce() === 30L)
+    writeShard("shard-001.bam", 30 until 50)
+    assert(runOnce() === 50L)
+    assert(runOnce() === 50L)
   }
 
   test("streamed rows carry the same parsed fields as the batch reader") {
