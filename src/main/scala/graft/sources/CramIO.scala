@@ -212,66 +212,71 @@ object CramIO {
 
   // -------------------------------------------------------------- write
 
-  /** Write a CRAM: file definition + SAM-header container + one data
-    * container per partition (parallel shards, driver concat — the
-    * BamIO shape) + EOF container. */
-  def write(ds: Dataset[SamRecord], header: SamHeader, file: String): Unit = {
+  /** Streaming per-task shard writer: records arrive one at a time
+    * and leave as ~1 MB containers — a multi-GB partition never
+    * buffers.  Shared by the typed write path and the DataSource V2
+    * sink. */
+  final class ShardWriter(pathStr: String, refIdx: Map[String, Int]) {
+    private val out = {
+      val (tfs, tp) = Fs.get(pathStr)
+      new java.io.BufferedOutputStream(tfs.create(tp, true))
+    }
+    private var nTotal = 0L
+    private val recs = new ByteArrayOutputStream(1 << 20)
+    private var n = 0
+    private var minPos = Int.MaxValue
+    private var maxEnd = 0
+    private var refSeq = -2 // -2 = unset; -1 unmapped; >=0 single-ref; -3 multi-ref marker
+    private var bases = 0L
+
+    private def flush(): Unit = if (n > 0) {
+      val recBytes = recs.toByteArray
+      val ext = Block(Gzip, External, 1, recBytes)
+      val rid = if (refSeq == -3) -2 else refSeq // spec: -2 = multi-ref slice
+      val start = if (rid >= 0 && minPos != Int.MaxValue) minPos else 0
+      val span = if (rid >= 0 && maxEnd >= minPos) maxEnd - minPos + 1 else 0
+      val slice = sliceHeaderBlock(rid, start, span, n, nTotal, Seq(1))
+      // serialize the body once; the landmark (slice header offset)
+      // falls out of the running size
+      val body = new ByteArrayOutputStream(recBytes.length / 2 + 256)
+      writeBlock(body, compressionHeaderBlock())
+      val landmark = body.size()
+      writeBlock(body, slice)
+      writeBlock(body, ext)
+      writeContainerRaw(out, rid, start, span, n, nTotal, bases,
+        nBlocks = 3, Seq(landmark), body.toByteArray)
+      nTotal += n
+      recs.reset(); n = 0; minPos = Int.MaxValue; maxEnd = 0; refSeq = -2; bases = 0L
+    }
+
+    def write(rec: SamRecord): Unit = {
+      val data = BamCodec.encode(rec, refIdx)
+      val len = data.length
+      recs.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
+      recs.write(data)
+      val ri = refIdx.getOrElse(rec.rname, -1)
+      refSeq = if (refSeq == -2) ri else if (refSeq == ri) refSeq else -3
+      if (rec.pos > 0) {
+        minPos = math.min(minPos, rec.pos)
+        maxEnd = math.max(maxEnd, rec.end)
+      }
+      bases += (if (rec.seq == "*") 0 else rec.seq.length)
+      n += 1
+      if (recs.size >= (1 << 20)) flush() // ~1 MB containers
+    }
+
+    /** Flush the tail container, close, return records written. */
+    def finish(): Long = { flush(); out.close(); nTotal }
+
+    def abort(): Unit =
+      try out.close() catch { case _: java.io.IOException => () }
+  }
+
+  /** Driver-side assembly: file definition + SAM-header container +
+    * the shard files under `tmpDir` in name order + EOF container. */
+  private[sources] def mergeShards(file: String, header: SamHeader,
+                                   tmpDir: org.apache.hadoop.fs.Path): Unit = {
     val (fs, path) = Fs.get(file)
-    val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
-    fs.mkdirs(tmpDir)
-    val tmpDirStr = tmpDir.toString
-    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
-
-    val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (tfs, _) = Fs.get(tmpDirStr)
-      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram")
-      val out = new java.io.BufferedOutputStream(tfs.create(shardPath, true))
-      var nTotal = 0L
-      val recs = new ByteArrayOutputStream(1 << 20)
-      var n = 0
-      var minPos = Int.MaxValue
-      var maxEnd = 0
-      var refSeq = -2 // -2 = unset; -1 unmapped; >=0 single-ref; -3 multi-ref marker
-      var bases = 0L
-      def flush(): Unit = if (n > 0) {
-        val recBytes = recs.toByteArray
-        val ext = Block(Gzip, External, 1, recBytes)
-        val rid = if (refSeq == -3) -2 else refSeq // spec: -2 = multi-ref slice
-        val start = if (rid >= 0 && minPos != Int.MaxValue) minPos else 0
-        val span = if (rid >= 0 && maxEnd >= minPos) maxEnd - minPos + 1 else 0
-        val slice = sliceHeaderBlock(rid, start, span, n, nTotal, Seq(1))
-        // serialize the body once; the landmark (slice header offset)
-        // falls out of the running size
-        val body = new ByteArrayOutputStream(recBytes.length / 2 + 256)
-        writeBlock(body, compressionHeaderBlock())
-        val landmark = body.size()
-        writeBlock(body, slice)
-        writeBlock(body, ext)
-        writeContainerRaw(out, rid, start, span, n, nTotal, bases,
-          nBlocks = 3, Seq(landmark), body.toByteArray)
-        nTotal += n
-        recs.reset(); n = 0; minPos = Int.MaxValue; maxEnd = 0; refSeq = -2; bases = 0L
-      }
-      it.foreach { rec =>
-        val data = BamCodec.encode(rec, refIdx)
-        val len = data.length
-        recs.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
-        recs.write(data)
-        val ri = refIdx.getOrElse(rec.rname, -1)
-        refSeq = if (refSeq == -2) ri else if (refSeq == ri) refSeq else -3
-        if (rec.pos > 0) {
-          minPos = math.min(minPos, rec.pos)
-          maxEnd = math.max(maxEnd, rec.end)
-        }
-        bases += (if (rec.seq == "*") 0 else rec.seq.length)
-        n += 1
-        if (recs.size >= (1 << 20)) flush() // ~1 MB containers
-      }
-      flush()
-      out.close()
-      Iterator.single((pid, nTotal))
-    }.collect().sortBy(_._1)
-
     val out = new java.io.BufferedOutputStream(fs.create(path, true))
     out.write("CRAM".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.write(3); out.write(0)
@@ -289,6 +294,26 @@ object CramIO {
     writeEofContainer(out)
     out.close()
     fs.delete(tmpDir, true)
+  }
+
+  /** Write a CRAM: file definition + SAM-header container + one data
+    * container per partition (parallel shards, driver concat — the
+    * BamIO shape) + EOF container. */
+  def write(ds: Dataset[SamRecord], header: SamHeader, file: String): Unit = {
+    val (fs, path) = Fs.get(file)
+    val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
+    fs.mkdirs(tmpDir)
+    val tmpDirStr = tmpDir.toString
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+
+    val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val shard = new ShardWriter(
+        new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram").toString, refIdx)
+      it.foreach(shard.write)
+      Iterator.single((pid, shard.finish()))
+    }.collect().sortBy(_._1)
+
+    mergeShards(file, header, tmpDir)
     val _ = shardCounts
   }
 

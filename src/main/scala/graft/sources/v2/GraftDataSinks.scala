@@ -87,13 +87,15 @@ object GraftDataSinks {
     new Path(p.getParent, s".${p.getName}.shards-$queryId").toString
   }
 
-  /** Read a SAM header from an existing .bam or .sam file (the
+  /** Read a SAM header from an existing .bam/.sam/.cram file (the
     * reference's output-header property semantics). */
   private[v2] def samHeaderFrom(opt: Option[String]): graft.model.SamHeader = {
     val path = opt.getOrElse(throw new IllegalArgumentException(
-      "BAM/SAM writes need option(\"header\", <path to an existing .sam or .bam>) " +
-        "— records do not carry the reference dictionary"))
-    if (path.endsWith(".bam")) BamIO.readHeader(path) else Sam.readHeader(path)
+      "BAM/SAM/CRAM writes need option(\"header\", <path to an existing " +
+        ".sam/.bam/.cram>) — records do not carry the reference dictionary"))
+    if (path.endsWith(".bam")) BamIO.readHeader(path)
+    else if (path.endsWith(".cram")) graft.sources.CramIO.readHeader(path)
+    else Sam.readHeader(path)
   }
 
   /** Single-file sinks rewrite the target wholesale; only
@@ -177,6 +179,57 @@ class BamWriterFactory(tmp: String, refIdx: Map[String, Int], granularity: Int,
       private val shard = new BamIO.ShardWriter(attemptPath, refIdx, granularity, partitionId)
       override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
       override def finishAttempt(): BamShardDone = BamShardDone(shard.finish())
+      override def abortAttempt(): Unit = shard.abort()
+    }
+}
+
+// ----------------------------------------------------------------- CRAM
+
+class CramWriteBuilder(target: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    GraftDataSinks.requireOverwrite(truncated, target, "cram")
+    val header = GraftDataSinks.samHeaderFrom(Option(info.options.get("header")))
+    new Write {
+      override def toBatch: BatchWrite =
+        new CramBatchWrite(target, header, info.schema(),
+          GraftDataSinks.shardDir(target, info.queryId()))
+    }
+  }
+}
+
+class CramBatchWrite(target: String, header: graft.model.SamHeader,
+                     schema: StructType, tmp: String) extends BatchWrite {
+  override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
+    val decoder = new GraftDataSinks.RowDecoder(ExpressionEncoder[SamRecord]().schema,
+      schema, GraftDataSinks.RowCodecs.sam)
+    decoder.validate()
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    new CramWriterFactory(tmp, refIdx, decoder)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    graft.sources.CramIO.mergeShards(target, header, new Path(tmp))
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, p) = Fs.get(tmp)
+    fs.delete(p, true)
+  }
+}
+
+class CramWriterFactory(tmp: String, refIdx: Map[String, Int],
+                        decoder: GraftDataSinks.RowDecoder[SamRecord])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardingDataWriter[TextShardDone](tmp, partitionId, taskId, "cram") {
+      // streams record-by-record into ~1 MB containers — a multi-GB
+      // partition never buffers
+      private val shard = new graft.sources.CramIO.ShardWriter(
+        attemptPath.toString, refIdx)
+      override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
+      override def finishAttempt(): TextShardDone = {
+        shard.finish(); TextShardDone(partitionId)
+      }
       override def abortAttempt(): Unit = shard.abort()
     }
 }

@@ -493,8 +493,6 @@ class CramTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"cram:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SamRecord]().schema) {
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ) // write stays on the typed API
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
       with SupportsPushDownRequiredColumns {
     private var required: StructType = schema()
@@ -508,8 +506,7 @@ class CramTable(options: CaseInsensitiveStringMap)
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    throw new UnsupportedOperationException(
-      "cram writes go through graft.sources.CramIO.write (typed API)")
+    new CramWriteBuilder(GraftDataSources.pathsOf(options).head, info)
 }
 
 class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType)

@@ -135,6 +135,27 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2.length === 600)
   }
 
+  test("format(\"cram\") write round-trips through both readers") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2cramw")
+    // header source for the v2 writer (the reference's output-header
+    // property): any existing cram with the right dictionary
+    val headerSrc = s"$dir/hdr.cram"
+    CramIO.write(spark.createDataset(sorted.take(1)), header, headerSrc)
+    val target = s"$dir/out.cram"
+    spark.createDataset(sorted.take(500)).repartition(3).toDF()
+      .write.format("cram").option("header", headerSrc)
+      .mode("overwrite").save(target)
+    val typed = CramIO.read(spark, target).collect()
+      .map(r => (r.qname, r.rname, r.pos)).sorted
+    val v2 = spark.read.format("cram").load(target)
+      .select("qname", "rname", "pos").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    val want = sorted.take(500).map(r => (r.qname, r.rname, r.pos)).sorted
+    assert(typed.toSeq === want)
+    assert(v2.toSeq === want)
+  }
+
   test("format(\"fastq\") matches the typed FASTQ reader") {
     import spark.implicits._
     val dir = tmpDir("dsv2fq")
