@@ -407,17 +407,23 @@ object BamIO {
     * the hadoopbam.bam.intervals property format). */
   def parseIntervals(spec: String, header: SamHeader): Seq[(String, Int, Int)] = {
     val refLen = header.refs.map(r => r.name -> r.length).toMap
+    parseIntervalSpec(spec, c => refLen.getOrElse(c, Int.MaxValue))
+  }
+
+  /** Header-free variant (VCF has no contig-length table to consult;
+    * bare contig names span to `maxEnd`). */
+  def parseIntervalSpec(spec: String,
+                        maxEnd: String => Int = _ => Int.MaxValue): Seq[(String, Int, Int)] =
     spec.split(",").toSeq.filter(_.nonEmpty).map { iv =>
       iv.split(":") match {
         case Array(contig) =>
-          (contig, 1, refLen.getOrElse(contig, Int.MaxValue))
+          (contig, 1, maxEnd(contig))
         case Array(contig, range) =>
           val Array(s, e) = range.split("-").map(_.replace(",", "").trim)
           (contig, s.toInt, e.toInt)
         case _ => throw new IllegalArgumentException(s"bad interval: $iv")
       }
     }
-  }
 
   /** Coordinate-sort (range partition on (refIdx, pos) — balanced
     * writers, no single-task sort) and write with an SO:coordinate

@@ -103,6 +103,47 @@ object RangedText {
                 stopAtEnd: Boolean = true): Iterator[Line] =
     openLines(path, start, end, bgzf, stopAtEnd)._1
 
+  /** Lines of a BGZF VIRTUAL-OFFSET chunk [startVo, endVo): reading
+    * starts exactly at startVo (an index-supplied record start — no
+    * first-line skip, unlike the split-ownership protocol above) and
+    * stops at the first line whose start VO reaches endVo.  This is
+    * the read shape of tabix/BAI chunk resolution, where both bounds
+    * point at record boundaries. */
+  def openLinesAtVo(path: String, startVo: Long, endVo: Long)
+      : (Iterator[Line], () => Unit) = {
+    val (fs, p) = Fs.get(path)
+    val raw = fs.open(p)
+    raw.seek(Bgzf.voCompressed(startVo))
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(raw),
+      Bgzf.voCompressed(startVo))
+    in.seekInBlock(Bgzf.voUncompressed(startVo))
+    val it = new Iterator[Line] {
+      private var nextLine: Line = _
+      private var finished = false
+      private def fetch(): Unit = {
+        if (finished) return
+        val lineStart = in.virtualPos
+        if (lineStart >= endVo) { finished = true; in.close(); return }
+        var c = in.read()
+        if (c < 0) { finished = true; in.close(); return }
+        val sb = new java.lang.StringBuilder(120)
+        while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\r')
+          sb.setLength(sb.length() - 1)
+        nextLine = Line(lineStart, sb.toString)
+      }
+      override def hasNext: Boolean = {
+        if (nextLine == null && !finished) fetch()
+        nextLine != null
+      }
+      override def next(): Line = {
+        if (!hasNext) throw new NoSuchElementException
+        val l = nextLine; nextLine = null; l
+      }
+    }
+    (it, () => try in.close() catch { case _: java.io.IOException => () })
+  }
+
   /** [[readLines]] plus an explicit closer for consumers that may
     * abandon the iterator early (DataSource V2 readers under LIMIT):
     * the stream otherwise closes only at range end / EOF. */

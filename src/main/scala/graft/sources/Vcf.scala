@@ -103,9 +103,143 @@ object Vcf {
       .toDS()
   }
 
+  // ------------------------------------------- bounded traversal (.tbi)
+
+  /** 1-based inclusive end of a variant's reference span (POS through
+    * POS+len(REF)-1, stretched to INFO END= for symbolic alleles) —
+    * must agree with [[Tabix.vcfSpan]] or indexed reads would miss
+    * records the full scan keeps. */
+  def spanEnd(v: VcfVariant): Int = {
+    var end = v.pos.toInt + math.max(1, v.ref.length) - 1
+    var i = 0
+    while (i < v.infoKeys.length) {
+      if (v.infoKeys(i) == "END" && v.infoValues(i).forall(_.isDigit) &&
+        v.infoValues(i).nonEmpty)
+        end = math.max(end, v.infoValues(i).toInt)
+      i += 1
+    }
+    end
+  }
+
+  /** Per-contig disjoint unions of the query intervals, sorted by
+    * start (adjacent/overlapping user intervals collapse — the unit
+    * of exactly-once ownership below). */
+  def mergeIntervals(iv: Seq[(String, Int, Int)]): Map[String, Seq[(Int, Int)]] =
+    iv.groupBy(_._1).map { case (c, is) =>
+      val sorted = is.map(i => (i._2, i._3)).filter(i => i._1 <= i._2).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      sorted.foreach { case (s, e) =>
+        if (out.nonEmpty && s <= out.last._2 + 1)
+          out(out.length - 1) = (out.last._1, math.max(out.last._2, e))
+        else out += ((s, e))
+      }
+      c -> out.toSeq
+    }
+
+  /** One bounded-traversal task: the merged `.tbi` chunks serving
+    * sub-interval [taskS, taskE] of merged interval `ivIdx` on
+    * `contig` (whose full disjoint interval list is `contigIvs`, for
+    * cross-interval ownership of spanning records). */
+  final case class ChunkTask(file: String, chunks: Seq[(Long, Long)],
+                             contig: String, taskS: Int, taskE: Int,
+                             ivIdx: Int, contigIvs: Seq[(Int, Int)])
+
+  /** Driver-side bounded-traversal plan: resolve each merged interval
+    * through the `.tbi`, bisecting genomic space until each task's
+    * compressed chunk span fits `splitSize` (so a whole-chromosome
+    * query on a 100 GB VCF still fans out across the cluster).
+    * None ⇒ no usable index (plain text, or no `.tbi` sidecar) —
+    * caller falls back to the full splittable scan + filter, exactly
+    * like the reference when the index is absent
+    * (VCFInputFormat.java:408-413 logs and keeps all splits). */
+  def planBounded(path: String, intervals: Seq[(String, Int, Int)],
+                  splitSize: Long): Option[Seq[ChunkTask]] = {
+    if (intervals.isEmpty || !RangedText.isBgzf(path)) return None
+    val (fs, p) = Fs.get(path)
+    Tabix.read(fs, Tabix.indexPath(p)).map { idx =>
+      val merged = mergeIntervals(intervals)
+      merged.toSeq.sortBy(_._1).flatMap { case (contig, ivs) =>
+        ivs.zipWithIndex.flatMap { case ((s, e), i) =>
+          def span(chunks: Seq[Bai.Chunk]): Long =
+            chunks.map(c => Bgzf.voCompressed(c.end) - Bgzf.voCompressed(c.beg) + 1).sum
+          def tasks(lo: Int, hi: Int): Seq[ChunkTask] = {
+            val chunks = Tabix.chunksFor(idx, contig, lo, hi)
+            if (chunks.isEmpty) Nil
+            else if (span(chunks) <= splitSize || hi - lo < (1 << Tabix.MinShift))
+              Seq(ChunkTask(path, chunks.map(c => (c.beg, c.end)), contig,
+                lo, hi, i, ivs))
+            else {
+              val mid = lo + (hi - lo) / 2
+              tasks(lo, mid) ++ tasks(mid + 1, hi)
+            }
+          }
+          tasks(s, e)
+        }
+      }
+    }
+  }
+
+  /** Records of one task, exactly once across all tasks of a query:
+    * a record is owned by the task whose [taskS, taskE] contains its
+    * POS; a record STARTING BEFORE the merged interval (spanning in
+    * from outside) is owned by the interval's first task, and only
+    * when no earlier merged interval on the contig already overlaps
+    * it (that interval reported it). */
+  def readTask(t: ChunkTask): Iterator[VcfVariant] = {
+    val (ivS, _) = t.contigIvs(t.ivIdx)
+    t.chunks.iterator.flatMap { case (beg, end) =>
+      val (lines, _) = RangedText.openLinesAtVo(t.file, beg, end)
+      lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
+        .map(l => parseLine(l.text))
+        .filter { v =>
+          val pos = v.pos.toInt
+          lazy val end1 = spanEnd(v)
+          if (pos >= t.taskS) pos <= t.taskE
+          else t.taskS == ivS && end1 >= t.taskS &&
+            !t.contigIvs.take(t.ivIdx).exists { case (s2, e2) =>
+              pos <= e2 && end1 >= s2
+            }
+        }
+    }
+  }
+
+  /** Bounded-traversal read: only the BGZF chunks overlapping
+    * `intervals` are read, resolved through the `.tbi` sidecar — the
+    * reference's tabix split filtering (VCFInputFormat.java:388-460)
+    * re-expressed as driver-side chunk planning.  Falls back to full
+    * scan + overlap filter when the file is plain text or unindexed. */
+  def readIntervals(spark: SparkSession, path: String,
+                    intervals: Seq[(String, Int, Int)],
+                    splitSize: Long = 64L * 1024 * 1024): Dataset[VcfVariant] = {
+    import spark.implicits._
+    planBounded(path, intervals, splitSize) match {
+      case Some(tasks) =>
+        spark.sparkContext.parallelize(tasks, math.max(1, tasks.length))
+          .flatMap(readTask)
+          .toDS()
+      case None =>
+        val merged = mergeIntervals(intervals)
+        read(spark, path, splitSize).filter { v =>
+          merged.get(v.chrom).exists(_.exists { case (s, e) =>
+            v.pos <= e && spanEnd(v) >= s
+          })
+        }
+    }
+  }
+
   /** Write a BGZF-compressed VCF (.vcf.bgz) with terminator — the
     * splittable compressed form our own ranged reader (and tabix-era
-    * tooling) consumes. */
+    * tooling) consumes.  With `tabix = true`, a `.tbi` sidecar is
+    * built after the merge (requires coordinate-sorted input — the
+    * builder validates), enabling bounded-traversal reads; the
+    * reference's merger pairs shards with the same extension
+    * (util/VCFFileMerger.java:54-60). */
+  def writeBgzf(ds: Dataset[VcfVariant], header: VcfHeader, out: String,
+                tabix: Boolean): Unit = {
+    writeBgzf(ds, header, out)
+    if (tabix) Tabix.buildAndWriteVcf(out)
+  }
+
   def writeBgzf(ds: Dataset[VcfVariant], header: VcfHeader, out: String): Unit = {
     import ds.sparkSession.implicits._
     val tmp = out + ".shards"

@@ -595,6 +595,134 @@ class SamTable(options: CaseInsensitiveStringMap)
       })
 }
 
+/** VCF scan with tabix-backed bounded traversal: `chrom` equality/IN
+  * plus `pos` bounds prune `.tbi` chunks before tasks launch — the
+  * reference's `VCFInputFormat.filterByInterval` (tabix split
+  * filtering, VCFInputFormat.java:388-460) surfacing as Catalyst
+  * predicate pushdown, exactly like the BAM source's `.bai`/`.csi`
+  * path.  Filter-derived intervals prune chunks ONLY (every record in
+  * surviving chunks flows out; Spark re-applies the predicates
+  * exactly); the `intervals` OPTION applies the reference's
+  * record-level overlap semantics (POS..POS+len(REF)-1, END= honored).
+  * Unindexed or plain-text files keep the full-range plan. */
+class VcfScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val enc = ExpressionEncoder[VcfVariant]()
+  private var required: StructType = enc.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var intervals: Seq[(String, Int, Int)] = Nil
+
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftDataSources.prune(enc.schema, r)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val contigs: Option[Seq[String]] = filters.collectFirst {
+      case EqualTo("chrom", c: String) => Seq(c)
+      case In("chrom", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.toString)
+    }
+    var lo = 1L
+    var hi = Int.MaxValue.toLong
+    val posFilters = filters.filter {
+      case GreaterThan("pos", v: Number) => lo = math.max(lo, v.longValue() + 1); true
+      case GreaterThanOrEqual("pos", v: Number) => lo = math.max(lo, v.longValue()); true
+      case LessThan("pos", v: Number) => hi = math.min(hi, v.longValue() - 1); true
+      case LessThanOrEqual("pos", v: Number) => hi = math.min(hi, v.longValue()); true
+      case EqualTo("pos", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue()); true
+      case _ => false
+    }
+    pushed = contigs match {
+      case Some(cs) =>
+        intervals = cs.map(c =>
+          (c, math.max(1L, lo).min(Int.MaxValue).toInt, hi.max(0).min(Int.MaxValue).toInt))
+        filters.filter {
+          case EqualTo("chrom", _) | In("chrom", _) => true
+          case f => posFilters.contains(f)
+        }
+      case None => Array.empty // pos bounds alone cannot prune chunks
+    }
+    filters // all residual: exact semantics stay with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val splitSize = Option(options.get("splitsize")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    val optionIntervals = Option(options.get("intervals"))
+    new VcfScan(GraftDataSources.pathsOf(options), splitSize, required,
+      pushed, intervals, optionIntervals)
+  }
+}
+
+class VcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
+              pushed: Array[Filter], filterIntervals: Seq[(String, Int, Int)],
+              optionIntervals: Option[String]) extends Scan with Batch {
+  private val enc = ExpressionEncoder[VcfVariant]()
+
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft vcf ${paths.mkString(",")} " +
+      s"intervals=${optionIntervals.getOrElse(if (filterIntervals.isEmpty) "*"
+        else filterIntervals.mkString(","))} " +
+      s"pushed=${pushed.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val optIv = optionIntervals.map(s => BamIO.parseIntervalSpec(s))
+    val pruneIv = optIv.getOrElse(filterIntervals)
+    paths.flatMap { path =>
+      val bounded =
+        if (pruneIv.isEmpty) None
+        else Vcf.planBounded(path, pruneIv, splitSize).map(_.map { t =>
+          VcfChunkPartition(t): InputPartition
+        })
+      bounded.getOrElse {
+        val bgzf = RangedText.isBgzf(path)
+        RangedText.ranges(path, splitSize).map { case (s, e) =>
+          TextRangePartition(path, s, e, bgzf): InputPartition
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(pruned)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"streaming reads tail exactly one directory; got ${paths.size} paths")
+    require(optionIntervals.isEmpty,
+      "bounded traversal (intervals) applies to batch reads; " +
+        "filter the stream with ordinary predicates instead")
+    new TextFramedMicroBatchStream[VcfVariant](paths.head, splitSize, pruned,
+      enc, VcfFraming, checkpointLocation)
+  }
+}
+
+case class VcfChunkPartition(task: Vcf.ChunkTask) extends InputPartition
+
+class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case VcfChunkPartition(task) =>
+        // [[Vcf.readTask]]'s ownership rule makes records exactly-once
+        // across tasks AND applies the interval-overlap semantics the
+        // `intervals` option promises; for filter-derived intervals the
+        // same output is a superset of what Spark's residual predicates
+        // keep, so exactness stays with Spark either way
+        new GraftDataSources.RecordReader(Vcf.readTask(task),
+          ExpressionEncoder[VcfVariant](), pruned, () => ())
+      case tp: TextRangePartition =>
+        val (it, closer) = VcfFraming.frame(tp.path, tp.start, tp.end, tp.bgzf)
+        new GraftDataSources.RecordReader(it, ExpressionEncoder[VcfVariant](),
+          pruned, closer)
+    }
+}
+
 class VcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vcf"
   override def supportsExternalMetadata(): Boolean = false
@@ -613,8 +741,7 @@ class VcfTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new TextFramedScanBuilder[VcfVariant](options,
-      ExpressionEncoder[VcfVariant](), VcfFraming)
+    new VcfScanBuilder(options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new TextWriteBuilder[VcfVariant](GraftDataSources.pathsOf(options).head, info,
