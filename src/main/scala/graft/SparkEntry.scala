@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Corpus, Genomic, Multimodal, Pipeline, Relational}
+import graft.queries.{Analytics, Corpus, CorpusStats, Genomic, Multimodal, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Genomic.queries ++ Pipeline.queries ++
-      Multimodal.queries ++ Analytics.queries ++ Corpus.queries
+      Multimodal.queries ++ Analytics.queries ++ Corpus.queries ++
+      CorpusStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++
-      Multimodal.oracle ++ Analytics.oracle ++ Corpus.oracle
+      Multimodal.oracle ++ Analytics.oracle ++ Corpus.oracle ++
+      CorpusStats.oracle
 }

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus statistics round 2 (SURVEY §2.3 P28-P32): fingerprint-based
+  * document-overlap pairs, cross-source boilerplate detection, token
+  * co-occurrence, length histograms, and character-trigram profiles.
+  *
+  * Oracle-parity rules as everywhere else: integer/BIGINT arithmetic
+  * only (no floats anywhere in this module), total deterministic
+  * ORDER BY, column names aliased identically on both sides.
+  */
+object CorpusStats {
+
+  // --------------------------------------------------------------- P28
+  // Winnow-overlap pairs: which document PAIRS share enough winnowed
+  // fingerprints to indicate containment/plagiarism (the pair-level
+  // consumer of P10's per-doc fingerprints).  Join on the 4-byte
+  // fingerprint hash → work ∝ Σ_fp df(fp)² touches only docs that
+  // actually share sampled content, never n² — at 100 TB the shuffle
+  // carries (fp, doc_id, nf) triples and the hottest fingerprint
+  // bounds the skew (AQE skew-split applies to the self-join).
+  // Containment ≥ 0.3 in pure integers: 10·shared ≥ 3·min(|fps|).
+  def qWinnowOverlap(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_winnow(graft_grams32(text, 8), 4)").as("fps"))
+      // carry each doc's fingerprint count WITH the exploded rows:
+      // joining a separate per-doc count dim back on would be a second
+      // shuffle of the big side (or an unbounded broadcast at scale)
+      .select(col("doc_id"), expr("CAST(size(fps) AS BIGINT)").as("nf"),
+        explode(col("fps")).as("fp"))
+      // barrier on the join key: the self-join below then consumes ONE
+      // exchange twice (ReusedExchange) instead of winnowing the whole
+      // corpus once per side (same move as minhashPairs)
+      .repartition(col("fp"))
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nf").as("na"), col("b.nf").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(expr("10 * shared >= 3 * least(na, nb)"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        expr("least(na, nb)").as("min_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qWinnowOverlapSql: String = {
+    val h = Pipeline.duckHash32("g")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(range(length(lower(text)) - 7),
+       |    i -> substr(lower(text), CAST(i + 1 AS INT), 8)) AS grams
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, list_transform(grams, g -> $h) AS gh FROM g
+       |), f AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(gh) - 3),
+       |    j -> list_min(gh[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))) AS fps
+       |  FROM h
+       |), e AS (
+       |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf, unnest(fps) AS fp FROM f
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared,
+       |  least(a.nf, b.nf) AS min_fp
+       |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, a.nf, b.nf
+       |HAVING 10 * count(*) >= 3 * least(a.nf, b.nf)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------- P29
+  // Cross-source boilerplate: normalized text prefixes that appear in
+  // two or more sources (shared headers/templates across crawls — the
+  // "same boilerplate everywhere" hygiene signal).  One hash
+  // aggregation on a 40-char key; at 100 TB this is a single shuffle
+  // of (prefix, source, doc_id) with map-side partial aggregation.
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(expr("substring(lower(text), 1, 40)").as("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min("doc_id").as("keeper"))
+      .filter(col("n_sources") >= 2)
+      .orderBy("prefix")
+
+  val qSourceOverlapSql: String =
+    """SELECT substr(lower(text), 1, 40) AS prefix,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  min(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY 1 HAVING count(DISTINCT source) >= 2
+      |ORDER BY prefix""".stripMargin
+
+  // --------------------------------------------------------------- P30
+  // Token co-occurrence: among the 50 highest-df tokens, how often
+  // does each pair share a document (top 100 pairs)?  The vocabulary
+  // cut keeps the per-doc pair fan-out ≤ C(50,2) regardless of corpus
+  // size, so the pair stream is O(docs·1225) worst case; the tiny
+  // top-token dim broadcasts.  Deterministic tie-breaks everywhere
+  // ((df DESC, tok) and (n_docs DESC, tok_a, tok_b) are total orders).
+  def qCooccur(s: SparkSession, d: String): DataFrame = {
+    // barrier on doc_id: the df aggregate, the vocabulary-cut join and
+    // BOTH sides of the pair self-join all feed off this single
+    // exchange (ReusedExchange) — one corpus scan, one tokenize
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))).as("tok"))
+      .repartition(col("doc_id"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("tok")).limit(50).select("tok")
+    val ft = toks.join(broadcast(top), Seq("tok"))
+    ft.as("a")
+      .join(ft.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  val qCooccurSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      |    FROM documents)
+      |), top AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS df FROM t GROUP BY 1
+      |    ORDER BY df DESC, tok LIMIT 50)
+      |), ft AS (
+      |  SELECT doc_id, tok FROM t WHERE tok IN (SELECT tok FROM top)
+      |)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |GROUP BY 1, 2
+      |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- P31
+  // Per-language document-length histogram (width-500 buckets): the
+  // profile every curation run starts from.  Pure integer arithmetic;
+  // one hash aggregation with map-side partials.
+  def qLengthHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), expr("n_chars DIV 500").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("lang", "bucket")
+
+  val qLengthHistSql: String =
+    """SELECT lang, n_chars // 500 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY lang, bucket""".stripMargin
+
+  // --------------------------------------------------------------- P32
+  // Character-trigram profile: top 20 trigrams per language — the
+  // classic language-ID feature table (the model P7's heuristic would
+  // train on).  Explode is 1 row per char (bounded by corpus bytes);
+  // the count is one hash agg and WindowGroupLimit prunes the window
+  // to 20 rows per language before the final sort.
+  def qCharTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("tri"))
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, length(lower(text)) - 3), " +
+          "i -> substring(lower(text), i + 1, 3))")).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  val qCharTrigramsSql: String =
+    """SELECT lang, tri, cnt, rk FROM (
+      |  SELECT lang, tri, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tri)
+      |      AS BIGINT) AS rk
+      |  FROM (
+      |    SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT lang, unnest(list_transform(range(length(lower(text)) - 2),
+      |        i -> substr(lower(text), CAST(i + 1 AS INT), 3))) AS tri
+      |      FROM documents WHERE length(text) >= 3)
+      |    GROUP BY 1, 2))
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_overlap" -> (qWinnowOverlap _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_cooccur" -> (qCooccur _),
+    "q_length_hist" -> (qLengthHist _),
+    "q_char_trigrams" -> (qCharTrigrams _))
+
+  val oracle: Map[String, String] = Map(
+    "q_winnow_overlap" -> qWinnowOverlapSql,
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_cooccur" -> qCooccurSql,
+    "q_length_hist" -> qLengthHistSql,
+    "q_char_trigrams" -> qCharTrigramsSql)
+}
