@@ -34,7 +34,12 @@ object Bench {
     // first run, which additionally pays that query's whole-stage
     // codegen + JIT compilation (measured 0.5-2s per query, pure
     // JVM warm-up noise that swamps sub-second queries).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names (targeted A/B timing);
+    // the driver passes none and benches everything
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -566,6 +566,49 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  /** packgrams(text, k): every k-byte gram of lower(text) packed
+    * big-endian into one Long (k ≤ 8), in position order.  The pack is
+    * REVERSIBLE (unlike grams32's hash), so aggregations can run on
+    * fixed-width longs and decode to the gram string only after the
+    * cardinality collapse — for ASCII text the packed order equals the
+    * string's lexicographic order.  Byte-oriented: on multi-byte UTF-8
+    * a "gram" is k bytes, not k characters. */
+  case class PackGrams(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_packgrams"
+
+    override def nullSafeEval(t: Any, k: Any): Any =
+      GraftFunctions.packGrams(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, k) => s"${ev.value} = $fn.packGrams($t, $k);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def packGrams(text: UTF8String, k: Int): ArrayData = {
+    require(k >= 1 && k <= 8, s"graft_packgrams k must be in [1, 8], got $k")
+    val b = text.toLowerCase.getBytes
+    val n = b.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val mask = if (k == 8) -1L else (1L << (8 * k)) - 1
+    val out = new Array[Long](n)
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      acc = ((acc << 8) | (b(i) & 0xffL)) & mask
+      if (i >= k - 1) out(i - k + 1) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def grams32(text: UTF8String, k: Int): ArrayData = {
     val s = text.toLowerCase.toString
     val n = s.length - k + 1
@@ -636,6 +679,8 @@ object GraftFunctions {
       es => ShingleHashes(es(0), es(1), wide = true)),
     ("graft_grams32", "positional k-char-gram 32-bit hashes",
       es => Grams32(es(0), es(1))),
+    ("graft_packgrams", "positional k-byte grams packed into longs",
+      es => PackGrams(es(0), es(1))),
     ("graft_word_ngrams", "positional word n-gram strings",
       es => WordNgrams(es(0), es(1))))
 
