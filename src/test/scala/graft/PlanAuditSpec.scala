@@ -164,4 +164,31 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("DataFilters:") && l.contains("graft_hash32")), plan)
     assert("Exchange".r.findAllIn(plan).length === 1, plan)
   }
+
+  test("r6 self-join queries winnow/tokenize once behind a reused exchange") {
+    // q_winnow_overlap: both join sides + the hot-fingerprint df
+    // aggregate consume the single repartition(fp) exchange; the
+    // corpus must be winnowed exactly once (AQE materializes reuse at
+    // runtime, so execute before inspecting)
+    val w = graft.queries.CorpusStats.qWinnowOverlap(spark, sf)
+    w.collect()
+    val wp = w.queryExecution.executedPlan.toString
+    assert(wp.contains("ReusedExchange"), wp)
+    assert(!wp.contains("CartesianProduct"), wp)
+    val c = graft.queries.CorpusStats.qCooccur(spark, sf)
+    c.collect()
+    val cp = c.queryExecution.executedPlan.toString
+    assert(cp.contains("ReusedExchange"), cp)
+    assert(cp.contains("Broadcast"), cp) // vocabulary cut broadcasts
+  }
+
+  test("q_char_trigrams aggregates packed longs and group-limits the window") {
+    val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
+    // the 1-row-per-char stream must carry packed longs (kernel), not
+    // per-gram strings, and the top-20 filter must prune inside the
+    // window (WindowGroupLimit), not after a full sort
+    assert(plan.contains("graft_packgrams"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
 }

@@ -165,6 +165,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tabix bounded reads equal naive overlap filtering for arbitrary " +
+    "sorted VCFs, intervals, and split sizes") {
+    val genVcf: Gen[Seq[graft.model.VcfVariant]] = for {
+      nContigs <- Gen.choose(1, 3)
+      perContig <- Gen.listOfN(nContigs, Gen.choose(0, 150))
+      recs <- Gen.sequence[Seq[Seq[graft.model.VcfVariant]], Seq[graft.model.VcfVariant]](
+        perContig.zipWithIndex.map { case (n, ci) =>
+          Gen.listOfN(n, for {
+            pos <- Gen.choose(1, 50000)
+            refLen <- Gen.frequency((8, Gen.choose(1, 3)), (2, Gen.choose(50, 400)))
+            endInfo <- Gen.frequency((9, Gen.const(0)), (1, Gen.choose(500, 3000)))
+          } yield (pos, refLen, endInfo)).map(_.sortBy(_._1).zipWithIndex.map {
+            case ((pos, refLen, endInfo), i) =>
+              graft.model.VcfVariant(s"c${ci + 1}", pos.toLong, s"v${ci}_$i",
+                "A" * refLen, Array("C"), None, "PASS",
+                if (endInfo > 0) Array("END") else Array.empty,
+                if (endInfo > 0) Array((pos + endInfo).toString) else Array.empty,
+                Array.empty, Array.empty)
+          })
+        })
+    } yield recs.flatten
+
+    val genQuery = for {
+      nIv <- Gen.choose(1, 3)
+      ivs <- Gen.listOfN(nIv, for {
+        c <- Gen.choose(1, 3).map(i => s"c$i")
+        s <- Gen.choose(1, 50000)
+        w <- Gen.choose(0, 20000)
+      } yield (c, s, s + w))
+      splitSize <- Gen.oneOf(256L, 4096L, 1L << 20)
+    } yield (ivs, splitSize)
+
+    forSamples(Gen.zip(genVcf, Gen.listOfN(6, genQuery)), 25) { case (vs, queries) =>
+      val dir = java.nio.file.Files.createTempDirectory("tbxprop").toString
+      val f = s"$dir/t.vcf.bgz"
+      val (fs, p) = Fs.get(f)
+      val out = new Bgzf.BgzfOutputStream(fs.create(p, true), blockSize = 512)
+      out.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        .getBytes("UTF-8"))
+      vs.foreach(v => out.write((Vcf.formatLine(v) + "\n").getBytes("UTF-8")))
+      out.close()
+      Tabix.buildAndWriteVcf(f)
+      queries.foreach { case (ivs, splitSize) =>
+        val merged = Vcf.mergeIntervals(ivs)
+        val naive = vs.filter { v =>
+          merged.get(v.chrom).exists(_.exists { case (s, e) =>
+            v.pos <= e && Vcf.spanEnd(v) >= s
+          })
+        }.map(_.id).sorted
+        val indexed = Vcf.planBounded(f, ivs, splitSize) match {
+          case Some(tasks) => tasks.flatMap(Vcf.readTask).map(_.id)
+          case None => fail("index written but planBounded returned None")
+        }
+        assert(indexed.length === indexed.distinct.length,
+          s"duplicates across tasks (splitSize=$splitSize ivs=$ivs)")
+        assert(indexed.sorted === naive,
+          s"mismatch (splitSize=$splitSize ivs=$ivs)")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("record-boundary guesser finds a true boundary from any offset") {
     val records = (0 until 50).map(i => genRecord.sample.get)
     val bos = new java.io.ByteArrayOutputStream()
