@@ -505,12 +505,27 @@ object BcfIO {
       val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
       val entries = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
       var n = 0L
+      // track (refId, pos) monotonicity + max record span so the
+      // driver can mark the sidecar interval-prunable (maxSpan >= 0)
+      // exactly when the FILE is coordinate-sorted — the same v2
+      // sidecar contract the BAM writer keeps
+      var sorted = true
+      var firstKey: (Int, Int) = null
+      var lastKey: (Int, Int) = null
+      var maxSpan = 0
       it.foreach { v =>
         if (n % granularity == 0) {
           out.blockBoundary()
           entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
             contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1))
         }
+        val key = (contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1)
+        if (firstKey == null) firstKey = key
+        if (lastKey != null &&
+          (key._1 < lastKey._1 || (key._1 == lastKey._1 && key._2 < lastKey._2)))
+          sorted = false
+        lastKey = key
+        maxSpan = math.max(maxSpan, math.max(1, v.ref.length))
         val withGts = fmtIdx.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
         val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx,
           nFmt = if (withGts) v.format.length else 0,
@@ -527,8 +542,21 @@ object BcfIO {
       out.blockBoundary()
       val shardLen = out.compressedOffset
       out.closeWithoutTerminator()
-      Iterator.single((pid, shardLen, entries.toArray))
+      Iterator.single((pid, shardLen, entries.toArray, sorted,
+        Option(firstKey), Option(lastKey), maxSpan))
     }.collect().sortBy(_._1)
+
+    val nonEmpty = shardInfo.filter(_._5.nonEmpty)
+    val fileSorted = nonEmpty.forall(_._4) &&
+      nonEmpty.sliding(2).forall {
+        case Array(a, b) =>
+          val (ar, ap) = a._6.get
+          val (br, bp) = b._5.get
+          ar < br || (ar == br && ap <= bp)
+        case _ => true
+      }
+    val fileMaxSpan =
+      if (fileSorted) nonEmpty.map(_._7).foldLeft(0)(math.max) else -1
 
     val out = new java.io.BufferedOutputStream(fs.create(path, true))
     val headerBuf = new ByteArrayOutputStream()
@@ -542,7 +570,7 @@ object BcfIO {
     var coffset = 0L
     coffset += Bgzf.writeBlocksTo(out, headerBuf.toByteArray, 0, headerBuf.size())
     val allEntries = scala.collection.mutable.ArrayBuffer[SplittingIndex.Entry]()
-    shardInfo.foreach { case (pid, shardLen, entries) =>
+    shardInfo.foreach { case (pid, shardLen, entries, _, _, _, _) =>
       entries.foreach { case (vo, refId, pos) =>
         allEntries += SplittingIndex.Entry(
           Bgzf.virtualOffset(Bgzf.voCompressed(vo) + coffset, Bgzf.voUncompressed(vo)),
@@ -560,7 +588,7 @@ object BcfIO {
     out.close()
     fs.delete(tmpDir, true)
     SplittingIndex.write(fs, SplittingIndex.indexPath(path), granularity,
-      allEntries.toSeq, Bgzf.virtualOffset(coffset, 0))
+      allEntries.toSeq, Bgzf.virtualOffset(coffset, 0), fileMaxSpan)
   }
 
   def readDicts(file: String): Dicts = {
@@ -580,32 +608,70 @@ object BcfIO {
     } finally in.close()
   }
 
+  /** Dicts + the virtual offset where records begin (header end). */
+  private def headerInfo(file: String): (Dicts, Long) = {
+    val (fs, path) = Fs.get(file)
+    val in = new Bgzf.BgzfInputStream(new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = new Array[Byte](5)
+      var got = 0
+      while (got < 5) { val r = in.read(magic, got, 5 - got); require(r > 0); got += r }
+      require(java.util.Arrays.equals(magic, Bcf.Magic), "not BCF2")
+      var lh = 0
+      (0 until 4).foreach(i => lh |= in.read() << (8 * i))
+      val ht = new Array[Byte](lh)
+      var o = 0
+      while (o < lh) { val r = in.read(ht, o, lh - o); require(r > 0); o += r }
+      (Dicts.fromHeader(new String(ht, 0, lh - 1, UTF_8)), in.virtualPos)
+    } finally in.close()
+  }
+
+  /** Records in virtual-offset range [startVo, endVo) — both bounds
+    * must be record starts (index-derived). */
+  private def openRange(file: String, startVo: Long, endVo: Long,
+                        dicts: Dicts): Iterator[VcfVariant] = {
+    val (tfs, tpath) = Fs.get(file)
+    val raw = tfs.open(tpath)
+    raw.seek(Bgzf.voCompressed(startVo))
+    val in = new Bgzf.BgzfInputStream(
+      new java.io.BufferedInputStream(raw), Bgzf.voCompressed(startVo))
+    in.seekInBlock(Bgzf.voUncompressed(startVo))
+    val contigs = dicts.contigs; val filters = dicts.filters
+    val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys
+    new Iterator[VcfVariant] {
+      private var nextV: VcfVariant = _
+      private var done = false
+      private def fetch(): Unit = {
+        while (nextV == null && !done) {
+          if (in.virtualPos >= endVo) { done = true; in.close(); return }
+          val a = in.read()
+          if (a < 0) { done = true; in.close(); return }
+          val lShared = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+          var lIndiv = 0
+          (0 until 4).foreach(i => lIndiv |= in.read() << (8 * i))
+          val shared = new Array[Byte](lShared)
+          var o = 0
+          while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
+          val indiv = new Array[Byte](lIndiv)
+          var o2 = 0
+          while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
+          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
+        }
+      }
+      override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }
+      override def next(): VcfVariant = {
+        if (!hasNext) throw new NoSuchElementException
+        val v = nextV; nextV = null; v
+      }
+    }
+  }
+
   def read(spark: org.apache.spark.sql.SparkSession, file: String,
            splitSize: Long = 64L * 1024 * 1024):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
     val (fs, path) = Fs.get(file)
-    val dicts = readDicts(file)
-    // header end vo: re-open and track
-    val hin = new Bgzf.BgzfInputStream(new java.io.BufferedInputStream(fs.open(path)))
-    val skip = new Array[Byte](4096)
-    var lh = -1
-    var consumed = 0
-    run {
-      val magic = new Array[Byte](5)
-      var got = 0
-      while (got < 5) { val r = hin.read(magic, got, 5 - got); require(r > 0); got += r }
-      var l = 0
-      (0 until 4).foreach(i => l |= hin.read() << (8 * i))
-      lh = l
-      while (consumed < lh) {
-        val r = hin.read(skip, 0, math.min(skip.length, lh - consumed))
-        require(r > 0)
-        consumed += r
-      }
-    }
-    val headerEndVo = hin.virtualPos
-    hin.close()
+    val (dicts, headerEndVo) = headerInfo(file)
     val bounds: Seq[Long] = SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
       case Some(sidx) =>
         (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
@@ -618,46 +684,135 @@ object BcfIO {
           data => Bcf.guessRecordStart(data, nContigs)).toSeq
     }
     val ranges = bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
-    val contigs = dicts.contigs; val filters = dicts.filters
-    val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { case (startVo, endVo2) =>
-        val (tfs, tpath) = Fs.get(file)
-        val raw = tfs.open(tpath)
-        raw.seek(Bgzf.voCompressed(startVo))
-        val in = new Bgzf.BgzfInputStream(
-          new java.io.BufferedInputStream(raw), Bgzf.voCompressed(startVo))
-        in.seekInBlock(Bgzf.voUncompressed(startVo))
-        new Iterator[VcfVariant] {
-          private var nextV: VcfVariant = _
-          private var done = false
-          private def fetch(): Unit = {
-            while (nextV == null && !done) {
-              if (in.virtualPos >= endVo2) { done = true; in.close(); return }
-              val a = in.read()
-              if (a < 0) { done = true; in.close(); return }
-              val lShared = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
-              var lIndiv = 0
-              (0 until 4).foreach(i => lIndiv |= in.read() << (8 * i))
-              val shared = new Array[Byte](lShared)
-              var o = 0
-              while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
-              val indiv = new Array[Byte](lIndiv)
-              var o2 = 0
-              while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
-              nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
-            }
-          }
-          override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }
-          override def next(): VcfVariant = {
-            if (!hasNext) throw new NoSuchElementException
-            val v = nextV; nextV = null; v
-          }
-        }
-      }.toDS()
+      .flatMap { case (startVo, endVo2) => openRange(file, startVo, endVo2, dicts) }
+      .toDS()
   }
 
-  private def run(body: => Unit): Unit = body
+  /** BCF record reference span, exactly as indexed: rlen is the REF
+    * length on our encode path, so the record covers
+    * [pos, pos + max(1, len(REF)) - 1] 1-based inclusive. */
+  private def bcfEnd(v: VcfVariant): Long = v.pos + math.max(1, v.ref.length) - 1
+
+  /** Bounded-traversal BCF read (the CSI face of S11, mirroring the
+    * BAM/tabix paths): resolve intervals to disjoint virtual-offset
+    * ranges through the best available index, decode only those, and
+    * overlap-filter records exactly.
+    *
+    * Index preference: a `.csi` (ours via [[Csi.buildBcf]], or
+    * htslib-written) gives chunk-precise pruning; else the v2 sidecar
+    * splitting index prunes its granules by (refId, pos) keys padded
+    * with the file's max record span — only when the file was written
+    * coordinate-sorted (maxSpan >= 0, same contract as BAM).  With
+    * neither, the full scan runs and filters.
+    *
+    * Exactly-once by construction: every planned range is disjoint
+    * (CSI chunks are merged globally, then large chunks split ONLY at
+    * record-start offsets the index itself knows — bin chunk begs and
+    * linear-window loffsets), so no cross-task ownership rule is
+    * needed. */
+  def readIntervals(spark: org.apache.spark.sql.SparkSession, file: String,
+                    intervals: Seq[(String, Int, Int)],
+                    splitSize: Long = 64L * 1024 * 1024):
+      org.apache.spark.sql.Dataset[VcfVariant] = {
+    import spark.implicits._
+    if (intervals.isEmpty) return read(spark, file, splitSize)
+    val (fs, path) = Fs.get(file)
+    val (dicts, headerEndVo) = headerInfo(file)
+    val refIdOf = dicts.contigs.zipWithIndex.toMap
+    val merged = Vcf.mergeIntervals(intervals)
+
+    def overlaps(v: VcfVariant): Boolean =
+      merged.get(v.chrom).exists(_.exists { case (s, e) =>
+        v.pos <= e && bcfEnd(v) >= s
+      })
+
+    val rangesOpt: Option[Seq[(Long, Long)]] =
+      Csi.read(fs, Csi.indexPath(path)).map { idx =>
+        val pseudo = Csi.pseudoBin(idx.depth)
+        val chunks = merged.toSeq.flatMap { case (c, ivs) =>
+          refIdOf.get(c).toSeq.flatMap { ri =>
+            ivs.flatMap { case (s, e) => Csi.chunksFor(idx, ri, s, e) }
+          }
+        }
+        val disjoint = Bai.merge(chunks.sortBy(_.beg))
+        // every record-start VO the index knows, for splitting large
+        // chunks without any mid-record guessing
+        val starts = idx.refs.iterator.flatMap(_.bins.iterator)
+          .filter { case (bin, _) => bin != pseudo }
+          .flatMap { case (_, b) => b.loffset +: b.chunks.map(_.beg) }
+          .filter(_ > 0).toArray.distinct.sorted
+        disjoint.flatMap { c =>
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var segStart = c.beg
+          var i = java.util.Arrays.binarySearch(starts, c.beg + 1) match {
+            case neg if neg < 0 => -neg - 1
+            case exact => exact
+          }
+          while (i < starts.length && starts(i) < c.end) {
+            if (Bgzf.voCompressed(starts(i)) - Bgzf.voCompressed(segStart) >= splitSize) {
+              out += ((segStart, starts(i)))
+              segStart = starts(i)
+            }
+            i += 1
+          }
+          out += ((segStart, c.end))
+          out.toSeq
+        }
+      }.orElse {
+        SplittingIndex.read(fs, SplittingIndex.indexPath(path)).flatMap { sidx =>
+          if (sidx.maxSpan < 0) None // unsorted or v1 sidecar: no pruning
+          else {
+            val ivs = merged.toSeq.flatMap { case (c, rs) =>
+              refIdOf.get(c).toSeq.flatMap(ri => rs.map { case (s, e) => (ri, s, e) })
+            }
+            val all = SplittingIndex.Entry(headerEndVo,
+              sidx.entries.headOption.map(_.refId).getOrElse(-1),
+              sidx.entries.headOption.map(_.pos).getOrElse(-1)) +: sidx.entries.toSeq
+            val granules = all.zip(all.drop(1).map(_.vo) :+ sidx.endVo)
+              .filter { case (en, end) => en.vo < end }
+            val kept = granules.zipWithIndex.filter { case ((en, _), i) =>
+              val nextKey =
+                if (i + 1 < granules.length)
+                  Some((granules(i + 1)._1.refId, granules(i + 1)._1.pos))
+                else None
+              ivs.exists { case (ri, s, e) =>
+                val startsBeforeEnd = en.refId < ri || (en.refId == ri && en.pos + 1 <= e)
+                val endsAfterStart = nextKey match {
+                  case Some((nr, np0)) =>
+                    nr > ri || nr < 0 || (nr == ri && np0.toLong + sidx.maxSpan >= s)
+                  case None => true
+                }
+                startsBeforeEnd && endsAfterStart
+              }
+            }.map(_._1)
+            // coalesce contiguous granules up to splitSize
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+            var curStart = -1L
+            var curEnd = -1L
+            kept.foreach { case (en, end) =>
+              val contiguous = curStart >= 0 && en.vo == curEnd
+              val full = curStart >= 0 &&
+                Bgzf.voCompressed(curEnd) - Bgzf.voCompressed(curStart) >= splitSize
+              if (curStart < 0) { curStart = en.vo; curEnd = end }
+              else if (contiguous && !full) curEnd = end
+              else { out += ((curStart, curEnd)); curStart = en.vo; curEnd = end }
+            }
+            if (curStart >= 0) out += ((curStart, curEnd))
+            Some(out.toSeq)
+          }
+        }
+      }
+
+    rangesOpt match {
+      case Some(ranges) =>
+        spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
+          .flatMap { case (s0, e0) => openRange(file, s0, e0, dicts).filter(overlaps) }
+          .toDS()
+      case None =>
+        read(spark, file, splitSize).filter(overlaps(_))
+    }
+  }
 }
 
 /** CRAM container structure (S12).  Decode of compressed record data

@@ -191,6 +191,43 @@ object Csi {
     math.max(depth, 1)
   }
 
+  /** Shared binning accumulator for the index builders (BAM walk
+    * below, BCF walk in [[buildBcf]]): feed coordinate-sorted records
+    * as (refId, 0-based beg, 1-based-inclusive end, start/end VOs). */
+  final class Accumulator(minShift: Int, depth: Int, nRef: Int) {
+    private val maxPos = (1L << (minShift + 3 * depth)) - 1
+    private val bins = Array.fill(nRef)(mutable.Map[Int, mutable.ArrayBuffer[Chunk]]())
+    private val winMin = Array.fill(nRef)(mutable.ArrayBuffer[Long]())
+
+    def add(refId: Int, beg0: Int, end1: Int, startVo: Long, endVo: Long): Unit = {
+      val end0 = math.max(end1, beg0 + 1)
+      require(end0 <= maxPos,
+        s"record at ref $refId:${beg0 + 1} spans past index capacity $maxPos " +
+          s"(min_shift=$minShift depth=$depth); increase depth")
+      val bin = reg2bin(beg0, end0, minShift, depth)
+      val bs = bins(refId).getOrElseUpdate(bin, mutable.ArrayBuffer())
+      if (bs.nonEmpty && bs.last.end == startVo)
+        bs(bs.length - 1) = Chunk(bs.last.beg, endVo)
+      else bs += Chunk(startVo, endVo)
+      val wBeg = beg0 >> minShift
+      val wEnd = (end0 - 1) >> minShift
+      val lin = winMin(refId)
+      while (lin.length <= wEnd) lin += 0L
+      (wBeg to wEnd).foreach { w =>
+        if (lin(w) == 0L || startVo < lin(w)) lin(w) = startVo
+      }
+    }
+
+    def result(): Index =
+      Index(minShift, depth, (0 until nRef).map { i =>
+        RefIndex(bins(i).map { case (bin, chunks) =>
+          val w = binStart(bin, minShift, depth) >> minShift
+          val loff = if (w < winMin(i).length) winMin(i)(w) else 0L
+          bin -> BinEntry(loff, chunks.toSeq)
+        }.toMap)
+      }.toArray)
+  }
+
   /** Build a CSI from a coordinate-sorted BAM in one sequential driver
     * pass (Bai.build generalized to parameterized binning).  `depth`
     * <= 0 derives the depth from the header's longest contig — a
@@ -203,9 +240,7 @@ object Csi {
     val nRef = header.refs.length
     val d = if (depth > 0) depth
       else depthFor(math.max(1L, header.refs.map(_.length.toLong).foldLeft(0L)(math.max)), minShift)
-    val maxPos = (1L << (minShift + 3 * d)) - 1
-    val bins = Array.fill(nRef)(mutable.Map[Int, mutable.ArrayBuffer[Chunk]]())
-    val winMin = Array.fill(nRef)(mutable.ArrayBuffer[Long]()) // min VO per 2^minShift window
+    val acc = new Accumulator(minShift, d, nRef)
     val refIdxByName = header.refs.map(_.name).zipWithIndex.toMap
 
     var recStart = in.virtualPos
@@ -227,40 +262,82 @@ object Csi {
         val recEnd = in.virtualPos
         val rec = BamCodec.decode(data, header.refs)
         val refId = refIdxByName.getOrElse(rec.rname, -1)
-        if (refId >= 0 && rec.pos > 0) {
-          val beg0 = rec.pos - 1
-          val end0 = math.max(rec.end, rec.pos)
-          require(end0 <= maxPos,
-            s"record at ${rec.rname}:${rec.pos} spans past index capacity $maxPos " +
-              s"(min_shift=$minShift depth=$d); increase depth")
-          val bin = reg2bin(beg0, end0, minShift, d)
-          val bs = bins(refId).getOrElseUpdate(bin, mutable.ArrayBuffer())
-          if (bs.nonEmpty && bs.last.end == recStart)
-            bs(bs.length - 1) = Chunk(bs.last.beg, recEnd)
-          else bs += Chunk(recStart, recEnd)
-          val wBeg = beg0 >> minShift
-          val wEnd = (end0 - 1) >> minShift
-          val lin = winMin(refId)
-          while (lin.length <= wEnd) lin += 0L
-          (wBeg to wEnd).foreach { w =>
-            if (lin(w) == 0L || recStart < lin(w)) lin(w) = recStart
-          }
-        }
+        if (refId >= 0 && rec.pos > 0)
+          acc.add(refId, rec.pos - 1, math.max(rec.end, rec.pos), recStart, recEnd)
         recStart = recEnd
       }
     }
     in.close()
-    Index(minShift, d, (0 until nRef).map { i =>
-      RefIndex(bins(i).map { case (bin, chunks) =>
-        val w = binStart(bin, minShift, d) >> minShift
-        val loff = if (w < winMin(i).length) winMin(i)(w) else 0L
-        bin -> BinEntry(loff, chunks.toSeq)
-      }.toMap)
-    }.toArray)
+    acc.result()
   }
 
   def buildAndWrite(file: String, minShift: Int = 14, depth: Int = 0): Unit = {
     val (fs, path) = Fs.get(file)
     write(fs, indexPath(path), build(file, minShift, depth))
+  }
+
+  /** Build a CSI from a coordinate-sorted BCF in one driver pass —
+    * the role of htslib's `bcftools index` for the foreign-index
+    * bounded-traversal path (the record walk mirrors
+    * BCFSplitGuesser.java's framing: l_shared/l_indiv prefix, then
+    * CHROM/POS/rlen lead the shared block). */
+  def buildBcf(file: String, minShift: Int = 14, depth: Int = 5): Index = {
+    val dicts = BcfIO.readDicts(file)
+    val nRef = math.max(1, dicts.contigs.length)
+    val (fs, path) = Fs.get(file)
+    val in = new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(path)))
+    try {
+      // skip magic + header text
+      val magic = new Array[Byte](5)
+      var got = 0
+      while (got < 5) { val r = in.read(magic, got, 5 - got); require(r > 0); got += r }
+      var lh = 0
+      (0 until 4).foreach(i => lh |= in.read() << (8 * i))
+      var skipped = 0
+      val buf = new Array[Byte](8192)
+      while (skipped < lh) {
+        val r = in.read(buf, 0, math.min(buf.length, lh - skipped))
+        require(r > 0, "truncated BCF header")
+        skipped += r
+      }
+      val acc = new Accumulator(minShift, depth, nRef)
+      var lastRef = -1
+      var lastPos = Int.MinValue
+      var recStart = in.virtualPos
+      var a = in.read()
+      while (a >= 0) {
+        val lShared = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+        var lIndiv = 0
+        (0 until 4).foreach(i => lIndiv |= in.read() << (8 * i))
+        val payload = new Array[Byte](lShared + lIndiv)
+        var o = 0
+        while (o < payload.length) {
+          val r = in.read(payload, o, payload.length - o)
+          require(r > 0, "truncated BCF record")
+          o += r
+        }
+        val bb = java.nio.ByteBuffer.wrap(payload, 0, 12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val refId = bb.getInt
+        val pos0 = bb.getInt
+        val rlen = bb.getInt
+        val recEnd = in.virtualPos
+        if (refId >= 0 && pos0 >= 0) {
+          require(refId > lastRef || (refId == lastRef && pos0 >= lastPos),
+            s"CSI indexing needs a coordinate-sorted BCF; ref $refId pos ${pos0 + 1} " +
+              s"after ref $lastRef pos ${lastPos + 1}")
+          lastRef = refId; lastPos = pos0
+          acc.add(refId, pos0, pos0 + math.max(1, rlen), recStart, recEnd)
+        }
+        recStart = recEnd
+        a = in.read()
+      }
+      acc.result()
+    } finally in.close()
+  }
+
+  def buildAndWriteBcf(file: String, minShift: Int = 14, depth: Int = 5): Unit = {
+    val (fs, path) = Fs.get(file)
+    write(fs, indexPath(path), buildBcf(file, minShift, depth))
   }
 }

@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.VcfVariant
+
+/** Bounded-traversal BCF reads: sidecar-granule pruning for our own
+  * sorted writes, CSI chunk pruning for indexed files, full-scan
+  * fallback otherwise — all result-identical to read + filter. */
+class BcfBoundedSpec extends SparkSpec {
+
+  private val dicts = BcfIO.Dicts(Array("c1", "c2"), Array("PASS"), Array("DP"))
+
+  private def variant(c: String, pos: Int, i: Int): VcfVariant =
+    VcfVariant(c, pos.toLong, s"v$i",
+      if (i % 37 == 0) "A" * 400 else "A", Array("C"), Some(9.0), "PASS",
+      Array("DP"), Array(s"${i % 70}"), Array.empty, Array.empty)
+
+  private def sortedFixture(n: Int): Seq[VcfVariant] =
+    Seq("c1", "c2").zipWithIndex.flatMap { case (c, ci) =>
+      (0 until n).map(i => variant(c, 50 + i * 13, ci * n + i))
+    }
+
+  private def writeSortedBcf(n: Int, dirTag: String): String = {
+    import spark.implicits._
+    val f = s"${tmpDir(dirTag)}/t.bcf"
+    BcfIO.write(spark.createDataset(sortedFixture(n)).coalesce(1), dicts, f,
+      granularity = 64)
+    f
+  }
+
+  private def ids(ds: org.apache.spark.sql.Dataset[VcfVariant]): Seq[String] =
+    ds.collect().map(_.id).sorted.toSeq
+
+  private def naive(f: String, intervals: Seq[(String, Int, Int)]): Seq[String] = {
+    val merged = Vcf.mergeIntervals(intervals)
+    BcfIO.read(spark, f).collect().filter { v =>
+      merged.get(v.chrom).exists(_.exists { case (s, e) =>
+        v.pos <= e && v.pos + math.max(1, v.ref.length) - 1 >= s
+      })
+    }.map(_.id).sorted.toSeq
+  }
+
+  test("sorted writes carry a prunable sidecar (maxSpan recorded)") {
+    val f = writeSortedBcf(2000, "bcfb1")
+    val (fs, p) = Fs.get(f)
+    val sidx = SplittingIndex.read(fs, SplittingIndex.indexPath(p)).get
+    assert(sidx.maxSpan === 400)
+  }
+
+  test("sidecar-pruned interval read matches read + filter") {
+    val f = writeSortedBcf(2000, "bcfb2")
+    val intervals = Seq(("c2", 5000, 9000), ("c1", 1, 400))
+    assert(ids(BcfIO.readIntervals(spark, f, intervals)) === naive(f, intervals))
+    assert(naive(f, intervals).nonEmpty)
+  }
+
+  test("long-REF records spanning into the interval are kept") {
+    val f = writeSortedBcf(2000, "bcfb3")
+    // every 37th record has a 400-base REF; query a window that only
+    // such a spanning record can reach into from before
+    val full = BcfIO.read(spark, f).collect()
+    val del = full.find(v => v.chrom == "c1" && v.ref.length > 100).get
+    val s = del.pos.toInt + 50
+    val intervals = Seq(("c1", s, s + 3))
+    val got = BcfIO.readIntervals(spark, f, intervals).collect()
+    assert(got.exists(_.id == del.id), s"spanning record ${del.id} missed")
+    assert(ids(BcfIO.readIntervals(spark, f, intervals)) === naive(f, intervals))
+  }
+
+  test("CSI chunk pruning matches, with exactly-once output at tiny splits") {
+    val f = writeSortedBcf(2000, "bcfb4")
+    Csi.buildAndWriteBcf(f)
+    val intervals = Seq(("c1", 1, 30000), ("c2", 100, 20000))
+    val rows = BcfIO.readIntervals(spark, f, intervals, splitSize = 2048)
+      .collect().map(_.id)
+    assert(rows.length === rows.distinct.length, "duplicates across tasks")
+    assert(rows.sorted.toSeq === naive(f, intervals))
+  }
+
+  test("unsorted writes disable sidecar pruning but reads stay correct") {
+    import spark.implicits._
+    val f = s"${tmpDir("bcfb5")}/t.bcf"
+    val vs = sortedFixture(300).reverse
+    BcfIO.write(spark.createDataset(vs).coalesce(1), dicts, f, granularity = 64)
+    val (fs, p) = Fs.get(f)
+    assert(SplittingIndex.read(fs, SplittingIndex.indexPath(p)).get.maxSpan === -1)
+    val intervals = Seq(("c1", 100, 800))
+    assert(ids(BcfIO.readIntervals(spark, f, intervals)) === naive(f, intervals))
+  }
+}
