@@ -628,7 +628,7 @@ object BcfIO {
 
   /** Records in virtual-offset range [startVo, endVo) — both bounds
     * must be record starts (index-derived). */
-  private def openRange(file: String, startVo: Long, endVo: Long,
+  private[sources] def openRange(file: String, startVo: Long, endVo: Long,
                         dicts: Dicts): Iterator[VcfVariant] = {
     val (tfs, tpath) = Fs.get(file)
     val raw = tfs.open(tpath)
@@ -670,20 +670,10 @@ object BcfIO {
            splitSize: Long = 64L * 1024 * 1024):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
-    val (fs, path) = Fs.get(file)
-    val (dicts, headerEndVo) = headerInfo(file)
-    val bounds: Seq[Long] = SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
-      case Some(sidx) =>
-        (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
-      case None =>
-        // foreign BCF: BGZF block discovery at byte targets + record
-        // guessing, exactly the BAM shape (ref: BCFSplitGuesser.java)
-        val fileLen = fs.getFileStatus(path).getLen
-        val nContigs = dicts.contigs.length
-        BamIO.splitsByGuessing(fs, path, fileLen, headerEndVo, splitSize,
-          data => Bcf.guessRecordStart(data, nContigs)).toSeq
-    }
-    val ranges = bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
+    val (dicts, _) = headerInfo(file)
+    // foreign BCFs without a sidecar fall back to BGZF block discovery
+    // + record guessing, exactly the BAM shape (ref: BCFSplitGuesser.java)
+    val ranges = planFullRanges(file, splitSize)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (startVo, endVo2) => openRange(file, startVo, endVo2, dicts) }
       .toDS()
@@ -717,15 +707,34 @@ object BcfIO {
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
     if (intervals.isEmpty) return read(spark, file, splitSize)
-    val (fs, path) = Fs.get(file)
-    val (dicts, headerEndVo) = headerInfo(file)
-    val refIdOf = dicts.contigs.zipWithIndex.toMap
+    val (dicts, _) = headerInfo(file)
     val merged = Vcf.mergeIntervals(intervals)
 
     def overlaps(v: VcfVariant): Boolean =
       merged.get(v.chrom).exists(_.exists { case (s, e) =>
         v.pos <= e && bcfEnd(v) >= s
       })
+
+    planIntervalRanges(file, intervals, splitSize) match {
+      case Some(ranges) =>
+        spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
+          .flatMap { case (s0, e0) => openRange(file, s0, e0, dicts).filter(overlaps) }
+          .toDS()
+      case None =>
+        read(spark, file, splitSize).filter(overlaps(_))
+    }
+  }
+
+  /** Driver-side planning for [[readIntervals]] (shared with the DSv2
+    * scan): disjoint record-aligned VO ranges from the best index, or
+    * None for the full-scan fallback. */
+  private[sources] def planIntervalRanges(file: String,
+                    intervals: Seq[(String, Int, Int)],
+                    splitSize: Long): Option[Seq[(Long, Long)]] = {
+    val (fs, path) = Fs.get(file)
+    val (dicts, headerEndVo) = headerInfo(file)
+    val refIdOf = dicts.contigs.zipWithIndex.toMap
+    val merged = Vcf.mergeIntervals(intervals)
 
     val rangesOpt: Option[Seq[(Long, Long)]] =
       Csi.read(fs, Csi.indexPath(path)).map { idx =>
@@ -803,15 +812,36 @@ object BcfIO {
           }
         }
       }
+    rangesOpt
+  }
 
-    rangesOpt match {
-      case Some(ranges) =>
-        spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
-          .flatMap { case (s0, e0) => openRange(file, s0, e0, dicts).filter(overlaps) }
-          .toDS()
+  /** [[headerInfo]] for the DSv2 reader factory. */
+  private[sources] def dictsOf(file: String): Dicts = headerInfo(file)._1
+
+  /** Record-level interval overlap with the index's span semantics
+    * (rlen = REF length), for consumers applying the authoritative
+    * `intervals` option. */
+  private[sources] def overlapFilter(merged: Map[String, Seq[(Int, Int)]])
+      (v: VcfVariant): Boolean =
+    merged.get(v.chrom).exists(_.exists { case (s, e) =>
+      v.pos <= e && bcfEnd(v) >= s
+    })
+
+  /** Full-scan range planning (header end + sidecar granules or
+    * guessed splits), for consumers that need partitions rather than
+    * a Dataset. */
+  private[sources] def planFullRanges(file: String, splitSize: Long): Seq[(Long, Long)] = {
+    val (fs, path) = Fs.get(file)
+    val (dicts, headerEndVo) = headerInfo(file)
+    val bounds: Seq[Long] = SplittingIndex.read(fs, SplittingIndex.indexPath(path)) match {
+      case Some(sidx) =>
+        (headerEndVo +: sidx.entries.map(_.vo).toSeq :+ sidx.endVo).distinct.sorted
       case None =>
-        read(spark, file, splitSize).filter(overlaps(_))
+        val fileLen = fs.getFileStatus(path).getLen
+        BamIO.splitsByGuessing(fs, path, fileLen, headerEndVo, splitSize,
+          data => Bcf.guessRecordStart(data, dicts.contigs.length)).toSeq
     }
+    bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
   }
 }
 

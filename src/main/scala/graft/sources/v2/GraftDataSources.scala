@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.model.{SamRecord, SequencedFragment, VcfVariant}
-import graft.sources.{BamIO, Fastq, RangedText, Vcf}
+import graft.sources.{BamIO, BcfIO, Fastq, RangedText, Vcf}
 
 /** DataSource V2 façade over the graft format codecs — the Spark-first
   * re-expression of the reference's InputFormats as first-class
@@ -82,6 +82,42 @@ object GraftDataSources {
     // keep only fields we actually have (Spark may ask for metadata cols)
     StructType(required.filter(f => full.fieldNames.contains(f.name)))
 
+  /** Shared bounded-traversal filter extraction: a conjunction of
+    * contig equality/IN on `contigCol` with bounds on `posCol` becomes
+    * an interval set for chunk pruning.  Returns (the filters to
+    * advertise as pushed, the derived intervals); everything stays
+    * residual with Spark — the chunks over-approximate and every
+    * predicate is re-checked exactly. */
+  private[v2] def contigPosIntervals(filters: Array[Filter], contigCol: String,
+      posCol: String): (Array[Filter], Seq[(String, Int, Int)]) = {
+    val contigs: Option[Seq[String]] = filters.collectFirst {
+      case EqualTo(`contigCol`, c: String) => Seq(c)
+      case In(`contigCol`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.toString)
+    }
+    var lo = 1L
+    var hi = Int.MaxValue.toLong
+    val posFilters = filters.filter {
+      case GreaterThan(`posCol`, v: Number) => lo = math.max(lo, v.longValue() + 1); true
+      case GreaterThanOrEqual(`posCol`, v: Number) => lo = math.max(lo, v.longValue()); true
+      case LessThan(`posCol`, v: Number) => hi = math.min(hi, v.longValue() - 1); true
+      case LessThanOrEqual(`posCol`, v: Number) => hi = math.min(hi, v.longValue()); true
+      case EqualTo(`posCol`, v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue()); true
+      case _ => false
+    }
+    contigs match {
+      case Some(cs) =>
+        val ivs = cs.map(c =>
+          (c, math.max(1L, lo).min(Int.MaxValue).toInt, hi.max(0).min(Int.MaxValue).toInt))
+        (filters.filter {
+          case EqualTo(`contigCol`, _) | In(`contigCol`, _) => true
+          case f => posFilters.contains(f)
+        }, ivs)
+      case None => (Array.empty, Nil) // pos bounds alone cannot prune chunks
+    }
+  }
+
   private[v2] abstract class SingleTable(tableName: String, tableSchema: StructType)
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -136,32 +172,9 @@ class BamScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     * returned as residual — the chunks over-approximate and Spark
     * re-checks every predicate exactly. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val contigs: Option[Seq[String]] = filters.collectFirst {
-      case EqualTo("rname", c: String) => Seq(c)
-      case In("rname", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        vs.toSeq.map(_.toString)
-    }
-    var lo = 1L
-    var hi = Int.MaxValue.toLong
-    val posFilters = filters.filter {
-      case GreaterThan("pos", v: Number) => lo = math.max(lo, v.longValue() + 1); true
-      case GreaterThanOrEqual("pos", v: Number) => lo = math.max(lo, v.longValue()); true
-      case LessThan("pos", v: Number) => hi = math.min(hi, v.longValue() - 1); true
-      case LessThanOrEqual("pos", v: Number) => hi = math.min(hi, v.longValue()); true
-      case EqualTo("pos", v: Number) =>
-        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue()); true
-      case _ => false
-    }
-    pushed = contigs match {
-      case Some(cs) =>
-        intervals = cs.map(c =>
-          (c, math.max(1L, lo).min(Int.MaxValue).toInt, hi.max(0).min(Int.MaxValue).toInt))
-        filters.filter {
-          case EqualTo("rname", _) | In("rname", _) => true
-          case f => posFilters.contains(f)
-        }
-      case None => Array.empty // pos bounds alone cannot prune chunks
-    }
+    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "rname", "pos")
+    pushed = p
+    intervals = iv
     filters // all residual: exact semantics stay with Spark
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -618,32 +631,9 @@ class VcfScanBuilder(options: CaseInsensitiveStringMap)
     required = GraftDataSources.prune(enc.schema, r)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val contigs: Option[Seq[String]] = filters.collectFirst {
-      case EqualTo("chrom", c: String) => Seq(c)
-      case In("chrom", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        vs.toSeq.map(_.toString)
-    }
-    var lo = 1L
-    var hi = Int.MaxValue.toLong
-    val posFilters = filters.filter {
-      case GreaterThan("pos", v: Number) => lo = math.max(lo, v.longValue() + 1); true
-      case GreaterThanOrEqual("pos", v: Number) => lo = math.max(lo, v.longValue()); true
-      case LessThan("pos", v: Number) => hi = math.min(hi, v.longValue() - 1); true
-      case LessThanOrEqual("pos", v: Number) => hi = math.min(hi, v.longValue()); true
-      case EqualTo("pos", v: Number) =>
-        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue()); true
-      case _ => false
-    }
-    pushed = contigs match {
-      case Some(cs) =>
-        intervals = cs.map(c =>
-          (c, math.max(1L, lo).min(Int.MaxValue).toInt, hi.max(0).min(Int.MaxValue).toInt))
-        filters.filter {
-          case EqualTo("chrom", _) | In("chrom", _) => true
-          case f => posFilters.contains(f)
-        }
-      case None => Array.empty // pos bounds alone cannot prune chunks
-    }
+    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "chrom", "pos")
+    pushed = p
+    intervals = iv
     filters // all residual: exact semantics stay with Spark
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -721,6 +711,110 @@ class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
         new GraftDataSources.RecordReader(it, ExpressionEncoder[VcfVariant](),
           pruned, closer)
     }
+}
+
+// ------------------------------------------------------------------ BCF
+
+/** BCF2 as a DataSource V2 table: `spark.read.format("bcf")` with the
+  * same bounded-traversal pushdown as the vcf/bam sources — `chrom`
+  * equality/IN + `pos` bounds (or the authoritative `intervals`
+  * option) prune to disjoint record-aligned VO ranges through a
+  * `.csi` or the v2 sidecar splitting index (BcfIO.planIntervalRanges).
+  * Read-only: BCF writes go through the typed BcfIO.write API, which
+  * owns the dictionary contract. */
+class BcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bcf"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExpressionEncoder[VcfVariant]().schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BcfTable(new CaseInsensitiveStringMap(properties))
+}
+
+class BcfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"bcf:${GraftDataSources.pathsOf(options).mkString(",")}"
+  override def schema(): StructType = ExpressionEncoder[VcfVariant]().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new BcfScanBuilder(options)
+}
+
+class BcfScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val enc = ExpressionEncoder[VcfVariant]()
+  private var required: StructType = enc.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var intervals: Seq[(String, Int, Int)] = Nil
+
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftDataSources.prune(enc.schema, r)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "chrom", "pos")
+    pushed = p
+    intervals = iv
+    filters // all residual: exact semantics stay with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val splitSize = Option(options.get("splitsize")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    new BcfScan(GraftDataSources.pathsOf(options), splitSize, required,
+      pushed, intervals, Option(options.get("intervals")))
+  }
+}
+
+class BcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
+              pushed: Array[Filter], filterIntervals: Seq[(String, Int, Int)],
+              optionIntervals: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft bcf ${paths.mkString(",")} " +
+      s"intervals=${optionIntervals.getOrElse(if (filterIntervals.isEmpty) "*"
+        else filterIntervals.mkString(","))} " +
+      s"pushed=${pushed.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val optIv = optionIntervals.map(s => BamIO.parseIntervalSpec(s))
+    val pruneIv = optIv.getOrElse(filterIntervals)
+    paths.flatMap { path =>
+      val ranges =
+        (if (pruneIv.isEmpty) None
+         else BcfIO.planIntervalRanges(path, pruneIv, splitSize))
+          .getOrElse(BcfIO.planFullRanges(path, splitSize))
+      // option intervals are authoritative record filters; the
+      // filter-derived ranges leave exactness to Spark's residual
+      ranges.map { case (s, e) =>
+        BcfPartition(path, s, e, optIv.getOrElse(Nil).toArray): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BcfReaderFactory(pruned)
+}
+
+case class BcfPartition(file: String, startVo: Long, endVo: Long,
+                        intervals: Array[(String, Int, Int)]) extends InputPartition
+
+class BcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[BcfPartition]
+    val dicts = BcfIO.dictsOf(bp.file)
+    val base = BcfIO.openRange(bp.file, bp.startVo, bp.endVo, dicts)
+    val it =
+      if (bp.intervals.isEmpty) base
+      else base.filter(BcfIO.overlapFilter(Vcf.mergeIntervals(bp.intervals.toSeq)))
+    new GraftDataSources.RecordReader(it, ExpressionEncoder[VcfVariant](),
+      pruned, () => ())
+  }
 }
 
 class VcfDataSource extends TableProvider with DataSourceRegister {

@@ -77,6 +77,41 @@ class BcfBoundedSpec extends SparkSpec {
     assert(rows.sorted.toSeq === naive(f, intervals))
   }
 
+  test("DSv2: format(\"bcf\") load matches the typed reader") {
+    val f = writeSortedBcf(800, "bcfb6")
+    val v2 = spark.read.format("bcf").load(f)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val typed = BcfIO.read(spark, f).collect().map(v => (v.chrom, v.pos)).sorted.toSeq
+    assert(v2 === typed)
+    assert(v2.nonEmpty)
+  }
+
+  test("DSv2: chrom/pos predicates prune partitions with exact results") {
+    import org.apache.spark.sql.functions.col
+    val f = writeSortedBcf(2000, "bcfb7")
+    val df = spark.read.format("bcf").load(f)
+      .filter(col("chrom") === "c2" && col("pos") >= 3000 && col("pos") <= 6000)
+    val expected = BcfIO.read(spark, f).collect()
+      .filter(v => v.chrom == "c2" && v.pos >= 3000 && v.pos <= 6000)
+      .map(v => (v.chrom, v.pos)).sorted.toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq === expected)
+    def parts(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collectLeaves()
+        .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+        .inputPartitions.length
+    assert(parts(df) < parts(spark.read.format("bcf").load(f)))
+  }
+
+  test("DSv2: intervals option applies record-level overlap semantics") {
+    val f = writeSortedBcf(1000, "bcfb8")
+    val opt = spark.read.format("bcf").option("intervals", "c1:500-4000")
+      .load(f).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val typed = BcfIO.readIntervals(spark, f, Seq(("c1", 500, 4000)))
+      .collect().map(v => (v.chrom, v.pos)).sorted.toSeq
+    assert(opt === typed)
+    assert(opt.nonEmpty)
+  }
+
   test("unsorted writes disable sidecar pruning but reads stay correct") {
     import spark.implicits._
     val f = s"${tmpDir("bcfb5")}/t.bcf"
