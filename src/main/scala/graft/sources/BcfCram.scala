@@ -854,8 +854,12 @@ object BcfIO {
   */
 object Cram {
 
+  /** `landmark` = first slice's byte offset within the compressed
+    * container body (0 when the container has no landmarks) — what a
+    * `.crai` line's slice-offset field records. */
   final case class Container(offset: Long, length: Int, refSeqId: Int,
-                             startPos: Int, span: Int, nRecords: Int)
+                             startPos: Int, span: Int, nRecords: Int,
+                             landmark: Int = 0)
 
   /** ITF8: CRAM's variable-length int (public CRAM spec §2.3).
     * Every byte is EOF-checked: a truncation mid-varint must surface
@@ -950,13 +954,17 @@ object Cram {
           val start = readItf8(counting)
           val span = readItf8(counting)
           val nRec = readItf8(counting)
-          out += Container(off, clen, refId, start, span, nRec)
           // Remaining header per CRAM 3.0 §8: record counter (LTF8),
           // bases (LTF8), nBlocks (ITF8), landmarks (array<ITF8>),
           // crc32; then `clen` bytes of compressed container body.
           readLtf8(counting); readLtf8(counting); readItf8(counting)
           val nLandmarks = readItf8(counting)
-          (0 until nLandmarks).foreach(_ => readItf8(counting))
+          var firstLandmark = 0
+          (0 until nLandmarks).foreach { i =>
+            val lm = readItf8(counting)
+            if (i == 0) firstLandmark = lm
+          }
+          out += Container(off, clen, refId, start, span, nRec, firstLandmark)
           val headerLen = counting.count + 4 // + crc32
           if (off + headerLen + clen > len)
             throw new java.io.IOException(

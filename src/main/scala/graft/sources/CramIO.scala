@@ -315,6 +315,9 @@ object CramIO {
 
     mergeShards(file, header, tmpDir)
     val _ = shardCounts
+    // container-granularity .crai sidecar (one driver header-walk):
+    // interval reads then prune containers without re-walking headers
+    Crai.buildAndWrite(file)
   }
 
   // --------------------------------------------------------------- read
@@ -351,30 +354,102 @@ object CramIO {
       .toDS()
   }
 
+  /** Bounded-traversal read: only containers whose (refSeqId,
+    * startPos, span) header fields overlap `intervals` are decoded —
+    * pruned through the `.crai` when present (no per-container
+    * header seeks on the driver), else through the container walk.
+    * Multi-ref slices (refSeqId -2) and spanless containers are kept
+    * conservatively; records are overlap-filtered exactly, and
+    * containers are disjoint so output is exactly-once. */
+  def readIntervals(spark: SparkSession, file: String,
+                    intervals: Seq[(String, Int, Int)],
+                    splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
+    import spark.implicits._
+    if (intervals.isEmpty) return read(spark, file, splitSize)
+    val (header, groups) = planGroupsBounded(file, intervals, splitSize)
+    val refs = header.refs
+    val iv = intervals.toArray
+    spark.sparkContext.parallelize(groups, math.max(1, groups.size))
+      .flatMap { offsets =>
+        readGroup(file, offsets, refs).iterator.filter { r =>
+          iv.exists { case (c, s, e) =>
+            r.rname == c && r.pos <= e && math.max(r.end, r.pos) >= s
+          }
+        }
+      }.toDS()
+  }
+
+  private[sources] def planGroupsBounded(file: String,
+      intervals: Seq[(String, Int, Int)], splitSize: Long)
+      : (SamHeader, Seq[Seq[Long]]) = {
+    val header = readHeader(file)
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    val ivsById = intervals.flatMap { case (c, s, e) =>
+      refIdx.get(c).map(ri => (ri, s, e))
+    }
+    def containerOverlaps(seqId: Int, start: Int, span: Int): Boolean =
+      seqId == -2 || // multi-ref slice: header carries no usable span
+        (seqId >= 0 && (span <= 0 || ivsById.exists { case (ri, s, e) =>
+          ri == seqId && start <= e && start + math.max(span, 1) - 1 >= s
+        }))
+    val (fs, p) = Fs.get(file)
+    val offsets: Seq[(Long, Int)] = Crai.read(fs, Crai.indexPath(p)) match {
+      case Some(entries) =>
+        entries.filter(e => containerOverlaps(e.seqId, e.start, e.span))
+          .map(e => (e.containerOffset, e.sliceSize.toInt + e.sliceOffset.toInt))
+      case None =>
+        Cram.enumerateContainers(file)
+          .filter(c => c.nRecords > 0 && !isEof(c))
+          .filter(c => containerOverlaps(c.refSeqId, c.startPos, c.span))
+          .map(c => (c.offset, c.length))
+    }
+    offsets.headOption.foreach(first => requireGraftProfile(file, first._1))
+    (header, groupOffsets(offsets, splitSize))
+  }
+
+  private def groupOffsets(containers: Seq[(Long, Int)], splitSize: Long)
+      : Seq[Seq[Long]] = {
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    var cur = scala.collection.mutable.ArrayBuffer[Long]()
+    var acc = 0L
+    containers.foreach { case (off, len) =>
+      if (cur.nonEmpty && acc + len > splitSize) {
+        groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long](); acc = 0L
+      }
+      cur += off; acc += len
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    groups.toSeq
+  }
+
   /** Driver-side planning shared with the DataSource V2 scan: header
     * + whole containers grouped into ~splitSize partitions.  Rejects
     * foreign CRAMs up front with a clear error, instead of misreading
     * their data-series bytes as graft record payloads. */
+  /** Reject foreign CRAMs up front with a clear error, instead of
+    * misreading their data-series bytes as graft record payloads. */
+  private def requireGraftProfile(file: String, firstContainerOffset: Long): Unit = {
+    val (fs, p) = Fs.get(file)
+    val raw = fs.open(p)
+    try {
+      raw.seek(firstContainerOffset)
+      val blocks = readContainerBlocks(new BufferedInputStream(raw))
+      val ok = blocks.exists(b =>
+        b.contentType == CompressionHeader && isGraftProfile(b.data))
+      if (!ok) throw new UnsupportedOperationException(
+        s"$file is a foreign CRAM (no graft profile marker): record decode of " +
+          "external data-series codecs is delegated (as the reference delegates " +
+          "to htsjdk); container enumeration/splitting is still available via " +
+          "Cram.enumerateContainers")
+    } finally raw.close()
+  }
+
   private[sources] def planGroups(file: String, splitSize: Long)
       : (SamHeader, Seq[Seq[Long]]) = {
     val header = readHeader(file)
     val containers = Cram.enumerateContainers(file)
       .filter(c => c.nRecords > 0 && !isEof(c))
-    containers.headOption.foreach { first =>
-      val (fs, p) = Fs.get(file)
-      val raw = fs.open(p)
-      try {
-        raw.seek(first.offset)
-        val blocks = readContainerBlocks(new BufferedInputStream(raw))
-        val ok = blocks.exists(b =>
-          b.contentType == CompressionHeader && isGraftProfile(b.data))
-        if (!ok) throw new UnsupportedOperationException(
-          s"$file is a foreign CRAM (no graft profile marker): record decode of " +
-            "external data-series codecs is delegated (as the reference delegates " +
-            "to htsjdk); container enumeration/splitting is still available via " +
-            "Cram.enumerateContainers")
-      } finally raw.close()
-    }
+    containers.headOption.foreach(first => requireGraftProfile(file, first.offset))
     val groups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
     var cur = scala.collection.mutable.ArrayBuffer[Long]()
     var acc = 0L

@@ -506,45 +506,88 @@ class CramTable(options: CaseInsensitiveStringMap)
     extends GraftDataSources.SingleTable(
       s"cram:${GraftDataSources.pathsOf(options).mkString(",")}",
       ExpressionEncoder[SamRecord]().schema) {
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
-      with SupportsPushDownRequiredColumns {
-    private var required: StructType = schema()
-    override def pruneColumns(r: StructType): Unit =
-      required = GraftDataSources.prune(schema(), r)
-    override def build(): Scan = {
-      val splitSize = Option(options.get("splitsize")).map(_.toLong)
-        .getOrElse(64L * 1024 * 1024)
-      new CramScan(GraftDataSources.pathsOf(options), splitSize, required)
-    }
-  }
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new CramScanBuilder(options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CramWriteBuilder(GraftDataSources.pathsOf(options).head, info)
 }
 
-class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType)
+/** CRAM scan with container-level bounded traversal: `rname`
+  * equality/IN + `pos` bounds (or the `intervals` option) prune whole
+  * containers through the `.crai` / container-header walk before
+  * tasks launch — the same pushdown contract as the bam/vcf/bcf
+  * sources (filter-derived = chunk pruning only, option = exact
+  * record-level overlap). */
+class CramScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private val enc = ExpressionEncoder[SamRecord]()
+  private var required: StructType = enc.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var intervals: Seq[(String, Int, Int)] = Nil
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftDataSources.prune(enc.schema, r)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "rname", "pos")
+    pushed = p
+    intervals = iv
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val splitSize = Option(options.get("splitsize")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    new CramScan(GraftDataSources.pathsOf(options), splitSize, required,
+      pushed, intervals, Option(options.get("intervals")))
+  }
+}
+
+class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType,
+               pushed: Array[Filter] = Array.empty,
+               filterIntervals: Seq[(String, Int, Int)] = Nil,
+               optionIntervals: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def description(): String =
+    s"graft cram ${paths.mkString(",")} " +
+      s"intervals=${optionIntervals.getOrElse(if (filterIntervals.isEmpty) "*"
+        else filterIntervals.mkString(","))} " +
+      s"pushed=${pushed.mkString("[", ",", "]")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val optIv = optionIntervals.map(s => BamIO.parseIntervalSpec(s))
+    val pruneIv = optIv.getOrElse(filterIntervals)
     paths.flatMap { path =>
-      val (header, groups) = graft.sources.CramIO.planGroups(path, splitSize)
-      groups.map(g => CramPartition(path, g, header.refs): InputPartition)
+      val (header, groups) =
+        if (pruneIv.isEmpty) graft.sources.CramIO.planGroups(path, splitSize)
+        else graft.sources.CramIO.planGroupsBounded(path, pruneIv, splitSize)
+      groups.map(g => CramPartition(path, g, header.refs,
+        optIv.getOrElse(Nil).toArray): InputPartition)
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new CramReaderFactory(pruned)
 }
 
 case class CramPartition(file: String, offsets: Seq[Long],
-                         refs: Array[graft.model.SamRef]) extends InputPartition
+                         refs: Array[graft.model.SamRef],
+                         intervals: Array[(String, Int, Int)] = Array.empty)
+    extends InputPartition
 
 class CramReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CramPartition]
     // readGroup materializes one container group; nothing left open
-    new GraftDataSources.RecordReader(
-      graft.sources.CramIO.readGroup(cp.file, cp.offsets, cp.refs).iterator,
-      ExpressionEncoder[SamRecord](), pruned, () => ())
+    val base = graft.sources.CramIO.readGroup(cp.file, cp.offsets, cp.refs).iterator
+    val it =
+      if (cp.intervals.isEmpty) base
+      else base.filter { r =>
+        cp.intervals.exists { case (c, s, e) =>
+          r.rname == c && r.pos <= e && math.max(r.end, r.pos) >= s
+        }
+      }
+    new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned, () => ())
   }
 }
 
