@@ -220,17 +220,87 @@ object CorpusStats {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  // --------------------------------------------------------------- P33
+  // Near-dup rate per source pair: where does duplication actually
+  // come from (same-crawl boilerplate vs cross-source mirroring)?
+  // Consumes the verified minhash pair list (P2's one-scan/one-shuffle
+  // pipeline); the doc→source attachment is two joins of a tiny pair
+  // frame against the documents dim — pair volume, not corpus volume,
+  // drives the cost.  Unordered pair key via least/greatest.
+  def qDupRateSource(s: SparkSession, d: String): DataFrame = {
+    val pairs = Pipeline.minhashPairs(s, d).select("doc_a", "doc_b")
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  val qDupRateSourceSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${Pipeline.duckShingles(3)} AS sh FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |)
+       |SELECT least(da.source, db.source) AS src_lo,
+       |  greatest(da.source, db.source) AS src_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM p
+       |JOIN documents da ON p.doc_a = da.doc_id
+       |JOIN documents db ON p.doc_b = db.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_lo, src_hi""".stripMargin
+
+  // --------------------------------------------------------------- P34
+  // Per-source vocabulary statistics (Heaps-law profile): total
+  // tokens, distinct tokens, distinct-per-1000 ratio in exact integer
+  // permille.  Two-level aggregation — (source, tok) partial counts
+  // collapse map-side before the distinct count, so the shuffle
+  // carries vocabulary-sized data, not token-stream-sized.
+  def qVocabGrowth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(
+        expr("filter(split(lower(text), ' '), t -> t <> '')")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
+      .withColumn("permille", expr("n_vocab * 1000 DIV n_tokens"))
+      .orderBy("source")
+
+  val qVocabGrowthSql: String =
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+      |  count(DISTINCT tok) * 1000 // count(*) AS permille
+      |FROM (
+      |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+      |    t -> t <> '')) AS tok
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_cooccur" -> (qCooccur _),
     "q_length_hist" -> (qLengthHist _),
-    "q_char_trigrams" -> (qCharTrigrams _))
+    "q_char_trigrams" -> (qCharTrigrams _),
+    "q_dup_rate_source" -> (qDupRateSource _),
+    "q_vocab_growth" -> (qVocabGrowth _))
 
   val oracle: Map[String, String] = Map(
     "q_winnow_overlap" -> qWinnowOverlapSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_cooccur" -> qCooccurSql,
     "q_length_hist" -> qLengthHistSql,
-    "q_char_trigrams" -> qCharTrigramsSql)
+    "q_char_trigrams" -> qCharTrigramsSql,
+    "q_dup_rate_source" -> qDupRateSourceSql,
+    "q_vocab_growth" -> qVocabGrowthSql)
 }

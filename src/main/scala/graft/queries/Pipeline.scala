@@ -83,7 +83,7 @@ object Pipeline {
     * inlining the 128-hash signature into every element_at of the
     * band explode, recomputing it per band (measured 64s → <2s at
     * sf0.01; PlanAuditSpec asserts one minhash128 in the plan). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // the signature is computed BELOW the exchange (map side): the
     // barrier then guarantees everything above references the
     // shuffled `sig` attribute, so CollapseProject can never inline
