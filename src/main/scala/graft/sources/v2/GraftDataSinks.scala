@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{SamRecord, SequencedFragment, VcfVariant}
-import graft.sources.{BamIO, Bgzf, Fastq, Fs, Sam, Vcf}
+import graft.sources.{BamIO, Bgzf, Fastq, Fs, Qseq, Sam, Vcf}
 
 /** DataSource V2 write paths — `df.write.format("bam"/"sam"/"fastq"/
   * "vcf").mode("overwrite").save(path)` — completing the SQL-level
@@ -335,5 +335,6 @@ object TextFormats {
     if (r.tags.isEmpty) base else base + "\t" + r.tags.mkString("\t")
   }
   def fastqRecord(f: SequencedFragment): String = Fastq.formatRecord(f)
+  def qseqLine(f: SequencedFragment): String = Qseq.formatLine(f)
   def vcfLine(v: VcfVariant): String = Vcf.formatLine(v)
 }

@@ -620,6 +620,46 @@ class FastqTable(options: CaseInsensitiveStringMap)
       TextFormats.fastqRecord, () => Nil)
 }
 
+object QseqFraming extends RangeFraming[SequencedFragment] {
+  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+      : (Iterator[SequencedFragment], () => Unit) = {
+    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
+    (lines.map(_.text).filter(_.nonEmpty).map(graft.sources.Qseq.parseLine), closer)
+  }
+}
+
+/** QSEQ as a DataSource V2 table (ref: QseqInputFormat.java /
+  * QseqOutputFormat.java): one tab-separated record per line over the
+  * same splittable ranged-text scan the other line formats ride, with
+  * the shared SequencedFragment schema (illumina→sanger quality
+  * conversion in the codec, as the reference's reader performs). */
+class QseqDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "qseq"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExpressionEncoder[SequencedFragment]().schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new QseqTable(new CaseInsensitiveStringMap(properties))
+}
+
+class QseqTable(options: CaseInsensitiveStringMap)
+    extends GraftDataSources.SingleTable(
+      s"qseq:${GraftDataSources.pathsOf(options).mkString(",")}",
+      ExpressionEncoder[SequencedFragment]().schema) {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new TextFramedScanBuilder[SequencedFragment](options,
+      ExpressionEncoder[SequencedFragment](), QseqFraming)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TextWriteBuilder[SequencedFragment](GraftDataSources.pathsOf(options).head, info,
+      ExpressionEncoder[SequencedFragment]().schema, GraftDataSinks.RowCodecs.fastq,
+      TextFormats.qseqLine, () => Nil)
+}
+
 class SamDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sam"
   override def supportsExternalMetadata(): Boolean = false

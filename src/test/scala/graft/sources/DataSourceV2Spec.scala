@@ -216,6 +216,28 @@ class DataSourceV2Spec extends SparkSpec {
     assert(fqBack.length === 120)
   }
 
+  test("format(\"qseq\") write+read round-trips against the typed reader") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2qseq")
+    val (v2Out, typedOut) = (s"$dir/v2.qseq", s"$dir/typed.qseq")
+    val frags = (0 until 150).map { i =>
+      SequencedFragment(s"M_1:1:2:$i:$i#0/1", "ACGTACGN", "IIIIIIII",
+        "M", 1, 1, 2, i, i, 1, i % 3 != 0)
+    }
+    spark.createDataset(frags).toDF()
+      .write.format("qseq").mode("overwrite").save(v2Out)
+    Qseq.write(spark.createDataset(frags), typedOut)
+    val back = spark.read.format("qseq").load(v2Out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(10))).sorted
+    val want = Qseq.read(spark, typedOut)
+      .collect().map(f => (f.name, f.sequence, f.filterPassed)).sorted
+    assert(back.toSeq === want.toSeq)
+    assert(back.length === 150)
+    // qseq lines are '.' for N and illumina-encoded qualities on disk
+    val firstLine = scala.io.Source.fromFile(v2Out).getLines().take(1).toList.head
+    assert(firstLine.split("\t").length === 11)
+  }
+
   test("format(\"vcf\") write carries header lines and BGZF-compresses .bgz targets") {
     import spark.implicits._
     val dir = tmpDir("dsv2wvcf")

@@ -227,6 +227,90 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packed k-grams decode back to the naive lowercase substrings") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      len <- Gen.choose(0, 200)
+      text <- Gen.listOfN(len, Gen.frequency(
+        (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', ',', '!')))).map(_.mkString)
+    } yield (text, k)
+    forSamples(gen, 200) { case (text, k) =>
+      val packed = graft.functions.GraftFunctions.packGrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toLongArray()
+      val lower = text.toLowerCase
+      val naive = (0 to lower.length - k).map(i => lower.substring(i, i + k))
+      assert(packed.length === math.max(0, naive.length))
+      packed.zip(naive).foreach { case (p, g) =>
+        val decoded = new String((0 until k).map { j =>
+          ((p >>> (8 * (k - 1 - j))) & 0xff).toByte
+        }.toArray, java.nio.charset.StandardCharsets.UTF_8)
+        assert(decoded === g)
+      }
+    }
+  }
+
+  test("BCF bounded reads equal naive overlap filtering under a CSI for " +
+    "arbitrary sorted files and intervals") {
+    val contigs = Array("c1", "c2")
+    val filters = Array("PASS")
+    val infoKeys = Array("DP")
+    val genFile = for {
+      perContig <- Gen.listOfN(2, Gen.choose(0, 120))
+      recs <- Gen.sequence[Seq[Seq[graft.model.VcfVariant]], Seq[graft.model.VcfVariant]](
+        perContig.zipWithIndex.map { case (n, ci) =>
+          Gen.listOfN(n, for {
+            pos <- Gen.choose(1, 40000)
+            refLen <- Gen.frequency((8, Gen.choose(1, 3)), (2, Gen.choose(50, 500)))
+          } yield (pos, refLen)).map(_.sortBy(_._1).zipWithIndex.map {
+            case ((pos, refLen), i) =>
+              graft.model.VcfVariant(contigs(ci), pos.toLong, s"v${ci}_$i",
+                "A" * refLen, Array("C"), None, "PASS",
+                Array("DP"), Array("7"), Array.empty, Array.empty)
+          })
+        })
+    } yield recs.flatten
+    val genQuery = for {
+      c <- Gen.oneOf("c1", "c2", "c3")
+      s <- Gen.choose(1, 40000)
+      w <- Gen.choose(0, 15000)
+      splitSize <- Gen.oneOf(512L, 1L << 20)
+    } yield (Seq((c, s, s + w)), splitSize)
+
+    forSamples(Gen.zip(genFile, Gen.listOfN(5, genQuery)), 20) { case (vs, queries) =>
+      val dir = java.nio.file.Files.createTempDirectory("bcfprop").toString
+      val f = s"$dir/t.bcf"
+      Bcf.write(f, BcfIO.Dicts(contigs, filters, infoKeys).headerText,
+        vs, contigs, filters, infoKeys)
+      Csi.buildAndWriteBcf(f)
+      val dicts = BcfIO.dictsOf(f)
+      queries.foreach { case (ivs, splitSize) =>
+        val merged = Vcf.mergeIntervals(ivs)
+        val naive = vs.filter { v =>
+          merged.get(v.chrom).exists(_.exists { case (s, e) =>
+            v.pos <= e && v.pos + math.max(1, v.ref.length) - 1 >= s
+          })
+        }.map(_.id).sorted
+        BcfIO.planIntervalRanges(f, ivs, splitSize) match {
+          case Some(ranges) =>
+            val got = ranges.flatMap { case (s0, e0) =>
+              BcfIO.openRange(f, s0, e0, dicts)
+            }.filter { v =>
+              merged.get(v.chrom).exists(_.exists { case (s, e) =>
+                v.pos <= e && v.pos + math.max(1, v.ref.length) - 1 >= s
+              })
+            }.map(_.id)
+            assert(got.length === got.distinct.length,
+              s"duplicates (splitSize=$splitSize ivs=$ivs)")
+            assert(got.sorted === naive, s"mismatch (splitSize=$splitSize ivs=$ivs)")
+          case None => fail(".csi written but planIntervalRanges returned None")
+        }
+      }
+      val (fs, _) = Fs.get(f)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("record-boundary guesser finds a true boundary from any offset") {
     val records = (0 until 50).map(i => genRecord.sample.get)
     val bos = new java.io.ByteArrayOutputStream()
