@@ -20,7 +20,7 @@ object PlanProbe {
       df.collect() // materialize: AQE only finalizes stage reuse at runtime
       val p = df.queryExecution.executedPlan.toString
       def c(pat: String) = pat.r.findAllIn(p).length
-      println(f"$n%-22s scans=${c("Scan parquet")} exchanges=${c("Exchange ")} " +
+      println(f"$n%-22s scans=${c("Scan parquet")} exchanges=${c("(?<!Reused)Exchange ")} " +
         f"reused=${c("ReusedExchange")} bhj=${c("BroadcastHashJoin")} " +
         f"smj=${c("SortMergeJoin")} wgl=${c("WindowGroupLimit")} " +
         f"cartesian=${c("Cartesian|BroadcastNestedLoop")}")

@@ -83,7 +83,10 @@ object Bcf {
     def w32(x: Int): Unit = { o.write(x & 0xff); o.write((x >> 8) & 0xff); o.write((x >> 16) & 0xff); o.write((x >> 24) & 0xff) }
     w32(contigIdx(v.chrom))
     w32(v.pos.toInt - 1) // 0-based
-    w32(v.ref.length) // rlen
+    // rlen = the record's reference span, stretched to INFO END= for
+    // symbolic/structural alleles — htslib sets rlen the same way, and
+    // CSI binning/interval pruning depend on it covering the span
+    w32((Vcf.spanEnd(v) - v.pos + 1).toInt)
     w32(v.qual.map(q => java.lang.Float.floatToIntBits(q.toFloat))
       .getOrElse(0x7f800001)) // missing float
     val nAllele = 1 + v.alt.length
@@ -525,7 +528,7 @@ object BcfIO {
           (key._1 < lastKey._1 || (key._1 == lastKey._1 && key._2 < lastKey._2)))
           sorted = false
         lastKey = key
-        maxSpan = math.max(maxSpan, math.max(1, v.ref.length))
+        maxSpan = math.max(maxSpan, (Vcf.spanEnd(v) - v.pos + 1).toInt)
         val withGts = fmtIdx.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
         val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx,
           nFmt = if (withGts) v.format.length else 0,
@@ -627,9 +630,15 @@ object BcfIO {
   }
 
   /** Records in virtual-offset range [startVo, endVo) — both bounds
-    * must be record starts (index-derived). */
+    * must be record starts (index-derived).  The stream self-closes
+    * on exhaustion; use [[openRangeWithCloser]] when the iterator may
+    * be abandoned early. */
   private[sources] def openRange(file: String, startVo: Long, endVo: Long,
-                        dicts: Dicts): Iterator[VcfVariant] = {
+                        dicts: Dicts): Iterator[VcfVariant] =
+    openRangeWithCloser(file, startVo, endVo, dicts)._1
+
+  private[sources] def openRangeWithCloser(file: String, startVo: Long, endVo: Long,
+                        dicts: Dicts): (Iterator[VcfVariant], () => Unit) = {
     val (tfs, tpath) = Fs.get(file)
     val raw = tfs.open(tpath)
     raw.seek(Bgzf.voCompressed(startVo))
@@ -638,7 +647,7 @@ object BcfIO {
     in.seekInBlock(Bgzf.voUncompressed(startVo))
     val contigs = dicts.contigs; val filters = dicts.filters
     val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys
-    new Iterator[VcfVariant] {
+    val it = new Iterator[VcfVariant] {
       private var nextV: VcfVariant = _
       private var done = false
       private def fetch(): Unit = {
@@ -664,6 +673,7 @@ object BcfIO {
         val v = nextV; nextV = null; v
       }
     }
+    (it, () => try in.close() catch { case _: java.io.IOException => () })
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, file: String,
@@ -679,10 +689,11 @@ object BcfIO {
       .toDS()
   }
 
-  /** BCF record reference span, exactly as indexed: rlen is the REF
-    * length on our encode path, so the record covers
-    * [pos, pos + max(1, len(REF)) - 1] 1-based inclusive. */
-  private def bcfEnd(v: VcfVariant): Long = v.pos + math.max(1, v.ref.length) - 1
+  /** BCF record reference span for overlap filtering: REF length
+    * stretched to INFO END= — the same span our encode writes as rlen
+    * and htslib-written files index with (a <DEL> with END=3000 must
+    * be found by a query inside its span, not just at POS). */
+  private def bcfEnd(v: VcfVariant): Long = Vcf.spanEnd(v).toLong
 
   /** Bounded-traversal BCF read (the CSI face of S11, mirroring the
     * BAM/tabix paths): resolve intervals to disjoint virtual-offset

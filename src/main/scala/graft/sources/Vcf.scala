@@ -185,10 +185,17 @@ object Vcf {
     * from outside) is owned by the interval's first task, and only
     * when no earlier merged interval on the contig already overlaps
     * it (that interval reported it). */
-  def readTask(t: ChunkTask): Iterator[VcfVariant] = {
+  def readTask(t: ChunkTask): Iterator[VcfVariant] = openTask(t)._1
+
+  /** [[readTask]] plus a closer for consumers that may abandon the
+    * iterator early (DSv2 readers under LIMIT): chunks self-close on
+    * exhaustion, the closer releases the one in flight. */
+  def openTask(t: ChunkTask): (Iterator[VcfVariant], () => Unit) = {
     val (ivS, _) = t.contigIvs(t.ivIdx)
-    t.chunks.iterator.flatMap { case (beg, end) =>
-      val (lines, _) = RangedText.openLinesAtVo(t.file, beg, end)
+    var inFlight: () => Unit = () => ()
+    val it = t.chunks.iterator.flatMap { case (beg, end) =>
+      val (lines, closer) = RangedText.openLinesAtVo(t.file, beg, end)
+      inFlight = closer
       lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
         .map(l => parseLine(l.text))
         .filter { v =>
@@ -201,6 +208,7 @@ object Vcf {
             }
         }
     }
+    (it, () => inFlight())
   }
 
   /** Bounded-traversal read: only the BGZF chunks overlapping

@@ -754,8 +754,13 @@ class VcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
         })
       bounded.getOrElse {
         val bgzf = RangedText.isBgzf(path)
+        // full-range fallback (plain text / no .tbi): the authoritative
+        // `intervals` option must still filter records here — only
+        // filter-derived intervals may rely on Spark's residual
+        // predicates for exactness
+        val optionIv = optIv.getOrElse(Nil).toArray
         RangedText.ranges(path, splitSize).map { case (s, e) =>
-          TextRangePartition(path, s, e, bgzf): InputPartition
+          VcfRangePartition(path, s, e, bgzf, optionIv): InputPartition
         }
       }
     }.toArray
@@ -778,20 +783,35 @@ class VcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
 
 case class VcfChunkPartition(task: Vcf.ChunkTask) extends InputPartition
 
+case class VcfRangePartition(path: String, start: Long, end: Long, bgzf: Boolean,
+                             intervals: Array[(String, Int, Int)])
+    extends InputPartition
+
 class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VcfChunkPartition(task) =>
-        // [[Vcf.readTask]]'s ownership rule makes records exactly-once
+        // [[Vcf.openTask]]'s ownership rule makes records exactly-once
         // across tasks AND applies the interval-overlap semantics the
         // `intervals` option promises; for filter-derived intervals the
         // same output is a superset of what Spark's residual predicates
         // keep, so exactness stays with Spark either way
-        new GraftDataSources.RecordReader(Vcf.readTask(task),
-          ExpressionEncoder[VcfVariant](), pruned, () => ())
-      case tp: TextRangePartition =>
-        val (it, closer) = VcfFraming.frame(tp.path, tp.start, tp.end, tp.bgzf)
-        new GraftDataSources.RecordReader(it, ExpressionEncoder[VcfVariant](),
+        val (it, closer) = Vcf.openTask(task)
+        new GraftDataSources.RecordReader(it,
+          ExpressionEncoder[VcfVariant](), pruned, closer)
+      case VcfRangePartition(path, start, end, bgzf, intervals) =>
+        val (it, closer) = VcfFraming.frame(path, start, end, bgzf)
+        val filtered =
+          if (intervals.isEmpty) it
+          else {
+            val merged = Vcf.mergeIntervals(intervals.toSeq)
+            it.filter { v =>
+              merged.get(v.chrom).exists(_.exists { case (s, e) =>
+                v.pos <= e && Vcf.spanEnd(v) >= s
+              })
+            }
+          }
+        new GraftDataSources.RecordReader(filtered, ExpressionEncoder[VcfVariant](),
           pruned, closer)
     }
 }
@@ -873,9 +893,12 @@ class BcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
          else BcfIO.planIntervalRanges(path, pruneIv, splitSize))
           .getOrElse(BcfIO.planFullRanges(path, splitSize))
       // option intervals are authoritative record filters; the
-      // filter-derived ranges leave exactness to Spark's residual
+      // filter-derived ranges leave exactness to Spark's residual.
+      // dicts ride the partition: re-parsing the header once per task
+      // would cost an extra remote open + BGZF decode each
+      val dicts = BcfIO.dictsOf(path)
       ranges.map { case (s, e) =>
-        BcfPartition(path, s, e, optIv.getOrElse(Nil).toArray): InputPartition
+        BcfPartition(path, s, e, optIv.getOrElse(Nil).toArray, dicts): InputPartition
       }
     }.toArray
   }
@@ -885,18 +908,19 @@ class BcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
 }
 
 case class BcfPartition(file: String, startVo: Long, endVo: Long,
-                        intervals: Array[(String, Int, Int)]) extends InputPartition
+                        intervals: Array[(String, Int, Int)],
+                        dicts: BcfIO.Dicts) extends InputPartition
 
 class BcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BcfPartition]
-    val dicts = BcfIO.dictsOf(bp.file)
-    val base = BcfIO.openRange(bp.file, bp.startVo, bp.endVo, dicts)
+    val (base, closer) =
+      BcfIO.openRangeWithCloser(bp.file, bp.startVo, bp.endVo, bp.dicts)
     val it =
       if (bp.intervals.isEmpty) base
       else base.filter(BcfIO.overlapFilter(Vcf.mergeIntervals(bp.intervals.toSeq)))
     new GraftDataSources.RecordReader(it, ExpressionEncoder[VcfVariant](),
-      pruned, () => ())
+      pruned, closer)
   }
 }
 

@@ -112,6 +112,30 @@ class BcfBoundedSpec extends SparkSpec {
     assert(opt.nonEmpty)
   }
 
+  test("INFO END= symbolic records are found by queries inside their span") {
+    import spark.implicits._
+    val f = s"${tmpDir("bcfb9")}/t.bcf"
+    val dicts2 = BcfIO.Dicts(Array("c1"), Array("PASS"), Array("END", "SVTYPE"))
+    val del = VcfVariant("c1", 100L, "del1", "A", Array("<DEL>"), None, "PASS",
+      Array("END", "SVTYPE"), Array("3000", "DEL"), Array.empty, Array.empty)
+    val points = (0 until 500).map(i =>
+      VcfVariant("c1", 200L + i * 20, s"p$i", "A", Array("C"), None, "PASS",
+        Array.empty, Array.empty, Array.empty, Array.empty))
+    BcfIO.write(spark.createDataset(del +: points).coalesce(1), dicts2, f,
+      granularity = 64)
+    Csi.buildAndWriteBcf(f)
+    // a window deep inside the deletion's END span, far past POS+len(REF)
+    val intervals = Seq(("c1", 2500, 2600))
+    val got = BcfIO.readIntervals(spark, f, intervals).collect().map(_.id)
+    assert(got.contains("del1"), s"END= span missed: ${got.mkString(",")}")
+    // sidecar path too (maxSpan must cover the END span)
+    val (fs, p) = Fs.get(f)
+    assert(SplittingIndex.read(fs, SplittingIndex.indexPath(p)).get.maxSpan === 2901)
+    fs.delete(Csi.indexPath(p), false)
+    val got2 = BcfIO.readIntervals(spark, f, intervals).collect().map(_.id)
+    assert(got2.contains("del1"))
+  }
+
   test("unsorted writes disable sidecar pruning but reads stay correct") {
     import spark.implicits._
     val f = s"${tmpDir("bcfb5")}/t.bcf"

@@ -175,6 +175,11 @@ class TabixSpec extends SparkSpec {
     val rows = Vcf.readIntervals(spark, f, Seq(("chr1", 1, 500))).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(v => v.chrom == "chr1" && v.pos <= 500))
+    // the DSv2 intervals OPTION must filter records on the fallback
+    // path too, not silently return the whole file
+    val opt = spark.read.format("vcf").option("intervals", "chr1:1-500")
+      .load(f).collect()
+    assert(opt.length === rows.length)
   }
 
   test("indexing rejects an unsorted file") {
