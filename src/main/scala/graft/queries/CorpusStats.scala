@@ -288,6 +288,112 @@ object CorpusStats {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- P35
+  // ANN recall@3: per query, how many of the LSH path's top-3
+  // neighbors are in the exact top-3 — the quality gauge every
+  // approximate index needs next to its speed numbers.  Pure
+  // composition of P5/P6 (both already gated), so the join runs over
+  // two tiny top-k frames; output stays in exact integers.
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = Pipeline.qAnnBruteforce(s, d).filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id")
+    val lsh = Pipeline.qAnnLsh(s, d).select("query_id", "neighbor_id")
+    val hits = lsh.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), " +
+        s"i -> CAST($a[CAST(i + 1 AS INT)] AS DOUBLE) * CAST($b[CAST(i + 1 AS INT)] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 100 = 0)
+       |  WHERE rk <= 3
+       |), a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 4
+       |), b AS (
+       |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${dot("e.embedding", "a.ae")} >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(a.aid AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN a GROUP BY e.vec_id
+       |), lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT bq.vec_id AS query_id, be.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY bq.vec_id
+       |        ORDER BY ${dot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) DESC,
+       |          be.vec_id) AS rk
+       |    FROM b bq JOIN b be ON bq.bucket = be.bucket AND be.vec_id <> bq.vec_id
+       |      JOIN n nq ON nq.vec_id = bq.vec_id
+       |      JOIN n ne ON ne.vec_id = be.vec_id
+       |    WHERE bq.vec_id % 100 = 0)
+       |  WHERE rk <= 3
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN (
+       |  SELECT lsh.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM lsh JOIN exact ON lsh.query_id = exact.query_id
+       |    AND lsh.neighbor_id = exact.neighbor_id
+       |  GROUP BY lsh.query_id) h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- P36
+  // Canonical document per near-dup cluster: the step after P2b that
+  // actually shrinks the corpus — one keeper per connected component
+  // (longest text wins, doc_id tiebreak), everything else drops.
+  // One window over the tiny cluster frame joined back to the dim.
+  def qClusterKeep(s: SparkSession, d: String): DataFrame = {
+    val clusters = Pipeline.qDedupCluster(s, d)
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+    val w = Window.partitionBy("cluster_id").orderBy(desc("n_chars"), col("doc_id"))
+    clusters.join(docs, "doc_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"), col("n_chars"))
+      .orderBy("cluster_id")
+  }
+
+  val qClusterKeepSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, ${Pipeline.duckShingles(3)} AS sh FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), reach AS (
+       |  SELECT DISTINCT src AS doc, src AS r FROM e
+       |  UNION
+       |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+       |), cl AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT cluster_id, keeper, n_chars FROM (
+       |  SELECT cl.cluster_id, cl.doc_id AS keeper, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+       |WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -295,7 +401,9 @@ object CorpusStats {
     "q_length_hist" -> (qLengthHist _),
     "q_char_trigrams" -> (qCharTrigrams _),
     "q_dup_rate_source" -> (qDupRateSource _),
-    "q_vocab_growth" -> (qVocabGrowth _))
+    "q_vocab_growth" -> (qVocabGrowth _),
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_cluster_keep" -> (qClusterKeep _))
 
   val oracle: Map[String, String] = Map(
     "q_winnow_overlap" -> qWinnowOverlapSql,
@@ -304,5 +412,7 @@ object CorpusStats {
     "q_length_hist" -> qLengthHistSql,
     "q_char_trigrams" -> qCharTrigramsSql,
     "q_dup_rate_source" -> qDupRateSourceSql,
-    "q_vocab_growth" -> qVocabGrowthSql)
+    "q_vocab_growth" -> qVocabGrowthSql,
+    "q_ann_recall" -> qAnnRecallSql,
+    "q_cluster_keep" -> qClusterKeepSql)
 }
