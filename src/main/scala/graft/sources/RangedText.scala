@@ -26,7 +26,17 @@ object RangedText {
     * files, BGZF virtual offset for compressed ones). */
   final case class Line(offset: Long, text: String)
 
-  def isBgzf(path: String): Boolean = {
+  /** Container compression of a text file, sniffed by magic (never
+    * extension — a `.gz` may be either BGZF or plain gzip, ref:
+    * util/BGZFEnhancedGzipCodec.java).  BGZF splits at block bounds;
+    * plain gzip is NOT splittable and reads as one whole-file range,
+    * exactly the reference codec's fallback. */
+  sealed trait Compression extends Serializable
+  case object PlainText extends Compression
+  case object BgzfText extends Compression
+  case object GzipText extends Compression
+
+  def compression(path: String): Compression = {
     val (fs, p) = Fs.get(path)
     val in = fs.open(p)
     try {
@@ -34,27 +44,55 @@ object RangedText {
       var n = 0
       var r = 0
       while (n < hdr.length && r >= 0) { r = in.read(hdr, n, hdr.length - n); if (r > 0) n += r }
-      n >= 18 && Bgzf.parseBsize(hdr, 0) > 0
+      if (n >= 18 && Bgzf.parseBsize(hdr, 0) > 0) BgzfText
+      else if (n >= 2 && (hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b) GzipText
+      else PlainText
     } finally in.close()
+  }
+
+  def isBgzf(path: String): Boolean = compression(path) == BgzfText
+
+  /** One decoded stream from offset 0 whatever the container —
+    * for header reads and magic sniffing. */
+  def openDecoded(path: String): InputStream = {
+    val (fs, p) = Fs.get(path)
+    val buf = new BufferedInputStream(fs.open(p))
+    compression(path) match {
+      case BgzfText => new Bgzf.BgzfInputStream(buf)
+      case GzipText => new java.util.zip.GZIPInputStream(buf)
+      case PlainText => buf
+    }
   }
 
   /** Compressed-domain range bounds: [start, end) pairs. */
   def ranges(path: String, splitSize: Long): Seq[(Long, Long)] = {
     val (fs, p) = Fs.get(path)
     val len = fs.getFileStatus(p).getLen
-    val bounds: Seq[Long] =
-      if (!isBgzf(path)) ((0L until len by splitSize) :+ len).distinct
-      else blockAlignedBounds(path, len, splitSize)
+    val bounds: Seq[Long] = compression(path) match {
+      case PlainText => ((0L until len by splitSize) :+ len).distinct
+      case BgzfText => blockAlignedBounds(path, len, splitSize)
+      case GzipText => Seq(0L, len) // not splittable: one whole-file range
+    }
     bounds.sliding(2).collect { case Seq(a, b) if a < b => (a, b) }.toSeq
+  }
+
+  /** Upper bound on owned line-start positions for range [start, end)
+    * in the reader's position domain (virtual offsets for BGZF,
+    * decompressed offsets for gzip — where the single range owns
+    * everything). */
+  def endBound(end: Long, comp: Compression): Long = comp match {
+    case BgzfText => Bgzf.virtualOffset(end, 0)
+    case GzipText => Long.MaxValue
+    case PlainText => end
   }
 
   /** RDD of owned lines with positions, split into ~splitSize ranges. */
   def lines(spark: SparkSession, path: String,
             splitSize: Long = 64L * 1024 * 1024): RDD[Line] = {
     val rs = ranges(path, splitSize)
-    val bgzf = isBgzf(path)
+    val comp = compression(path)
     spark.sparkContext.parallelize(rs, math.max(1, rs.size))
-      .flatMap { case (start, end) => readLines(path, start, end, bgzf) }
+      .flatMap { case (start, end) => readLines(path, start, end, comp) }
   }
 
   /** BGZF: place range bounds on verified block starts near each
@@ -99,9 +137,9 @@ object RangedText {
     * the iterator keeps yielding past the bound to EOF — used by
     * multi-line framers (FASTQ) that stop on their own record-head
     * ownership rule but need the tail lines of their last record. */
-  def readLines(path: String, start: Long, end: Long, bgzf: Boolean,
+  def readLines(path: String, start: Long, end: Long, comp: Compression,
                 stopAtEnd: Boolean = true): Iterator[Line] =
-    openLines(path, start, end, bgzf, stopAtEnd)._1
+    openLines(path, start, end, comp, stopAtEnd)._1
 
   /** Lines of a BGZF VIRTUAL-OFFSET chunk [startVo, endVo): reading
     * starts exactly at startVo (an index-supplied record start — no
@@ -147,20 +185,25 @@ object RangedText {
   /** [[readLines]] plus an explicit closer for consumers that may
     * abandon the iterator early (DataSource V2 readers under LIMIT):
     * the stream otherwise closes only at range end / EOF. */
-  def openLines(path: String, start: Long, end: Long, bgzf: Boolean,
+  def openLines(path: String, start: Long, end: Long, comp: Compression,
                 stopAtEnd: Boolean = true): (Iterator[Line], () => Unit) = {
+    require(comp != GzipText || start == 0,
+      s"plain gzip is not splittable; got range start $start for $path")
     val (fs, p) = Fs.get(path)
     val raw = fs.open(p)
     raw.seek(start)
-    var plainPos = start
-    val in: InputStream =
-      if (bgzf) new Bgzf.BgzfInputStream(new BufferedInputStream(raw), start)
-      else new BufferedInputStream(raw)
+    val bgzf = comp == BgzfText
+    var plainPos = start // byte offset (plain) / decompressed offset (gzip)
+    val in: InputStream = comp match {
+      case BgzfText => new Bgzf.BgzfInputStream(new BufferedInputStream(raw), start)
+      case GzipText => new java.util.zip.GZIPInputStream(new BufferedInputStream(raw))
+      case PlainText => new BufferedInputStream(raw)
+    }
     def position: Long = in match {
       case b: Bgzf.BgzfInputStream => b.virtualPos
       case _ => plainPos
     }
-    val endBound: Long = if (bgzf) Bgzf.virtualOffset(end, 0) else end
+    val endBound: Long = RangedText.endBound(end, comp)
 
     val it = new Iterator[Line] {
       private var nextLine: Line = _

@@ -24,9 +24,9 @@ object Sam {
   /** Header text read driver-side (headers are KBs; records are TBs). */
   def readHeader(path: String): SamHeader = {
     val (fs, p) = Fs.get(path)
+    val _ = (fs, p)
     val in = new BufferedReader(new InputStreamReader(
-      if (RangedText.isBgzf(path)) new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(p)))
-      else new BufferedInputStream(fs.open(p)), UTF_8))
+      RangedText.openDecoded(path), UTF_8))
     try {
       val sb = new StringBuilder
       var line = in.readLine()
