@@ -92,12 +92,12 @@ object Fastq {
            filterFailedQc: Boolean = false,
            splitSize: Long = 64L * 1024 * 1024): Dataset[SequencedFragment] = {
     import spark.implicits._
-    val bgzf = RangedText.isBgzf(path)
+    val comp = RangedText.compression(path)
     val rs = RangedText.ranges(path, splitSize)
     val rdd: RDD[SequencedFragment] =
       spark.sparkContext.parallelize(rs, math.max(1, rs.size)).flatMap { case (s, e) =>
-        val endBound = if (bgzf) Bgzf.virtualOffset(e, 0) else e
-        frame(RangedText.readLines(path, s, e, bgzf, stopAtEnd = false), s, endBound)
+        val endBound = RangedText.endBound(e, comp)
+        frame(RangedText.readLines(path, s, e, comp, stopAtEnd = false), s, endBound)
       }
     val ds = rdd.toDS()
     if (filterFailedQc) ds.filter(_.filterPassed) else ds

@@ -57,9 +57,12 @@ object Sam {
   def read(spark: SparkSession, path: String): Dataset[SamRecord] = {
     import spark.implicits._
     val lines: org.apache.spark.sql.DataFrame =
-      if (RangedText.isBgzf(path))
-        RangedText.lines(spark, path).map(_.text).toDF("value")
-      else spark.read.textFile(path).toDF("value")
+      RangedText.compression(path) match {
+        case RangedText.PlainText => spark.read.textFile(path).toDF("value")
+        // BGZF splits at block bounds; plain gzip decodes as one
+        // whole-file range (the BGZFEnhancedGzipCodec fallback)
+        case _ => RangedText.lines(spark, path).map(_.text).toDF("value")
+      }
     parseLines(lines).as[SamRecord]
   }
 

@@ -31,10 +31,8 @@ object Vcf {
   }
 
   def readHeader(path: String): VcfHeader = {
-    val (fs, p) = Fs.get(path)
     val in = new BufferedReader(new InputStreamReader(
-      if (RangedText.isBgzf(path)) new Bgzf.BgzfInputStream(new BufferedInputStream(fs.open(p)))
-      else new BufferedInputStream(fs.open(p)), UTF_8))
+      RangedText.openDecoded(path), UTF_8))
     try {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       var line = in.readLine()

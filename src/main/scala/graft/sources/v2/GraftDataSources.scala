@@ -251,24 +251,24 @@ class BamReaderFactory(pruned: StructType) extends PartitionReaderFactory {
 /** Per-range record framing; returns the iterator plus a closer for
   * early-terminated scans. */
 trait RangeFraming[T] extends Serializable {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+  def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
       : (Iterator[T], () => Unit)
 }
 
 object FastqFraming extends RangeFraming[SequencedFragment] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+  def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
       : (Iterator[SequencedFragment], () => Unit) = {
-    val endBound = if (bgzf) graft.sources.Bgzf.virtualOffset(end, 0) else end
-    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = false)
+    val endBound = RangedText.endBound(end, comp)
+    val (lines, closer) = RangedText.openLines(path, start, end, comp, stopAtEnd = false)
     (Fastq.frame(lines, start, endBound), closer)
   }
 }
 
 object SamFraming extends RangeFraming[SamRecord] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+  def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
       : (Iterator[SamRecord], () => Unit) = {
-    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
-    (lines.map(_.text).filter(l => l.nonEmpty && !l.startsWith("@")).map(parse), closer)
+    val (lines, closer) = RangedText.openLines(path, start, end, comp, stopAtEnd = true)
+    (lines.map(_.text).filter(l => l.nonEmpty && !l.startsWith("@")).map(parse _), closer)
   }
   /** Same field semantics as Sam.parseLines' expression chain.
     * limit -1 like SQL split: a trailing empty field (e.g. empty
@@ -282,9 +282,9 @@ object SamFraming extends RangeFraming[SamRecord] {
 }
 
 object VcfFraming extends RangeFraming[VcfVariant] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+  def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
       : (Iterator[VcfVariant], () => Unit) = {
-    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
+    val (lines, closer) = RangedText.openLines(path, start, end, comp, stopAtEnd = true)
     (lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
       .map(l => Vcf.parseLine(l.text)), closer)
   }
@@ -313,9 +313,9 @@ class TextFramedScan[T](paths: Seq[String], splitSize: Long, pruned: StructType,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.flatMap { path =>
-      val bgzf = RangedText.isBgzf(path)
+      val comp = RangedText.compression(path)
       RangedText.ranges(path, splitSize).map { case (s, e) =>
-        TextRangePartition(path, s, e, bgzf): InputPartition
+        TextRangePartition(path, s, e, comp): InputPartition
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -448,9 +448,9 @@ class TextFramedMicroBatchStream[T](dir: String, splitSize: Long,
                                     checkpointLocation: String)
     extends FileLogMicroBatchStream(dir, checkpointLocation) {
   override protected def planFile(path: String): Seq[InputPartition] = {
-    val bgzf = RangedText.isBgzf(path)
+    val comp = RangedText.compression(path)
     RangedText.ranges(path, splitSize).map { case (a, b) =>
-      TextRangePartition(path, a, b, bgzf): InputPartition
+      TextRangePartition(path, a, b, comp): InputPartition
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -478,14 +478,14 @@ class BamMicroBatchStream(dir: String, splitSize: Long, pruned: StructType,
 }
 
 case class TextRangePartition(path: String, start: Long, end: Long,
-                              bgzf: Boolean) extends InputPartition
+                              comp: RangedText.Compression) extends InputPartition
 
 class TextFramedReaderFactory[T](pruned: StructType, enc: ExpressionEncoder[T],
                                  framing: RangeFraming[T])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val tp = p.asInstanceOf[TextRangePartition]
-    val (it, closer) = framing.frame(tp.path, tp.start, tp.end, tp.bgzf)
+    val (it, closer) = framing.frame(tp.path, tp.start, tp.end, tp.comp)
     new GraftDataSources.RecordReader(it, enc, pruned, closer)
   }
 }
@@ -621,10 +621,10 @@ class FastqTable(options: CaseInsensitiveStringMap)
 }
 
 object QseqFraming extends RangeFraming[SequencedFragment] {
-  def frame(path: String, start: Long, end: Long, bgzf: Boolean)
+  def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
       : (Iterator[SequencedFragment], () => Unit) = {
-    val (lines, closer) = RangedText.openLines(path, start, end, bgzf, stopAtEnd = true)
-    (lines.map(_.text).filter(_.nonEmpty).map(graft.sources.Qseq.parseLine), closer)
+    val (lines, closer) = RangedText.openLines(path, start, end, comp, stopAtEnd = true)
+    (lines.map(_.text).filter(_.nonEmpty).map(graft.sources.Qseq.parseLine _), closer)
   }
 }
 
@@ -753,14 +753,14 @@ class VcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
           VcfChunkPartition(t): InputPartition
         })
       bounded.getOrElse {
-        val bgzf = RangedText.isBgzf(path)
+        val comp = RangedText.compression(path)
         // full-range fallback (plain text / no .tbi): the authoritative
         // `intervals` option must still filter records here — only
         // filter-derived intervals may rely on Spark's residual
         // predicates for exactness
         val optionIv = optIv.getOrElse(Nil).toArray
         RangedText.ranges(path, splitSize).map { case (s, e) =>
-          VcfRangePartition(path, s, e, bgzf, optionIv): InputPartition
+          VcfRangePartition(path, s, e, comp, optionIv): InputPartition
         }
       }
     }.toArray
@@ -783,7 +783,8 @@ class VcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
 
 case class VcfChunkPartition(task: Vcf.ChunkTask) extends InputPartition
 
-case class VcfRangePartition(path: String, start: Long, end: Long, bgzf: Boolean,
+case class VcfRangePartition(path: String, start: Long, end: Long,
+                             comp: RangedText.Compression,
                              intervals: Array[(String, Int, Int)])
     extends InputPartition
 
@@ -799,8 +800,8 @@ class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
         val (it, closer) = Vcf.openTask(task)
         new GraftDataSources.RecordReader(it,
           ExpressionEncoder[VcfVariant](), pruned, closer)
-      case VcfRangePartition(path, start, end, bgzf, intervals) =>
-        val (it, closer) = VcfFraming.frame(path, start, end, bgzf)
+      case VcfRangePartition(path, start, end, comp, intervals) =>
+        val (it, closer) = VcfFraming.frame(path, start, end, comp)
         val filtered =
           if (intervals.isEmpty) it
           else {

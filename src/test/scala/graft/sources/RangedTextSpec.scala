@@ -21,7 +21,7 @@ class RangedTextSpec extends SparkSpec {
       Seq(0L, lineStarts(50), lineStarts(51), len), // bounds ON line starts
       (0L to len by 37L) :+ len)) {
       val got = bounds.distinct.sorted.sliding(2).collect { case Seq(a, b) if a < b =>
-        RangedText.readLines(f, a, b, bgzf = false).map(_.text).toSeq
+        RangedText.readLines(f, a, b, RangedText.PlainText).map(_.text).toSeq
       }.toSeq.flatten
       assert(got.sorted === lines.sorted, s"bounds=$bounds")
     }
@@ -38,6 +38,26 @@ class RangedTextSpec extends SparkSpec {
     assert(got.sorted === lines.sorted.toArray)
     // many ranges actually used
     assert(RangedText.ranges(f, 700).size > 3)
+  }
+
+  test("plain gzip reads as ONE whole-file range (enhanced-gzip fallback)") {
+    // ref: util/BGZFEnhancedGzipCodec.java — a .gz that is NOT BGZF
+    // must still decode, as a single non-splittable stream
+    val dir = tmpDir("rtgz")
+    val f = s"$dir/t.txt.gz"
+    val lines = (0 until 300).map(i => s"gz-$i-${"w" * (i % 13)}")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    out.close()
+    assert(RangedText.compression(f) === RangedText.GzipText)
+    assert(!RangedText.isBgzf(f))
+    assert(RangedText.ranges(f, 64).size === 1) // never split mid-stream
+    val got = RangedText.lines(spark, f, splitSize = 64).map(_.text).collect()
+    assert(got.toSeq === lines)
+    // decoded-stream opener serves header sniffing on gzip too
+    val dec = new java.io.BufferedReader(new java.io.InputStreamReader(
+      RangedText.openDecoded(f), UTF_8))
+    try assert(dec.readLine() === lines.head) finally dec.close()
   }
 
   test("BGZF block index makes split placement index-driven, same results") {
@@ -368,6 +388,27 @@ class BaiSpec extends SparkSpec {
 }
 
 class VcfBgzfSpec extends SparkSpec {
+  test("plain-gzip VCF reads whole (header + records) via the fallback") {
+    import spark.implicits._
+    val headerLines = Seq("##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    val vs = (0 until 120).map(i =>
+      s"chr1\t${100 + i}\trs$i\tA\tC\t50\tPASS\tDP=$i")
+    val dir = tmpDir("vcfgz")
+    val f = s"$dir/o.vcf.gz"
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    out.write(((headerLines ++ vs).mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(Vcf.readHeader(f).lines === headerLines)
+    val typed = Vcf.read(spark, f, splitSize = 512).collect()
+    assert(typed.map(_.pos).sorted === (100 until 220).map(_.toLong).toArray)
+    val v2 = spark.read.format("vcf").load(f)
+    assert(v2.count() === 120)
+    assert(v2.select("pos").as[Long].collect().sorted ===
+      (100 until 220).map(_.toLong).toArray)
+  }
+
   test("writeBgzf emits a splittable, terminated .vcf.bgz our reader consumes") {
     import spark.implicits._
     val header = Vcf.VcfHeader(Seq("##fileformat=VCFv4.3",
