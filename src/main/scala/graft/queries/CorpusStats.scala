@@ -394,6 +394,104 @@ object CorpusStats {
        |WHERE rk = 1
        |ORDER BY cluster_id""".stripMargin
 
+  // --------------------------------------------------------------- P37
+  // Dedup threshold sweep: how many near-dup pairs survive at jaccard
+  // ≥ 0.80/0.85/0.90/0.95 — the tuning table a curation run reads
+  // before picking its dedup cutoff.  ONE pass of the P2 LSH+verify
+  // pipeline feeds all four thresholds (the pair frame is tiny; the
+  // explode multiplies pairs, not documents), and every comparison is
+  // integer cross-multiplication: J ≥ pct/100 ⇔ 100·∩ ≥ pct·∪ — no
+  // float thresholds to drift between engines.  Valid for pct ≥ 80
+  // because the candidate set is exactly the J ≥ 0.8 pair list.
+  def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Pipeline.minhashPairs(s, d)
+      .select(explode(expr("array(80, 85, 90, 95)")).as("pct"),
+        col("inter"), col("na"), col("nb"))
+      .filter(expr("100 * inter >= pct * (na + nb - inter)"))
+      .groupBy("pct").agg(count(lit(1)).as("n_pairs"))
+    Seq(80, 85, 90, 95).toDF("pct")
+      .join(counts, Seq("pct"), "left")
+      .select(col("pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("pct")
+  }
+
+  val qThresholdSweepSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${Pipeline.duckShingles(3)} AS sh FROM documents
+       |), p AS (
+       |  SELECT len(list_intersect(a.sh, b.sh)) AS i,
+       |    len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
+       |), c AS (
+       |  SELECT pct, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM p, (VALUES (80), (85), (90), (95)) tt(pct)
+       |  WHERE 100 * i >= pct * (la + lb - i)
+       |  GROUP BY pct
+       |)
+       |SELECT t.pct, COALESCE(c.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
+       |FROM (VALUES (80), (85), (90), (95)) t(pct)
+       |LEFT JOIN c ON c.pct = t.pct
+       |ORDER BY t.pct""".stripMargin
+
+  // --------------------------------------------------------------- P38
+  // Per-language length outliers: documents longer than their
+  // language's nearest-rank p99 — the "cut the monster documents"
+  // filter step.  The percentile is pure integer arithmetic (value at
+  // sorted position ceil(99n/100) = (99n+99) DIV 100), computed in the
+  // same two windows that rank the rows; at scale each language is one
+  // range-partitionable sort, no collect, no approximation.
+  def qLengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+    val ws = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("p99",
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("n_chars"))).over(w))
+      .filter(col("n_chars") > col("p99"))
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("p99"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val qLengthOutliersSql: String =
+    """SELECT lang, doc_id, n_chars, p99 FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END)
+      |      OVER (PARTITION BY lang) AS p99
+      |  FROM (
+      |    SELECT lang, doc_id, n_chars,
+      |      COUNT(*) OVER (PARTITION BY lang) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+      |    FROM documents))
+      |WHERE n_chars > p99
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- P39
+  // Token-length histogram per language: the distribution a subword
+  // tokenizer's vocabulary budget is sized against.  Explode → one
+  // hash agg with map-side partials; the (lang, tok_len, tok) partial
+  // collapse bounds the distinct-count shuffle by vocabulary size.
+  def qTokLenHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(
+        expr("filter(split(lower(text), ' '), t -> t <> '')")).as("tok"))
+      .groupBy(col("lang"), length(col("tok")).cast("long").as("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("lang", "tok_len")
+
+  val qTokLenHistSql: String =
+    """SELECT lang, length(tok) AS tok_len,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+      |FROM (
+      |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+      |    t -> t <> '')) AS tok
+      |  FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY lang, tok_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -403,7 +501,10 @@ object CorpusStats {
     "q_dup_rate_source" -> (qDupRateSource _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_ann_recall" -> (qAnnRecall _),
-    "q_cluster_keep" -> (qClusterKeep _))
+    "q_cluster_keep" -> (qClusterKeep _),
+    "q_threshold_sweep" -> (qThresholdSweep _),
+    "q_length_outliers" -> (qLengthOutliers _),
+    "q_tok_len_hist" -> (qTokLenHist _))
 
   val oracle: Map[String, String] = Map(
     "q_winnow_overlap" -> qWinnowOverlapSql,
@@ -414,5 +515,8 @@ object CorpusStats {
     "q_dup_rate_source" -> qDupRateSourceSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_ann_recall" -> qAnnRecallSql,
-    "q_cluster_keep" -> qClusterKeepSql)
+    "q_cluster_keep" -> qClusterKeepSql,
+    "q_threshold_sweep" -> qThresholdSweepSql,
+    "q_length_outliers" -> qLengthOutliersSql,
+    "q_tok_len_hist" -> qTokLenHistSql)
 }

@@ -69,7 +69,8 @@ object Pipeline {
   // instead of the ~10⁻³ of 2-row bands, i.e. hundreds of candidates
   // rather than ~1M).
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    minhashPairs(s, d).select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
 
   /** The LSH candidate + exact-verify pair pipeline (shared by the
     * pair query above and the clustering query below).
@@ -118,7 +119,10 @@ object Pipeline {
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(sha) + size(shb) - inter)"))
       .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("inter").cast("long").as("inter"),
+        expr("CAST(size(sha) AS BIGINT)").as("na"),
+        expr("CAST(size(shb) AS BIGINT)").as("nb"))
   }
 
   val qDedupMinhashSql: String =

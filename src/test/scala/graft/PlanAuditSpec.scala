@@ -182,6 +182,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(cp.contains("Broadcast"), cp) // vocabulary cut broadcasts
   }
 
+  test("sweep/outlier/token-histogram queries keep their cheap plan shapes") {
+    // threshold sweep: the four-way fan-out is an explode over the
+    // tiny verified-pair frame — the minhash/shingle kernels must
+    // never be inlined into that Generate (one pipeline pass feeds
+    // all thresholds)
+    val tdf = graft.queries.CorpusStats.qThresholdSweep(spark, sf)
+    val tlog = tdf.queryExecution.optimizedPlan.toString
+    val inlined = tlog.linesIterator
+      .filter(l => l.contains("Generate explode([80,85,90,95]"))
+      .filter(l => l.contains("graft_minhash128") || l.contains("graft_shingles"))
+      .toSeq
+    assert(inlined.isEmpty, s"pipeline inlined into the threshold explode:\n$tlog")
+    assert(tlog.contains("explode([80,85,90,95]"), tlog)
+    // length outliers: pure window plan over one scan, no join at all
+    val lp = planOf(graft.queries.CorpusStats.qLengthOutliers(spark, sf))
+    assert("Scan parquet".r.findAllIn(lp).length === 1, lp)
+    assert(!lp.contains("Join"), lp)
+    assert(lp.contains("Window"), lp)
+    // token-length histogram: explode → hash agg with partials
+    val hp = planOf(graft.queries.CorpusStats.qTokLenHist(spark, sf))
+    assert("HashAggregate".r.findAllIn(hp).length >= 2, hp)
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
