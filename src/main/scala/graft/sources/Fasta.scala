@@ -3,6 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.model.ReferenceFragment
@@ -26,6 +27,168 @@ object Fasta {
   /** Split plan entry: byte range + contig name + 1-based start
     * position of the range's first sequence character. */
   final case class FastaRange(start: Long, end: Long, contig: String, startPos: Long)
+
+  /** One `.fai` line (samtools faidx layout): contig name, total
+    * bases, byte offset of the first sequence char, bases per full
+    * line, bytes per full line (incl. terminator).  Random access:
+    * byte(pos) = offset + (pos-1) DIV lineBases · lineWidth
+    *                    + (pos-1) MOD lineBases. */
+  final case class FaiEntry(name: String, length: Long, offset: Long,
+                            lineBases: Int, lineWidth: Int) {
+    def byteOf(pos1: Long): Long =
+      offset + (pos1 - 1) / lineBases * lineWidth + (pos1 - 1) % lineBases
+  }
+
+  def faiPath(path: String): String = path + ".fai"
+
+  /** Build the index with one sequential driver scan.  Like samtools,
+    * requires every sequence line of a contig except the last to have
+    * the same length — otherwise arithmetic random access is
+    * impossible and build fails loudly. */
+  def buildFai(path: String): Seq[FaiEntry] = {
+    val (fs, p) = Fs.get(path)
+    val in = new BufferedReader(new InputStreamReader(
+      new BufferedInputStream(fs.open(p), 1 << 20), UTF_8))
+    val out = scala.collection.mutable.ArrayBuffer[FaiEntry]()
+    try {
+      var offset = 0L
+      var name: String = null
+      var seqOffset = 0L
+      var length = 0L
+      var lineBases = 0
+      var lineWidth = 0
+      var lastLineLen = -1 // -1: no line yet; otherwise previous line's bases
+      def close(): Unit = if (name != null) {
+        out += FaiEntry(name, length, seqOffset,
+          math.max(lineBases, 1), math.max(lineWidth, 2))
+        name = null
+      }
+      var line = in.readLine()
+      while (line != null) {
+        val w = line.length + 1 // \n endings (FASTA norm, as planRanges)
+        if (line.startsWith(">")) {
+          close()
+          name = line.drop(1).split("\\s+")(0)
+          seqOffset = offset + w
+          length = 0; lineBases = 0; lineWidth = 0; lastLineLen = -1
+        } else if (line.nonEmpty) {
+          require(name != null, s"$path: sequence before any '>' header")
+          // a previous line shorter than the established width means
+          // uneven interior lines — random access would be wrong
+          require(lastLineLen == -1 || lastLineLen == lineBases,
+            s"$path: contig $name has uneven sequence lines " +
+              s"($lastLineLen then ${line.length} bases) — cannot faidx")
+          if (lineBases == 0) { lineBases = line.length; lineWidth = w }
+          lastLineLen = line.length
+          length += line.length
+        }
+        offset += w
+        line = in.readLine()
+      }
+      close()
+    } finally in.close()
+    out.toSeq
+  }
+
+  def writeFai(path: String, entries: Seq[FaiEntry]): Unit = {
+    val (fs, _) = Fs.get(path)
+    val w = fs.create(new Path(faiPath(path)), true)
+    try w.write(entries.map(e =>
+      s"${e.name}\t${e.length}\t${e.offset}\t${e.lineBases}\t${e.lineWidth}")
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally w.close()
+  }
+
+  def buildAndWriteFai(path: String): Seq[FaiEntry] = {
+    val entries = buildFai(path)
+    writeFai(path, entries)
+    entries
+  }
+
+  def readFai(path: String): Option[Seq[FaiEntry]] = {
+    val (fs, _) = Fs.get(path)
+    val ip = new Path(faiPath(path))
+    if (!fs.exists(ip)) return None
+    val in = new BufferedReader(new InputStreamReader(fs.open(ip), UTF_8))
+    try Some(Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).map { l =>
+        val f = l.split("\t")
+        FaiEntry(f(0), f(1).toLong, f(2).toLong, f(3).toInt, f(4).toInt)
+      }.toSeq)
+    finally in.close()
+  }
+
+  /** samtools-faidx-style subsequence fetch (1-based inclusive):
+    * ONE seek to byte(start), read ceil bytes, drop line terminators.
+    * Driver-side — regions are primer/locus sized; distributed reads
+    * go through [[readRegions]]. */
+  def region(path: String, contig: String, start1: Long, end1: Long): String = {
+    val fai = readFai(path).getOrElse(buildAndWriteFai(path))
+    val e = fai.find(_.name == contig).getOrElse(
+      throw new IllegalArgumentException(s"$path: no contig $contig in .fai"))
+    fetch(path, e, start1, end1)
+  }
+
+  /** One-seek subsequence read given an already-resolved index entry
+    * (executor-side path: no sidecar read per task). */
+  private def fetch(path: String, e: FaiEntry, start1: Long, end1: Long): String = {
+    val s = math.max(1L, start1)
+    val t = math.min(e.length, end1)
+    if (t < s) return ""
+    val from = e.byteOf(s)
+    val until = e.byteOf(t) + 1 // inclusive last base
+    val (fs, p) = Fs.get(path)
+    val raw = fs.open(p)
+    try {
+      raw.seek(from)
+      val buf = new Array[Byte]((until - from).toInt)
+      raw.readFully(buf)
+      val sb = new java.lang.StringBuilder((t - s + 1).toInt)
+      buf.foreach { b => if (b != '\n' && b != '\r') sb.append(b.toChar) }
+      sb.toString
+    } finally raw.close()
+  }
+
+  /** Index-driven split plan: byte ranges fall on sequence-line
+    * boundaries computed FROM the `.fai`, so planning is O(contigs)
+    * arithmetic — no driver scan of the (possibly huge) reference. */
+  private def planRangesFai(entries: Seq[FaiEntry], splitSize: Long): Seq[FastaRange] =
+    entries.flatMap { e =>
+      // split every ~splitSize bytes, rounded down to whole lines
+      val linesPerSplit = math.max(1L, splitSize / math.max(1, e.lineWidth))
+      val basesPerSplit = linesPerSplit * e.lineBases
+      (1L to e.length by basesPerSplit).map { pos =>
+        val endPos = math.min(e.length, pos + basesPerSplit - 1)
+        FastaRange(e.byteOf(pos), e.byteOf(endPos) + 1, e.name, pos)
+      }
+    }
+
+  /** Distributed bounded read: fragments covering only the requested
+    * (contig, start, end) intervals (1-based inclusive), split into
+    * ≤ splitSize tasks via the index — the FASTA analog of the BAM
+    * bounded traversal.  Fragments are whole interval chunks (one row
+    * per task), positioned like [[read]]'s per-line fragments. */
+  def readRegions(spark: SparkSession, path: String,
+                  intervals: Seq[(String, Long, Long)],
+                  splitSize: Long = 1L * 1024 * 1024): Dataset[ReferenceFragment] = {
+    import spark.implicits._
+    val fai = readFai(path).getOrElse(buildAndWriteFai(path))
+    val byName = fai.map(e => e.name -> e).toMap
+    val chunks = intervals.flatMap { case (c, s0, t0) =>
+      val e = byName.getOrElse(c,
+        throw new IllegalArgumentException(s"$path: no contig $c in .fai"))
+      val s = math.max(1L, s0)
+      val t = math.min(e.length, t0)
+      val basesPerSplit = math.max(1L,
+        splitSize / math.max(1, e.lineWidth) * e.lineBases)
+      (s to t by basesPerSplit).map { pos =>
+        (c, pos, math.min(t, pos + basesPerSplit - 1))
+      }
+    }
+    spark.sparkContext.parallelize(chunks, math.max(1, chunks.size))
+      .map { case (c, s, t) => ReferenceFragment(c, s, fetch(path, byName(c), s, t)) }
+      .toDS()
+  }
 
   def planRanges(path: String, splitSize: Long): Seq[FastaRange] = {
     val (fs, p) = Fs.get(path)
@@ -78,11 +241,14 @@ object Fasta {
     out.toSeq
   }
 
-  /** One ReferenceFragment per sequence line, exactly positioned. */
+  /** One ReferenceFragment per sequence line, exactly positioned.
+    * With a `.fai` sidecar present, split planning is pure index
+    * arithmetic; otherwise one driver metadata scan. */
   def read(spark: SparkSession, path: String,
            splitSize: Long = 16L * 1024 * 1024): Dataset[ReferenceFragment] = {
     import spark.implicits._
-    val ranges = planRanges(path, splitSize)
+    val ranges = readFai(path).map(planRangesFai(_, splitSize))
+      .getOrElse(planRanges(path, splitSize))
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { r =>
         val (fs, p) = Fs.get(path)

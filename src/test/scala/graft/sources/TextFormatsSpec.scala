@@ -174,6 +174,48 @@ class FastaSpec extends SparkSpec {
       }
     }
   }
+
+  test(".fai index: O(1) region fetch and index-driven split planning") {
+    val dir = tmpDir("fai")
+    val f = s"$dir/ref.fa"
+    val rng = new scala.util.Random(7)
+    val c1 = (0 until 997).map(_ => "ACGT" (rng.nextInt(4))).mkString // uneven tail line
+    val c2 = (0 until 240).map(_ => "GTCA" (rng.nextInt(4))).mkString
+    val content = s">chr1 desc here\n${c1.grouped(60).mkString("\n")}\n" +
+      s">chr2\n${c2.grouped(80).mkString("\n")}\n"
+    Files.write(Paths.get(f), content.getBytes(UTF_8))
+    val entries = Fasta.buildAndWriteFai(f)
+    assert(entries.map(e => (e.name, e.length, e.lineBases, e.lineWidth)) ===
+      Seq(("chr1", 997L, 60, 61), ("chr2", 240L, 80, 81)))
+    // sidecar round-trip
+    assert(Fasta.readFai(f).get === entries)
+    // region fetch matches direct slicing at every alignment case:
+    // line start, mid-line, crossing lines, contig tail, clamped end
+    for ((s, t) <- Seq((1L, 60L), (61L, 61L), (30L, 130L), (950L, 997L),
+      (990L, 2000L), (5L, 4L))) {
+      val expect = if (t < s) "" else
+        c1.substring((s - 1).toInt, math.min(997L, t).toInt)
+      assert(Fasta.region(f, "chr1", s, t) === expect, s"[$s,$t]")
+    }
+    assert(Fasta.region(f, "chr2", 81, 160) === c2.substring(80, 160))
+    // read() plans from the index now — same fragments as the scan path
+    val viaFai = Fasta.read(spark, f, splitSize = 128).collect()
+    def reassemble(frags: Array[graft.model.ReferenceFragment], c: String) =
+      frags.filter(_.contig == c).sortBy(_.start).map(_.sequence).mkString
+    assert(reassemble(viaFai, "chr1") === c1)
+    assert(reassemble(viaFai, "chr2") === c2)
+    // bounded distributed read touches only the asked intervals
+    val got = Fasta.readRegions(spark, f,
+      Seq(("chr1", 100L, 400L), ("chr2", 1L, 90L)), splitSize = 128).collect()
+    assert(reassemble(got, "chr1") === c1.substring(99, 400))
+    assert(reassemble(got, "chr2") === c2.substring(0, 90))
+    assert(got.length > 2) // actually split into multiple tasks
+    // uneven interior lines must refuse to index
+    val bad = s"$dir/bad.fa"
+    Files.write(Paths.get(bad), ">c\nACGTACGT\nACG\nACGTACGT\n".getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException](Fasta.buildFai(bad))
+    assert(e.getMessage.contains("uneven"))
+  }
 }
 
 class VcfSpec extends SparkSpec {
