@@ -152,7 +152,7 @@ object Fasta {
   /** Index-driven split plan: byte ranges fall on sequence-line
     * boundaries computed FROM the `.fai`, so planning is O(contigs)
     * arithmetic — no driver scan of the (possibly huge) reference. */
-  private def planRangesFai(entries: Seq[FaiEntry], splitSize: Long): Seq[FastaRange] =
+  private[sources] def planRangesFai(entries: Seq[FaiEntry], splitSize: Long): Seq[FastaRange] =
     entries.flatMap { e =>
       // split every ~splitSize bytes, rounded down to whole lines
       val linesPerSplit = math.max(1L, splitSize / math.max(1, e.lineWidth))
@@ -241,6 +241,81 @@ object Fasta {
     out.toSeq
   }
 
+  /** Per-line fragment iterator for one planned range plus a closer
+    * for early-terminated scans (framing rule: read whole lines while
+    * the line START is inside the byte budget). */
+  private[sources] def openRange(path: String, r: FastaRange)
+      : (Iterator[ReferenceFragment], () => Unit) = {
+    val (fs, p) = Fs.get(path)
+    val raw = fs.open(p)
+    raw.seek(r.start)
+    val reader = new BufferedReader(new InputStreamReader(
+      new BufferedInputStream(raw), UTF_8))
+    var consumed = 0L
+    var pos = r.startPos
+    val budget = r.end - r.start
+    val it = new Iterator[ReferenceFragment] {
+      private var nextF: ReferenceFragment = _
+      private var done = false
+      private def fetch(): Unit = {
+        while (nextF == null && !done) {
+          if (consumed >= budget) { done = true; reader.close(); return }
+          val line = reader.readLine()
+          if (line == null) { done = true; reader.close(); return }
+          consumed += line.length + 1L
+          if (line.nonEmpty && !line.startsWith(">")) {
+            nextF = ReferenceFragment(r.contig, pos, line)
+            pos += line.length
+          }
+        }
+      }
+      override def hasNext: Boolean = { if (nextF == null) fetch(); nextF != null }
+      override def next(): ReferenceFragment = {
+        if (!hasNext) throw new NoSuchElementException
+        val f = nextF; nextF = null; f
+      }
+    }
+    (it, () => try reader.close() catch { case _: java.io.IOException => () })
+  }
+
+  /** Line-aligned split plan covering exactly the sequence lines whose
+    * START position falls inside one of the (contig, lo, hi) intervals
+    * — the chunk-pruning step behind the DSv2 `start`-filter pushdown.
+    * Overlapping intervals per contig are merged first so no line is
+    * planned (and emitted) twice. */
+  private[sources] def planRangesFaiBounded(entries: Seq[FaiEntry], splitSize: Long,
+      intervals: Seq[(String, Long, Long)]): Seq[FastaRange] = {
+    val byName = entries.map(e => e.name -> e).toMap
+    intervals.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (c, ivs) =>
+      byName.get(c).toSeq.flatMap { e =>
+        // merge per contig: disjoint merged intervals contain disjoint
+        // line-start sets, so ranges never duplicate a line
+        val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        ivs.map(i => (math.max(1L, i._2), math.min(e.length, i._3)))
+          .filter(i => i._1 <= i._2).sortBy(_._1).foreach { i =>
+            if (merged.nonEmpty && i._1 <= merged.last._2 + 1)
+              merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, i._2))
+            else merged += i
+          }
+        val lb = e.lineBases.toLong
+        val basesPerSplit =
+          math.max(1L, splitSize / math.max(1, e.lineWidth)) * lb
+        merged.flatMap { case (lo, hi) =>
+          val firstStart = (lo + lb - 2) / lb * lb + 1 // first line start >= lo
+          val lastStart = (hi - 1) / lb * lb + 1 // last line start <= hi
+          if (lastStart < firstStart) Nil
+          else {
+            val endPos = math.min(e.length, lastStart + lb - 1)
+            (firstStart to endPos by basesPerSplit).map { pos =>
+              val chunkEnd = math.min(endPos, pos + basesPerSplit - 1)
+              FastaRange(e.byteOf(pos), e.byteOf(chunkEnd) + 1, e.name, pos)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** One ReferenceFragment per sequence line, exactly positioned.
     * With a `.fai` sidecar present, split planning is pure index
     * arithmetic; otherwise one driver metadata scan. */
@@ -250,36 +325,7 @@ object Fasta {
     val ranges = readFai(path).map(planRangesFai(_, splitSize))
       .getOrElse(planRanges(path, splitSize))
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { r =>
-        val (fs, p) = Fs.get(path)
-        val raw = fs.open(p)
-        raw.seek(r.start)
-        val reader = new BufferedReader(new InputStreamReader(
-          new BufferedInputStream(raw), UTF_8))
-        var consumed = 0L
-        var pos = r.startPos
-        val budget = r.end - r.start
-        new Iterator[ReferenceFragment] {
-          private var nextF: ReferenceFragment = _
-          private var done = false
-          private def fetch(): Unit = {
-            while (nextF == null && !done) {
-              if (consumed >= budget) { done = true; reader.close(); return }
-              val line = reader.readLine()
-              if (line == null) { done = true; reader.close(); return }
-              consumed += line.length + 1L
-              if (line.nonEmpty && !line.startsWith(">")) {
-                nextF = ReferenceFragment(r.contig, pos, line)
-                pos += line.length
-              }
-            }
-          }
-          override def hasNext: Boolean = { if (nextF == null) fetch(); nextF != null }
-          override def next(): ReferenceFragment = {
-            if (!hasNext) throw new NoSuchElementException
-            val f = nextF; nextF = null; f
-          }
-        }
-      }.toDS()
+      .flatMap(r => openRange(path, r)._1)
+      .toDS()
   }
 }

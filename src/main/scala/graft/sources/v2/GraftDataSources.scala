@@ -12,8 +12,8 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, Greate
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.model.{SamRecord, SequencedFragment, VcfVariant}
-import graft.sources.{BamIO, BcfIO, Fastq, RangedText, Vcf}
+import graft.model.{ReferenceFragment, SamRecord, SequencedFragment, VcfVariant}
+import graft.sources.{BamIO, BcfIO, Fasta, Fastq, RangedText, Vcf}
 
 /** DataSource V2 façade over the graft format codecs — the Spark-first
   * re-expression of the reference's InputFormats as first-class
@@ -633,6 +633,98 @@ object QseqFraming extends RangeFraming[SequencedFragment] {
   * same splittable ranged-text scan the other line formats ride, with
   * the shared SequencedFragment schema (illumina→sanger quality
   * conversion in the codec, as the reference's reader performs). */
+// ---------------------------------------------------------------- FASTA
+
+/** FASTA as a read-only DataSource V2 table: one row per sequence
+  * line (contig, 1-based start, sequence), the same fragments the
+  * typed [[graft.sources.Fasta.read]] produces.  With a `.fai`
+  * sidecar, contig (=/IN) + `start` range predicates prune the
+  * planned byte ranges to just the lines they can match — record
+  * exactness stays with Spark's residual filters, as in the BAM/BCF
+  * pushdown (ref role: FastaInputFormat.java, input only). */
+class FastaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fasta"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExpressionEncoder[ReferenceFragment]().schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FastaTable(new CaseInsensitiveStringMap(properties))
+}
+
+class FastaTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"fasta:${GraftDataSources.pathsOf(options).mkString(",")}"
+  override def schema(): StructType = ExpressionEncoder[ReferenceFragment]().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FastaScanBuilder(options)
+}
+
+class FastaScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private val enc = ExpressionEncoder[ReferenceFragment]()
+  private var required: StructType = enc.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var intervals: Seq[(String, Int, Int)] = Nil
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftDataSources.prune(enc.schema, r)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "contig", "start")
+    pushed = p
+    intervals = iv
+    filters // all residual: exact semantics stay with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val splitSize = Option(options.get("splitsize")).map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
+    new FastaScan(GraftDataSources.pathsOf(options), splitSize, required,
+      pushed, intervals)
+  }
+}
+
+class FastaScan(paths: Seq[String], splitSize: Long, pruned: StructType,
+                pushed: Array[Filter], intervals: Seq[(String, Int, Int)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft fasta ${paths.mkString(",")} " +
+      s"intervals=${if (intervals.isEmpty) "*" else intervals.mkString(",")} " +
+      s"pushed=${pushed.mkString("[", ",", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { path =>
+      val fai = Fasta.readFai(path)
+      val ranges = (fai, intervals) match {
+        case (Some(entries), iv) if iv.nonEmpty =>
+          Fasta.planRangesFaiBounded(entries, splitSize,
+            iv.map(i => (i._1, i._2.toLong, i._3.toLong)))
+        case (Some(entries), _) => Fasta.planRangesFai(entries, splitSize)
+        // no sidecar: one driver metadata scan, no pruning (residual
+        // filters still make the result exact)
+        case (None, _) => Fasta.planRanges(path, splitSize)
+      }
+      ranges.map(r => FastaPartition(path, r): InputPartition)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FastaReaderFactory(pruned)
+}
+
+case class FastaPartition(path: String, range: Fasta.FastaRange)
+    extends InputPartition
+
+class FastaReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FastaPartition]
+    val (it, closer) = Fasta.openRange(fp.path, fp.range)
+    new GraftDataSources.RecordReader(it, ExpressionEncoder[ReferenceFragment](),
+      pruned, closer)
+  }
+}
+
 class QseqDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "qseq"
   override def supportsExternalMetadata(): Boolean = false

@@ -286,6 +286,38 @@ class DataSourceV2Spec extends SparkSpec {
     assert(msgs(e).exists(_.contains("overwrite")), msgs(e).mkString(" | "))
   }
 
+  test("format(\"fasta\") matches the typed reader; .fai prunes start-range scans") {
+    val dir = tmpDir("dsv2fasta")
+    val f = s"$dir/ref.fa"
+    val rng = new scala.util.Random(11)
+    val c1 = (0 until 6000).map(_ => "ACGT" (rng.nextInt(4))).mkString
+    val c2 = (0 until 2500).map(_ => "GTCA" (rng.nextInt(4))).mkString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      (s">chr1\n${c1.grouped(70).mkString("\n")}\n" +
+        s">chr2\n${c2.grouped(70).mkString("\n")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Fasta.buildAndWriteFai(f)
+    val typed = Fasta.read(spark, f).collect()
+      .map(r => (r.contig, r.start, r.sequence)).sorted
+    val v2 = spark.read.format("fasta").load(f)
+    val got = v2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(got === typed)
+    // contig + start range prunes planned partitions through the .fai
+    val all = spark.read.format("fasta").option("splitsize", "512").load(f)
+    val full = all.select("sequence").rdd.getNumPartitions
+    val filtered = spark.read.format("fasta").option("splitsize", "512").load(f)
+      .filter(col("contig") === "chr1" && col("start") >= 2000 && col("start") <= 3000)
+    val pruned = filtered.select("sequence").rdd.getNumPartitions
+    assert(full > 4, s"fixture too small to split: $full")
+    assert(pruned < full, s"no chunk pruning: $pruned vs $full")
+    // exactness: pruned scan + residual == full scan + filter
+    val expect = typed.filter(t => t._1 == "chr1" && t._2 >= 2000 && t._2 <= 3000)
+    val gotF = filtered.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(gotF === expect)
+    assert(gotF.nonEmpty)
+  }
+
   test("format(\"vcf\") matches the typed VCF reader on a bgzipped file") {
     import spark.implicits._
     val dir = tmpDir("dsv2vcf")
