@@ -311,6 +311,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test(".fai region arithmetic equals naive substring for arbitrary " +
+    "line widths, contig lengths, and query ranges") {
+    val gen = for {
+      nContigs <- Gen.choose(1, 4)
+      geoms <- Gen.listOfN(nContigs, for {
+        len <- Gen.choose(1, 900)
+        lb <- Gen.choose(1, 97)
+      } yield (len, lb))
+      queries <- Gen.listOfN(8, for {
+        c <- Gen.choose(0, nContigs - 1)
+        a <- Gen.choose(-5, 920)
+        w <- Gen.choose(0, 300)
+      } yield (c, a.toLong, (a + w).toLong))
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (geoms, queries, seed)
+    forSamples(gen, 60) { case (geoms, queries, seed) =>
+      val rng = new scala.util.Random(seed)
+      val seqs = geoms.map { case (len, _) =>
+        (0 until len).map(_ => "ACGTN" (rng.nextInt(5))).mkString
+      }
+      val dir = java.nio.file.Files.createTempDirectory("faiprop")
+      val f = s"$dir/r.fa"
+      val content = seqs.zip(geoms).zipWithIndex.map { case ((sq, (_, lb)), i) =>
+        s">c$i\n${sq.grouped(lb).mkString("\n")}"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val entries = Fasta.buildAndWriteFai(f)
+      assert(entries.map(_.length) === geoms.map(_._1.toLong))
+      queries.foreach { case (c, a, b) =>
+        val sq = seqs(c)
+        val lo = math.max(1L, a).toInt
+        val hi = math.min(sq.length.toLong, b).toInt
+        val expect = if (hi < lo) "" else sq.substring(lo - 1, hi)
+        assert(Fasta.region(f, s"c$c", a, b) === expect,
+          s"c$c[$a,$b] geom=${geoms(c)}")
+      }
+      val _ = dir.toFile.listFiles.foreach(_.delete())
+    }
+  }
+
   test("record-boundary guesser finds a true boundary from any offset") {
     val records = (0 until 50).map(i => genRecord.sample.get)
     val bos = new java.io.ByteArrayOutputStream()
