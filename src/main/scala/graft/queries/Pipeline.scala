@@ -646,7 +646,84 @@ object Pipeline {
        |SELECT doc_id, unnest(fps) AS fingerprint FROM f
        |ORDER BY doc_id, fingerprint""".stripMargin
 
+  // --------------------------------------------------------------- P40
+  // Distributed k-means over embeddings (2 Lloyd iterations, k=8) in
+  // PURE INTEGER arithmetic, so a 1000-executor run hash-matches the
+  // single-node oracle exactly: vectors quantize to micro-units
+  // (FLOOR(v·10⁶+0.5), the P26 move), assignment is argmax of BIGINT
+  // dot products (ties → smallest cell), and centroid updates are
+  // truncating integer means (identical DIV semantics in Spark and
+  // DuckDB).  Scale shape: centroids are a k×dim broadcast; each
+  // assignment is one map-side pass + a partial-agg argmax (max_by,
+  // no window shuffle); each update is one (cell,dim)-key aggregation
+  // — Lloyd's algorithm with shuffles ∝ k·dim, not n.
+  private val KmeansK = 8
+
+  def qKmeans(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("qv"))
+
+    // argmax over BIGINT dots via one aggregate with partials; the
+    // (dot, -cell) ordering struct is unique per vector so max_by is
+    // deterministic
+    def assign(cents: DataFrame): DataFrame =
+      q.join(broadcast(cents))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qv, c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cell, struct(dot, -cell))").as("cell"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(q, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(expr("sum(x) DIV count(1)").as("v"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(d, v))), e -> e.v)").as("c"))
+
+    val c0 = q.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cell"), col("qv").as("c"))
+    val a2 = assign(update(assign(c0)))
+    a2.select(col("vec_id"), col("cell")).orderBy("vec_id")
+  }
+
+  val qKmeansSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(len($a)), " +
+        s"i -> $a[CAST(i + 1 AS INT)] * $b[CAST(i + 1 AS INT)])), (x, y) -> x + y)"
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, $cents.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dot("q.qv", s"$cents.c")} DESC, $cents.cell) AS rk
+         |    FROM q, $cents)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    def update(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY d) AS c FROM (
+         |    SELECT cell, d, CAST(SUM(x) AS BIGINT) // COUNT(*) AS v FROM (
+         |      SELECT $assigned.cell, unnest(range(len(q.qv))) AS d,
+         |        unnest(q.qv) AS x
+         |      FROM $assigned JOIN q USING (vec_id))
+         |    GROUP BY cell, d)
+         |  GROUP BY cell
+         |)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cell, qv AS c FROM q WHERE vec_id < $KmeansK
+       |), ${assign("c0", "a1")}, ${update("a1", "c1")}, ${assign("c1", "a2")}
+       |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (qKmeans _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -663,6 +740,7 @@ object Pipeline {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_kmeans" -> qKmeansSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_cluster" -> qDedupClusterSql,
