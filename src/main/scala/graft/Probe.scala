@@ -23,8 +23,12 @@ object Probe {
         throw new IllegalArgumentException(s"unknown query $name"))
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).count()
+        // noop sink for the timing (full materialization, nothing
+        // prunable — see Bench), count() separately for the row count
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        val rows = df.count()
         spark.catalog.clearCache()
         (rows, t)
       }

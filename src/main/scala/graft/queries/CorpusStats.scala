@@ -403,18 +403,17 @@ object CorpusStats {
   // integer cross-multiplication: J ≥ pct/100 ⇔ 100·∩ ≥ pct·∪ — no
   // float thresholds to drift between engines.  Valid for pct ≥ 80
   // because the candidate set is exactly the J ≥ 0.8 pair list.
-  def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val counts = Pipeline.minhashPairs(s, d)
+  def qThresholdSweep(s: SparkSession, d: String): DataFrame =
+    Pipeline.minhashPairs(s, d)
       .select(explode(expr("array(80, 85, 90, 95)")).as("pct"),
         col("inter"), col("na"), col("nb"))
       .filter(expr("100 * inter >= pct * (na + nb - inter)"))
       .groupBy("pct").agg(count(lit(1)).as("n_pairs"))
-    Seq(80, 85, 90, 95).toDF("pct")
-      .join(counts, Seq("pct"), "left")
-      .select(col("pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
       .orderBy("pct")
-  }
+  // (no keep-empty-thresholds scaffold join: a left join from a 4-row
+  // literal frame lets Catalyst prune the ENTIRE pipeline under
+  // count()-style consumers — empty thresholds drop from both engines
+  // consistently, which is the cheaper honest contract)
 
   val qThresholdSweepSql: String =
     s"""WITH s AS (
@@ -424,16 +423,12 @@ object CorpusStats {
        |    len(a.sh) AS la, len(b.sh) AS lb
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
        |    AND 5 * len(a.sh) >= 4 * len(b.sh) AND 5 * len(b.sh) >= 4 * len(a.sh)
-       |), c AS (
-       |  SELECT pct, CAST(count(*) AS BIGINT) AS n_pairs
-       |  FROM p, (VALUES (80), (85), (90), (95)) tt(pct)
-       |  WHERE 100 * i >= pct * (la + lb - i)
-       |  GROUP BY pct
        |)
-       |SELECT t.pct, COALESCE(c.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
-       |FROM (VALUES (80), (85), (90), (95)) t(pct)
-       |LEFT JOIN c ON c.pct = t.pct
-       |ORDER BY t.pct""".stripMargin
+       |SELECT pct, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM p, (VALUES (80), (85), (90), (95)) tt(pct)
+       |WHERE 100 * i >= pct * (la + lb - i)
+       |GROUP BY pct
+       |ORDER BY pct""".stripMargin
 
   // --------------------------------------------------------------- P38
   // Per-language length outliers: documents longer than their

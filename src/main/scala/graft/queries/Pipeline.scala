@@ -492,10 +492,16 @@ object Pipeline {
   // bucket path (P6) generates candidates and this exact cosine is
   // the verify step.
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // norms precomputed per VECTOR, not per pair: the triangular
+    // product then pays one dot per pair instead of three
+    // (graft_cosine's fused loop ≡ graft_dot/(√·√) bit-for-bit — same
+    // per-index fold order — so the gate hash is unchanged; r6: 4.1s
+    // → 2.7s at sf0.1, the rest is pair enumeration)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("graft_cosine(a.embedding, b.embedding)").as("cosine"))
+        expr("graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm)").as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
