@@ -31,6 +31,11 @@ object GraftFunctions {
     case _ => false
   }
 
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   /** dot(a, b): Σ (double)a_i · (double)b_i over two float/double arrays. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -60,6 +65,47 @@ object GraftFunctions {
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** doti(a, b): Σ a_i · b_i over two BIGINT arrays — the exact-integer
+    * dot used by the quantized-vector paths (k-means).  Plain Long
+    * arithmetic (wrapping like the SQL operator would); callers bound
+    * magnitudes so products stay in range. */
+  case class DotProductLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(left.dataType) && isLongArray(right.dataType),
+        s"$prettyName expects two ARRAY<BIGINT> args")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_doti"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
            |}
            |${ev.value} = $acc;
          """.stripMargin
@@ -655,6 +701,8 @@ object GraftFunctions {
   private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "dot product of two float vectors",
       es => DotProduct(es(0), es(1))),
+    ("graft_doti", "exact dot product of two BIGINT vectors",
+      es => DotProductLong(es(0), es(1))),
     ("graft_cosine", "cosine similarity of two float vectors",
       es => CosineSim(es(0), es(1))),
     ("graft_hamming64", "hamming distance of two 64-bit signatures",

@@ -676,8 +676,7 @@ object Pipeline {
     // deterministic
     def assign(cents: DataFrame): DataFrame =
       q.join(broadcast(cents))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qv, c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot", expr("graft_doti(qv, c)"))
         .groupBy("vec_id")
         .agg(expr("max_by(cell, struct(dot, -cell))").as("cell"))
 

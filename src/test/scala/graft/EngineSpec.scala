@@ -28,6 +28,27 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - expected) < 1e-12)
   }
 
+  test("graft_doti equals the HOF formulation on BIGINT vectors") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      (Array(1000000L, -2000000L, 3L), Array(7L, 500000L, -123456789L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(Long.MaxValue / 4, 2L), Array(2L, 3L))
+    )).toDF("a", "b")
+    val rows = df.select(
+      expr("graft_doti(a, b)").as("d1"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+        "(acc, v) -> acc + v)").as("d2")).collect()
+    rows.foreach { r =>
+      // zip_with pads the shorter side with null → HOF yields null for
+      // unequal lengths; the kernel folds min(len) instead, so compare
+      // only where the HOF is defined
+      if (!r.isNullAt(1)) assert(r.getLong(0) === r.getLong(1))
+    }
+    assert(rows(0).getLong(0) === 1000000L * 7L + -2000000L * 500000L + 3L * -123456789L)
+    assert(rows(1).getLong(0) === 0L)
+  }
+
   test("graft_hamming64 counts differing bits") {
     import spark.implicits._
     val df = Seq((0L, -1L), (5L, 6L), (255L, 0L)).toDF("a", "b")
