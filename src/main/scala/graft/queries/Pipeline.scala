@@ -665,7 +665,10 @@ object Pipeline {
   // — Lloyd's algorithm with shuffles ∝ k·dim, not n.
   private val KmeansK = 8
 
-  def qKmeans(s: SparkSession, d: String): DataFrame = {
+  /** Shared two-iteration Lloyd state: (quantized vectors, final
+    * centroids, final assignment). */
+  private def kmeansState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
         "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
@@ -690,8 +693,75 @@ object Pipeline {
 
     val c0 = q.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cell"), col("qv").as("c"))
-    val a2 = assign(update(assign(c0)))
+    val c1 = update(assign(c0))
+    (q, c1, assign(c1))
+  }
+
+  def qKmeans(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a2) = kmeansState(s, d)
     a2.select(col("vec_id"), col("cell")).orderBy("vec_id")
+  }
+
+  // -------------------------------------------------------------- P40b
+  // k-means quality profile: per final cell, member count and exact
+  // inertia Σ‖x−c‖² — the elbow-method table.  The per-vector distance
+  // expands to doti(x,x) − 2·doti(x,c) + doti(c,c) (three codegen
+  // BIGINT dots against the broadcast centroid).  Each d² is pre-scaled
+  // DIV 10⁶ (micro² → micro scale) BEFORE the sum so the BIGINT
+  // accumulation holds ~3e10 vectors per cell without wrapping — and
+  // stays int64 end-to-end (a DECIMAL/HUGEINT sum silently coerces to
+  // float64 in arrow/pandas comparisons past 2⁵³, the exactness
+  // failure mode this whole suite avoids).
+  def qKmeansProfile(s: SparkSession, d: String): DataFrame = {
+    val (q, c1, a2) = kmeansState(s, d)
+    a2.join(q, "vec_id").join(broadcast(c1), "cell")
+      .withColumn("d2", expr(
+        "graft_doti(qv, qv) - 2 * graft_doti(qv, c) + graft_doti(c, c)"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("d2 DIV 1000000")).as("inertia_m"))
+      .orderBy("cell")
+  }
+
+  val qKmeansProfileSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(len($a)), " +
+        s"i -> $a[CAST(i + 1 AS INT)] * $b[CAST(i + 1 AS INT)])), (x, y) -> x + y)"
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cell, qv AS c FROM q WHERE vec_id < $KmeansK
+       |), a1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c0.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.qv", "c0.c")} DESC, c0.cell) AS rk
+       |    FROM q, c0)
+       |  WHERE rk = 1
+       |), c1 AS (
+       |  SELECT cell, list(v ORDER BY d) AS c FROM (
+       |    SELECT cell, d, CAST(SUM(x) AS BIGINT) // COUNT(*) AS v FROM (
+       |      SELECT a1.cell, unnest(range(len(q.qv))) AS d,
+       |        unnest(q.qv) AS x
+       |      FROM a1 JOIN q USING (vec_id))
+       |    GROUP BY cell, d)
+       |  GROUP BY cell
+       |), a2 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c1.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.qv", "c1.c")} DESC, c1.cell) AS rk
+       |    FROM q, c1)
+       |  WHERE rk = 1
+       |)
+       |SELECT a2.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM((${dot("q.qv", "q.qv")} - 2 * ${dot("q.qv", "c1.c")}
+       |    + ${dot("c1.c", "c1.c")}) // 1000000) AS BIGINT) AS inertia_m
+       |FROM a2 JOIN q USING (vec_id) JOIN c1 ON c1.cell = a2.cell
+       |GROUP BY a2.cell
+       |ORDER BY a2.cell""".stripMargin
   }
 
   val qKmeansSql: String = {
@@ -729,6 +799,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> (qKmeans _),
+    "q_kmeans_profile" -> (qKmeansProfile _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -746,6 +817,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_kmeans" -> qKmeansSql,
+    "q_kmeans_profile" -> qKmeansProfileSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_cluster" -> qDedupClusterSql,
