@@ -115,6 +115,65 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  /** simhash32(hs): classic SimHash vote over 32 bit positions of the
+    * given 64-bit token hashes — bit b of the result is set iff
+    * Σ_h ((h>>b)&1)·2−1 > 0.  Single counter-array pass (the HOF
+    * formulation re-folds the hash list once per bit). */
+  case class Simhash32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(child.dataType), s"$prettyName expects ARRAY<BIGINT>")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash32"
+
+    override def nullSafeEval(a: Any): Any = {
+      val hs = a.asInstanceOf[ArrayData]
+      val votes = new Array[Int](32)
+      var i = 0
+      val n = hs.numElements()
+      while (i < n) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (((h >> b) & 1L) * 2 - 1).toInt
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 32) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val votes = ctx.freshName("votes")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $n = $a.numElements();
+           |int[] $votes = new int[32];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $b = 0; $b < 32; $b++) {
+           |    $votes[$b] += (int) ((($h >> $b) & 1L) * 2 - 1);
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $b = 0; $b < 32; $b++) {
+           |  if ($votes[$b] > 0) $sig |= 1L << $b;
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** cosine(a, b) = dot/(‖a‖·‖b‖), norms inline (same fold order). */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -703,6 +762,8 @@ object GraftFunctions {
       es => DotProduct(es(0), es(1))),
     ("graft_doti", "exact dot product of two BIGINT vectors",
       es => DotProductLong(es(0), es(1))),
+    ("graft_simhash32", "32-bit simhash vote over token hashes",
+      es => Simhash32(es(0))),
     ("graft_cosine", "cosine similarity of two float vectors",
       es => CosineSim(es(0), es(1))),
     ("graft_hamming64", "hamming distance of two 64-bit signatures",

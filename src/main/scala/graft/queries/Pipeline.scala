@@ -223,16 +223,14 @@ object Pipeline {
   // ---------------------------------------------------------------- P3
   // SimHash: 32-bit signature over distinct-token hashes; docs sharing
   // a signature form a dup group (bucket dedup — no pairwise join).
-  private val simhashExpr: String =
-    s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-      s"IF(aggregate(hs, CAST(0 AS BIGINT), (w, h) -> w + (shiftright(h, b) & 1) * 2 - 1) > 0, " +
-      s"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
-
+  // Signature via the graft_simhash32 kernel: one counter-array pass
+  // per doc instead of the 32-fold interpreted HOF chain (identical
+  // integer vote semantics; r6 bench 2.4s → sub-second at sf0.1).
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         expr(s"transform(array_distinct($tok), t -> ${hash32("t")})").as("hs"))
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash32(hs)").as("simhash"))
       .withColumn("dup_group", min("doc_id").over(Window.partitionBy("simhash")))
       .orderBy("doc_id")
 

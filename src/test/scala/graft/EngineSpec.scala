@@ -49,6 +49,19 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).getLong(0) === 0L)
   }
 
+  test("graft_simhash32 equals the per-bit HOF vote formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val df = spark.createDataset((0 until 40).map(_ =>
+      Array.fill(1 + rng.nextInt(50))(rng.nextLong() & 0xffffffffL)))
+      .toDF("hs")
+    val hof = "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + " +
+      "IF(aggregate(hs, CAST(0 AS BIGINT), (w, h) -> w + (shiftright(h, b) & 1) * 2 - 1) > 0, " +
+      "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    df.select(expr("graft_simhash32(hs)").as("k"), expr(hof).as("h")).collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("graft_hamming64 counts differing bits") {
     import spark.implicits._
     val df = Seq((0L, -1L), (5L, 6L), (255L, 0L)).toDF("a", "b")
