@@ -487,6 +487,92 @@ object CorpusStats {
       |GROUP BY 1, 2
       |ORDER BY lang, tok_len""".stripMargin
 
+  // --------------------------------------------------------------- P41
+  // Per-document duplicated-span ratio: what fraction of a doc's
+  // winnowed fingerprints also occur in some OTHER document — the
+  // sub-document duplication score that drives span-level dedup
+  // decisions (P28 finds the pairs; this scores every doc even when
+  // no single pair crosses the containment bar).  Same one-exchange
+  // shape as P28: the df window and the per-doc rollup consume the
+  // fp-partitioned exchange; "shared with another doc" must check
+  // df > 1 OR (df == 1 twice in the same doc is impossible —
+  // winnowed fps are per-doc distinct, so df counts documents).
+  def qDupSpan(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_winnow(graft_grams32(text, 8), 4)").as("fps"))
+      .select(col("doc_id"), expr("CAST(size(fps) AS BIGINT)").as("nf"),
+        explode(col("fps")).as("fp"))
+      .repartition(col("fp"))
+    fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .groupBy("doc_id", "nf")
+      .agg(sum(when(col("df") > 1, 1L).otherwise(0L)).as("shared"))
+      .select(col("doc_id"), col("nf"), col("shared"),
+        expr("shared * 1000 DIV nf").as("permille"))
+      .orderBy("doc_id")
+  }
+
+  val qDupSpanSql: String = {
+    val h = Pipeline.duckHash32("g")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(range(length(lower(text)) - 7),
+       |    i -> substr(lower(text), CAST(i + 1 AS INT), 8)) AS grams
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, list_transform(grams, g -> $h) AS gh FROM g
+       |), f AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(gh) - 3),
+       |    j -> list_min(gh[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))) AS fps
+       |  FROM h
+       |), e AS (
+       |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf, unnest(fps) AS fp FROM f
+       |), w AS (
+       |  SELECT doc_id, nf, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM e
+       |)
+       |SELECT doc_id, nf,
+       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // nf
+       |    AS permille
+       |FROM w GROUP BY doc_id, nf
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- P42
+  // Character-class profile per source: alpha/digit/whitespace/other
+  // permille of the raw bytes — the "is this source binary garbage /
+  // tables / prose" triage signal.  One scan, one hash agg; the class
+  // counts come from length deltas of codegen'd regexp_replace, all
+  // BIGINT.
+  def qCharClasses(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        length(col("text")).cast("long").as("total"),
+        length(expr("regexp_replace(lower(text), '[^a-z]', '')")).cast("long").as("alpha"),
+        length(expr("regexp_replace(text, '[^0-9]', '')")).cast("long").as("digit"),
+        length(expr("regexp_replace(text, '[^ \\t\\n]', '')")).cast("long").as("ws"))
+      .groupBy("source")
+      .agg(sum("total").as("n_chars"),
+        expr("sum(alpha) * 1000 DIV sum(total)").as("alpha_pm"),
+        expr("sum(digit) * 1000 DIV sum(total)").as("digit_pm"),
+        expr("sum(ws) * 1000 DIV sum(total)").as("ws_pm"))
+      .orderBy("source")
+
+  val qCharClassesSql: String =
+    """SELECT source,
+      |  CAST(SUM(total) AS BIGINT) AS n_chars,
+      |  CAST(SUM(alpha) AS BIGINT) * 1000 // CAST(SUM(total) AS BIGINT) AS alpha_pm,
+      |  CAST(SUM(digit) AS BIGINT) * 1000 // CAST(SUM(total) AS BIGINT) AS digit_pm,
+      |  CAST(SUM(ws) AS BIGINT) * 1000 // CAST(SUM(total) AS BIGINT) AS ws_pm
+      |FROM (
+      |  SELECT source,
+      |    length(text) AS total,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+      |    length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS ws
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -499,7 +585,9 @@ object CorpusStats {
     "q_cluster_keep" -> (qClusterKeep _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_length_outliers" -> (qLengthOutliers _),
-    "q_tok_len_hist" -> (qTokLenHist _))
+    "q_tok_len_hist" -> (qTokLenHist _),
+    "q_dup_span" -> (qDupSpan _),
+    "q_char_classes" -> (qCharClasses _))
 
   val oracle: Map[String, String] = Map(
     "q_winnow_overlap" -> qWinnowOverlapSql,
@@ -513,5 +601,7 @@ object CorpusStats {
     "q_cluster_keep" -> qClusterKeepSql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_length_outliers" -> qLengthOutliersSql,
-    "q_tok_len_hist" -> qTokLenHistSql)
+    "q_tok_len_hist" -> qTokLenHistSql,
+    "q_dup_span" -> qDupSpanSql,
+    "q_char_classes" -> qCharClassesSql)
 }
