@@ -664,22 +664,32 @@ object Pipeline {
   private val KmeansK = 8
 
   /** Shared two-iteration Lloyd state: (quantized vectors, final
-    * centroids, final assignment). */
+    * centroids, final assignment).  The quantized frame is persisted —
+    * it feeds every assign and update stage, and without the cache the
+    * plan re-scans and re-quantizes the embeddings table once per
+    * consumer (MLlib's Lloyd caches its vectors for the same reason);
+    * c1 is persisted because the profile consumes it twice (broadcast
+    * + the a2 subtree). */
   private def kmeansState(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
         "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
         .as("qv"))
+      .persist()
 
-    // argmax over BIGINT dots via one aggregate with partials; the
-    // (dot, -cell) ordering struct is unique per vector so max_by is
-    // deterministic
+    // nearest centroid in exact integers: argmin ‖x−c‖² =
+    // argmax (2·x·c − c·c) — the −‖c‖² term is what makes this
+    // Lloyd's assignment rather than a raw dot-product argmax (which
+    // drifts toward large-norm centroids).  One aggregate with
+    // partials; the (score, -cell) ordering struct is unique per
+    // vector so max_by is deterministic
     def assign(cents: DataFrame): DataFrame =
       q.join(broadcast(cents))
-        .withColumn("dot", expr("graft_doti(qv, c)"))
+        .withColumn("score",
+          expr("2 * graft_doti(qv, c) - graft_doti(c, c)"))
         .groupBy("vec_id")
-        .agg(expr("max_by(cell, struct(dot, -cell))").as("cell"))
+        .agg(expr("max_by(cell, struct(score, -cell))").as("cell"))
 
     def update(assigned: DataFrame): DataFrame =
       assigned.join(q, "vec_id")
@@ -691,7 +701,7 @@ object Pipeline {
 
     val c0 = q.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cell"), col("qv").as("c"))
-    val c1 = update(assign(c0))
+    val c1 = update(assign(c0)).persist()
     (q, c1, assign(c1))
   }
 
@@ -735,7 +745,7 @@ object Pipeline {
        |  SELECT vec_id, cell FROM (
        |    SELECT q.vec_id, c0.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${dot("q.qv", "c0.c")} DESC, c0.cell) AS rk
+       |        ORDER BY 2 * ${dot("q.qv", "c0.c")} - ${dot("c0.c", "c0.c")} DESC, c0.cell) AS rk
        |    FROM q, c0)
        |  WHERE rk = 1
        |), c1 AS (
@@ -750,7 +760,7 @@ object Pipeline {
        |  SELECT vec_id, cell FROM (
        |    SELECT q.vec_id, c1.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${dot("q.qv", "c1.c")} DESC, c1.cell) AS rk
+       |        ORDER BY 2 * ${dot("q.qv", "c1.c")} - ${dot("c1.c", "c1.c")} DESC, c1.cell) AS rk
        |    FROM q, c1)
        |  WHERE rk = 1
        |)
@@ -771,7 +781,7 @@ object Pipeline {
          |  SELECT vec_id, cell FROM (
          |    SELECT q.vec_id, $cents.cell,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dot("q.qv", s"$cents.c")} DESC, $cents.cell) AS rk
+         |        ORDER BY 2 * ${dot("q.qv", s"$cents.c")} - ${dot(s"$cents.c", s"$cents.c")} DESC, $cents.cell) AS rk
          |    FROM q, $cents)
          |  WHERE rk = 1
          |)""".stripMargin

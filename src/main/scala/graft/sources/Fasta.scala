@@ -41,14 +41,35 @@ object Fasta {
 
   def faiPath(path: String): String = path + ".fai"
 
+  /** Line reader reporting the EXACT byte width of each line
+    * including its terminator (\n or \r\n) — BufferedReader hides the
+    * terminator, which corrupts byte arithmetic on CRLF files. */
+  private class ByteLineReader(raw: java.io.InputStream, bufSize: Int = 1 << 20) {
+    private val in = new BufferedInputStream(raw, bufSize)
+    /** Byte width of the line last returned, terminator included. */
+    var lastWidth: Int = 0
+    def readLine(): String = {
+      var c = in.read()
+      if (c < 0) { lastWidth = 0; return null }
+      val sb = new java.lang.StringBuilder(96)
+      var w = 0
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); w += 1; c = in.read() }
+      if (c == '\n') w += 1
+      lastWidth = w
+      if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\r')
+        sb.setLength(sb.length() - 1)
+      sb.toString
+    }
+    def close(): Unit = in.close()
+  }
+
   /** Build the index with one sequential driver scan.  Like samtools,
     * requires every sequence line of a contig except the last to have
     * the same length — otherwise arithmetic random access is
     * impossible and build fails loudly. */
   def buildFai(path: String): Seq[FaiEntry] = {
     val (fs, p) = Fs.get(path)
-    val in = new BufferedReader(new InputStreamReader(
-      new BufferedInputStream(fs.open(p), 1 << 20), UTF_8))
+    val in = new ByteLineReader(fs.open(p))
     val out = scala.collection.mutable.ArrayBuffer[FaiEntry]()
     try {
       var offset = 0L
@@ -59,13 +80,20 @@ object Fasta {
       var lineWidth = 0
       var lastLineLen = -1 // -1: no line yet; otherwise previous line's bases
       def close(): Unit = if (name != null) {
+        // the LAST line may be short but never long — a final line
+        // wider than lineBases breaks random-access arithmetic (and
+        // samtools rejects the file)
+        require(lastLineLen <= lineBases || lineBases == 0,
+          s"$path: contig $name ends with a ${lastLineLen}-base line wider " +
+            s"than its $lineBases-base line length — cannot faidx")
         out += FaiEntry(name, length, seqOffset,
           math.max(lineBases, 1), math.max(lineWidth, 2))
         name = null
       }
       var line = in.readLine()
       while (line != null) {
-        val w = line.length + 1 // \n endings (FASTA norm, as planRanges)
+        // real file bytes incl. terminator (CRLF-safe)
+        val w = in.lastWidth
         if (line.startsWith(">")) {
           close()
           name = line.drop(1).split("\\s+")(0)
@@ -110,12 +138,16 @@ object Fasta {
     val ip = new Path(faiPath(path))
     if (!fs.exists(ip)) return None
     val in = new BufferedReader(new InputStreamReader(fs.open(ip), UTF_8))
-    try Some(Iterator.continually(in.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).map { l =>
-        val f = l.split("\t")
-        FaiEntry(f(0), f(1).toLong, f(2).toLong, f(3).toInt, f(4).toInt)
-      }.toSeq)
-    finally in.close()
+    try {
+      val entries = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map { l =>
+          val f = l.split("\t")
+          FaiEntry(f(0), f(1).toLong, f(2).toLong, f(3).toInt, f(4).toInt)
+        }.toSeq
+      // an empty/truncated sidecar (e.g. a crashed writer) must NOT
+      // read as "zero contigs" — fall back to the scan path instead
+      if (entries.isEmpty) None else Some(entries)
+    } finally in.close()
   }
 
   /** samtools-faidx-style subsequence fetch (1-based inclusive):
@@ -123,7 +155,9 @@ object Fasta {
     * Driver-side — regions are primer/locus sized; distributed reads
     * go through [[readRegions]]. */
   def region(path: String, contig: String, start1: Long, end1: Long): String = {
-    val fai = readFai(path).getOrElse(buildAndWriteFai(path))
+    // build in memory when no sidecar exists — a READ must not write
+    // into the (possibly read-only) source directory
+    val fai = readFai(path).getOrElse(buildFai(path))
     val e = fai.find(_.name == contig).getOrElse(
       throw new IllegalArgumentException(s"$path: no contig $contig in .fai"))
     fetch(path, e, start1, end1)
@@ -137,6 +171,9 @@ object Fasta {
     if (t < s) return ""
     val from = e.byteOf(s)
     val until = e.byteOf(t) + 1 // inclusive last base
+    require(until - from <= (1L << 30),
+      s"region $s-$t spans ${until - from} bytes; single-buffer fetch is " +
+        "capped at 1 GiB — use readRegions for chromosome-scale ranges")
     val (fs, p) = Fs.get(path)
     val raw = fs.open(p)
     try {
@@ -172,7 +209,7 @@ object Fasta {
                   intervals: Seq[(String, Long, Long)],
                   splitSize: Long = 1L * 1024 * 1024): Dataset[ReferenceFragment] = {
     import spark.implicits._
-    val fai = readFai(path).getOrElse(buildAndWriteFai(path))
+    val fai = readFai(path).getOrElse(buildFai(path))
     val byName = fai.map(e => e.name -> e).toMap
     val chunks = intervals.flatMap { case (c, s0, t0) =>
       val e = byName.getOrElse(c,
@@ -209,10 +246,10 @@ object Fasta {
       rangeStart = -1
     }
 
-    val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
+    val reader = new ByteLineReader(in)
     var line = reader.readLine()
     while (line != null) {
-      val lineLen = line.length + 1L // assumes \n endings (FASTA norm)
+      val lineLen = reader.lastWidth.toLong // exact bytes, CRLF-safe
       if (line.startsWith(">")) {
         closeRange(offset)
         contig = line.drop(1).split("\\s+")(0)
@@ -249,8 +286,7 @@ object Fasta {
     val (fs, p) = Fs.get(path)
     val raw = fs.open(p)
     raw.seek(r.start)
-    val reader = new BufferedReader(new InputStreamReader(
-      new BufferedInputStream(raw), UTF_8))
+    val reader = new ByteLineReader(raw)
     var consumed = 0L
     var pos = r.startPos
     val budget = r.end - r.start
@@ -262,7 +298,7 @@ object Fasta {
           if (consumed >= budget) { done = true; reader.close(); return }
           val line = reader.readLine()
           if (line == null) { done = true; reader.close(); return }
-          consumed += line.length + 1L
+          consumed += reader.lastWidth // exact bytes, CRLF-safe
           if (line.nonEmpty && !line.startsWith(">")) {
             nextF = ReferenceFragment(r.contig, pos, line)
             pos += line.length

@@ -88,15 +88,18 @@ object GraftDataSources {
     * advertise as pushed, the derived intervals); everything stays
     * residual with Spark — the chunks over-approximate and every
     * predicate is re-checked exactly. */
-  private[v2] def contigPosIntervals(filters: Array[Filter], contigCol: String,
-      posCol: String): (Array[Filter], Seq[(String, Int, Int)]) = {
+  /** Long-domain variant for formats whose position column is BIGINT
+    * (FASTA `start` on >2 Gbp contigs) — no Int clamping, which would
+    * silently over-prune everything past 2³¹. */
+  private[v2] def contigPosIntervalsLong(filters: Array[Filter], contigCol: String,
+      posCol: String): (Array[Filter], Seq[(String, Long, Long)]) = {
     val contigs: Option[Seq[String]] = filters.collectFirst {
       case EqualTo(`contigCol`, c: String) => Seq(c)
       case In(`contigCol`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         vs.toSeq.map(_.toString)
     }
     var lo = 1L
-    var hi = Int.MaxValue.toLong
+    var hi = Long.MaxValue
     val posFilters = filters.filter {
       case GreaterThan(`posCol`, v: Number) => lo = math.max(lo, v.longValue() + 1); true
       case GreaterThanOrEqual(`posCol`, v: Number) => lo = math.max(lo, v.longValue()); true
@@ -108,14 +111,22 @@ object GraftDataSources {
     }
     contigs match {
       case Some(cs) =>
-        val ivs = cs.map(c =>
-          (c, math.max(1L, lo).min(Int.MaxValue).toInt, hi.max(0).min(Int.MaxValue).toInt))
+        val ivs = cs.map(c => (c, math.max(1L, lo), hi.max(0L)))
         (filters.filter {
           case EqualTo(`contigCol`, _) | In(`contigCol`, _) => true
           case f => posFilters.contains(f)
         }, ivs)
       case None => (Array.empty, Nil) // pos bounds alone cannot prune chunks
     }
+  }
+
+  private[v2] def contigPosIntervals(filters: Array[Filter], contigCol: String,
+      posCol: String): (Array[Filter], Seq[(String, Int, Int)]) = {
+    val (p, iv) = contigPosIntervalsLong(filters, contigCol, posCol)
+    // Int-position formats (BAM/VCF/BCF): clamping is sound because
+    // the column itself cannot exceed Int range
+    (p, iv.map(i => (i._1,
+      i._2.min(Int.MaxValue.toLong).toInt, i._3.min(Int.MaxValue.toLong).toInt)))
   }
 
   private[v2] abstract class SingleTable(tableName: String, tableSchema: StructType)
@@ -668,11 +679,12 @@ class FastaScanBuilder(options: CaseInsensitiveStringMap)
   private val enc = ExpressionEncoder[ReferenceFragment]()
   private var required: StructType = enc.schema
   private var pushed: Array[Filter] = Array.empty
-  private var intervals: Seq[(String, Int, Int)] = Nil
+  private var intervals: Seq[(String, Long, Long)] = Nil
   override def pruneColumns(r: StructType): Unit =
     required = GraftDataSources.prune(enc.schema, r)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (p, iv) = GraftDataSources.contigPosIntervals(filters, "contig", "start")
+    // Long domain: `start` is BIGINT and contigs may exceed 2^31 bases
+    val (p, iv) = GraftDataSources.contigPosIntervalsLong(filters, "contig", "start")
     pushed = p
     intervals = iv
     filters // all residual: exact semantics stay with Spark
@@ -687,7 +699,7 @@ class FastaScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 class FastaScan(paths: Seq[String], splitSize: Long, pruned: StructType,
-                pushed: Array[Filter], intervals: Seq[(String, Int, Int)])
+                pushed: Array[Filter], intervals: Seq[(String, Long, Long)])
     extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
@@ -700,8 +712,7 @@ class FastaScan(paths: Seq[String], splitSize: Long, pruned: StructType,
       val fai = Fasta.readFai(path)
       val ranges = (fai, intervals) match {
         case (Some(entries), iv) if iv.nonEmpty =>
-          Fasta.planRangesFaiBounded(entries, splitSize,
-            iv.map(i => (i._1, i._2.toLong, i._3.toLong)))
+          Fasta.planRangesFaiBounded(entries, splitSize, iv)
         case (Some(entries), _) => Fasta.planRangesFai(entries, splitSize)
         // no sidecar: one driver metadata scan, no pruning (residual
         // filters still make the result exact)

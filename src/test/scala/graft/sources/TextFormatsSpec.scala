@@ -215,6 +215,35 @@ class FastaSpec extends SparkSpec {
     Files.write(Paths.get(bad), ">c\nACGTACGT\nACG\nACGTACGT\n".getBytes(UTF_8))
     val e = intercept[IllegalArgumentException](Fasta.buildFai(bad))
     assert(e.getMessage.contains("uneven"))
+    // ...and so must a LAST line wider than the established width
+    val bad2 = s"$dir/bad2.fa"
+    Files.write(Paths.get(bad2), ">c\nACGT\nACGTACGT\n".getBytes(UTF_8))
+    val e2 = intercept[IllegalArgumentException](Fasta.buildFai(bad2))
+    assert(e2.getMessage.contains("wider"))
+  }
+
+  test("CRLF FASTA: .fai byte arithmetic, region() and read() stay exact") {
+    val dir = tmpDir("faicrlf")
+    val f = s"$dir/ref.fa"
+    val rng = new scala.util.Random(5)
+    val c1 = (0 until 500).map(_ => "ACGT" (rng.nextInt(4))).mkString
+    val content = s">chr1\r\n${c1.grouped(60).mkString("\r\n")}\r\n"
+    Files.write(Paths.get(f), content.getBytes(UTF_8))
+    val entries = Fasta.buildAndWriteFai(f)
+    // samtools records lineWidth = lineBases + 2 on CRLF files
+    assert(entries.map(e => (e.name, e.length, e.lineBases, e.lineWidth)) ===
+      Seq(("chr1", 500L, 60, 62)))
+    for ((s, t) <- Seq((1L, 60L), (61L, 61L), (30L, 130L), (450L, 500L)))
+      assert(Fasta.region(f, "chr1", s, t) ===
+        c1.substring((s - 1).toInt, t.toInt), s"[$s,$t]")
+    // index-planned splits frame whole lines exactly once
+    val frags = Fasta.read(spark, f, splitSize = 128).collect()
+    assert(frags.sortBy(_.start).map(_.sequence).mkString === c1)
+    // scan-planned splits (no .fai) agree
+    val (fs, p) = Fs.get(f)
+    fs.delete(new org.apache.hadoop.fs.Path(Fasta.faiPath(f)), false)
+    val frags2 = Fasta.read(spark, f, splitSize = 128).collect()
+    assert(frags2.sortBy(_.start).map(_.sequence).mkString === c1)
   }
 }
 
