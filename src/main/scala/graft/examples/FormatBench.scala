@@ -1,0 +1,73 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.model.{SamHeader, SamRecord, SamRef}
+import graft.sources.BamIO
+
+/** Format-layer throughput probe: write N records as a sharded BAM
+  * (parallel BGZF deflate + driver merge + splitting index), read them
+  * back through the splittable scan, and through a bounded-traversal
+  * window.  Prints records/sec per phase — the single-node numbers the
+  * 100 TB posture extrapolates from (every phase is embarrassingly
+  * parallel across executors; the driver does O(bytes) concat and
+  * O(chunks) planning only).
+  *
+  *   sbt "runMain graft.examples.FormatBench [nRecords] [outDir]"
+  */
+object FormatBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 2000000
+    val dir = if (args.length > 1) args(1) else "/tmp/graft_format_bench"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val contigLen = 200000000
+    val header = SamHeader(
+      s"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:$contigLen",
+      Array(SamRef("chr1", contigLen)))
+    val seq = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    val qual = "I" * 60
+
+    // deterministic, pre-sorted by construction (pos strictly grows)
+    val ds = spark.range(0, n.toLong, 1, cpus * 4).map { i =>
+      SamRecord(s"r$i", if (i % 2 == 0) 99 else 147, "chr1",
+        (1L + i * (contigLen - 100).toLong / n).toInt, 60, "60M", "=",
+        (1L + i * (contigLen - 100).toLong / n).toInt + 100, 160, seq, qual,
+        Array(s"NM:i:${i % 4}"))
+    }
+
+    val file = s"$dir/bench.bam"
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${n / t / 1e6}%6.2f Mrec/s")
+      r
+    }
+
+    timed("bam_write")(BamIO.writeSorted(ds, header, file))
+    // size splits to the machine: highly repetitive synthetic data
+    // compresses ~10×, so the default 64 MB splits under-parallelize
+    val len = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    val split = math.max(1L << 20, len / (cpus * 2))
+    println(s"FORMATBENCH file_bytes $len split $split")
+    val c1 = timed("bam_read")(BamIO.read(spark, file, splitSize = split).count())
+    require(c1 == n, s"read $c1 of $n")
+    // bounded traversal: middle 1% of the contig via the sidecar index
+    val lo = contigLen / 2
+    val hi = lo + contigLen / 100
+    val c2 = timed("bam_interval_read")(
+      BamIO.read(spark, file, intervals = Seq(("chr1", lo, hi))).count())
+    println(s"FORMATBENCH interval_rows $c2 (~${100.0 * c2 / n}%)")
+    val c3 = timed("bam_dsv2_read")(
+      spark.read.format("bam").option("splitsize", split.toString)
+        .load(file).where("flag = 99").count())
+    require(c3 == (n + 1) / 2, s"dsv2 counted $c3")
+    spark.stop()
+  }
+}
