@@ -205,6 +205,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(hp).length >= 2, hp)
   }
 
+  test("q_kmeans broadcasts centroids and keeps partial-agg argmax") {
+    val df = graft.queries.Pipeline.qKmeans(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // centroids ride broadcast joins (never a shuffle of the corpus
+    // against k rows) and the argmax is a hash aggregate with map-side
+    // partials (max_by), not a window sort
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert("partial_max_by".r.findAllIn(plan).nonEmpty, plan)
+    assert(plan.contains("graft_doti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache() // kmeansState persists its frames
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
