@@ -805,7 +805,70 @@ object Pipeline {
        |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- P43
+  // Embedding covariance prep (upper-triangle Gram matrix + per-dim
+  // sums) — the exact-integer input to PCA/whitening.  Shape: the
+  // per-vector pair explode (d(d+1)/2 rows) feeds a hash aggregate
+  // whose MAP-SIDE partials collapse to 2080 rows per partition before
+  // any shuffle — i.e. the classic per-partition Gram kernel, written
+  // declaratively.  Products pre-scale DIV 10⁶ (micro²→micro) so the
+  // BIGINT sums hold ~10¹² vectors.  Output is deterministic integers;
+  // cov(d1,d2) = (s12·n − s1·s2/10⁶-ish scaling) is left to the
+  // consumer, keeping the gated result engine-exact.
+  def qEmbedCov(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val pairs = q.select(explode(expr(
+      """flatten(transform(sequence(0, size(qv) - 1), i ->
+        |  transform(sequence(i, size(qv) - 1), j -> struct(
+        |    CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
+        |    (element_at(qv, i + 1) * element_at(qv, j + 1)) DIV 1000000 AS xy))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2"), col("p.xy"))
+      .groupBy("d1", "d2")
+      .agg(sum("xy").as("s12"), count(lit(1)).as("n"))
+    val dims = q.select(posexplode(col("qv")).as(Seq("dd", "x")))
+      .groupBy(col("dd").cast("long").as("dd"))
+      .agg(sum("x").as("sd"))
+    pairs
+      .join(broadcast(dims.select(col("dd").as("d1"), col("sd").as("s1"))), "d1")
+      .join(broadcast(dims.select(col("dd").as("d2"), col("sd").as("s2"))), "d2")
+      .select(col("d1"), col("d2"), col("s12"), col("s1"), col("s2"), col("n"))
+      .orderBy("d1", "d2")
+  }
+
+  val qEmbedCovSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> i)))) AS d1,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> j)))) AS d2,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j ->
+      |        (qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) // 1000000)))) AS xy
+      |  FROM q
+      |), g AS (
+      |  SELECT d1, d2, CAST(SUM(xy) AS BIGINT) AS s12,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM p GROUP BY d1, d2
+      |), dims AS (
+      |  SELECT dd, CAST(SUM(x) AS BIGINT) AS sd FROM (
+      |    SELECT unnest(range(len(qv))) AS dd, unnest(qv) AS x FROM q)
+      |  GROUP BY dd
+      |)
+      |SELECT g.d1, g.d2, g.s12, a.sd AS s1, b.sd AS s2, g.n
+      |FROM g JOIN dims a ON a.dd = g.d1 JOIN dims b ON b.dd = g.d2
+      |ORDER BY g.d1, g.d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_cov" -> (qEmbedCov _),
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_profile" -> (qKmeansProfile _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -824,6 +887,7 @@ object Pipeline {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_embed_cov" -> qEmbedCovSql,
     "q_kmeans" -> qKmeansSql,
     "q_kmeans_profile" -> qKmeansProfileSql,
     "q_dedup_exact" -> qDedupExactSql,
