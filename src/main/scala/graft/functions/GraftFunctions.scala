@@ -115,6 +115,74 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  /** grampack(qv): the upper-triangle Gram products of a quantized
+    * BIGINT vector, each pair packed into ONE long —
+    * d1(12 bits) | d2(12 bits) | biased product DIV 10⁶ (40 bits) —
+    * so the explode moves primitive longs, never per-pair structs
+    * (the graft_packgrams move).  Unpack after the aggregate collapse:
+    * d1 = p >> 52, d2 = (p >> 40) & 4095, xy = (p & (2⁴⁰−1)) − 2³⁹. */
+  case class GramPack(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(child.dataType), s"$prettyName expects ARRAY<BIGINT>")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_grampack"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      require(n <= 4096, s"$prettyName supports up to 4096 dims, got $n")
+      val out = new Array[Long](n * (n + 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val xi = x.getLong(i)
+        var j = i
+        while (j < n) {
+          val v = xi * x.getLong(j) / 1000000L
+          require(v > -(1L << 39) && v < (1L << 39),
+            s"$prettyName scaled product $v exceeds the 40-bit pack range")
+          out(k) = (i.toLong << 52) | (j.toLong << 40) | (v + (1L << 39))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val xi = ctx.freshName("xi")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n > 4096) throw new IllegalArgumentException(
+           |  "graft_grampack supports up to 4096 dims, got " + $n);
+           |long[] $out = new long[$n * ($n + 1) / 2];
+           |int $k = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $xi = $a.getLong($i);
+           |  for (int $j = $i; $j < $n; $j++) {
+           |    long $v = $xi * $a.getLong($j) / 1000000L;
+           |    if ($v <= -(1L << 39) || $v >= (1L << 39))
+           |      throw new IllegalArgumentException(
+           |        "graft_grampack scaled product exceeds the 40-bit pack range");
+           |    $out[$k++] = ((long) $i << 52) | ((long) $j << 40) | ($v + (1L << 39));
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** simhash32(hs): classic SimHash vote over 32 bit positions of the
     * given 64-bit token hashes — bit b of the result is set iff
     * Σ_h ((h>>b)&1)·2−1 > 0.  Single counter-array pass (the HOF
@@ -764,6 +832,8 @@ object GraftFunctions {
       es => DotProductLong(es(0), es(1))),
     ("graft_simhash32", "32-bit simhash vote over token hashes",
       es => Simhash32(es(0))),
+    ("graft_grampack", "packed upper-triangle Gram products of a BIGINT vector",
+      es => GramPack(es(0))),
     ("graft_cosine", "cosine similarity of two float vectors",
       es => CosineSim(es(0), es(1))),
     ("graft_hamming64", "hamming distance of two 64-bit signatures",

