@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-read JSON line on stdout.  sbt's default
+// LoggedOutput prefixes forked stdout with "[info] ", which defeats any
+// line-oriented JSON parse of the build output (every BENCH_r*.json so
+// far has parsed:null).  Pass the child's streams through untouched and
+// drop the trailing [success] banner so stdout is clean.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
