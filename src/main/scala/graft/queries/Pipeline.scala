@@ -867,8 +867,100 @@ object Pipeline {
       |FROM g JOIN dims a ON a.dd = g.d1 JOIN dims b ON b.dd = g.d2
       |ORDER BY g.d1, g.d2""".stripMargin
 
+  // --------------------------------------------------------------- P47
+  // Principal-direction projection (the PCA step the P43 Gram matrix
+  // prepares for): two power-iteration steps on the Gram matrix in
+  // EXACT INTEGER arithmetic, then every embedding projected onto the
+  // resulting direction.  Scale shape — the same split Spark MLlib's
+  // PCA uses: the only data-sized computation is the distributed Gram
+  // kernel (map-side-collapsed packed-pair aggregate, shuffle = d²/2
+  // rows per partition); the eigen-iteration is O(d²)=4096 driver ops
+  // on the collected 64×64 matrix (size fixed by dimension, not corpus),
+  // and the direction returns to the executors as a broadcast literal
+  // feeding the codegen'd `graft_doti` kernel — one more scan, no
+  // shuffle.  Every rescale is ×10⁶ then truncating-divide by the max
+  // magnitude (both engines truncate toward zero), keeping all
+  // intermediates < 10¹⁴ — BIGINT-safe at any corpus size — and the
+  // result bit-identical across partial-agg orders, cluster sizes, and
+  // engines.  Sign is pinned by the deterministic all-ones seed.
+  def qPcaProject(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("qv"))
+    // upper-triangle Gram, same packed kernel + micro² DIV 10⁶
+    // pre-scale as qEmbedCov (gate-proven identical to the oracle's)
+    val tri = q.select(explode(expr("graft_grampack(qv)")).as("p"))
+      .groupBy(expr("CAST(shiftright(p, 52) AS INT)").as("d1"),
+        expr("CAST(shiftright(p, 40) & 4095 AS INT)").as("d2"))
+      .agg(sum(expr("(p & 1099511627775) - 549755813888")).as("s12"))
+      .collect()
+    val dim = tri.iterator.map(_.getInt(1)).max + 1
+    val g = Array.ofDim[Long](dim, dim)
+    tri.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    // rescale G to ≤10⁶ magnitude so each matvec stays ≪ Long.Max
+    val gScale = g.iterator.flatten.map(math.abs).max / 1000000L + 1L
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) /= gScale
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    def renorm(v: Array[Long]): Array[Long] = {
+      val m = math.max(v.iterator.map(math.abs).max, 1L)
+      v.map(x => x * 1000000L / m)
+    }
+    val dir = renorm(matvec(renorm(matvec(Array.fill(dim)(1L)))))
+    q.select(col("vec_id"),
+        expr(s"graft_doti(qv, array(${dir.mkString("L,")}L))").as("proj"))
+      .orderBy("vec_id")
+  }
+
+  val qPcaProjectSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> i)))) AS d1,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> j)))) AS d2,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j ->
+      |        (qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) // 1000000)))) AS xy
+      |  FROM q
+      |), g0 AS (
+      |  SELECT d1, d2, CAST(SUM(xy) AS BIGINT) AS s FROM p GROUP BY d1, d2
+      |), gfull AS (
+      |  SELECT d1, d2, s FROM g0
+      |  UNION ALL SELECT d2, d1, s FROM g0 WHERE d1 <> d2
+      |), gsc AS (
+      |  SELECT MAX(ABS(s)) // 1000000 + 1 AS c FROM gfull
+      |), g AS (
+      |  SELECT d1, d2, s // (SELECT c FROM gsc) AS s FROM gfull
+      |), v1 AS (
+      |  SELECT d1 AS dd, CAST(SUM(s) AS BIGINT) AS v FROM g GROUP BY d1
+      |), m1 AS (
+      |  SELECT GREATEST(MAX(ABS(v)), 1) AS m FROM v1
+      |), v1n AS (
+      |  SELECT dd, (v * 1000000) // (SELECT m FROM m1) AS v FROM v1
+      |), v2 AS (
+      |  SELECT g.d1 AS dd, CAST(SUM(g.s * v1n.v) AS BIGINT) AS v
+      |  FROM g JOIN v1n ON v1n.dd = g.d2 GROUP BY g.d1
+      |), m2 AS (
+      |  SELECT GREATEST(MAX(ABS(v)), 1) AS m FROM v2
+      |), v2n AS (
+      |  SELECT dd, (v * 1000000) // (SELECT m FROM m2) AS v FROM v2
+      |)
+      |SELECT q.vec_id,
+      |  CAST(SUM(q.qv[CAST(v2n.dd + 1 AS INT)] * v2n.v) AS BIGINT) AS proj
+      |FROM q, v2n GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_cov" -> (qEmbedCov _),
+    "q_pca_project" -> (qPcaProject _),
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_profile" -> (qKmeansProfile _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -888,6 +980,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_embed_cov" -> qEmbedCovSql,
+    "q_pca_project" -> qPcaProjectSql,
     "q_kmeans" -> qKmeansSql,
     "q_kmeans_profile" -> qKmeansProfileSql,
     "q_dedup_exact" -> qDedupExactSql,

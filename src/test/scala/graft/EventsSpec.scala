@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.queries.{Events, Pipeline}
+
+/** Semantics of the event-analytics queries (P44-P46) and the PCA
+  * projection (P47) on synthetic inputs where the right answer is
+  * obvious by construction.
+  */
+class EventsSpec extends SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos, as the nanosAsLong read surfaces
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def writeEvents(rows: Seq[Row]): String = {
+    val d = tmpDir("events_q")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), eventsSchema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def us(n: Long): Long = n * 1000L // µs → ns column value
+
+  test("funnel counts a later click even when an earlier click precedes the view") {
+    val d = writeEvents(Seq(
+      // user 1: click BEFORE first view must not advance the funnel;
+      // the later click and the purchase after it must.
+      Row(1L, us(1), 1L, "click", 0.0, "{}"),
+      Row(2L, us(2), 1L, "view", 0.0, "{}"),
+      Row(3L, us(5), 1L, "click", 0.0, "{}"),
+      Row(4L, us(6), 1L, "purchase", 0.0, "{}"),
+      // user 2: purchase before the click → stops at depth 2
+      Row(5L, us(1), 2L, "view", 0.0, "{}"),
+      Row(6L, us(3), 2L, "purchase", 0.0, "{}"),
+      Row(7L, us(4), 2L, "click", 0.0, "{}"),
+      // user 3: never views → not in the funnel at all
+      Row(8L, us(1), 3L, "click", 0.0, "{}")))
+    val out = Events.qFunnel(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, 5L, 6L, 3L)))
+    assert(out(2L) === ((1L, 4L, null, 2L)))
+  }
+
+  test("retention assigns users to first-day cohorts with day offsets") {
+    val day = 86400L * 1000000L // µs
+    val d = writeEvents(Seq(
+      // user 1: days 0 and 2 (cohort 0); user 2: days 1, 1, 2 (cohort 1)
+      Row(1L, us(1), 1L, "view", 0.0, "{}"),
+      Row(2L, us(2 * day + 5), 1L, "view", 0.0, "{}"),
+      Row(3L, us(day + 1), 2L, "view", 0.0, "{}"),
+      Row(4L, us(day + 2), 2L, "click", 0.0, "{}"),
+      Row(5L, us(2 * day + 1), 2L, "view", 0.0, "{}")))
+    val out = Events.qRetention(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 1L, (0L, 2L) -> 1L, // user 1
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L)) // user 2 (two day-1 events dedup)
+  }
+
+  test("props extraction aggregates the typed JSON field exactly") {
+    val d = writeEvents(Seq(
+      Row(1L, us(1), 1L, "view", 0.0, "{\"k\": 10}"),
+      Row(2L, us(2), 1L, "view", 0.0, "{\"k\": 15}"),
+      Row(3L, us(3), 2L, "click", 0.0, "{\"k\": 7}")))
+    val out = Events.qPropsExtract(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("view") === ((2L, 25L, 10L, 15L, 12500L)))
+    assert(out("click") === ((1L, 7L, 7L, 7L, 7000L)))
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  test("pca projection is deterministic and exactly sign-flips under global negation") {
+    val vecs: Seq[(Long, Array[Float])] = (0L until 40L).map { i =>
+      // two elongated blobs along (1,1,0,0)-ish so the principal
+      // direction is unambiguous
+      val t = (i % 20 - 10).toFloat / 10f
+      val noise = ((i * 37 % 11) - 5).toFloat / 100f
+      i -> Array(t, t + noise, noise / 2, -noise)
+    }
+    def write(flip: Boolean): String = {
+      val d = tmpDir("emb_pca")
+      val rows = vecs.map { case (id, v) =>
+        Row(id, (if (flip) v.map(-_) else v).toSeq, 0) }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), embSchema)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val d1 = write(flip = false)
+    val p1 = Pipeline.qPcaProject(spark, d1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1again = Pipeline.qPcaProject(spark, d1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 === p1again, "projection must be deterministic")
+    assert(p1.values.toSet.size > 1, "projection must separate the blobs")
+    // Gram is invariant under global negation, so the direction is
+    // unchanged while every quantized vector flips → proj negates
+    // exactly (integer arithmetic end-to-end; FLOOR(-x·10⁶+0.5) =
+    // -FLOOR(x·10⁶+0.5) only when x·10⁶ isn't half-integral, which
+    // the /10f, /100f construction above guarantees)
+    val p2 = Pipeline.qPcaProject(spark, write(flip = true)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 === p1.map { case (k, v) => k -> -v })
+  }
+}
