@@ -492,6 +492,44 @@ object GraftFunctions {
     v
   }
 
+  /** charclass(s): one-pass ASCII character-class counts
+    * [letters, digits, whitespace] over the UTF-8 bytes.  ASCII classes
+    * occupy single bytes that never collide with UTF-8 continuation
+    * bytes (all ≥ 0x80), so the byte scan is exact on any text.
+    * Replaces a lower() + three full regexp_replace passes per row in
+    * the char-profile hot path. */
+  case class CharClass(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_charclass"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.charClass(v.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.charClass($v.getBytes());")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def charClass(b: Array[Byte]): ArrayData = {
+    var alpha = 0L
+    var digit = 0L
+    var ws = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c == ' ' || c == '\t' || c == '\n') ws += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(alpha, digit, ws))
+  }
+
   /** intersect_size(a, b): |A∩B| of two SORTED long arrays via a
     * linear merge — the pair-verify kernel for set-similarity joins. */
   case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
@@ -850,6 +888,8 @@ object GraftFunctions {
       es => Winnow(es(0), es(1))),
     ("graft_hash64", "64-bit md5-derived string hash",
       es => Hash64Md5(es(0))),
+    ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
+      es => CharClass(es(0))),
     ("graft_intersect_size", "intersection size of two sorted long arrays",
       es => IntersectSize(es(0), es(1))),
     ("graft_shingles32", "distinct word n-gram 32-bit hashes",

@@ -557,9 +557,14 @@ object CorpusStats {
     Tables.documents(s, d)
       .select(col("source"),
         length(col("text")).cast("long").as("total"),
-        length(expr("regexp_replace(lower(text), '[^a-z]', '')")).cast("long").as("alpha"),
-        length(expr("regexp_replace(text, '[^0-9]', '')")).cast("long").as("digit"),
-        length(expr("regexp_replace(text, '[^ \\t\\n]', '')")).cast("long").as("ws"))
+        // one byte-scan pass for all three ASCII classes — replaces a
+        // lower() + three regexp_replace passes per row (r6: 1.8s →
+        // scan-bound at sf0.1); class definitions are explicit ASCII
+        // ranges so both engines agree on any input
+        expr("graft_charclass(text)").as("cc"))
+      .select(col("source"), col("total"),
+        expr("cc[0]").as("alpha"), expr("cc[1]").as("digit"),
+        expr("cc[2]").as("ws"))
       .groupBy("source")
       .agg(sum("total").as("n_chars"),
         expr("sum(alpha) * 1000 DIV sum(total)").as("alpha_pm"),
@@ -576,7 +581,7 @@ object CorpusStats {
       |FROM (
       |  SELECT source,
       |    length(text) AS total,
-      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
       |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
       |    length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS ws
       |  FROM documents)

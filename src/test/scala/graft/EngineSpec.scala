@@ -178,6 +178,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(0) === r.getInt(1))
   }
 
+  test("graft_charclass equals the regexp_replace length-delta formulation") {
+    import spark.implicits._
+    val df = Seq("The quick  Brown\tfox 42!\n", "", "abc123", "好 的 文 9",
+      "  \t\n", "MiXeD CaSe 007 @#$").toDF("text")
+    val rows = df.select(
+      expr("graft_charclass(text)").as("cc"),
+      length(expr("regexp_replace(text, '[^a-zA-Z]', '')")).cast("long").as("alpha"),
+      length(expr("regexp_replace(text, '[^0-9]', '')")).cast("long").as("digit"),
+      length(expr("regexp_replace(text, '[^ \\t\\n]', '')")).cast("long").as("ws"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+  }
+
   test("functions resolve via SQL names through the extension injection") {
     val r = spark.sql("SELECT graft_hamming64(12, 10) h, graft_revcomp('ACGT') rc").head()
     assert(r.getInt(0) === java.lang.Long.bitCount(12L ^ 10L))
