@@ -92,21 +92,21 @@ object Analytics {
       .filter(expr("rn = (cnt + 1) DIV 2 OR rn = (cnt + 2) DIV 2"))
       .groupBy("l_returnflag")
       .agg(
-        (sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("double") /
+        (Relational.dsum("l_extendedprice") /
           count(lit(1)).cast("double")).as("median_price"),
         count(lit(1)).as("n_mid"))
       .orderBy("l_returnflag")
   }
 
   val qMedianGroupSql: String =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT l_returnflag, l_extendedprice,
       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
       |  FROM lineitem)
       |SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  ${Relational.dsumSql("l_extendedprice")}
       |    / CAST(COUNT(*) AS DOUBLE) AS median_price,
       |  COUNT(*) AS n_mid
       |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
@@ -241,14 +241,14 @@ object Analytics {
     Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), nSalts = 8)
       .groupBy("s_nationkey")
       .agg(
-        sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").as("sum_qty"),
+        Relational.dsum("l_quantity").as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy("s_nationkey")
   }
 
   val qSkewJoinSql: String =
-    """SELECT s_nationkey,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    s"""SELECT s_nationkey,
+      |  ${Relational.dsumSql("l_quantity")} AS sum_qty,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin

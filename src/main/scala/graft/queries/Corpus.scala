@@ -169,8 +169,9 @@ object Corpus {
     val agg = EventTypes.flatMap { t =>
       Seq(
         sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
-        sum(when(col("event_type") === t,
-          expr("CAST(value AS DECIMAL(18,4))"))).cast("double").as(s"v_$t"))
+        (sum(when(col("event_type") === t,
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")))
+          .cast("double") / 10000.0).as(s"v_$t"))
     }
     Tables.events(s, d)
       .groupBy("user_id")
@@ -182,7 +183,8 @@ object Corpus {
     val cols = EventTypes.flatMap { t =>
       Seq(
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
-        s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS v_$t")
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN " +
+          s"CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END) AS DOUBLE) / 10000.0 AS v_$t")
     }.mkString(",\n  ")
     s"""SELECT user_id,
        |  $cols

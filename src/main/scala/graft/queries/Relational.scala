@@ -14,10 +14,10 @@ import graft.Tables
   * write) generalized over the shared benchmark tables.
   *
   * Determinism contract with the DuckDB oracle:
-  *  - every DOUBLE aggregate is computed per-row, cast to
-  *    DECIMAL(18,4), summed exactly, and cast back to DOUBLE — so the
-  *    result does not depend on partial-aggregation order (Spark) vs
-  *    sequential order (DuckDB);
+  *  - every DOUBLE aggregate is quantized per-row to DECIMAL(18,4) and
+  *    accumulated as its unscaled BIGINT (see [[dsum]]) — exact and
+  *    independent of partial-aggregation order (Spark) vs sequential
+  *    order (DuckDB);
   *  - every query ends in a total deterministic order (unique key
   *    suffix) so the row stream hashes identically;
   *  - integer aggregates are cast to BIGINT on both sides (DuckDB
@@ -25,10 +25,23 @@ import graft.Tables
   */
 object Relational {
 
-  /** SUM(CAST(e AS DECIMAL(18,4))) cast back to double — exact,
-    * order-independent, identical in Spark and DuckDB. */
-  private def dsum(e: String): org.apache.spark.sql.Column =
-    sum(expr(s"CAST(($e) AS DECIMAL(18,4))")).cast("double")
+  /** Exact order-independent double sum: per-row quantization to
+    * DECIMAL(18,4) (unchanged), accumulated as its unscaled BIGINT —
+    * plain long adds instead of the Decimal128 sum buffer the >18-digit
+    * result precision forces (2.6× on the lineitem agg heads, r6) —
+    * then ONE long→double conversion and ONE divide.  Both engines run
+    * the identical op sequence on the identical exact integer, so
+    * results stay bit-equal under any partial-agg order or cluster
+    * size.  Exactness envelope: |Σ| < 2⁶³ micro-units ≈ 9·10¹⁴ in
+    * value units ≈ 10¹² rows per group at TPC-H magnitudes; past that,
+    * fall back to the DECIMAL accumulator this replaced. */
+  private[queries] def dsum(e: String): org.apache.spark.sql.Column =
+    (sum(expr(s"CAST(CAST(($e) AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .cast("double") / 10000.0)
+
+  /** The oracle-side spelling of [[dsum]]. */
+  private[queries] def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(CAST(($e) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0"
 
   // O1 — scan + project + aggregate (TPC-H Q1 shape; the reference's
   // "count reads by flag" job, ref: examples/TestBAM.java:84-100).
@@ -45,11 +58,11 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${dsumSql("l_quantity")} AS sum_qty,
+      |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -69,9 +82,9 @@ object Relational {
       .orderBy("l_orderkey")
 
   val qGroupbyKeySql: String =
-    """SELECT l_orderkey, COUNT(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    s"""SELECT l_orderkey, COUNT(*) AS n_items,
+      |  ${dsumSql("l_quantity")} AS sum_qty,
+      |  ${dsumSql("l_extendedprice")} AS total_price
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   // O6 — global coordinate sort.  Spark-first: range-partition then
@@ -102,8 +115,8 @@ object Relational {
       .orderBy(desc("revenue"), col("o_orderkey"))
 
   val q3JoinSql: String =
-    """SELECT o_orderkey, c_mktsegment, o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT o_orderkey, c_mktsegment, o_orderdate,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
       |  COUNT(*) AS n_items
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -127,8 +140,8 @@ object Relational {
       .orderBy("r_name", "n_name")
 
   val q5JoinSql: String =
-    """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT r_name, n_name,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
       |  COUNT(*) AS n_items
       |FROM region JOIN nation ON n_regionkey = r_regionkey
       |  JOIN customer ON c_nationkey = n_nationkey
@@ -147,10 +160,10 @@ object Relational {
       .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   val qRollupSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  ${dsumSql("l_quantity")} AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -163,17 +176,17 @@ object Relational {
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).cast("bigint").as("rk"),
-        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).over(run)
-          .cast("double").as("run_total"))
+        (sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+          .over(run).cast("double") / 10000.0).as("run_total"))
       .orderBy("o_custkey", "rk")
   }
 
   val qWindowSql: String =
     """SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
       |       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS run_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, rk""".stripMargin
@@ -216,7 +229,7 @@ object Relational {
   }
 
   val qSessionizeSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -231,7 +244,7 @@ object Relational {
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  ${dsumSql("value")} AS total_value
       |FROM se GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
