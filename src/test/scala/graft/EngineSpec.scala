@@ -193,6 +193,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_charclass counts match a per-char reference on random unicode text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(' ', '~'), 2 -> Gen.oneOf('\t', '\n'),
+      2 -> Gen.oneOf('好', 'é', 'Ω', '\ud835', 'ÿ', '߿')))
+      .map(_.mkString)
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { s =>
+        val got = GraftFunctions
+          .charClass(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val ref = Seq(
+          s.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong,
+          s.count(c => c >= '0' && c <= '9').toLong,
+          s.count(c => c == ' ' || c == '\t' || c == '\n').toLong)
+        assert(got.toLongArray().toSeq === ref, s"text=${s.take(40)}")
+      }
+    }
+  }
+
   test("functions resolve via SQL names through the extension injection") {
     val r = spark.sql("SELECT graft_hamming64(12, 10) h, graft_revcomp('ACGT') rc").head()
     assert(r.getInt(0) === java.lang.Long.bitCount(12L ^ 10L))
