@@ -31,10 +31,16 @@ object Events {
   // days², independent of user count.  No windows, no skew (days are
   // uniform); at 100 TB every stage is partial-agg friendly.
   def qRetention(s: SparkSession, d: String): DataFrame = {
-    val ud = Tables.events(s, d)
+    // ONE data-sized exchange on user_id; hash(user_id) co-locates
+    // (user, day) tuples too, so the distinct, the cohort agg, AND the
+    // join all plan with NO further exchange — the two consumers of
+    // `ud` ride a ReusedExchange instead of re-scanning events (the
+    // naive formulation scanned the table twice)
+    val ev = Tables.events(s, d)
       .select(col("user_id"),
         expr(s"ts DIV 1000 DIV $UsPerDay").as("day"))
-      .distinct()
+      .repartition(col("user_id"))
+    val ud = ev.distinct()
     val coh = ud.groupBy("user_id").agg(min("day").as("cohort"))
     ud.join(coh, "user_id")
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
@@ -63,8 +69,15 @@ object Events {
   // event lists in memory.  Step frames shrink monotonically, so the
   // joins get cheaper down the funnel; AQE can broadcast the tail.
   def qFunnel(s: SparkSession, d: String): DataFrame = {
+    // same single-exchange shape as qRetention: the step subtrees are
+    // duplicated across the joins (s1 appears three times in the DAG),
+    // so without the barrier the events table would be scanned ~5× —
+    // with it, every duplicate is a ReusedExchange read and all the
+    // user-keyed joins/aggs plan exchange-free
     val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+      .repartition(col("user_id"))
     val s1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("t1_us"))
     val s2 = e.filter(col("event_type") === "click")
