@@ -170,7 +170,7 @@ object Corpus {
       Seq(
         sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
         (sum(when(col("event_type") === t,
-          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")))
+          expr(Relational.microExpr("value"))))
           .cast("double") / 10000.0).as(s"v_$t"))
     }
     Tables.events(s, d)
@@ -184,7 +184,7 @@ object Corpus {
       Seq(
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN " +
-          s"CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END) AS DOUBLE) / 10000.0 AS v_$t")
+          s"${Relational.microExpr("value")} END) AS DOUBLE) / 10000.0 AS v_$t")
     }.mkString(",\n  ")
     s"""SELECT user_id,
        |  $cols

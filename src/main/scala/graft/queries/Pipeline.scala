@@ -815,6 +815,27 @@ object Pipeline {
   // BIGINT sums hold ~10¹² vectors.  Output is deterministic integers;
   // cov(d1,d2) = (s12·n − s1·s2/10⁶-ish scaling) is left to the
   // consumer, keeping the gated result engine-exact.
+  /** Shared oracle CTEs: micro-quantized vectors (q) and the
+    * upper-triangle Gram pair stream (p) with the micro² DIV 10⁶
+    * pre-scale — used by BOTH q_embed_cov and q_pca_project so the
+    * subtle index arithmetic lives in one place. */
+  private val gramPairCtes: String =
+    """q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> i)))) AS d1,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j -> j)))) AS d2,
+      |    unnest(flatten(list_transform(range(len(qv)), i ->
+      |      list_transform(range(i, len(qv)), j ->
+      |        (qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) // 1000000)))) AS xy
+      |  FROM q
+      |)""".stripMargin
+
   def qEmbedCov(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
@@ -823,9 +844,11 @@ object Pipeline {
     // packed-long pair stream (graft_grampack): the explode moves
     // primitive longs and the (d1,d2) decode happens AFTER the
     // aggregate collapse — the interpreted struct-building HOF form
-    // ran 20× slower at the 100× probe (48s → 2.4s for 104M pairs)
+    // ran 20× slower at the 100× probe (48s → 2.4s for 104M pairs).
+    // d1 sits in bits 52-63, so it MUST be masked like d2: an
+    // arithmetic shiftright alone sign-extends for dims ≥ 2048
     val pairs = q.select(explode(expr("graft_grampack(qv)")).as("p"))
-      .groupBy(expr("shiftright(p, 52)").as("d1"),
+      .groupBy(expr("shiftright(p, 52) & 4095").as("d1"),
         expr("shiftright(p, 40) & 4095").as("d2"))
       .agg(sum(expr("(p & 1099511627775) - 549755813888")).as("s12"),
         count(lit(1)).as("n"))
@@ -840,21 +863,7 @@ object Pipeline {
   }
 
   val qEmbedCovSql: String =
-    """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding,
-      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-      |  FROM embeddings
-      |), p AS (
-      |  SELECT
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j -> i)))) AS d1,
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j -> j)))) AS d2,
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j ->
-      |        (qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) // 1000000)))) AS xy
-      |  FROM q
-      |), g AS (
+    s"""WITH $gramPairCtes, g AS (
       |  SELECT d1, d2, CAST(SUM(xy) AS BIGINT) AS s12,
       |    CAST(COUNT(*) AS BIGINT) AS n
       |  FROM p GROUP BY d1, d2
@@ -878,10 +887,11 @@ object Pipeline {
   // on the collected 64×64 matrix (size fixed by dimension, not corpus),
   // and the direction returns to the executors as a broadcast literal
   // feeding the codegen'd `graft_doti` kernel — one more scan, no
-  // shuffle.  Every rescale is ×10⁶ then truncating-divide by the max
-  // magnitude (both engines truncate toward zero), keeping all
-  // intermediates < 10¹⁴ — BIGINT-safe at any corpus size — and the
-  // result bit-identical across partial-agg orders, cluster sizes, and
+  // shuffle.  Every rescale is a divide-only renorm (scale = max|v|
+  // DIV 10⁶ + 1, both engines truncate toward zero): dividing before
+  // any multiply keeps every vector entry ≤ ~10⁶ and every matvec
+  // partial < 10¹⁴ — BIGINT-safe at any corpus size — and the result
+  // bit-identical across partial-agg orders, cluster sizes, and
   // engines.  Sign is pinned by the deterministic all-ones seed.
   def qPcaProject(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d)
@@ -891,25 +901,32 @@ object Pipeline {
     // upper-triangle Gram, same packed kernel + micro² DIV 10⁶
     // pre-scale as qEmbedCov (gate-proven identical to the oracle's)
     val tri = q.select(explode(expr("graft_grampack(qv)")).as("p"))
-      .groupBy(expr("CAST(shiftright(p, 52) AS INT)").as("d1"),
+      .groupBy(expr(s"CAST(shiftright(p, 52) & 4095 AS INT)").as("d1"),
         expr("CAST(shiftright(p, 40) & 4095 AS INT)").as("d2"))
       .agg(sum(expr("(p & 1099511627775) - 549755813888")).as("s12"))
       .collect()
+    if (tri.isEmpty) {
+      // empty table → empty projection, like the oracle's empty scan
+      return q.select(col("vec_id"), lit(0L).as("proj")).orderBy("vec_id")
+    }
     val dim = tri.iterator.map(_.getInt(1)).max + 1
     val g = Array.ofDim[Long](dim, dim)
     tri.foreach { r =>
       val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
       g(i)(j) = v; g(j)(i) = v
     }
-    // rescale G to ≤10⁶ magnitude so each matvec stays ≪ Long.Max
+    // ONE global matrix scale (independent row scales would break
+    // symmetry), then the same divide-only renorm between steps: no
+    // multiply can overflow because operands enter each product
+    // already ≤ ~10⁶
     val gScale = g.iterator.flatten.map(math.abs).max / 1000000L + 1L
     for (i <- 0 until dim; j <- 0 until dim) g(i)(j) /= gScale
+    def renorm(v: Array[Long]): Array[Long] = {
+      val scale = v.iterator.map(math.abs).max / 1000000L + 1L
+      v.map(_ / scale)
+    }
     def matvec(v: Array[Long]): Array[Long] =
       Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
-    def renorm(v: Array[Long]): Array[Long] = {
-      val m = math.max(v.iterator.map(math.abs).max, 1L)
-      v.map(x => x * 1000000L / m)
-    }
     val dir = renorm(matvec(renorm(matvec(Array.fill(dim)(1L)))))
     q.select(col("vec_id"),
         expr(s"graft_doti(qv, array(${dir.mkString("L,")}L))").as("proj"))
@@ -917,21 +934,7 @@ object Pipeline {
   }
 
   val qPcaProjectSql: String =
-    """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding,
-      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-      |  FROM embeddings
-      |), p AS (
-      |  SELECT
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j -> i)))) AS d1,
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j -> j)))) AS d2,
-      |    unnest(flatten(list_transform(range(len(qv)), i ->
-      |      list_transform(range(i, len(qv)), j ->
-      |        (qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) // 1000000)))) AS xy
-      |  FROM q
-      |), g0 AS (
+    s"""WITH $gramPairCtes, g0 AS (
       |  SELECT d1, d2, CAST(SUM(xy) AS BIGINT) AS s FROM p GROUP BY d1, d2
       |), gfull AS (
       |  SELECT d1, d2, s FROM g0
@@ -943,16 +946,16 @@ object Pipeline {
       |), v1 AS (
       |  SELECT d1 AS dd, CAST(SUM(s) AS BIGINT) AS v FROM g GROUP BY d1
       |), m1 AS (
-      |  SELECT GREATEST(MAX(ABS(v)), 1) AS m FROM v1
+      |  SELECT MAX(ABS(v)) // 1000000 + 1 AS m FROM v1
       |), v1n AS (
-      |  SELECT dd, (v * 1000000) // (SELECT m FROM m1) AS v FROM v1
+      |  SELECT dd, v // (SELECT m FROM m1) AS v FROM v1
       |), v2 AS (
       |  SELECT g.d1 AS dd, CAST(SUM(g.s * v1n.v) AS BIGINT) AS v
       |  FROM g JOIN v1n ON v1n.dd = g.d2 GROUP BY g.d1
       |), m2 AS (
-      |  SELECT GREATEST(MAX(ABS(v)), 1) AS m FROM v2
+      |  SELECT MAX(ABS(v)) // 1000000 + 1 AS m FROM v2
       |), v2n AS (
-      |  SELECT dd, (v * 1000000) // (SELECT m FROM m2) AS v FROM v2
+      |  SELECT dd, v // (SELECT m FROM m2) AS v FROM v2
       |)
       |SELECT q.vec_id,
       |  CAST(SUM(q.qv[CAST(v2n.dd + 1 AS INT)] * v2n.v) AS BIGINT) AS proj

@@ -35,13 +35,18 @@ object Relational {
     * size.  Exactness envelope: |Σ| < 2⁶³ micro-units ≈ 9·10¹⁴ in
     * value units ≈ 10¹² rows per group at TPC-H magnitudes; past that,
     * fall back to the DECIMAL accumulator this replaced. */
+  /** The per-row micro-unit quantization (identical SQL text on both
+    * engines) that [[dsum]], the window running sums, and the pivot
+    * conditional sums all share — change it HERE only. */
+  private[queries] def microExpr(e: String): String =
+    s"CAST(CAST(($e) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
   private[queries] def dsum(e: String): org.apache.spark.sql.Column =
-    (sum(expr(s"CAST(CAST(($e) AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
-      .cast("double") / 10000.0)
+    (sum(expr(microExpr(e))).cast("double") / 10000.0)
 
   /** The oracle-side spelling of [[dsum]]. */
   private[queries] def dsumSql(e: String): String =
-    s"CAST(SUM(CAST(CAST(($e) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0"
+    s"CAST(SUM(${microExpr(e)}) AS DOUBLE) / 10000.0"
 
   // O1 — scan + project + aggregate (TPC-H Q1 shape; the reference's
   // "count reads by flag" job, ref: examples/TestBAM.java:84-100).
@@ -176,15 +181,15 @@ object Relational {
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).cast("bigint").as("rk"),
-        (sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        (sum(expr(microExpr("o_totalprice")))
           .over(run).cast("double") / 10000.0).as("run_total"))
       .orderBy("o_custkey", "rk")
   }
 
   val qWindowSql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice,
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
-      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |  CAST(SUM(${microExpr("o_totalprice")})
       |       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
       |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS run_total
       |FROM orders

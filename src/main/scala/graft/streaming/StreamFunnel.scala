@@ -15,12 +15,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * change an emitted row: output is exactly the batch answer over all
   * non-late data.  The cost is emission latency = the watermark delay.
   *
-  * State per user = the three decided timestamps plus only the
+  * State per user = the decided timestamps plus only the
   * above-watermark event buffer (bounded by the delay, not stream
-  * length); completed users drop their state entirely — a later event
-  * can never revise a min-after-previous chain downward.  At scale the
-  * state store shards by user_id, the same key the batch aggregation
-  * shuffles on.
+  * length).  Completed users drop the buffer but keep a permanent
+  * 3-long tombstone — a later event can never revise a
+  * min-after-previous chain, but without the tombstone it would start
+  * a spurious second chain.  Users with a partial chain likewise hold
+  * their few decided longs for their lifetime: "first ever view" is
+  * per-user-lifetime semantics, so state is O(distinct users), same as
+  * the batch aggregation — bound it operationally by keying the query
+  * to a cohort/campaign window when the user population is open-ended.
+  * At scale the state store shards by user_id, the same key the batch
+  * aggregation shuffles on.
   */
 object StreamFunnel {
 
