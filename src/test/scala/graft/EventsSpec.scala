@@ -83,6 +83,47 @@ class EventsSpec extends SparkSpec {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  test("pca projection matches a BigInt reference on saturating correlated data") {
+    // all dims ≈ 0.9 and positively correlated: Gram entries saturate
+    // and the second matvec reaches ~6e13 — the regime where the old
+    // multiply-then-divide renorm wrapped Long (6e13 · 10⁶ > 2⁶³).
+    // The reference replays the exact integer pipeline in BigInt,
+    // where overflow is impossible, so any wrap diverges.
+    val dim = 64
+    val vecs: Seq[(Long, Array[Float])] = (0L until 100L).map { i =>
+      i -> Array.tabulate(dim)(d0 =>
+        (0.9 + ((i * 31 + d0 * 17) % 13).toDouble / 1000.0).toFloat)
+    }
+    val d = tmpDir("emb_pca_sat")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vecs.map { case (id, v) => Row(id, v.toSeq, 0) }, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Pipeline.qPcaProject(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // BigInt replay of the documented pipeline
+    val qv = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong) }
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      g(i)(j) = qv.iterator
+        .map { case (_, q) => BigInt(q(i)) * q(j) / 1000000 }.sum
+    }
+    val gScale = g.iterator.flatten.map(_.abs).max / 1000000 + 1
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) /= gScale
+    def renorm(v: Array[BigInt]): Array[BigInt] = {
+      val scale = v.iterator.map(_.abs).max / 1000000 + 1
+      v.map(_ / scale)
+    }
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    val dir = renorm(matvec(renorm(matvec(Array.fill(dim)(BigInt(1))))))
+    val ref = qv.map { case (id, q) =>
+      id -> (0 until dim).map(i => BigInt(q(i)) * dir(i)).sum.toLong }.toMap
+    assert(got === ref)
+  }
+
   test("pca projection is deterministic and exactly sign-flips under global negation") {
     val vecs: Seq[(Long, Array[Float])] = (0L until 40L).map { i =>
       // two elongated blobs along (1,1,0,0)-ish so the principal
