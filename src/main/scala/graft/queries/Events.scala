@@ -144,13 +144,53 @@ object Events {
       |  (CAST(SUM(k) AS BIGINT) * 1000) // COUNT(*) AS avg_permille
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- P48
+  // Rolling active users: per observed day, DAU = distinct users that
+  // day, WAU = distinct users over the trailing 7 days.  Scale shape:
+  // the trailing window is a fixed 7× FAN-OUT (each (user, day)
+  // contributes to 7 target days) followed by distinct + count hash
+  // aggs with map-side partials — work is 7·|ud|, never a day-range
+  // self-join, and no global window sort.  The observed-days frame is
+  // days-sized and broadcast for the final restriction.
+  def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(s"ts DIV 1000 DIV $UsPerDay").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day") // inner join restricts to observed days
+      .select("day", "dau", "wau")
+      .orderBy("day")
+  }
+
+  val qActiveUsersSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
+       |), dau AS (
+       |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+       |), fan AS (
+       |  SELECT DISTINCT user_id, day + ofs AS day
+       |  FROM ud, (SELECT unnest(range(0, 7)) AS ofs)
+       |), wau AS (
+       |  SELECT day, COUNT(*) AS wau FROM fan GROUP BY day
+       |)
+       |SELECT dau.day, dau.dau, wau.wau
+       |FROM dau JOIN wau USING (day)
+       |ORDER BY dau.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
-    "q_props_extract" -> (qPropsExtract _))
+    "q_props_extract" -> (qPropsExtract _),
+    "q_active_users" -> (qActiveUsers _))
 
   val oracle: Map[String, String] = Map(
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
-    "q_props_extract" -> qPropsExtractSql)
+    "q_props_extract" -> qPropsExtractSql,
+    "q_active_users" -> qActiveUsersSql)
 }

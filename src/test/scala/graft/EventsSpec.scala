@@ -78,6 +78,20 @@ class EventsSpec extends SparkSpec {
     assert(out("click") === ((1L, 7L, 7L, 7L, 7000L)))
   }
 
+  test("active-users window counts a user for exactly the 7 trailing days") {
+    val day = 86400L * 1000000L // µs
+    val d = writeEvents(Seq(
+      // user 1 active day 0 only; user 2 active days 0 and 8; the
+      // observed days are 0 and 8 — day 8 is outside user 1's 7-day
+      // window (days 0..6) so WAU(8) must count only user 2
+      Row(1L, us(1), 1L, "view", 0.0, "{}"),
+      Row(2L, us(2), 2L, "view", 0.0, "{}"),
+      Row(3L, us(8 * day + 1), 2L, "view", 0.0, "{}")))
+    val out = Events.qActiveUsers(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(0L -> ((2L, 2L)), 8L -> ((1L, 1L))))
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
