@@ -153,9 +153,16 @@ object Events {
   // self-join, and no global window sort.  The observed-days frame is
   // days-sized and broadcast for the final restriction.
   def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    // same user_id exchange barrier as qRetention: `ud` feeds both the
+    // DAU and WAU branches, and hash(user_id) clustering satisfies the
+    // (user, day) distinct AND the post-fan-out (user, target-day)
+    // distinct — one scan + one data-sized shuffle total, both
+    // consumers on a ReusedExchange (measured 12.2s → 2.2s steady at
+    // the 100× probe)
     val ud = Tables.events(s, d)
       .select(col("user_id"),
         expr(s"ts DIV 1000 DIV $UsPerDay").as("day"))
+      .repartition(col("user_id"))
       .distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
