@@ -49,6 +49,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("retention reuses one exchange for its dual ud consumers") {
+    // the load-bearing shape at 100 TB: `ud` feeds the cohort agg and
+    // the join off a single shuffle; AQE finalizes reuse at runtime,
+    // so execute before inspecting
+    val df = graft.queries.Events.qRetention(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("active-users is a single pipeline: one scan, no joins") {
+    val df = graft.queries.Events.qActiveUsers(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, plan) // AQE prints ≤2×
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q_sort range-partitions instead of funneling to one task") {
     val plan = planOf(Relational.qSort(spark, sf))
     assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
