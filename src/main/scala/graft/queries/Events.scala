@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Event-log analytics operators (SURVEY §2.3 P44-P46) — the classic
-  * behavioral-analytics surface over the `events` stream: cohort
-  * retention, ordered funnels, and semi-structured property
-  * extraction.  These complete the "tagged event stream" analog of the
-  * reference's record streams (SURVEY §3) on the analysis side.
+/** Event-log analytics operators (SURVEY §2.3 P44-P46, P48) — the
+  * classic behavioral-analytics surface over the `events` stream:
+  * cohort retention, ordered funnels, semi-structured property
+  * extraction, rolling active users.  These complete the "tagged event
+  * stream" analog of the reference's record streams (SURVEY §3) on the
+  * analysis side.
   *
   * Determinism contract: all time math is exact integer microseconds
   * (`ts` surfaces as BIGINT nanoseconds, see GraftSession nanosAsLong;
@@ -150,10 +151,9 @@ object Events {
   // Rolling active users: per observed day, DAU = distinct users that
   // day, WAU = distinct users over the trailing 7 days.  Scale shape:
   // the trailing window is a fixed 7× FAN-OUT (each (user, day)
-  // contributes to 7 target days) followed by distinct + count hash
-  // aggs with map-side partials — work is 7·|ud|, never a day-range
-  // self-join, and no global window sort.  The observed-days frame is
-  // days-sized and broadcast for the final restriction.
+  // contributes to 7 target days) — work is 7·|ud| through hash aggs
+  // with map-side partials, never a day-range self-join, and no
+  // global window sort.
   def qActiveUsers(s: SparkSession, d: String): DataFrame = {
     // ONE pipeline, no dual consumer: posexplode keeps the offset, so
     // DAU (users whose window contribution has ofs = 0) falls out of
