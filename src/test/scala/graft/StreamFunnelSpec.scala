@@ -41,6 +41,58 @@ class StreamFunnelSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("random streams at random batch splits always equal the batch funnel") {
+    import spark.implicits._
+    val sq = spark
+    implicit val sc = sq.sqlContext
+    (0 until 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = 1700000000000000L
+      // distinct strictly-increasing timestamps so batch boundaries
+      // never split a tie (a 0s watermark would drop the second half)
+      val events = (0 until 300).map { i =>
+        val user = rnd.nextInt(20).toLong
+        val step = rnd.nextInt(3) + 1
+        val us = base + i * 1000000L
+        StreamFunnel.FEvent(user, us, step, new java.sql.Timestamp(us / 1000))
+      }
+      // reference: min-after-previous per user over the full stream
+      val expect = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(_.ts_us)
+        val t1 = sorted.find(_.step == 1).map(_.ts_us)
+        val t2 = t1.flatMap(a => sorted.find(e => e.step == 2 && e.ts_us > a).map(_.ts_us))
+        val t3 = t2.flatMap(b => sorted.find(e => e.step == 3 && e.ts_us > b).map(_.ts_us))
+        t3.map(c => (u, t1.get, t2.get, c))
+      }.toSeq.sorted
+
+      val mem = MemoryStream[StreamFunnel.FEvent]
+      val query = StreamFunnel.completedFunnels(mem.toDS(), "0 seconds")
+        .writeStream.format("memory").queryName(s"funnel_rand_$seed")
+        .outputMode("append").start()
+      try {
+        // chronological random splits; shuffle WITHIN each batch (the
+        // operator buffers and replays event-time order)
+        var rest = events
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(60)
+          val (batch, tail) = rest.splitAt(n)
+          mem.addData(rnd.shuffle(batch): _*)
+          query.processAllAvailable()
+          rest = tail
+        }
+        // sentinel flushes the final watermark past every real event
+        val far = base + 10L * 86400L * 1000000L
+        mem.addData(StreamFunnel.FEvent(-1L, far, 1,
+          new java.sql.Timestamp(far / 1000)))
+        query.processAllAvailable()
+        val got = spark.table(s"funnel_rand_$seed").as[StreamFunnel.Funnel]
+          .collect().filter(_.user_id >= 0)
+          .map(f => (f.user_id, f.t1_us, f.t2_us, f.t3_us)).sorted
+        assert(got.toSeq === expect, s"seed=$seed")
+      } finally query.stop()
+    }
+  }
+
   test("completion emits once and later events cannot start a second chain") {
     import spark.implicits._
     val sq = spark
