@@ -6,19 +6,26 @@ package graft.examples
   *
   *   sbt "runMain graft.examples.PlanProbe /root/testdata/sf0.01 q_cooccur ..."
   *
-  * With no query names, probes every SparkEntry query.
+  * With no query names, probes every SparkEntry query.  Pass --full to
+  * also print each query's complete executed plan.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val full = args.contains("--full")
+    val rest = args.filterNot(_ == "--full")
+    val d = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     val s = graft.GraftSession.local(8)
     s.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(s, d)
-      df.collect() // materialize: AQE only finalizes stage reuse at runtime
+      val df = graft.SparkEntry.queries.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown query $n"))(s, d)
+      // noop materialization (AQE only finalizes stage reuse at
+      // runtime) without collecting the result to the driver
+      df.write.format("noop").mode("overwrite").save()
       val p = df.queryExecution.executedPlan.toString
+      if (full) println(p)
       def c(pat: String) = pat.r.findAllIn(p).length
       println(f"$n%-22s scans=${c("Scan parquet")} exchanges=${c("(?<!Reused)Exchange ")} " +
         f"reused=${c("ReusedExchange")} bhj=${c("BroadcastHashJoin")} " +

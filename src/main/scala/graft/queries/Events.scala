@@ -158,8 +158,9 @@ object Events {
     // ONE pipeline, no dual consumer: posexplode keeps the offset, so
     // DAU (users whose window contribution has ofs = 0) falls out of
     // the same (user, target-day) aggregation that WAU needs — one
-    // scan, two hash aggs, zero joins (the dual-branch formulation ran
-    // two full distinct pipelines: 12.2s → 1.8s at the 100× probe).
+    // scan, three hash aggs (distinct, per-(user,tday), per-day), zero
+    // joins (the dual-branch formulation ran two full distinct
+    // pipelines: 12.2s → 1.8s at the 100× probe).
     // Days with dau = 0 are exactly the unobserved ones → filter.
     val ud = Tables.events(s, d)
       .select(col("user_id"),

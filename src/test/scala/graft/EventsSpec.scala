@@ -81,15 +81,21 @@ class EventsSpec extends SparkSpec {
   test("active-users window counts a user for exactly the 7 trailing days") {
     val day = 86400L * 1000000L // µs
     val d = writeEvents(Seq(
-      // user 1 active day 0 only; user 2 active days 0 and 8; the
-      // observed days are 0 and 8 — day 8 is outside user 1's 7-day
-      // window (days 0..6) so WAU(8) must count only user 2
+      // users 1+2 active day 0, user 2 again on days 3 and 8.  Day 3
+      // must show WAU > DAU (both day-0 users still in the 7-day
+      // window, only user 2 active ON it) — the case that pins the
+      // window arithmetic; day 8 is outside user 1's window (0..6)
+      // so WAU(8) counts only user 2
       Row(1L, us(1), 1L, "view", 0.0, "{}"),
       Row(2L, us(2), 2L, "view", 0.0, "{}"),
-      Row(3L, us(8 * day + 1), 2L, "view", 0.0, "{}")))
+      Row(3L, us(3 * day + 1), 2L, "click", 0.0, "{}"),
+      Row(4L, us(8 * day + 1), 2L, "view", 0.0, "{}")))
     val out = Events.qActiveUsers(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out === Map(0L -> ((2L, 2L)), 8L -> ((1L, 1L))))
+    assert(out === Map(
+      0L -> ((2L, 2L)),
+      3L -> ((1L, 2L)), // dau: user 2; wau: users 1+2 from day 0
+      8L -> ((1L, 1L)))) // day 3 within window, day 0 outside
   }
 
   private val embSchema = StructType(Seq(

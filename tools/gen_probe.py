@@ -9,7 +9,7 @@ queries against this synthetic set to check the 100x scaling story
   - embeddings: 50k x 64 float32
   - documents:  sf0.1 documents x10 with fresh doc_ids (dup-dense)
 
-Usage: python3 tools/gen_probe.py [outdir]
+Usage: python3 tools/gen_probe.py [outdir] [sfdir]
 Then:  sbt "runMain graft.Probe /tmp/probe100x q_retention q_funnel ..."
 """
 import os
@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe100x"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 rng = np.random.default_rng(42)
 
@@ -49,7 +50,7 @@ pq.write_table(pa.table({
     "label": pa.array(rng.integers(0, 10, m), pa.int32()),
 }), f"{out}/embeddings.parquet", row_group_size=5_000)
 
-d = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+d = pd.read_parquet(f"{sfdir}/documents.parquet")
 big = pd.concat([d.assign(doc_id=d.doc_id + i * 1_000_000) for i in range(10)],
                 ignore_index=True)
 big.to_parquet(f"{out}/documents.parquet", row_group_size=5_000)
