@@ -190,13 +190,48 @@ object Events {
        |FROM g GROUP BY day HAVING SUM(on_day) > 0
        |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- P49
+  // Session-level user statistics (bounce rate, depth, dwell): a
+  // rollup over the O15 session frame — reuses qSessionize wholesale
+  // (its final sort is eliminated under the aggregate), adding one
+  // user-keyed hash agg on a frame that is already user-partitioned,
+  // so the only data-sized cost remains the sessionize window itself.
+  // All outputs are exact integers (µs durations, permille depth).
+  def qSessionStats(s: SparkSession, d: String): DataFrame =
+    Relational.qSessionize(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        expr("sum(n_events) * 1000 DIV count(1)").as("events_per_session_pm"),
+        sum(expr("session_end_us - session_start_us")).as("total_dur_us"),
+        max(expr("session_end_us - session_start_us")).as("max_dur_us"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .orderBy("user_id")
+
+  val qSessionStatsSql: String =
+    s"""WITH ${Relational.sessionFrameCtes}, sess AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+       |  FROM se GROUP BY user_id, session_id
+       |)
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+       |  (CAST(SUM(n_events) AS BIGINT) * 1000) // COUNT(*) AS events_per_session_pm,
+       |  CAST(SUM(e_us - s_us) AS BIGINT) AS total_dur_us,
+       |  MAX(e_us - s_us) AS max_dur_us,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_stats" -> (qSessionStats _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_props_extract" -> (qPropsExtract _),
     "q_active_users" -> (qActiveUsers _))
 
   val oracle: Map[String, String] = Map(
+    "q_session_stats" -> qSessionStatsSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
     "q_props_extract" -> qPropsExtractSql,

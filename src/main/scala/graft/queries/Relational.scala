@@ -233,8 +233,11 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
-  val qSessionizeSql: String =
-    s"""WITH e AS (
+  /** Shared oracle CTEs producing the per-event session frame `se`
+    * (user_id, ts_us, value, session_id) — used by q_sessionize and
+    * the session-stats rollup (Events P49). */
+  private[queries] val sessionFrameCtes: String =
+    """e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -246,7 +249,10 @@ object Relational {
       |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM e
-      |)
+      |)""".stripMargin
+
+  val qSessionizeSql: String =
+    s"""WITH $sessionFrameCtes
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
       |  ${dsumSql("value")} AS total_value

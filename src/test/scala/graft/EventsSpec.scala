@@ -98,6 +98,20 @@ class EventsSpec extends SparkSpec {
       8L -> ((1L, 1L)))) // day 3 within window, day 0 outside
   }
 
+  test("session stats count bounces and exact dwell per user") {
+    val d = writeEvents(Seq(
+      // user 1: session A = 2 events 10 min apart (dwell 600s), then a
+      // 31-min gap -> session B = 1 event (a bounce, dwell 0)
+      Row(1L, us(0), 1L, "view", 0.0, "{}"),
+      Row(2L, us(600L * 1000000L), 1L, "click", 0.0, "{}"),
+      Row(3L, us(600L * 1000000L + 1860L * 1000000L), 1L, "view", 0.0, "{}")))
+    val r = Events.qSessionStats(spark, d).collect().head
+    // (user, n_sessions, n_events, events/session pm, total dur, max dur, bounces)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((1L, 2L, 3L, 1500L, 600000000L, 600000000L, 1L)))
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
