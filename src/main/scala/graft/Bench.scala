@@ -74,7 +74,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val coldTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"cold_total":$coldTotal,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"cold_total":$coldTotal,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    // Also persist to a file: the driver captures only a truncated
+    // stdout tail, so every BENCH_r*.json through r6 carried
+    // "parsed": null with the steady map lost (VERDICT r6 item 2).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_out write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

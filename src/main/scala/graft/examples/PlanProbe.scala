@@ -21,9 +21,10 @@ object PlanProbe {
     names.foreach { n =>
       val df = graft.SparkEntry.queries.getOrElse(n,
         throw new IllegalArgumentException(s"unknown query $n"))(s, d)
-      // noop materialization (AQE only finalizes stage reuse at
-      // runtime) without collecting the result to the driver
-      df.write.format("noop").mode("overwrite").save()
+      // Materialize THIS QueryExecution (a noop write would plan a
+      // separate one, leaving executedPlan un-finalized under AQE so
+      // ReusedExchange never appears); toRdd keeps rows off the driver.
+      df.queryExecution.toRdd.foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString
       if (full) println(p)
       def c(pat: String) = pat.r.findAllIn(p).length

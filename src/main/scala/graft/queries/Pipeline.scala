@@ -251,6 +251,27 @@ object Pipeline {
        |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** Fail-fast scale guard on the exact all-pairs baselines (P4, P4b,
+    * P5, P5b).  These are O(n²)-comparison shapes by DECLARED semantics
+    * — correct and the right exactness oracle at gate scale, but a plan
+    * a 100-TB run must never launch by accident.  The guard counts the
+    * pruned key column (a parquet metadata-cheap job) and refuses to
+    * build the quadratic plan above `spark.graft.allpairs.maxRows`
+    * (default 1,000,000 — 5·10¹¹ pairs, already far past sane), with a
+    * pointer to the sub-quadratic path that supersedes the baseline at
+    * scale. */
+  private[queries] def guardAllPairs(
+      s: SparkSession, d: String, table: String, key: String,
+      what: String, scalePath: String): Unit = {
+    val max = s.conf.get("spark.graft.allpairs.maxRows", "1000000").toLong
+    val n = (if (table == "embeddings") Tables.embeddings(s, d)
+             else Tables.documents(s, d)).select(key).count()
+    if (n > max) throw new IllegalStateException(
+      s"$what is an exact all-pairs baseline (O(n^2) comparisons); its input has " +
+        s"$n rows > spark.graft.allpairs.maxRows=$max. At scale use $scalePath " +
+        "(sub-quadratic candidate generation), or raise the cap deliberately.")
+  }
+
   // ---------------------------------------------------------------- P4
   // N-gram Jaccard similarity, blocked by source: shingle sets become
   // SORTED 64-bit hash arrays (collision odds 2⁻⁶⁴ — immaterial), the
@@ -260,6 +281,8 @@ object Pipeline {
   // exploded sparse-join form (Σ|A∩B| intermediate rows, 13s) at
   // ~2s/sf0.1; work is pairs-within-block × O(|A|+|B|) long compares.
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    guardAllPairs(s, d, "documents", "doc_id", "q_ngram_jaccard",
+      "q_dedup_minhash (P2) for Jaccard-threshold pairs")
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
@@ -299,6 +322,8 @@ object Pipeline {
   // blocked self-join + sorted-intersect kernel shape as P4; ordered
   // pairs, so both directions are reported.
   def qContainment(s: SparkSession, d: String): DataFrame = {
+    guardAllPairs(s, d, "documents", "doc_id", "q_containment",
+      "q_dedup_minhash (P2) candidates + exact containment re-check")
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
@@ -342,6 +367,8 @@ object Pipeline {
   // P5 — brute-force cosine top-k: the exactness baseline (O(n·q) —
   // acceptable because q is a small probe set; the scale path is P6).
   def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    guardAllPairs(s, d, "embeddings", "vec_id", "q_ann_bruteforce",
+      "q_ann_lsh (P6) or q_ann_ivf (P6b)")
     val emb = withNorm(Tables.embeddings(s, d))
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -490,6 +517,8 @@ object Pipeline {
   // bucket path (P6) generates candidates and this exact cosine is
   // the verify step.
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    guardAllPairs(s, d, "embeddings", "vec_id", "q_dedup_embedding",
+      "q_ann_lsh (P6) candidate buckets + this exact cosine as verify step")
     // norms precomputed per VECTOR, not per pair: the triangular
     // product then pays one dot per pair instead of three
     // (graft_cosine's fused loop ≡ graft_dot/(√·√) bit-for-bit — same

@@ -34,7 +34,13 @@ object Relational {
     * results stay bit-equal under any partial-agg order or cluster
     * size.  Exactness envelope: |Σ| < 2⁶³ micro-units ≈ 9·10¹⁴ in
     * value units ≈ 10¹² rows per group at TPC-H magnitudes; past that,
-    * fall back to the DECIMAL accumulator this replaced. */
+    * fall back to the DECIMAL accumulator this replaced.  NOTE the
+    * overflow asymmetry outside the envelope: Spark SUM(BIGINT) wraps
+    * silently with ANSI off while DuckDB widens to HUGEINT, so a
+    * beyond-envelope divergence is silent, not loud — the old DECIMAL
+    * accumulator raised instead.  Enable spark.sql.ansi.enabled (or
+    * re-widen to DECIMAL(38,4)) if a deployment can approach 10¹²
+    * rows per group. */
   /** The per-row micro-unit quantization (identical SQL text on both
     * engines) that [[dsum]], the window running sums, and the pivot
     * conditional sums all share — change it HERE only. */

@@ -237,6 +237,27 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // kmeansState persists its frames
   }
 
+  test("all-pairs baselines fail fast above spark.graft.allpairs.maxRows") {
+    // the quadratic exactness baselines must be un-launchable at scale
+    // by accident: with the cap below the input size, plan construction
+    // throws with a pointer to the sub-quadratic path
+    spark.conf.set("spark.graft.allpairs.maxRows", "10")
+    try {
+      Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "q_ngram_jaccard" -> (() => Pipeline.qNgramJaccard(spark, sf)),
+        "q_containment" -> (() => Pipeline.qContainment(spark, sf)),
+        "q_ann_bruteforce" -> (() => Pipeline.qAnnBruteforce(spark, sf)),
+        "q_dedup_embedding" -> (() => Pipeline.qDedupEmbedding(spark, sf))
+      ).foreach { case (name, build) =>
+        val e = intercept[IllegalStateException](build())
+        assert(e.getMessage.contains("all-pairs"), s"$name: ${e.getMessage}")
+        assert(e.getMessage.contains("maxRows"), s"$name: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("spark.graft.allpairs.maxRows")
+    // and with the default cap the gated baseline still builds and runs
+    assert(Pipeline.qNgramJaccard(spark, sf).count() >= 0)
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
