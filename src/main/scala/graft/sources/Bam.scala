@@ -201,7 +201,7 @@ object BamCodec {
       nextPos + 1, tlen, seq, qual, tags.toArray)
   }
 
-  private def decodeTag(b: ByteBuffer): String = {
+  private[sources] def decodeTag(b: ByteBuffer): String = {
     val tag = "" + b.get.toChar + b.get.toChar
     val typ = b.get.toChar
     def zstr(): String = {

@@ -948,9 +948,11 @@ object Cram {
     val len = fs.getFileStatus(p).getLen
     val raw = fs.open(p)
     try {
-      val magic = new Array[Byte](4)
+      val magic = new Array[Byte](6)
       raw.readFully(0L, magic)
-      require(new String(magic, UTF_8) == "CRAM", "not a CRAM file")
+      require(new String(magic, 0, 4, UTF_8) == "CRAM", "not a CRAM file")
+      // container header CRC32 exists only in 3.x framing
+      val crcLen = if ((magic(4) & 0xff) >= 3) 4 else 0
       var off = 26L // file definition: magic + version + 20-byte id
       val out = scala.collection.mutable.ArrayBuffer[Container]()
       var continue = off < len
@@ -976,7 +978,7 @@ object Cram {
             if (i == 0) firstLandmark = lm
           }
           out += Container(off, clen, refId, start, span, nRec, firstLandmark)
-          val headerLen = counting.count + 4 // + crc32
+          val headerLen = counting.count + crcLen
           if (off + headerLen + clen > len)
             throw new java.io.IOException(
               s"truncated CRAM container at offset $off (body runs past EOF)")

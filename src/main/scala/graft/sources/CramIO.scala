@@ -36,10 +36,22 @@ object CramIO {
   val CompressionHeader = 1
   val SliceHeader = 2
   val External = 4
+  val CoreData = 5
 
-  /** Compression methods (subset): 0 = raw, 1 = gzip. */
+  /** Compression methods: 0 = raw, 1 = gzip, 2 = bzip2, 3 = lzma,
+    * 4 = rANS 4x8.  graft writes raw/gzip; the foreign read path
+    * additionally decodes rANS (natively) and bzip2 (via Hadoop's
+    * codec, already on every Spark classpath). */
   val Raw = 0
   val Gzip = 1
+  val Bzip2 = 2
+  val Rans4x8 = 4
+
+  /** Decode plan for one CRAM file, shipped with each partition:
+    * container framing differs by major version (3.x adds CRC32s) and
+    * record payloads differ by profile (graft-written vs foreign
+    * data-series). */
+  final case class CramMeta(major: Int, foreign: Boolean)
 
   final case class Block(method: Int, contentType: Int, contentId: Int,
                          data: Array[Byte])
@@ -70,7 +82,11 @@ object CramIO {
     writeInt32Le(out, crc.getValue.toInt)
   }
 
-  def readBlock(in: InputStream): Block = {
+  def readBlock(in: InputStream): Block = readBlock(in, withCrc = true)
+
+  /** Read one block; `withCrc = false` for CRAM 2.x framing, which has
+    * no per-block CRC32. */
+  def readBlock(in: InputStream, withCrc: Boolean): Block = {
     val crc = new CRC32()
     val hin = new InputStream { // header bytes (few) go through the CRC
       override def read(): Int = {
@@ -93,12 +109,15 @@ object CramIO {
       if (r < 0) throw new EOFException("truncated block body")
       o += r
     }
-    crc.update(body, 0, compSize)
-    val stored = readInt32Le(in)
-    require(stored == crc.getValue.toInt,
-      f"block CRC mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
+    if (withCrc) {
+      crc.update(body, 0, compSize)
+      val stored = readInt32Le(in)
+      require(stored == crc.getValue.toInt,
+        f"block CRC mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
+    }
     val data = method match {
       case Raw => body
+      case _ if compSize == 0 && rawSize == 0 => body
       case Gzip =>
         val iis = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(body))
         val out = new Array[Byte](rawSize)
@@ -109,7 +128,21 @@ object CramIO {
           n += r
         }
         out
-      case m => throw new IllegalArgumentException(s"unsupported method $m")
+      case Rans4x8 => CramForeign.Rans.decode(body)
+      case Bzip2 =>
+        val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+        codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+        val iis = codec.createInputStream(new ByteArrayInputStream(body))
+        val out = new Array[Byte](rawSize)
+        var n = 0
+        while (n < rawSize) {
+          val r = iis.read(out, n, rawSize - n)
+          if (r < 0) throw new EOFException("truncated bzip2 block")
+          n += r
+        }
+        out
+      case m => throw new IllegalArgumentException(
+        s"unsupported CRAM block compression method $m (3=lzma needs an xz codec)")
     }
     require(data.length == rawSize, "raw size mismatch")
     Block(method, contentType, contentId, data)
@@ -327,8 +360,8 @@ object CramIO {
     val (fs, p) = Fs.get(file)
     val in = new BufferedInputStream(fs.open(p))
     try {
-      skipFileDefinition(in)
-      val blocks = readContainerBlocks(in)
+      val major = readFileDefinition(in)
+      val blocks = readContainerBlocks(in, major)
       val hb = blocks.find(_.contentType == FileHeader)
         .getOrElse(throw new IllegalStateException("first container has no file-header block"))
       val bb = java.nio.ByteBuffer.wrap(hb.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -345,12 +378,14 @@ object CramIO {
     * CRAMInputFormat.getSplits — grouped so a terabyte file yields
     * thousands of tasks, not one per ~1 MB container. */
   def read(spark: SparkSession, file: String,
-           splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
+           splitSize: Long = 64L * 1024 * 1024,
+           reference: Option[String] = None): Dataset[SamRecord] = {
     import spark.implicits._
-    val (header, groups) = planGroups(file, splitSize)
+    val (header, groups, meta) = planGroups(file, splitSize)
     val refs = header.refs
+    val rgIds = CramForeign.readGroupIds(header.text)
     spark.sparkContext.parallelize(groups, math.max(1, groups.size))
-      .flatMap { offsets => readGroup(file, offsets, refs) }
+      .flatMap { offsets => readGroup(file, offsets, refs, meta, rgIds, reference) }
       .toDS()
   }
 
@@ -363,15 +398,17 @@ object CramIO {
     * containers are disjoint so output is exactly-once. */
   def readIntervals(spark: SparkSession, file: String,
                     intervals: Seq[(String, Int, Int)],
-                    splitSize: Long = 64L * 1024 * 1024): Dataset[SamRecord] = {
+                    splitSize: Long = 64L * 1024 * 1024,
+                    reference: Option[String] = None): Dataset[SamRecord] = {
     import spark.implicits._
-    if (intervals.isEmpty) return read(spark, file, splitSize)
-    val (header, groups) = planGroupsBounded(file, intervals, splitSize)
+    if (intervals.isEmpty) return read(spark, file, splitSize, reference)
+    val (header, groups, meta) = planGroupsBounded(file, intervals, splitSize)
     val refs = header.refs
+    val rgIds = CramForeign.readGroupIds(header.text)
     val iv = intervals.toArray
     spark.sparkContext.parallelize(groups, math.max(1, groups.size))
       .flatMap { offsets =>
-        readGroup(file, offsets, refs).iterator.filter { r =>
+        readGroup(file, offsets, refs, meta, rgIds, reference).iterator.filter { r =>
           iv.exists { case (c, s, e) =>
             r.rname == c && r.pos <= e && math.max(r.end, r.pos) >= s
           }
@@ -381,7 +418,7 @@ object CramIO {
 
   private[sources] def planGroupsBounded(file: String,
       intervals: Seq[(String, Int, Int)], splitSize: Long)
-      : (SamHeader, Seq[Seq[Long]]) = {
+      : (SamHeader, Seq[Seq[Long]], CramMeta) = {
     val header = readHeader(file)
     val refIdx = header.refs.map(_.name).zipWithIndex.toMap
     val ivsById = intervals.flatMap { case (c, s, e) =>
@@ -403,8 +440,8 @@ object CramIO {
           .filter(c => containerOverlaps(c.refSeqId, c.startPos, c.span))
           .map(c => (c.offset, c.length))
     }
-    offsets.headOption.foreach(first => requireGraftProfile(file, first._1))
-    (header, groupOffsets(offsets, splitSize))
+    val meta = detectMeta(file, offsets.headOption.map(_._1))
+    (header, groupOffsets(offsets, splitSize), meta)
   }
 
   private def groupOffsets(containers: Seq[(Long, Int)], splitSize: Long)
@@ -422,34 +459,31 @@ object CramIO {
     groups.toSeq
   }
 
-  /** Driver-side planning shared with the DataSource V2 scan: header
-    * + whole containers grouped into ~splitSize partitions.  Rejects
-    * foreign CRAMs up front with a clear error, instead of misreading
-    * their data-series bytes as graft record payloads. */
-  /** Reject foreign CRAMs up front with a clear error, instead of
-    * misreading their data-series bytes as graft record payloads. */
-  private def requireGraftProfile(file: String, firstContainerOffset: Long): Unit = {
+  /** Decode plan for the file: major version from the file definition
+    * and the record-payload profile from the first data container's
+    * compression header (graft profile marker vs foreign data-series —
+    * foreign CRAMs route through [[CramForeign]]). */
+  private[sources] def detectMeta(file: String,
+                                  firstContainerOffset: Option[Long]): CramMeta = {
     val (fs, p) = Fs.get(file)
     val raw = fs.open(p)
     try {
-      raw.seek(firstContainerOffset)
-      val blocks = readContainerBlocks(new BufferedInputStream(raw))
-      val ok = blocks.exists(b =>
-        b.contentType == CompressionHeader && isGraftProfile(b.data))
-      if (!ok) throw new UnsupportedOperationException(
-        s"$file is a foreign CRAM (no graft profile marker): record decode of " +
-          "external data-series codecs is delegated (as the reference delegates " +
-          "to htsjdk); container enumeration/splitting is still available via " +
-          "Cram.enumerateContainers")
+      val major = readFileDefinition(new BufferedInputStream(raw, 64))
+      val foreign = firstContainerOffset.exists { off =>
+        raw.seek(off)
+        val blocks = readContainerBlocks(new BufferedInputStream(raw), major)
+        !blocks.exists(b => b.contentType == CompressionHeader && isGraftProfile(b.data))
+      }
+      CramMeta(major, foreign)
     } finally raw.close()
   }
 
   private[sources] def planGroups(file: String, splitSize: Long)
-      : (SamHeader, Seq[Seq[Long]]) = {
+      : (SamHeader, Seq[Seq[Long]], CramMeta) = {
     val header = readHeader(file)
     val containers = Cram.enumerateContainers(file)
       .filter(c => c.nRecords > 0 && !isEof(c))
-    containers.headOption.foreach(first => requireGraftProfile(file, first.offset))
+    val meta = detectMeta(file, containers.headOption.map(_.offset))
     val groups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
     var cur = scala.collection.mutable.ArrayBuffer[Long]()
     var acc = 0L
@@ -460,7 +494,7 @@ object CramIO {
       cur += c.offset; acc += c.length
     }
     if (cur.nonEmpty) groups += cur.toSeq
-    (header, groups.toSeq)
+    (header, groups.toSeq, meta)
   }
 
   /** Task-side: decode all records of one container group.
@@ -473,11 +507,15 @@ object CramIO {
     * each seek is a ranged GET; one sequential stream per 64 MB group
     * is the difference between 1 and ~64 round trips. */
   private[sources] def readGroup(file: String, offsets: Seq[Long],
-                                 refs: Array[graft.model.SamRef]): Seq[SamRecord] = {
+                                 refs: Array[graft.model.SamRef],
+                                 meta: CramMeta = CramMeta(3, foreign = false),
+                                 rgIds: Array[String] = Array.empty,
+                                 reference: Option[String] = None): Seq[SamRecord] = {
     if (offsets.isEmpty) return Nil
     val (tfs, tp) = Fs.get(file)
     val raw = tfs.open(tp)
     val out = scala.collection.mutable.ArrayBuffer[SamRecord]()
+    val refSrc = new CramForeign.RefSource(reference, refs)
     try {
       raw.seek(offsets.head)
       var logical = offsets.head // position in file coordinates
@@ -494,23 +532,28 @@ object CramIO {
         require(off >= logical,
           s"container offsets must be increasing: $off after $logical")
         skipFully(in, off - logical)
-        val blocks = readContainerBlocks(in)
-        val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
-          .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
-        val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        while (bb.remaining() > 4) {
-          val len = bb.getInt
-          val data = new Array[Byte](len)
-          bb.get(data)
-          out += BamCodec.decode(data, refs)
+        val blocks = readContainerBlocks(in, meta.major)
+        if (meta.foreign) {
+          out ++= CramForeign.decodeContainer(blocks, refs, rgIds, refSrc)
+        } else {
+          val ext = blocks.find(b => b.contentType == External && b.contentId == 1)
+            .getOrElse(throw new IllegalStateException(s"container at $off has no record block"))
+          val bb = java.nio.ByteBuffer.wrap(ext.data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          while (bb.remaining() > 4) {
+            val len = bb.getInt
+            val data = new Array[Byte](len)
+            bb.get(data)
+            out += BamCodec.decode(data, refs)
+          }
         }
       }
       out.toSeq
     } finally raw.close()
   }
 
-  /** Parse one container (header + its blocks) from the stream. */
-  private def readContainerBlocks(in: InputStream): Seq[Block] = {
+  /** Parse one container (header + its blocks) from the stream;
+    * `major` selects the framing (3.x carries CRC32s, 2.x none). */
+  private def readContainerBlocks(in: InputStream, major: Int = 3): Seq[Block] = {
     val clen = readInt32Le(in)
     Cram.readItf8(in) // refSeqId
     Cram.readItf8(in); Cram.readItf8(in); Cram.readItf8(in) // start/span/nrec
@@ -518,12 +561,13 @@ object CramIO {
     val nBlocks = Cram.readItf8(in)
     val nLandmarks = Cram.readItf8(in)
     (0 until nLandmarks).foreach(_ => Cram.readItf8(in))
-    skipFully(in, 4) // header crc
+    if (major >= 3) skipFully(in, 4) // header crc
     val _ = clen
-    (0 until nBlocks).map(_ => readBlock(in))
+    (0 until nBlocks).map(_ => readBlock(in, withCrc = major >= 3))
   }
 
-  private def skipFileDefinition(in: InputStream): Unit = {
+  /** Validate the file definition and return the major version. */
+  private def readFileDefinition(in: InputStream): Int = {
     val magic = new Array[Byte](4)
     var got = 0
     while (got < 4) {
@@ -532,7 +576,10 @@ object CramIO {
       got += r
     }
     require(new String(magic, java.nio.charset.StandardCharsets.UTF_8) == "CRAM", "not CRAM")
-    skipFully(in, 2 + 20) // version + file id
+    val major = in.read()
+    if (major < 0) throw new EOFException("truncated CRAM version")
+    skipFully(in, 1 + 20) // minor version + file id
+    major
   }
 
   // ------------------------------------------------------------ helpers

@@ -550,14 +550,16 @@ class CramScanBuilder(options: CaseInsensitiveStringMap)
     val splitSize = Option(options.get("splitsize")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     new CramScan(GraftDataSources.pathsOf(options), splitSize, required,
-      pushed, intervals, Option(options.get("intervals")))
+      pushed, intervals, Option(options.get("intervals")),
+      Option(options.get("reference")))
   }
 }
 
 class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType,
                pushed: Array[Filter] = Array.empty,
                filterIntervals: Seq[(String, Int, Int)] = Nil,
-               optionIntervals: Option[String] = None)
+               optionIntervals: Option[String] = None,
+               reference: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
@@ -570,11 +572,13 @@ class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType,
     val optIv = optionIntervals.map(s => BamIO.parseIntervalSpec(s))
     val pruneIv = optIv.getOrElse(filterIntervals)
     paths.flatMap { path =>
-      val (header, groups) =
+      val (header, groups, meta) =
         if (pruneIv.isEmpty) graft.sources.CramIO.planGroups(path, splitSize)
         else graft.sources.CramIO.planGroupsBounded(path, pruneIv, splitSize)
+      val rgIds = graft.sources.CramForeign.readGroupIds(header.text)
       groups.map(g => CramPartition(path, g, header.refs,
-        optIv.getOrElse(Nil).toArray): InputPartition)
+        optIv.getOrElse(Nil).toArray, meta.major, meta.foreign, rgIds,
+        reference): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -583,14 +587,19 @@ class CramScan(paths: Seq[String], splitSize: Long, pruned: StructType,
 
 case class CramPartition(file: String, offsets: Seq[Long],
                          refs: Array[graft.model.SamRef],
-                         intervals: Array[(String, Int, Int)] = Array.empty)
+                         intervals: Array[(String, Int, Int)] = Array.empty,
+                         major: Int = 3, foreign: Boolean = false,
+                         rgIds: Array[String] = Array.empty,
+                         reference: Option[String] = None)
     extends InputPartition
 
 class CramReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CramPartition]
     // readGroup materializes one container group; nothing left open
-    val base = graft.sources.CramIO.readGroup(cp.file, cp.offsets, cp.refs).iterator
+    val base = graft.sources.CramIO.readGroup(cp.file, cp.offsets, cp.refs,
+      graft.sources.CramIO.CramMeta(cp.major, cp.foreign), cp.rgIds,
+      cp.reference).iterator
     val it =
       if (cp.intervals.isEmpty) base
       else base.filter { r =>

@@ -49,8 +49,8 @@ class CraiSpec extends SparkSpec {
       .map(r => (r.rname, r.pos)).sorted.toSeq
     assert(bounded === full)
     assert(bounded.nonEmpty)
-    val (hdr, prunedGroups) = CramIO.planGroupsBounded(cram, intervals, 1L << 20)
-    val (_, allGroups) = CramIO.planGroups(cram, 1L << 20)
+    val (hdr, prunedGroups, _) = CramIO.planGroupsBounded(cram, intervals, 1L << 20)
+    val (_, allGroups, _) = CramIO.planGroups(cram, 1L << 20)
     assert(prunedGroups.map(_.size).sum < allGroups.map(_.size).sum,
       s"pruning read all ${allGroups.map(_.size).sum} containers")
     assert(hdr.refs.length === 2)

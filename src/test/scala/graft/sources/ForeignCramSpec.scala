@@ -1,0 +1,245 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Foreign (htslib-written) CRAM record decode (S12 → full).
+  *
+  * Fixture: `test.cram` — the reference project's own CRAM test file
+  * (src/test/resources/test.cram, originally from htslib's public test
+  * suite: two reads Fred/Jim over the 20 bp "Sheila" contig of
+  * `auxf.fa`, exercising every SAM aux tag type).  It is a CRAM *2.1*
+  * container (no CRCs) whose blocks are rANS-compressed and whose
+  * record payloads use the real htslib data-series encodings —
+  * HUFFMAN (incl. 0-bit constants), GAMMA, EXTERNAL, BYTE_ARRAY_LEN,
+  * BYTE_ARRAY_STOP — so one file end-to-ends the whole foreign stack.
+  * The reference reads it through htsjdk (TestCRAMInputFormat.java);
+  * graft decodes it natively.
+  */
+class ForeignCramSpec extends SparkSpec {
+
+  private def res(name: String): String =
+    getClass.getClassLoader.getResource(name).getFile
+
+  private lazy val cram = res("test.cram")
+  private lazy val fasta = res("auxf.fa")
+
+  test("htslib-written CRAM 2.1 decodes record-for-record") {
+    val recs = CramIO.read(spark, cram, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    assert(recs.length === 2)
+
+    val fred = recs(0)
+    assert(fred.qname === "Fred")
+    assert(fred.flag === 16)
+    assert(fred.rname === "Sheila")
+    assert(fred.pos === 1)
+    assert(fred.mapq === 86)
+    assert(fred.cigar === "10M")
+    assert(fred.rnext === "*")
+    assert(fred.pnext === 0)
+    assert(fred.tlen === 0)
+    assert(fred.seq === "GCTAGCTCAG") // reconstructed from auxf.fa
+    assert(fred.qual === "**********") // phred 9 × 10
+    // 35 aux tags from the TD line + the RG tag (RG series index 0)
+    assert(fred.tags.length === 36)
+    assert(fred.tags.last === "RG:Z:ID")
+    val f = fred.tags.toSeq
+    assert(f.contains("A!:A:!"))
+    assert(f.contains("AC:A:C"))
+    assert(f.contains("F0:f:-1.0"))
+    assert(f.contains("F1:f:0.0"))
+    assert(f.contains("F2:f:1.0"))
+    assert(f.contains(s"F3:f:${java.lang.Float.intBitsToFloat(0x21921924)}"))
+    assert(f.contains("H0:B:c,-86"))
+    assert(f.contains("H1:B:c,-34,-83,0,-66,-17")) // 0xdead00beef
+    assert(f.contains("I0:i:0"))
+    assert(f.contains("I9:i:65536"))
+    assert(f.contains("IA:i:2147483647"))
+    assert(f.contains("Z0:Z:space space"))
+    assert(f.contains("i1:i:-1"))
+    assert(f.contains("iA:i:-2147483647"))
+    assert(f.contains("iB:i:-2147483648"))
+
+    val jim = recs(1)
+    assert(jim.qname === "Jim")
+    assert(jim.flag === 16)
+    assert(jim.pos === 11)
+    assert(jim.mapq === 11)
+    assert(jim.cigar === "10M")
+    assert(jim.seq === "AAAAAAAAAA")
+    assert(jim.qual === "??????????") // phred 30 × 10
+    assert(jim.tags.toSeq === Seq(
+      "BC:B:c,0,127,-128,-1",
+      "BI:B:i,0,2147483647,-2147483648,-1",
+      "BS:B:s,0,32767,-32768,-1",
+      "Bc:B:c,-128,-127,0,127",
+      "Bi:B:i,-2147483648,-2147483647,0,2147483647",
+      "Bs:B:s,-32768,-32767,0,32767",
+      "RG:Z:ID"))
+  }
+
+  test("decode without the reference FASTA fails with guidance") {
+    val e = intercept[org.apache.spark.SparkException](
+      CramIO.read(spark, cram).collect())
+    assert(e.getMessage.contains("reference") ||
+      Option(e.getCause).exists(_.getMessage.contains("reference")))
+  }
+
+  test("DSv2 cram face decodes foreign files via option(reference)") {
+    val df = spark.read.format("cram").option("reference", fasta).load(cram)
+    val rows = df.selectExpr("qname", "pos", "seq").collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getString(0)).toSeq === Seq("Fred", "Jim"))
+    assert(rows.map(_.getString(2)).toSeq === Seq("GCTAGCTCAG", "AAAAAAAAAA"))
+  }
+
+  test("bounded interval read prunes and filters foreign records exactly") {
+    val hit = CramIO.readIntervals(spark, cram, Seq(("Sheila", 11, 20)),
+      reference = Some(fasta)).collect()
+    assert(hit.map(_.qname).toSeq === Seq("Jim"))
+    val none = CramIO.readIntervals(spark, cram, Seq(("Sheila", 21, 40)),
+      reference = Some(fasta)).collect()
+    assert(none.isEmpty)
+  }
+
+  test("the same records decode from a CRAM 3.0 re-framing (CRC path)") {
+    // same block bytes re-framed with 3.0 container/block CRC32s —
+    // proves the version-dependent framing reader, the rANS blocks
+    // under a 3.0 container, and landmark remapping
+    val dir = tmpDir("cram30")
+    val out = s"$dir/test30.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      reframeTo30(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cram))))
+    val recs = CramIO.read(spark, out, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    val orig = CramIO.read(spark, cram, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    assert(recs.length === 2)
+    recs.zip(orig).foreach { case (a, b) =>
+      assert((a.qname, a.flag, a.rname, a.pos, a.mapq, a.cigar, a.seq, a.qual,
+        a.tags.toSeq) ===
+        ((b.qname, b.flag, b.rname, b.pos, b.mapq, b.cigar, b.seq, b.qual,
+          b.tags.toSeq)))
+    }
+  }
+
+  private def w32(o: java.io.OutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+
+  /** Re-emit a CRAM 2.x byte stream as CRAM 3.0 framing: identical
+    * block payloads, but container headers and blocks gain their
+    * CRC32s and landmarks are remapped for the per-block growth. */
+  private def reframeTo30(src: Array[Byte]): Array[Byte] = {
+    val bs = new CramForeign.ByteStream(src)
+    val out = new java.io.ByteArrayOutputStream(src.length + 256)
+    out.write("CRAM".getBytes("US-ASCII"))
+    out.write(3); out.write(0)
+    out.write(src, 6, 20) // file id
+    bs.p = 26
+    while (bs.remaining > 0) {
+      val clen = bs.byte() | (bs.byte() << 8) | (bs.byte() << 16) | (bs.byte() << 24)
+      val refId = bs.itf8(); val start = bs.itf8()
+      val span = bs.itf8(); val nRec = bs.itf8()
+      val ctr = bs.ltf8(); val bases = bs.ltf8()
+      val nBlk = bs.itf8(); val nLm = bs.itf8()
+      val lms = Array.fill(nLm)(bs.itf8())
+      val bodyStart = bs.p
+      val newBody = new java.io.ByteArrayOutputStream(clen + 4 * nBlk)
+      val offMap = scala.collection.mutable.Map[Int, Int]()
+      var b = 0
+      while (b < nBlk) {
+        offMap(bs.p - bodyStart) = newBody.size()
+        val blkStart = bs.p
+        bs.byte(); bs.byte(); bs.itf8() // method, type, content id
+        val csz = bs.itf8(); bs.itf8()
+        bs.p += csz
+        val blkBytes = java.util.Arrays.copyOfRange(src, blkStart, bs.p)
+        newBody.write(blkBytes)
+        val crc = new java.util.zip.CRC32(); crc.update(blkBytes)
+        w32(newBody, crc.getValue.toInt)
+        b += 1
+      }
+      assert(bs.p === bodyStart + clen, "container body length mismatch")
+      val head = new java.io.ByteArrayOutputStream(64)
+      w32(head, newBody.size())
+      Cram.writeItf8(head, refId); Cram.writeItf8(head, start)
+      Cram.writeItf8(head, span); Cram.writeItf8(head, nRec)
+      Cram.writeLtf8(head, ctr); Cram.writeLtf8(head, bases)
+      Cram.writeItf8(head, nBlk); Cram.writeItf8(head, lms.length)
+      lms.foreach(l => Cram.writeItf8(head, offMap.getOrElse(l, l)))
+      val hb = head.toByteArray
+      out.write(hb)
+      val hcrc = new java.util.zip.CRC32(); hcrc.update(hb)
+      w32(out, hcrc.getValue.toInt)
+      newBody.writeTo(out)
+    }
+    out.toByteArray
+  }
+
+  test("rANS 4x8 round-trips: both orders, uniform/skewed/runny payloads") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.fill(1)(42.toByte),
+      Array.fill(3)(0.toByte),
+      Array.tabulate(4096)(i => (i % 251).toByte), // dense alphabet
+      Array.fill(10000)((rnd.nextInt(4) + 60).toByte), // tiny alphabet
+      Array.tabulate(5000)(i => if (i % 100 < 90) 'A'.toByte else rnd.nextInt(256).toByte),
+      Array.fill(7)(rnd.nextInt(256).toByte), // below one quarter-round
+      ("FredJim" * 400).getBytes("US-ASCII"))
+    for (p <- payloads; order <- Seq(0, 1)) {
+      val enc = CramForeign.Rans.encode(p, order)
+      val dec = CramForeign.Rans.decode(enc)
+      assert(java.util.Arrays.equals(dec, p),
+        s"order $order length ${p.length} round-trip mismatch")
+    }
+  }
+
+  test("substitution features reconstruct bases through the SM matrix") {
+    // hand-build a slice: one mapped read, 2 features — an X at read
+    // pos 3 (code 0 = first alternative base) and a D of 2 at pos 6 —
+    // against reference GCTAGCTCAGAAAAAAAAAA
+    import CramForeign._
+    val h = CompHeader(apDelta = false, rnCaptured = true, refRequired = true,
+      subMatrix = Array[Byte](0x1b, 0x1b, 0x1b, 0x1b, 0x1b),
+      tagLines = Array(Array.empty[TagDef]),
+      ds = Map(
+        "BF" -> HuffmanEnc(Array(0), Array(0)),
+        "CF" -> HuffmanEnc(Array(2), Array(0)), // detached, no stored quals
+        "RL" -> HuffmanEnc(Array(8), Array(0)),
+        "AP" -> HuffmanEnc(Array(3), Array(0)),
+        "RG" -> HuffmanEnc(Array(-1), Array(0)),
+        "RN" -> ByteArrayLenEnc(HuffmanEnc(Array(2), Array(0)), ExternalEnc(1)),
+        "MF" -> HuffmanEnc(Array(0), Array(0)),
+        "NS" -> HuffmanEnc(Array(-1), Array(0)),
+        "NP" -> HuffmanEnc(Array(0), Array(0)),
+        "TS" -> HuffmanEnc(Array(0), Array(0)),
+        "TL" -> HuffmanEnc(Array(0), Array(0)),
+        "FN" -> HuffmanEnc(Array(2), Array(0)),
+        "FC" -> ExternalEnc(2),
+        "FP" -> ExternalEnc(3),
+        "BS" -> HuffmanEnc(Array(0), Array(0)),
+        "DL" -> HuffmanEnc(Array(2), Array(0)),
+        "MQ" -> HuffmanEnc(Array(60), Array(0))),
+      tagEnc = Map.empty)
+    val slice = SliceHeader(0, 3, 10, 1, Array(1, 2, 3), -1)
+    val ctx = new SliceCtx(new BitReader(Array[Byte](0)), Map(
+      1 -> new ByteStream("r1".getBytes("US-ASCII")),
+      2 -> new ByteStream(Array('X'.toByte, 'D'.toByte)),
+      3 -> new ByteStream(Array[Byte](3, 3)))) // FP deltas: pos 3, then 6
+    val refs = Array(graft.model.SamRef("Sheila", 20))
+    val fa = java.nio.file.Files.createTempFile("ref", ".fa")
+    java.nio.file.Files.write(fa, ">Sheila\nGCTAGCTCAGAAAAAAAAAA\n".getBytes)
+    val rec = decodeSlice(h, slice, ctx, refs, Array.empty,
+      new RefSource(Some(fa.toString), refs)).head
+    assert(rec.qname === "r1")
+    assert(rec.pos === 3)
+    // ref from pos 3 is T A G C T C A G A A…; read = TA, substituted
+    // base at read pos 3 (ref G, code 0 → A), CT, 2-base deletion
+    // skips CA, tail copies G A A
+    assert(rec.cigar === "5M2D3M")
+    assert(rec.seq === "TAACT" + "GAA")
+    assert(rec.tlen === 0)
+    assert(rec.qual === "*")
+  }
+}
