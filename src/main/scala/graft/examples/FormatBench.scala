@@ -68,6 +68,35 @@ object FormatBench {
       spark.read.format("bam").option("splitsize", split.toString)
         .load(file).where("flag = 99").count())
     require(c3 == (n + 1) / 2, s"dsv2 counted $c3")
+
+    // ---- lazy decode on tag-heavy records (LazyBAMRecordFactory
+    // analog): same bytes, full decode vs a (qname, rname, pos) field
+    // mask — the mask skips cigar/seq/qual/tag string building at the
+    // byte level, which is most of the per-record CPU here
+    val nt = n / 4
+    val heavy = spark.range(0, nt.toLong, 1, cpus * 4).map { i =>
+      SamRecord(s"t$i", 0, "chr1",
+        (1L + i * (contigLen - 100).toLong / nt).toInt, 60, "60M", "*", 0, 0,
+        seq, qual, Array(
+          s"NM:i:${i % 4}", s"AS:i:${(i % 97).toInt}", s"XS:i:${(i % 89).toInt}",
+          s"MD:Z:60", s"RG:Z:rg${i % 8}", s"BC:Z:ACGT${i % 13}",
+          s"XA:Z:chr1,+${i % 1000},60M,0;", s"SA:Z:chr1,${i % 1000},+,60M,60,0;"))
+    }
+    val tagFile = s"$dir/bench_tags.bam"
+    timed("tagbam_write")(BamIO.writeSorted(heavy, header, tagFile))
+    val tlen = java.nio.file.Files.size(java.nio.file.Paths.get(tagFile))
+    val tsplit = math.max(1L << 20, tlen / (cpus * 2))
+    def readN(label: String, cols: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val c = BamIO.read(spark, tagFile, splitSize = tsplit, columns = cols).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      require(c == nt, s"$label read $c of $nt")
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nt / t / 1e6}%6.2f Mrec/s")
+      t
+    }
+    val tFull = readN("tagbam_full", Nil)
+    val tPruned = readN("tagbam_pruned", Seq("qname", "rname", "pos"))
+    println(f"FORMATBENCH pruned_speedup ${tFull / tPruned}%.2fx")
     spark.stop()
   }
 }

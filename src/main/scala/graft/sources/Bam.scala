@@ -152,8 +152,41 @@ object BamCodec {
     }
   }
 
+  // ---- lazy-decode field groups (ref: LazyBAMRecordFactory.java:31 —
+  // the reference defers per-field decode until accessed; here the
+  // caller states up front which variable-width fields it needs and
+  // the rest are SKIPPED at byte level: position arithmetic instead of
+  // string building).  Fixed-offset fields (flag, pos, mapq, rnext,
+  // pnext, tlen, rname) are a few int reads and always decoded.
+  val FName = 1
+  val FCigar = 2
+  val FSeq = 4
+  val FQual = 8
+  val FTags = 16
+  val AllFields: Int = FName | FCigar | FSeq | FQual | FTags
+
+  /** Decode mask for a set of requested SamRecord column names (the
+    * DSv2 pruned schema or a typed reader's `columns` option). */
+  def maskFor(columns: Seq[String]): Int =
+    if (columns.isEmpty) AllFields
+    else columns.foldLeft(0) { (m, c) =>
+      m | (c match {
+        case "qname" => FName
+        case "cigar" => FCigar
+        case "seq" => FSeq
+        case "qual" => FQual
+        case "tags" => FTags
+        case _ => 0
+      })
+    }
+
   /** Decode one record from `data` (block_size already stripped). */
-  def decode(data: Array[Byte], refs: Array[SamRef]): SamRecord = {
+  def decode(data: Array[Byte], refs: Array[SamRef]): SamRecord =
+    decode(data, refs, AllFields)
+
+  /** Decode with a field mask: unmasked variable-width fields are
+    * skipped (placeholder "*" / empty tags), not parsed. */
+  def decode(data: Array[Byte], refs: Array[SamRef], fields: Int): SamRecord = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val refID = b.getInt
     val pos = b.getInt
@@ -166,18 +199,22 @@ object BamCodec {
     val nextRef = b.getInt
     val nextPos = b.getInt
     val tlen = b.getInt
-    val nameB = new Array[Byte](lName)
-    b.get(nameB)
-    val qname = new String(nameB, 0, lName - 1, UTF_8)
-    val cigar = if (nCigar == 0) "*" else {
+    val qname = if ((fields & FName) != 0) {
+      val nameB = new Array[Byte](lName)
+      b.get(nameB)
+      new String(nameB, 0, lName - 1, UTF_8)
+    } else { b.position(b.position() + lName); "*" }
+    val cigar = if (nCigar == 0) "*"
+    else if ((fields & FCigar) != 0) {
       val sb = new StringBuilder
       (0 until nCigar).foreach { _ =>
         val op = b.getInt
         sb.append(op >>> 4).append(CigarOps.charAt(op & 0xf))
       }
       sb.toString
-    }
-    val seq = if (lSeq == 0) "*" else {
+    } else { b.position(b.position() + 4 * nCigar); "*" }
+    val seq = if (lSeq == 0) "*"
+    else if ((fields & FSeq) != 0) {
       val sb = new StringBuilder(lSeq)
       var i = 0
       while (i < (lSeq + 1) / 2) {
@@ -187,18 +224,23 @@ object BamCodec {
         i += 1
       }
       sb.toString
-    }
-    val qual = if (lSeq == 0) "*" else {
+    } else { b.position(b.position() + (lSeq + 1) / 2); "*" }
+    val qual = if (lSeq == 0) "*"
+    else if ((fields & FQual) != 0) {
       val q = new Array[Byte](lSeq)
       b.get(q)
       if (q.forall(_ == -1)) "*" else new String(q.map(c => (c + 33).toChar))
-    }
-    val tags = new ArrayBuffer[String]()
-    while (b.remaining() > 0) tags += decodeTag(b)
+    } else { b.position(b.position() + lSeq); "*" }
+    val tags =
+      if ((fields & FTags) != 0) {
+        val ts = new ArrayBuffer[String]()
+        while (b.remaining() > 0) ts += decodeTag(b)
+        ts.toArray
+      } else Array.empty[String] // remainder of the buffer: not touched
     def refName(id: Int): String = if (id < 0) "*" else refs(id).name
     SamRecord(qname, flag, refName(refID), pos + 1, mapq, cigar,
       if (nextRef >= 0 && nextRef == refID) "=" else refName(nextRef),
-      nextPos + 1, tlen, seq, qual, tags.toArray)
+      nextPos + 1, tlen, seq, qual, tags)
   }
 
   private[sources] def decodeTag(b: ByteBuffer): String = {

@@ -118,15 +118,17 @@ object BamIO {
   def read(spark: SparkSession, file: String,
            intervals: Seq[(String, Int, Int)] = Nil,
            splitSize: Long = 64L * 1024 * 1024,
-           includeUnmapped: Boolean = false): Dataset[SamRecord] = {
+           includeUnmapped: Boolean = false,
+           columns: Seq[String] = Nil): Dataset[SamRecord] = {
     val (header, ranges) = planSplits(file, intervals, splitSize, includeUnmapped)
     val refs = header.refs
     val iv = intervals.toArray
     import spark.implicits._
     val withUnmapped = includeUnmapped
+    val fields = BamCodec.maskFor(columns)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.length))
       .flatMap { case (startVo, endVo) =>
-        readRange(file, startVo, endVo, refs, iv, withUnmapped)
+        readRange(file, startVo, endVo, refs, iv, withUnmapped, fields)
       }.toDS()
   }
 
@@ -345,15 +347,17 @@ object BamIO {
   private[sources] def readRange(file: String, startVo: Long, endVo: Long,
                         refs: Array[graft.model.SamRef],
                         intervals: Array[(String, Int, Int)],
-                        includeUnmapped: Boolean = false): Iterator[SamRecord] =
-    openRange(file, startVo, endVo, refs, intervals, includeUnmapped)._1
+                        includeUnmapped: Boolean = false,
+                        fields: Int = BamCodec.AllFields): Iterator[SamRecord] =
+    openRange(file, startVo, endVo, refs, intervals, includeUnmapped, fields)._1
 
   /** [[readRange]] plus an explicit closer for consumers that may
     * abandon the iterator early (DataSource V2 readers under LIMIT). */
   private[sources] def openRange(file: String, startVo: Long, endVo: Long,
                         refs: Array[graft.model.SamRef],
                         intervals: Array[(String, Int, Int)],
-                        includeUnmapped: Boolean = false)
+                        includeUnmapped: Boolean = false,
+                        fields: Int = BamCodec.AllFields)
       : (Iterator[SamRecord], () => Unit) = {
     val (fs, path) = Fs.get(file)
     val raw = fs.open(path)
@@ -376,7 +380,10 @@ object BamIO {
             if (r < 0) throw new EOFException("truncated BAM record")
             o += r
           }
-          val rec = BamCodec.decode(data, refs)
+          // interval overlap needs `end`, i.e. the CIGAR ref length —
+          // force it into the mask whenever records are being filtered
+          val rec = BamCodec.decode(data, refs,
+            if (intervals.isEmpty) fields else fields | BamCodec.FCigar)
           if (intervals.isEmpty || overlaps(rec, intervals) ||
             (includeUnmapped && rec.isUnmapped && (rec.rname == "*" || rec.pos == 0)))
             nextRec = rec

@@ -251,8 +251,11 @@ case class BamPartition(file: String, startVo: Long, endVo: Long,
 class BamReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BamPartition]
+    // prune-then-decode: the pruned schema drives the byte-level field
+    // mask, so a SELECT qname, pos never builds seq/qual/tag strings
     val (it, closer) = BamIO.openRange(bp.file, bp.startVo, bp.endVo, bp.refs,
-      bp.intervals, bp.includeUnmapped)
+      bp.intervals, bp.includeUnmapped,
+      graft.sources.BamCodec.maskFor(pruned.fieldNames.toSeq))
     new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned, closer)
   }
 }

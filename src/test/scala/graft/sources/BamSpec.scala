@@ -45,6 +45,52 @@ class BamSpec extends SparkSpec {
     }
   }
 
+  test("pruned decode skips fields byte-exactly (lazy-decode masks)") {
+    val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    for (r <- records.take(50)) {
+      val enc = BamCodec.encode(r, refIdx)
+      // every single-field mask yields that field decoded, the other
+      // variable-width fields as placeholders, fixed fields always on
+      val full = BamCodec.decode(enc, header.refs)
+      val none = BamCodec.decode(enc, header.refs, 0)
+      assert((none.flag, none.rname, none.pos, none.mapq, none.rnext,
+        none.pnext, none.tlen) ===
+        ((full.flag, full.rname, full.pos, full.mapq, full.rnext,
+          full.pnext, full.tlen)))
+      assert(none.qname === "*" && none.cigar === "*" && none.seq === "*"
+        && none.qual === "*" && none.tags.isEmpty)
+      val nameOnly = BamCodec.decode(enc, header.refs, BamCodec.FName)
+      assert(nameOnly.qname === full.qname && nameOnly.seq === "*")
+      val tagsOnly = BamCodec.decode(enc, header.refs, BamCodec.FTags)
+      assert(tagsOnly.tags.toSeq === full.tags.toSeq && tagsOnly.qname === "*")
+      val sq = BamCodec.decode(enc, header.refs, BamCodec.FSeq | BamCodec.FQual)
+      assert(sq.seq === full.seq && sq.qual === full.qual && sq.cigar === "*")
+    }
+  }
+
+  test("typed read with a columns subset matches the full read on those columns") {
+    import spark.implicits._
+    val dir = tmpDir("bam_lazy")
+    val file = s"$dir/lazy.bam"
+    BamIO.writeSorted(spark.createDataset(sorted), header, file)
+    val full = BamIO.read(spark, file).collect().sortBy(_.qname)
+    val pruned = BamIO.read(spark, file, columns = Seq("qname", "pos"))
+      .collect().sortBy(_.qname)
+    assert(pruned.map(r => (r.qname, r.rname, r.pos, r.flag)).toSeq ===
+      full.map(r => (r.qname, r.rname, r.pos, r.flag)).toSeq)
+    assert(pruned.forall(r => r.seq == "*" && r.qual == "*" && r.tags.isEmpty))
+    // interval reads force the CIGAR into the mask (overlap needs end)
+    val iv = BamIO.read(spark, file, intervals = Seq(("chr1", 100, 500)),
+      columns = Seq("qname")).collect()
+    val ivFull = BamIO.read(spark, file, intervals = Seq(("chr1", 100, 500)))
+      .collect()
+    assert(iv.map(_.qname).sorted.toSeq === ivFull.map(_.qname).sorted.toSeq)
+    // DSv2: the pruned schema drives the same byte-level mask
+    val v2 = spark.read.format("bam").load(file)
+      .select("qname", "pos").as[(String, Int)].collect().sorted
+    assert(v2.toSeq === full.map(r => (r.qname, r.pos)).sortBy(_._1).toSeq)
+  }
+
   test("header round-trips") {
     val bos = new java.io.ByteArrayOutputStream()
     BamCodec.writeHeader(bos, header)
