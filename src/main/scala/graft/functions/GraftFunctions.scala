@@ -465,6 +465,92 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** media_dims(payload): [fmt_code, width, height] parsed from the
+    * REAL container headers of the common image formats — PNG IHDR
+    * (big-endian dims after the 8-byte signature), JPEG SOFn marker
+    * scan, GIF logical screen descriptor, WEBP VP8X/VP8L/VP8 chunk
+    * variants, BMP DIB header.  fmt codes: 0 unknown, 1 jpeg, 2 png,
+    * 3 gif, 4 webp, 5 bmp.  Runs as a codegen'd scalar in the scan
+    * stage, so a 100 TB payload column never leaves the executor nor
+    * drops out of whole-stage codegen for its metadata pass. */
+  case class MediaDims(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == BinaryType, s"$prettyName expects BINARY")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_media_dims"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.mediaDims(v.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.mediaDims($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def mediaDims(b: Array[Byte]): ArrayData = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le24(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    var fmt = 0L
+    var w = 0L
+    var h = 0L
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      fmt = 2; w = be32(16); h = be32(20)
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      fmt = 1
+      // walk marker segments to the first frame header (SOF0-15 minus
+      // the non-frame C4/C8/CC); stop at start-of-scan / end-of-image
+      var i = 2
+      var done = false
+      while (!done && i + 1 < b.length) {
+        if (u8(i) != 0xff) i += 1 // fill/garbage byte: resync
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // bare markers
+          else if (m == 0xda || m == 0xd9) done = true
+          else if (i + 3 >= b.length) done = true
+          else {
+            val len = be16(i + 2).toInt
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < b.length) { h = be16(i + 5); w = be16(i + 7) }
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      fmt = 3; w = le16(6); h = le16(8)
+    } else if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      fmt = 4
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        w = le24(24) + 1; h = le24(27) + 1 // VP8X canvas, minus-one coded
+      } else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        // lossy: 3-byte frame tag, 3-byte sync, then 14-bit dims
+        w = le16(26) & 0x3fff; h = le16(28) & 0x3fff
+      } else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L' &&
+        u8(20) == 0x2f) {
+        val bits = le32(21)
+        w = (bits & 0x3fff) + 1; h = ((bits >> 14) & 0x3fff) + 1
+      }
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      fmt = 5; w = le32(18); h = le32(22)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(fmt, w, h))
+  }
+
   /** hash64(s): first 8 md5 bytes as a signed big-endian long — a
     * collision-negligible (2⁻⁶⁴) set-element id for intersect math. */
   case class Hash64Md5(child: Expression) extends UnaryExpression {
@@ -890,6 +976,8 @@ object GraftFunctions {
       es => Hash64Md5(es(0))),
     ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
       es => CharClass(es(0))),
+    ("graft_media_dims", "[fmt, width, height] from image container headers",
+      es => MediaDims(es(0))),
     ("graft_intersect_size", "intersection size of two sorted long arrays",
       es => IntersectSize(es(0), es(1))),
     ("graft_shingles32", "distinct word n-gram 32-bit hashes",

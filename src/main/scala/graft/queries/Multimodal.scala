@@ -11,54 +11,113 @@ import graft.Tables
 /** P11 — multimodal column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata.
-  * The decode step is a clearly-marked deterministic STUB (the real
-  * image/audio libraries are not in this container); everything
-  * Spark-side — schema, binary column, partition-preserving
-  * mapPartitions batch shape, output schema — is real and is what a
-  * production decoder would plug into.
+  * The metadata decode is REAL binary parsing: `graft_media_dims` (a
+  * codegen'd Catalyst expression, functions/GraftFunctions.scala)
+  * reads the actual container headers — PNG IHDR, JPEG SOFn marker
+  * scan, GIF logical screen descriptor, WEBP VP8X/VP8L/VP8, BMP DIB.
+  * Only pixel-level work (resize, frame extraction) remains stubbed,
+  * since the image/video codecs themselves are not in this container.
   *
-  * At 100 TB the payload column dominates: the decode is a
-  * mapPartitions (no shuffle), metadata extraction projects away the
-  * payload as early as possible, and downstream operators only ever
-  * see the narrow metadata columns.
+  * At 100 TB the payload column dominates: the header parse runs as a
+  * scalar inside the scan stage (no shuffle, no typed serde, stays in
+  * whole-stage codegen), and metadata extraction projects away the
+  * payload as early as possible so downstream operators only ever see
+  * the narrow metadata columns.
   */
 object Multimodal {
 
   /** Input: an opaque payload plus its id. */
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
 
-  /** Output: typed metadata extracted by the (stub) decoder. */
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-                             height: Long, fmt: String)
-
   private def md5Hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
-  /** First 8 md5 hex digits as a long — same function as the SQL-side
-    * hash32 in [[Pipeline]], so the stub is oracle-checkable. */
   private def hash32(b: Array[Byte]): Long =
     java.lang.Long.parseLong(md5Hex(b).substring(0, 8), 16)
 
-  /** STUB decoder: a real implementation would parse the media header
-    * (libjpeg/ffmpeg/...); this derives deterministic fake dimensions
-    * from the payload so the plumbing is end-to-end testable. */
-  def decodeStub(m: MediaIn): MediaMeta = {
-    val w = hash32(m.payload) % 640 + 1
-    val h = hash32(m.payload ++ "h".getBytes(UTF_8)) % 480 + 1
-    val fmt = (m.doc_id % 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+  // ------------------------------------------------- payload builders
+  // Minimal VALID headers of each public format, used to synthesize
+  // binary fixtures (and by tests): a real corpus would carry real
+  // files; the parser cannot tell the difference — that is the point.
+
+  /** 33-byte PNG prefix: signature + IHDR (incl. CRC32). */
+  def buildPng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(33 + body.length)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream(17)
+    ihdr.write("IHDR".getBytes(UTF_8))
+    def be32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
     }
-    MediaMeta(m.doc_id, m.payload.length.toLong, w, h, fmt)
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    be32(out, 13)
+    val chunk = ihdr.toByteArray
+    out.write(chunk)
+    val crc = new java.util.zip.CRC32(); crc.update(chunk)
+    be32(out, crc.getValue.toInt)
+    out.write(body)
+    out.toByteArray
   }
 
-  /** Batch decode over a payload Dataset: partition-local, no shuffle;
-    * the iterator shape is what a vectorized decoder would consume. */
-  def decodeMeta(spark: SparkSession, in: DataFrame): DataFrame = {
-    import spark.implicits._
-    in.select(col("doc_id"), col("payload")).as[MediaIn]
-      .mapPartitions(_.map(decodeStub))
-      .toDF()
+  /** 15-byte JPEG prefix: SOI + a single-component SOF0 segment. */
+  def buildJpeg(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(15 + body.length)
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xc0) // SOF0
+    out.write(0); out.write(11) // segment length
+    out.write(8) // precision
+    out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+    out.write((w >>> 8) & 0xff); out.write(w & 0xff)
+    out.write(1) // one component
+    out.write(1); out.write(0x11); out.write(0)
+    out.write(body)
+    out.toByteArray
   }
+
+  /** 13-byte GIF prefix: header + logical screen descriptor. */
+  def buildGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(13 + body.length)
+    out.write("GIF89a".getBytes(UTF_8))
+    out.write(w & 0xff); out.write((w >>> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >>> 8) & 0xff)
+    out.write(0); out.write(0); out.write(0)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** 30-byte WEBP prefix: RIFF header + VP8X chunk (canvas size). */
+  def buildWebp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(30 + body.length)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff)
+    }
+    out.write("RIFF".getBytes(UTF_8))
+    le32(4 + 8 + 10 + body.length) // riff payload size
+    out.write("WEBP".getBytes(UTF_8))
+    out.write("VP8X".getBytes(UTF_8))
+    le32(10)
+    out.write(0); out.write(0); out.write(0); out.write(0) // flags + reserved
+    le24(w - 1); le24(h - 1)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Real-header metadata decode over a payload frame: one codegen'd
+    * scalar in the scan stage — no shuffle, no typed serde. */
+  def decodeMeta(spark: SparkSession, in: DataFrame): DataFrame =
+    in.select(col("doc_id"), expr("graft_media_dims(payload)").as("dims"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("dims").getItem(1).as("width"),
+        col("dims").getItem(2).as("height"),
+        expr("CASE dims[0] WHEN 1 THEN 'jpeg' WHEN 2 THEN 'png' WHEN 3 THEN 'gif' " +
+          "WHEN 4 THEN 'webp' WHEN 5 THEN 'bmp' ELSE 'unknown' END").as("fmt"))
 
   /** STUB resize: a real implementation would rescale pixel data; the
     * stub deterministically derives the output payload from input
@@ -93,25 +152,45 @@ object Multimodal {
       .toDF()
   }
 
-  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val in = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    decodeMeta(s, in).orderBy("doc_id")
+  /** Deterministic binary fixtures: each document's text bytes wrapped
+    * in a REAL format container whose dimensions derive from doc_id —
+    * so the oracle can compute the expected metadata arithmetically
+    * while the Spark side must actually parse the headers it built. */
+  def mediaPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val body = text.getBytes(UTF_8)
+        val w = (id % 640 + 1).toInt
+        val h = (id % 480 + 1).toInt
+        val payload = (id % 4) match {
+          case 0 => buildJpeg(w, h, body)
+          case 1 => buildPng(w, h, body)
+          case 2 => buildGif(w, h, body)
+          case _ => buildWebp(w, h, body)
+        }
+        MediaIn(id, payload)
+      })
+      .toDF()
   }
 
-  /** Oracle replicates the stub arithmetic (md5-derived dimensions)
-    * over the same UTF-8 payload bytes. */
-  val qMultimodalMetaSql: String = {
-    def h32(x: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), " +
-        s"i -> CAST(strpos('0123456789abcdef', substr(md5($x), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
-    s"""SELECT doc_id,
-       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-       |  ${h32("text")} % 640 + 1 AS width,
-       |  ${h32("text || 'h'")} % 480 + 1 AS height,
-       |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    decodeMeta(s, mediaPayloads(s, d)).orderBy("doc_id")
+
+  /** The oracle derives the expected metadata from doc_id arithmetic —
+    * the Spark side earns the hash match only if its built headers
+    * parse back to exactly these values. */
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 15 WHEN 1 THEN 33 WHEN 2 THEN 13
+      |       ELSE 30 END + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+      |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+      |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+      |       ELSE 'webp' END AS fmt
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _))

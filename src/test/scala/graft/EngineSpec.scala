@@ -384,12 +384,47 @@ class MultimodalSpec extends SparkSpec {
       .select(c("doc_id"), c("text").cast("binary").as("payload"))
   }
 
-  test("decode stub extracts deterministic typed metadata, no shuffle") {
-    val meta = Multimodal.decodeMeta(spark, payloads)
-    val rows = meta.orderBy("doc_id").collect()
-    assert(rows.length === 2)
-    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 640)) // width
-    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
+  test("media header parse reads real PNG/JPEG/GIF/WEBP/BMP dimensions") {
+    import spark.implicits._
+    val body = "pixels".getBytes("UTF-8")
+    // a real 2x3 BMP prefix (the one format with no graft builder)
+    val bmp = Array[Byte]('B', 'M') ++ new Array[Byte](16) ++
+      Array[Byte](2, 0, 0, 0) ++ Array[Byte](3, 0, 0, 0) ++ new Array[Byte](4)
+    val in = Seq(
+      (1L, Multimodal.buildPng(640, 480, body)),
+      (2L, Multimodal.buildJpeg(1920, 1080, body)),
+      (3L, Multimodal.buildGif(13, 37, body)),
+      (4L, Multimodal.buildWebp(16384, 16384, body)),
+      (5L, bmp),
+      (6L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeMeta(spark, in).orderBy("doc_id")
+      .select("fmt", "width", "height")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      ("png", 640L, 480L), ("jpeg", 1920L, 1080L), ("gif", 13L, 37L),
+      ("webp", 16384L, 16384L), ("bmp", 2L, 3L), ("unknown", 0L, 0L)))
+    // JPEG parse must skip leading non-frame segments (APP0 etc.)
+    val app0 = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+      0, 6, 'J', 'F', 'I', 'F') ++ Multimodal.buildJpeg(320, 200, body).drop(2)
+    val r2 = Multimodal.decodeMeta(spark,
+      Seq((1L, app0)).toDF("doc_id", "payload"))
+      .select("fmt", "width", "height").as[(String, Long, Long)].head()
+    assert(r2 === (("jpeg", 320L, 200L)))
+  }
+
+  test("decode runs as a scan-stage scalar: no shuffle, no serde") {
+    // a parquet-backed input (a local relation would be constant-folded
+    // by ConvertToLocalRelation, hiding the plan shape under test)
+    val dir = tmpDir("media_plan") + "/payloads.parquet"
+    payloads.write.mode("overwrite").parquet(dir)
+    val meta = Multimodal.decodeMeta(spark, spark.read.parquet(dir))
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_media_dims"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+    // `*(1)` marks the whole-stage-codegen span containing the kernel
+    assert(plan.contains("*(1) Project"), plan)
   }
 
   test("resize and frame-sample stubs keep the partition-local pipeline shape") {
