@@ -152,6 +152,21 @@ object BamCodec {
     }
   }
 
+  /** The BAM wire form of one "TG:T:value" tag, split for writers that
+    * frame tag/type separately from the value bytes (the CRAM tag
+    * dictionary): (two-char tag, wire type char — ints normalized to
+    * the narrowest of i/I the value fits, matching [[encodeTag]]),
+    * value bytes. */
+  private[sources] def tagWire(t: String): (String, Char, Array[Byte]) = {
+    val buf = new ByteArrayOutputStream(16)
+    val o = new DataOutputStream(buf)
+    encodeTag(o, t)
+    o.flush()
+    val b = buf.toByteArray
+    (new String(b, 0, 2, UTF_8), b(2).toChar,
+      java.util.Arrays.copyOfRange(b, 3, b.length))
+  }
+
   // ---- lazy-decode field groups (ref: LazyBAMRecordFactory.java:31 —
   // the reference defers per-field decode until accessed; here the
   // caller states up front which variable-width fields it needs and

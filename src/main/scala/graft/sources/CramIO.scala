@@ -305,6 +305,45 @@ object CramIO {
       try out.close() catch { case _: java.io.IOException => () }
   }
 
+  /** Spec-profile shard writer (see [[CramSpecWrite]]): buffers
+    * records per container and serializes real data-series blocks —
+    * output any foreign CRAM reader consumes.  Same streaming
+    * discipline as [[ShardWriter]]: ~1 MB of buffered payload per
+    * container, so a multi-GB partition never accumulates. */
+  final class SpecShardWriter(pathStr: String, refIdx: Map[String, Int]) {
+    private val out = {
+      val (tfs, tp) = Fs.get(pathStr)
+      new java.io.BufferedOutputStream(tfs.create(tp, true))
+    }
+    private var nTotal = 0L
+    private val buf = scala.collection.mutable.ArrayBuffer[SamRecord]()
+    private var approx = 0L
+
+    private def flush(): Unit = if (buf.nonEmpty) {
+      val enc = CramSpecWrite.encodeSlice(buf.toSeq, refIdx, nTotal)
+      val body = new ByteArrayOutputStream(1 << 20)
+      writeBlock(body, enc.blocks.head) // compression header
+      val landmark = body.size()
+      enc.blocks.tail.foreach(b => writeBlock(body, b))
+      writeContainerRaw(out, enc.refSeqId, enc.start, enc.span, buf.length,
+        nTotal, enc.bases, enc.blocks.length, Seq(landmark), body.toByteArray)
+      nTotal += buf.length
+      buf.clear(); approx = 0L
+    }
+
+    def write(rec: SamRecord): Unit = {
+      buf += rec
+      approx += 48 + rec.qname.length + 2L * (if (rec.seq == "*") 0 else rec.seq.length) +
+        rec.tags.iterator.map(_.length + 8).sum
+      if (approx >= (1 << 20)) flush()
+    }
+
+    def finish(): Long = { flush(); out.close(); nTotal }
+
+    def abort(): Unit =
+      try out.close() catch { case _: java.io.IOException => () }
+  }
+
   /** Driver-side assembly: file definition + SAM-header container +
     * the shard files under `tmpDir` in name order + EOF container. */
   private[sources] def mergeShards(file: String, header: SamHeader,
@@ -331,19 +370,37 @@ object CramIO {
 
   /** Write a CRAM: file definition + SAM-header container + one data
     * container per partition (parallel shards, driver concat — the
-    * BamIO shape) + EOF container. */
-  def write(ds: Dataset[SamRecord], header: SamHeader, file: String): Unit = {
+    * BamIO shape) + EOF container.
+    *
+    * `profile = "graft"` (default) writes the fast-path profile (BAM
+    * codec payloads in one external block, marker in the compression
+    * header); `profile = "spec"` writes real CRAM 3.0 data-series
+    * containers ([[CramSpecWrite]]) that any foreign CRAM reader
+    * consumes — graft's own foreign decoder round-trips them, which is
+    * also how they read back here. */
+  def write(ds: Dataset[SamRecord], header: SamHeader, file: String,
+            profile: String = "graft"): Unit = {
+    require(profile == "graft" || profile == "spec", s"unknown profile $profile")
     val (fs, path) = Fs.get(file)
     val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
     fs.mkdirs(tmpDir)
     val tmpDirStr = tmpDir.toString
     val refIdx = header.refs.map(_.name).zipWithIndex.toMap
+    val spec = profile == "spec"
 
     val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val shard = new ShardWriter(
-        new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram").toString, refIdx)
-      it.foreach(shard.write)
-      Iterator.single((pid, shard.finish()))
+      val p = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram").toString
+      val n =
+        if (spec) {
+          val shard = new SpecShardWriter(p, refIdx)
+          it.foreach(shard.write)
+          shard.finish()
+        } else {
+          val shard = new ShardWriter(p, refIdx)
+          it.foreach(shard.write)
+          shard.finish()
+        }
+      Iterator.single((pid, n))
     }.collect().sortBy(_._1)
 
     mergeShards(file, header, tmpDir)

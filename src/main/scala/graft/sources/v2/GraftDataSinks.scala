@@ -192,22 +192,24 @@ class CramWriteBuilder(target: String, info: LogicalWriteInfo)
   override def build(): Write = {
     GraftDataSinks.requireOverwrite(truncated, target, "cram")
     val header = GraftDataSinks.samHeaderFrom(Option(info.options.get("header")))
+    val profile = Option(info.options.get("profile")).getOrElse("graft")
     new Write {
       override def toBatch: BatchWrite =
         new CramBatchWrite(target, header, info.schema(),
-          GraftDataSinks.shardDir(target, info.queryId()))
+          GraftDataSinks.shardDir(target, info.queryId()), profile)
     }
   }
 }
 
 class CramBatchWrite(target: String, header: graft.model.SamHeader,
-                     schema: StructType, tmp: String) extends BatchWrite {
+                     schema: StructType, tmp: String,
+                     profile: String = "graft") extends BatchWrite {
   override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
     val decoder = new GraftDataSinks.RowDecoder(ExpressionEncoder[SamRecord]().schema,
       schema, GraftDataSinks.RowCodecs.sam)
     decoder.validate()
     val refIdx = header.refs.map(_.name).zipWithIndex.toMap
-    new CramWriterFactory(tmp, refIdx, decoder)
+    new CramWriterFactory(tmp, refIdx, decoder, profile)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     graft.sources.CramIO.mergeShards(target, header, new Path(tmp))
@@ -218,19 +220,30 @@ class CramBatchWrite(target: String, header: graft.model.SamHeader,
 }
 
 class CramWriterFactory(tmp: String, refIdx: Map[String, Int],
-                        decoder: GraftDataSinks.RowDecoder[SamRecord])
+                        decoder: GraftDataSinks.RowDecoder[SamRecord],
+                        profile: String = "graft")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardingDataWriter[TextShardDone](tmp, partitionId, taskId, "cram") {
       // streams record-by-record into ~1 MB containers — a multi-GB
       // partition never buffers
-      private val shard = new graft.sources.CramIO.ShardWriter(
-        attemptPath.toString, refIdx)
-      override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
-      override def finishAttempt(): TextShardDone = {
-        shard.finish(); TextShardDone(partitionId)
+      private val graftShard =
+        if (profile == "spec") null
+        else new graft.sources.CramIO.ShardWriter(attemptPath.toString, refIdx)
+      private val specShard =
+        if (profile == "spec")
+          new graft.sources.CramIO.SpecShardWriter(attemptPath.toString, refIdx)
+        else null
+      override def write(row: InternalRow): Unit = {
+        val r = decoder.decode(row)
+        if (specShard != null) specShard.write(r) else graftShard.write(r)
       }
-      override def abortAttempt(): Unit = shard.abort()
+      override def finishAttempt(): TextShardDone = {
+        if (specShard != null) specShard.finish() else graftShard.finish()
+        TextShardDone(partitionId)
+      }
+      override def abortAttempt(): Unit =
+        if (specShard != null) specShard.abort() else graftShard.abort()
     }
 }
 

@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{SamHeader, SamRecord, SamRef}
+
+/** Spec-profile CRAM writer: real data-series containers, no graft
+  * marker — so reading them back exercises the SAME foreign decoder
+  * that reads htslib files (the two sides were built independently
+  * against the public spec, which is the conformance witness
+  * available in this container).
+  */
+class CramSpecWriteSpec extends SparkSpec {
+
+  private val header = SamHeader(
+    "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:80000" +
+      "\n@RG\tID:rg0\tSM:s",
+    Array(SamRef("chr1", 100000), SamRef("chr2", 80000)))
+
+  /** CRAM-representable records: mapped reads with CIGARs that consume
+    * exactly the stored bases; unmapped reads with cigar "*"/mapq 0. */
+  private def mkRecs(n: Int): Seq[SamRecord] = (0 until n).map { i =>
+    val unmapped = i % 7 == 6
+    val contig = if (i % 3 == 2) "chr2" else "chr1"
+    val pos = 1 + (i * 37) % 70000
+    val readLen = 20 + i % 16
+    val seq = ("ACGTTGCA" * 8).take(readLen)
+    val qual = ("IIFF@@HH" * 8).take(readLen)
+    if (unmapped)
+      SamRecord(s"u$i", 0x4 | 0x1, "*", 0, 0, "*", "*", 0, 0, seq, qual,
+        Array(s"NM:i:${i % 5}"))
+    else {
+      // exercise every feature-coded op: clips, indels, skips, pads
+      val cigar = (i % 5) match {
+        case 0 => s"${readLen}M"
+        case 1 => s"5S${readLen - 5}M"
+        case 2 => s"${readLen - 6}M2D6M"
+        case 3 => s"4M3I${readLen - 7}M2H"
+        case _ => s"${readLen - 8}M100N4P8M"
+      }
+      SamRecord(s"r$i", (if (i % 2 == 0) 0x10 else 0) | (if (i % 4 == 0) 0x1 | 0x20 else 0),
+        contig, pos, i % 60, cigar,
+        if (i % 4 == 0) "=" else "*", if (i % 4 == 0) pos + 99 else 0,
+        if (i % 4 == 0) 150 else 0, seq, qual,
+        Array(s"NM:i:${i % 9}", "RG:Z:rg0", s"AS:i:${i % 100}",
+          s"XB:B:s,${i % 5},-3,${i % 11}", "XZ:Z:spec profile"))
+    }
+  }
+
+  private def fields(r: SamRecord) =
+    (r.qname, r.flag, r.rname, r.pos, r.mapq, r.cigar, r.rnext, r.pnext,
+      r.tlen, r.seq, r.qual, r.tags.toSeq)
+
+  test("spec-profile CRAM round-trips through the FOREIGN decoder") {
+    import spark.implicits._
+    val recs = mkRecs(600)
+    val dir = tmpDir("cramspec")
+    val file = s"$dir/s.cram"
+    CramIO.write(spark.createDataset(recs).repartition(3), header, file,
+      profile = "spec")
+    // no graft marker → the planner must classify the file as foreign
+    val (_, _, meta) = CramIO.planGroups(file, 1L << 20)
+    assert(meta.foreign, "spec-profile output must read through the foreign path")
+    assert(meta.major === 3)
+    val back = CramIO.read(spark, file).collect()
+    assert(back.length === recs.length)
+    val byName = back.map(r => r.qname -> r).toMap
+    recs.foreach { r => assert(fields(byName(r.qname)) === fields(r), r.qname) }
+  }
+
+  test("qualities '*' and zero-length reads survive the spec profile") {
+    import spark.implicits._
+    val odd = Seq(
+      SamRecord("noqual", 0, "chr1", 10, 30, "12M", "*", 0, 0,
+        "ACGTACGTACGT", "*", Array.empty),
+      SamRecord("empty", 0x4, "*", 0, 0, "*", "*", 0, 0, "*", "*", Array.empty),
+      SamRecord("tagonly", 0x4, "*", 0, 0, "*", "*", 0, 0, "AC", "II",
+        Array("XX:i:-42", "XY:f:1.5", "XW:Z:hello world")))
+    val dir = tmpDir("cramspec_odd")
+    val file = s"$dir/o.cram"
+    CramIO.write(spark.createDataset(odd).coalesce(1), header, file, profile = "spec")
+    val back = CramIO.read(spark, file).collect().map(r => r.qname -> r).toMap
+    assert(fields(back("noqual")) === fields(odd(0)))
+    assert(fields(back("empty")) === fields(odd(1)))
+    assert(fields(back("tagonly")) === fields(odd(2)))
+  }
+
+  test("CRAM-semantics normalization is the documented one") {
+    import spark.implicits._
+    // unmapped record with cigar/mapq: the format has nowhere to put
+    // them (same degradation as an htsjdk writer) — reads back */0
+    val in = Seq(SamRecord("u0", 0x4, "chr1", 5, 37, "10M", "*", 0, 0,
+      "ACGTACGTAC", "IIIIIIIIII", Array.empty))
+    val dir = tmpDir("cramspec_norm")
+    val file = s"$dir/n.cram"
+    CramIO.write(spark.createDataset(in).coalesce(1), header, file, profile = "spec")
+    val r = CramIO.read(spark, file).collect().head
+    assert(r.cigar === "*" && r.mapq === 0)
+    assert(r.seq === "ACGTACGTAC" && r.pos === 5) // bases/pos preserved
+  }
+
+  test("interval reads prune spec-profile containers through the .crai") {
+    import spark.implicits._
+    val recs = mkRecs(600)
+    val dir = tmpDir("cramspec_iv")
+    val file = s"$dir/iv.cram"
+    CramIO.write(spark.createDataset(recs).repartition(2), header, file,
+      profile = "spec")
+    val got = CramIO.readIntervals(spark, file, Seq(("chr2", 1000, 30000)))
+      .collect().map(_.qname).sorted.toSeq
+    val want = recs.filter(r => r.rname == "chr2" && r.pos <= 30000 &&
+      math.max(r.end, r.pos) >= 1000).map(_.qname).sorted
+    assert(got === want)
+  }
+
+  test("DSv2 sink writes spec profile via option, reads back foreign") {
+    import spark.implicits._
+    val recs = mkRecs(200)
+    val dir = tmpDir("cramspec_v2")
+    val file = s"$dir/v2.cram"
+    // the header option is a path to an existing header-bearing file
+    val headerSrc = s"$dir/hdr.sam"
+    java.nio.file.Files.write(java.nio.file.Paths.get(headerSrc),
+      (header.text + "\n").getBytes("UTF-8"))
+    spark.createDataset(recs).toDF()
+      .write.format("cram")
+      .option("header", headerSrc)
+      .option("profile", "spec")
+      .mode("overwrite")
+      .save(file)
+    val (_, _, meta) = CramIO.planGroups(file, 1L << 20)
+    assert(meta.foreign)
+    val back = spark.read.format("cram").load(file)
+      .selectExpr("qname", "seq").as[(String, String)].collect().toMap
+    recs.foreach(r => assert(back(r.qname) === r.seq, r.qname))
+  }
+}
