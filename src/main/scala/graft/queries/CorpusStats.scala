@@ -588,7 +588,79 @@ object CorpusStats {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- P50
+  // PII pattern scan per source — the filter/redact step every
+  // training-data release pipeline runs (emails, phone numbers,
+  // IPv4s).  The synthetic corpus carries no PII, so deterministic
+  // doc_id-keyed fixtures are injected with IDENTICAL expressions on
+  // both engines; the regexes then must find exactly the planted
+  // instances (and ignore the planted decoys — version strings, short
+  // digit runs) for the hash gate to pass, which also pins Java regex
+  // and DuckDB's RE2 to the same match semantics for these patterns.
+  // Scale shape: scan-stage scalars (regexp_count is codegen'd) + one
+  // hash agg on `source` with map-side partials; the text never
+  // shuffles.
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhone = "\\+?[0-9][0-9 -]{6,}[0-9]"
+  private val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def qPiiScan(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(
+            lit(" reach user"), expr("CAST(doc_id % 50 AS STRING)"),
+            lit("@mail"), expr("CAST(doc_id % 7 AS STRING)"),
+            lit(".com or host 10."), expr("CAST(doc_id % 256 AS STRING)"),
+            lit(".0."), expr("CAST(doc_id % 100 AS STRING)"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, concat(
+            lit(" call +1 555-01"), expr("CAST(doc_id % 90 + 10 AS STRING)"),
+            lit(" now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2, lit(" v1.2 build 34 rc5"))
+            .otherwise(lit(""))).as("aug"))
+    aug.select(col("source"),
+        regexp_count(col("aug"), lit(piiEmail)).cast("long").as("emails"),
+        regexp_count(col("aug"), lit(piiPhone)).cast("long").as("phones"),
+        regexp_count(col("aug"), lit(piiIp)).cast("long").as("ips"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("emails").as("n_emails"),
+        sum("phones").as("n_phones"),
+        sum("ips").as("n_ips"),
+        sum(when(col("emails") + col("phones") + col("ips") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"))
+      .orderBy("source")
+  }
+
+  val qPiiScanSql: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id % 50 AS VARCHAR)
+      |         || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+      |         || '.com or host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1 555-01'
+      |         || CAST(doc_id % 90 + 10 AS VARCHAR) || ' now' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 2 THEN ' v1.2 build 34 rc5' ELSE '' END AS aug
+      |  FROM documents
+      |), m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+      |    len(regexp_extract_all(aug, '\+?[0-9][0-9 -]{6,}[0-9]')) AS phones,
+      |    len(regexp_extract_all(aug, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ips
+      |  FROM a
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(emails) AS BIGINT) AS n_emails,
+      |  CAST(SUM(phones) AS BIGINT) AS n_phones,
+      |  CAST(SUM(ips) AS BIGINT) AS n_ips,
+      |  CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_with_pii
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scan" -> (qPiiScan _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_cooccur" -> (qCooccur _),
@@ -605,6 +677,7 @@ object CorpusStats {
     "q_char_classes" -> (qCharClasses _))
 
   val oracle: Map[String, String] = Map(
+    "q_pii_scan" -> qPiiScanSql,
     "q_winnow_overlap" -> qWinnowOverlapSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_cooccur" -> qCooccurSql,
