@@ -97,6 +97,24 @@ object FormatBench {
     val tFull = readN("tagbam_full", Nil)
     val tPruned = readN("tagbam_pruned", Seq("qname", "rname", "pos"))
     println(f"FORMATBENCH pruned_speedup ${tFull / tPruned}%.2fx")
+
+    // ---- CRAM, both profiles: graft (BAM-codec payloads, fast path)
+    // vs spec (real data-series containers, foreign-readable; reads
+    // back through the CramForeign decoder)
+    import graft.sources.CramIO
+    val cg = s"$dir/bench_graft.cram"
+    val cspec = s"$dir/bench_spec.cram"
+    timed("cram_write_graft")(CramIO.write(heavy, header, cg))
+    timed("cram_write_spec")(CramIO.write(heavy, header, cspec, profile = "spec"))
+    def creadN(label: String, f: String): Unit = {
+      val t0 = System.nanoTime()
+      val c = CramIO.read(spark, f).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      require(c == nt, s"$label read $c of $nt")
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nt / t / 1e6}%6.2f Mrec/s")
+    }
+    creadN("cram_read_graft", cg)
+    creadN("cram_read_spec", cspec)
     spark.stop()
   }
 }

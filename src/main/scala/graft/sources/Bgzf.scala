@@ -254,18 +254,30 @@ object Bgzf {
     written
   }
 
+  // Per-thread Deflater + scratch buffer reuse: a BGZF write calls
+  // writeBlockTo once per 64 KB, and Deflater construction allocates
+  // native zlib state each time; reset() reuses it.  Keyed by level
+  // (writers use one level; the map stays size-1 per thread).
+  private val deflaterTL =
+    ThreadLocal.withInitial[java.util.HashMap[Integer, Deflater]](
+      () => new java.util.HashMap[Integer, Deflater]())
+  private val cbufTL =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](MaxBlockSize))
+
   /** Deflate one payload as a single BGZF block; returns bytes written.
     * Payload must fit one block — use [[writeBlocksTo]] otherwise. */
   def writeBlockTo(out: OutputStream, data: Array[Byte], off: Int, len: Int,
                    level: Int = 6): Int = {
     require(len <= 0xff00, s"BGZF block payload $len exceeds 65280 bytes")
-    val def_ = new Deflater(level, true)
+    val m = deflaterTL.get()
+    var def_ = m.get(level)
+    if (def_ == null) { def_ = new Deflater(level, true); m.put(level, def_) }
+    else def_.reset()
     def_.setInput(data, off, len)
     def_.finish()
-    val cbuf = new Array[Byte](MaxBlockSize)
+    val cbuf = cbufTL.get()
     var cn = 0
     while (!def_.finished()) cn += def_.deflate(cbuf, cn, cbuf.length - cn)
-    def_.end()
     val crc = new CRC32()
     crc.update(data, off, len)
     val bsize = cn + 12 + 6 + 8 // header(12) + extra(6) + cdata + crc/isize(8)
