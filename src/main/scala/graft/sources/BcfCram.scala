@@ -69,6 +69,34 @@ object Bcf {
     new String(buf, UTF_8)
   }
 
+  /** Any typed value rendered as its VCF text form — graft writes INFO
+    * values as char vectors, but htslib writes them NATIVELY typed
+    * (int8/16/32 vectors, float vectors, flags as an empty or int
+    * vector), so the reader must accept every atomic type. */
+  private def readTypedValueString(b: ByteBuffer): String = {
+    val (t, len) = readTyped(b)
+    t match {
+      case 0 => "" // MISSING type byte: a FLAG's presence is the value
+      case 7 =>
+        val buf = new Array[Byte](len)
+        b.get(buf)
+        new String(buf, UTF_8)
+      case 1 | 2 | 3 =>
+        val sz = t
+        val vals = (0 until len).map(_ => readInt(b, t))
+        vals.takeWhile(_ != intEov(sz))
+          .map(v => if (v == intMissing(sz)) "." else v.toString)
+          .mkString(",")
+      case 5 =>
+        val vals = (0 until len).map(_ => b.getInt)
+        vals.takeWhile(_ != FloatEovBits)
+          .map(v => if (v == FloatMissingBits) "."
+            else java.lang.Float.intBitsToFloat(v).toString)
+          .mkString(",")
+      case other => throw new IllegalArgumentException(s"BCF typed value type $other")
+    }
+  }
+
   /** Encode one variant's shared (site) block. `contigIdx`/`filterIdx`
     * map names to header dictionary offsets.  `nFmt`/`nSample` are the
     * genotype-matrix dimensions recorded in the shared block (0/0 for
@@ -139,7 +167,7 @@ object Bcf {
     (0 until nInfo).foreach { i =>
       val keyIdx = readTypedIntV(b)
       ik(i) = infoKeys(keyIdx)
-      iv(i) = readTypedString(b)
+      iv(i) = readTypedValueString(b)
     }
     val (fmt, gts) =
       if (nFmt > 0 && nSample > 0 && indiv.nonEmpty && fmtKeys.nonEmpty)
@@ -472,22 +500,120 @@ object Bcf {
   */
 object BcfIO {
 
+  /** BCF2 header dictionaries.  The record wire format indexes ONE
+    * shared string table covering FILTER/INFO/FORMAT ids (BCF2 spec
+    * "dictionary of strings", PASS implicitly first) plus a separate
+    * contig table — [[strings]] below.  The per-kind arrays here are
+    * the user-facing declaration; `sharedOverride` carries a foreign
+    * header's explicit table (IDX= attributes) verbatim. */
   final case class Dicts(contigs: Array[String], filters: Array[String],
                         infoKeys: Array[String],
-                        fmtKeys: Array[String] = Array.empty) {
-    def headerText: String =
-      s"##fileformat=VCFv4.3\n##graft_contigs=${contigs.mkString(",")}\n" +
-        s"##graft_filters=${filters.mkString(",")}\n##graft_info=${infoKeys.mkString(",")}" +
-        (if (fmtKeys.isEmpty) "" else s"\n##graft_format=${fmtKeys.mkString(",")}")
+                        fmtKeys: Array[String] = Array.empty,
+                        sharedOverride: Option[Array[String]] = None) {
+    /** The shared FILTER/INFO/FORMAT string table. */
+    lazy val strings: Array[String] = sharedOverride.getOrElse {
+      val out = scala.collection.mutable.LinkedHashSet[String]("PASS")
+      filters.foreach(out += _)
+      infoKeys.foreach(out += _)
+      fmtKeys.foreach(out += _)
+      out.toArray
+    }
+    lazy val stringIdx: Map[String, Int] = strings.zipWithIndex.toMap
+
+    // Decode tables: what the record wire format's typed ints index.
+    // Foreign/standard files use the shared table for all three kinds;
+    // legacy graft files carried per-kind index spaces.
+    def filterTable: Array[String] = sharedOverride.getOrElse(filters)
+    def infoTable: Array[String] = sharedOverride.getOrElse(infoKeys)
+    def fmtTable: Array[String] = sharedOverride.getOrElse(fmtKeys)
+
+    /** Standard VCF meta-lines with explicit IDX= dictionary indexes —
+      * the htslib-compatible header form (generic Number/Type: graft
+      * does not model them; values are typed on the wire). */
+    def headerText: String = {
+      val sb = new StringBuilder("##fileformat=VCFv4.3\n")
+      // lines in per-kind DECLARATION order (round-trip fidelity);
+      // IDX= carries each id's shared-table slot, as htslib emits
+      sb.append(s"""##FILTER=<ID=PASS,Description="All filters passed",IDX=${stringIdx("PASS")}>""").append('\n')
+      filters.filter(_ != "PASS").foreach { id =>
+        sb.append(s"""##FILTER=<ID=$id,Description="$id",IDX=${stringIdx(id)}>""").append('\n')
+      }
+      infoKeys.foreach { id =>
+        sb.append(s"""##INFO=<ID=$id,Number=.,Type=String,Description="$id",IDX=${stringIdx(id)}>""").append('\n')
+      }
+      fmtKeys.foreach { id =>
+        val num = if (id == "GT") "1" else "."
+        sb.append(s"""##FORMAT=<ID=$id,Number=$num,Type=String,Description="$id",IDX=${stringIdx(id)}>""").append('\n')
+      }
+      contigs.zipWithIndex.foreach { case (c, i) =>
+        sb.append(s"##contig=<ID=$c,IDX=$i>").append('\n')
+      }
+      sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+      if (fmtKeys.nonEmpty) sb.append("\tFORMAT")
+      sb.toString
+    }
   }
 
   object Dicts {
+    private val metaRe = """##(FILTER|INFO|FORMAT|contig)=<(.*)>""".r
+    private val idRe = """(?:^|,)ID=([^,>]+)""".r
+    private val idxRe = """(?:^|,)IDX=(\d+)""".r
+
     def fromHeader(text: String): Dicts = {
-      def grab(k: String): Array[String] =
+      // legacy graft dictionary lines (files written before r7 carried
+      // per-kind index spaces; their records index these arrays)
+      def grab(k: String): Option[Array[String]] =
         text.linesIterator.find(_.startsWith(s"##graft_$k="))
           .map(_.substring(s"##graft_$k=".length).split(",").filter(_.nonEmpty))
-          .getOrElse(Array.empty)
-      Dicts(grab("contigs"), grab("filters"), grab("info"), grab("format"))
+      if (text.linesIterator.exists(_.startsWith("##graft_")))
+        return Dicts(grab("contigs").getOrElse(Array.empty),
+          grab("filters").getOrElse(Array.empty),
+          grab("info").getOrElse(Array.empty),
+          grab("format").getOrElse(Array.empty))
+
+      // standard meta-lines: shared string table per the BCF2 spec —
+      // explicit IDX= wins; otherwise appearance order with PASS first
+      val contigs = scala.collection.mutable.ArrayBuffer[(String, Option[Int])]()
+      // one id can belong to several kinds (DP is both INFO and FORMAT)
+      // but occupies ONE shared-table slot — track per-kind appearance
+      // order separately from the shared table's id order
+      val entries = scala.collection.mutable.LinkedHashMap[String, Option[Int]]()
+      val byKind = scala.collection.mutable.Map[String, scala.collection.mutable.LinkedHashSet[String]]()
+      text.linesIterator.foreach {
+        case metaRe(kind, attrs) =>
+          val id = idRe.findFirstMatchIn(attrs).map(_.group(1))
+          val idx = idxRe.findFirstMatchIn(attrs).map(_.group(1).toInt)
+          id.foreach { i =>
+            if (kind == "contig") contigs += ((i, idx))
+            else {
+              entries(i) = idx.orElse(entries.getOrElse(i, None))
+              byKind.getOrElseUpdate(kind,
+                scala.collection.mutable.LinkedHashSet[String]()) += i
+            }
+          }
+        case _ =>
+      }
+      def place(items: Seq[(String, Option[Int])], passFirst: Boolean): Array[String] = {
+        val n = math.max(items.size + (if (passFirst && !items.exists(_._1 == "PASS")) 1 else 0),
+          items.flatMap(_._2).foldLeft(0)(math.max) + 1)
+        val table = new Array[String](n)
+        if (passFirst && !items.exists(_._1 == "PASS")) table(0) = "PASS"
+        items.foreach { case (id, Some(i)) => if (table(i) == null) table(i) = id; case _ => }
+        var free = 0
+        items.foreach {
+          case (id, None) if !table.contains(id) =>
+            while (free < n && table(free) != null) free += 1
+            if (free < n) table(free) = id
+          case _ =>
+        }
+        table.filter(_ != null)
+      }
+      val shared = place(entries.toSeq, passFirst = true)
+      def kind(k: String): Array[String] =
+        byKind.get(k).map(_.toArray).getOrElse(Array.empty)
+      Dicts(place(contigs.toSeq, passFirst = false),
+        kind("FILTER"), kind("INFO"), kind("FORMAT"),
+        sharedOverride = Some(shared))
     }
   }
 
@@ -498,9 +624,11 @@ object BcfIO {
     fs.mkdirs(tmpDir)
     val tmpDirStr = tmpDir.toString
     val contigIdx = dicts.contigs.zipWithIndex.toMap
-    val filterIdx = dicts.filters.zipWithIndex.toMap
-    val infoIdx = dicts.infoKeys.zipWithIndex.toMap
-    val fmtIdx = dicts.fmtKeys.zipWithIndex.toMap
+    // record ints index the SHARED string table (BCF2 spec), matching
+    // the IDX= attributes headerText emits
+    val filterIdx = dicts.stringIdx
+    val infoIdx = dicts.stringIdx
+    val fmtIdx = if (dicts.fmtKeys.isEmpty) Map.empty[String, Int] else dicts.stringIdx
 
     val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
       val (tfs, _) = Fs.get(tmpDirStr)
@@ -594,7 +722,89 @@ object BcfIO {
       allEntries.toSeq, Bgzf.virtualOffset(coffset, 0), fileMaxSpan)
   }
 
+  /** htslib can emit BCF2 UNCOMPRESSED (raw "BCF" magic, no BGZF —
+    * the piping form; `bcftools view -Ou`).  Sniff the first bytes to
+    * pick the framing. */
+  private[sources] def isPlainBcf(file: String): Boolean = {
+    val (fs, path) = Fs.get(file)
+    val in = fs.open(path)
+    try {
+      val head = new Array[Byte](3)
+      var got = 0
+      while (got < 3) {
+        val r = in.read(head, got, 3 - got)
+        if (r < 0) return false
+        got += r
+      }
+      head(0) == 'B' && head(1) == 'C' && head(2) == 'F'
+    } finally in.close()
+  }
+
+  /** Decode every record of a plain (uncompressed) BCF body stream. */
+  private def plainRecordIterator(in: java.io.InputStream,
+                                  dicts: Dicts): Iterator[VcfVariant] = {
+    val contigs = dicts.contigs; val filters = dicts.filterTable
+    val infoKeys = dicts.infoTable; val fmtKeys = dicts.fmtTable
+    new Iterator[VcfVariant] {
+      private var nextV: VcfVariant = _
+      private var done = false
+      private def fetch(): Unit = {
+        while (nextV == null && !done) {
+          val a = in.read()
+          if (a < 0) { done = true; in.close(); return }
+          val lShared = a | (in.read() << 8) | (in.read() << 16) | (in.read() << 24)
+          var lIndiv = 0
+          (0 until 4).foreach(i => lIndiv |= in.read() << (8 * i))
+          val shared = new Array[Byte](lShared)
+          var o = 0
+          while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
+          val indiv = new Array[Byte](lIndiv)
+          var o2 = 0
+          while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
+          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
+        }
+      }
+      override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }
+      override def next(): VcfVariant = {
+        if (!hasNext) throw new NoSuchElementException
+        val v = nextV; nextV = null; v
+      }
+    }
+  }
+
+  /** Open a plain BCF past its header, returning the record stream. */
+  private def openPlainBody(file: String): (Dicts, java.io.InputStream) = {
+    val (fs, path) = Fs.get(file)
+    val in = new java.io.BufferedInputStream(fs.open(path))
+    val magic = new Array[Byte](5)
+    var got = 0
+    while (got < 5) { val r = in.read(magic, got, 5 - got); require(r > 0); got += r }
+    require(java.util.Arrays.equals(magic, Bcf.Magic), "not BCF2")
+    var lh = 0
+    (0 until 4).foreach(i => lh |= in.read() << (8 * i))
+    val ht = new Array[Byte](lh)
+    var o = 0
+    while (o < lh) { val r = in.read(ht, o, lh - o); require(r > 0); o += r }
+    (Dicts.fromHeader(new String(ht, 0, lh - 1, UTF_8)), in)
+  }
+
+  /** Plain BCF = the single-stream piping form: one task decodes the
+    * body (files at scale are BGZF; this path exists for interop). */
+  private def readPlain(spark: org.apache.spark.sql.SparkSession, file: String):
+      org.apache.spark.sql.Dataset[VcfVariant] = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(Seq(file), 1).flatMap { f =>
+      val (dicts, in) = openPlainBody(f)
+      plainRecordIterator(in, dicts)
+    }.toDS()
+  }
+
   def readDicts(file: String): Dicts = {
+    if (isPlainBcf(file)) {
+      val (dicts, in) = openPlainBody(file)
+      in.close()
+      return dicts
+    }
     val (fs, path) = Fs.get(file)
     val in = new Bgzf.BgzfInputStream(new java.io.BufferedInputStream(fs.open(path)))
     try {
@@ -645,8 +855,8 @@ object BcfIO {
     val in = new Bgzf.BgzfInputStream(
       new java.io.BufferedInputStream(raw), Bgzf.voCompressed(startVo))
     in.seekInBlock(Bgzf.voUncompressed(startVo))
-    val contigs = dicts.contigs; val filters = dicts.filters
-    val infoKeys = dicts.infoKeys; val fmtKeys = dicts.fmtKeys
+    val contigs = dicts.contigs; val filters = dicts.filterTable
+    val infoKeys = dicts.infoTable; val fmtKeys = dicts.fmtTable
     val it = new Iterator[VcfVariant] {
       private var nextV: VcfVariant = _
       private var done = false
@@ -680,6 +890,7 @@ object BcfIO {
            splitSize: Long = 64L * 1024 * 1024):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
+    if (isPlainBcf(file)) return readPlain(spark, file)
     val (dicts, _) = headerInfo(file)
     // foreign BCFs without a sidecar fall back to BGZF block discovery
     // + record guessing, exactly the BAM shape (ref: BCFSplitGuesser.java)
@@ -718,6 +929,14 @@ object BcfIO {
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
     if (intervals.isEmpty) return read(spark, file, splitSize)
+    if (isPlainBcf(file)) {
+      // no index can exist over an uncompressed body: exact filter
+      // over the single-stream read
+      val iv = intervals.toArray
+      return readPlain(spark, file).filter { v =>
+        iv.exists { case (c, s, e) => v.chrom == c && v.pos <= e && bcfEnd(v) >= s }
+      }
+    }
     val (dicts, _) = headerInfo(file)
     val merged = Vcf.mergeIntervals(intervals)
 

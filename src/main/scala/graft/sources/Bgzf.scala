@@ -110,11 +110,13 @@ object Bgzf {
     }
     val out = new Array[Byte](isize)
     if (isize > 0) {
-      val inf = new Inflater(true)
+      // per-thread Inflater reuse: this runs once per 64 KB block on
+      // the scan hot path — reset() instead of fresh native zlib state
+      val inf = inflaterTL.get()
+      inf.reset()
       inf.setInput(cdata)
       var n = 0
       while (n < isize && !inf.finished()) n += inf.inflate(out, n, isize - n)
-      inf.end()
       if (n != isize) throw new IllegalStateException(
         s"BGZF inflate: expected $isize bytes, got $n")
     }
@@ -263,6 +265,8 @@ object Bgzf {
       () => new java.util.HashMap[Integer, Deflater]())
   private val cbufTL =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](MaxBlockSize))
+  private val inflaterTL =
+    ThreadLocal.withInitial[Inflater](() => new Inflater(true))
 
   /** Deflate one payload as a single BGZF block; returns bytes written.
     * Payload must fit one block — use [[writeBlocksTo]] otherwise. */

@@ -20,7 +20,9 @@ object GraftIO {
   case object UnknownFormat extends Format
 
   def detect(path: String): Format = {
-    val head = readHead(path, 4096)
+    // a BGZF member can span up to 64 KiB compressed; read enough that
+    // the peek-inside path below has one whole block to inflate
+    val head = readHead(path, (1 << 16) + 4096)
     detectBytes(head, path)
   }
 
@@ -82,13 +84,31 @@ object GraftIO {
     if (head0.length >= 4 && head0(0) == 'C' && head0(1) == 'R' &&
       head0(2) == 'A' && head0(3) == 'M') return CramFormat
 
-    // BGZF/gzip wrapper? peek inside.
+    // BGZF/gzip wrapper? peek inside.  When the sniff window holds only
+    // part of the first block (large BGZF members), inflate the partial
+    // deflate stream directly — magic detection needs a few bytes, not
+    // the whole block (the reference's misnamedBam.sam is exactly this:
+    // a BAM whose first block exceeds a small sniff window).
     val head: Array[Byte] =
       if (head0.length >= 18 && Bgzf.parseBsize(head0, 0) > 0) {
-        val in = new Bgzf.BgzfInputStream(new java.io.ByteArrayInputStream(head0))
-        val buf = new Array[Byte](4096)
-        val n = try in.read(buf) catch { case _: Exception => -1 }
-        if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
+        val full = try {
+          val in = new Bgzf.BgzfInputStream(new java.io.ByteArrayInputStream(head0))
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
+        } catch { case _: Exception => Array.emptyByteArray }
+        if (full.nonEmpty) full
+        else {
+          val xlen = (head0(10) & 0xff) | ((head0(11) & 0xff) << 8)
+          val cstart = 12 + xlen
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(head0, cstart, head0.length - cstart)
+            val buf = new Array[Byte](4096)
+            val n = try inf.inflate(buf) catch { case _: Exception => 0 }
+            if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
+          } finally inf.end()
+        }
       } else head0
 
     if (head.length >= 4 && head(0) == 'B' && head(1) == 'A' && head(2) == 'M' &&
