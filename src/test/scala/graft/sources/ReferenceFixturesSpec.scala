@@ -89,6 +89,17 @@ class ReferenceFixturesSpec extends SparkSpec {
       Seq("0|0:48:1:51,51", "1|0:48:8:51,51", "1/1:43:5:.,."))
   }
 
+  test("VCF with an invalid INFO field reads leniently, value preserved") {
+    // the reference needs htsjdk LENIENT stringency for this file (an
+    // embedded space inside an INFO value, TestVCFInputFormatStringency
+    // .java); graft's parser treats INFO values as text and keeps it
+    val recs = Vcf.read(spark, res("invalid_info_field.vcf")).collect()
+    assert(recs.length === 5)
+    val first = recs.minBy(_.pos)
+    val ann = first.infoKeys.zip(first.infoValues).find(_._1 == "ANN").map(_._2)
+    assert(ann.exists(_.contains("MODIFIER |WASH7P")), ann.toString)
+  }
+
   test("foreign FASTA: contigs, .fai build, ranged region fetch") {
     val fa = res("mini-chr1-chr2.fasta")
     val frags = Fasta.read(spark, fa).collect()
