@@ -65,6 +65,9 @@ object CramIO {
         val d = new java.util.zip.GZIPOutputStream(bos)
         d.write(b.data); d.finish(); d.close()
         bos.toByteArray
+      case Rans4x8 =>
+        // order-1 rANS, the CRAM 3.0 native entropy coder
+        CramForeign.Rans.encode(b.data, order = 1)
       case m => throw new IllegalArgumentException(s"unsupported method $m")
     }
     // block bytes (method..data) are CRC32'd per CRAM 3.0

@@ -288,7 +288,13 @@ object CramSpecWrite {
     val blocks = Seq(compressionHeader(tdBlob, tagCids),
       CramIO.Block(CramIO.Raw, CramIO.SliceHeader, 0, sh.toByteArray),
       core) ++
-      ext.map { case (cid, data) => CramIO.Block(CramIO.Gzip, CramIO.External, cid, data) }
+      ext.map { case (cid, data) =>
+        // rANS 4x8 (CRAM 3.0's native entropy coder) for the bulky
+        // byte-stream series — the decoder side is the same codec that
+        // reads htslib blocks; small streams stay gzip (table overhead)
+        val method = if (data.length >= 256) CramIO.Rans4x8 else CramIO.Gzip
+        CramIO.Block(method, CramIO.External, cid, data)
+      }
     val bases = recs.iterator.map(r => if (r.seq == "*") 0L else r.seq.length.toLong).sum
     EncodedSlice(blocks, rid, start, span, bases)
   }

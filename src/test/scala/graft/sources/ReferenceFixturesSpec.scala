@@ -43,6 +43,14 @@ class ReferenceFixturesSpec extends SparkSpec {
       r.seq.length == r.qual.length))
   }
 
+  test("headerless SAM reads records with an empty header") {
+    val recs = Sam.read(spark, res("test_headerless.sam")).collect()
+    assert(recs.length === 2)
+    assert(recs.map(_.qname).toSet ===
+      Set("read_28833_29006_6945", "read_28701_28881_323b"))
+    assert(Sam.readHeader(res("test_headerless.sam")).text === "")
+  }
+
   test("one VCF, three compressions: plain, BGZF, plain-gzip agree") {
     def key(v: graft.model.VcfVariant) = (v.chrom, v.pos, v.ref, v.alt.mkString(","))
     val plain = Vcf.read(spark, res("test.vcf")).collect().map(key).sorted.toSeq
