@@ -195,6 +195,145 @@ class ForeignCramSpec extends SparkSpec {
     }
   }
 
+  test("NF mate chains resolve flags, RNEXT/PNEXT and signed TLEN") {
+    import CramForeign._
+    // two paired records, CF=4 (mate downstream) on the first with
+    // NF=0 → mate is the NEXT record; the second is detached-less and
+    // gets its fields from the chain resolution
+    val h = CompHeader(apDelta = false, rnCaptured = true, refRequired = false,
+      subMatrix = Array[Byte](0x1b, 0x1b, 0x1b, 0x1b, 0x1b),
+      tagLines = Array(Array.empty[TagDef]),
+      ds = Map(
+        "BF" -> ExternalEnc(1),
+        "CF" -> ExternalEnc(2),
+        "RL" -> HuffmanEnc(Array(4), Array(0)),
+        "AP" -> ExternalEnc(3),
+        "RG" -> HuffmanEnc(Array(-1), Array(0)),
+        "RN" -> ByteArrayLenEnc(HuffmanEnc(Array(2), Array(0)), ExternalEnc(4)),
+        "NF" -> ExternalEnc(5),
+        "TL" -> HuffmanEnc(Array(0), Array(0)),
+        "FN" -> HuffmanEnc(Array(1), Array(0)),
+        "FC" -> ExternalEnc(6),
+        "FP" -> ExternalEnc(7),
+        "BB" -> ByteArrayLenEnc(HuffmanEnc(Array(4), Array(0)), ExternalEnc(8)),
+        "MQ" -> HuffmanEnc(Array(60), Array(0))),
+      tagEnc = Map.empty)
+    val slice = SliceHeader(0, 10, 100, 2, Array(1, 2, 3, 4, 5, 6, 7, 8), -1)
+    def itf8s(vs: Int*): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      vs.foreach(Cram.writeItf8(b, _))
+      b.toByteArray
+    }
+    val ctx = new SliceCtx(new BitReader(Array[Byte](0)), Map(
+      // r1: paired+proper+first (0x43); r2: paired+proper+reverse+last
+      1 -> new ByteStream(itf8s(0x43, 0x93)),
+      // r1: has-downstream-mate (0x4, reads NF); r2: neither detached
+      // nor downstream — everything comes from chain resolution
+      2 -> new ByteStream(itf8s(0x4, 0x0)),
+      3 -> new ByteStream(itf8s(10, 60)),
+      4 -> new ByteStream("p1p1".getBytes("US-ASCII")),
+      5 -> new ByteStream(itf8s(0)), // NF: next record
+      6 -> new ByteStream(Array('b'.toByte, 'b'.toByte)),
+      7 -> new ByteStream(itf8s(1, 1)),
+      8 -> new ByteStream("ACGTTGCA".getBytes("US-ASCII"))))
+    val refs = Array(graft.model.SamRef("chr1", 1000))
+    val recs = decodeSlice(h, slice, ctx, refs, Array.empty,
+      new RefSource(None, refs))
+    assert(recs.length === 2)
+    val (a, b) = (recs(0), recs(1))
+    assert(a.qname === "p1" && b.qname === "p1")
+    assert(a.pos === 10 && b.pos === 60)
+    // b is reverse (0x10): a gains mate-reverse 0x20; neither unmapped
+    assert((a.flag & 0x20) !== 0)
+    assert(a.rnext === "=" && a.pnext === 60)
+    assert(b.rnext === "=" && b.pnext === 10)
+    // template: leftmost start 10, rightmost end 63 (pos 60 + 4M - 1)
+    assert(a.tlen === 54 && b.tlen === -54)
+    assert(a.seq === "ACGT" && b.seq === "TGCA")
+  }
+
+  test("multi-slice containers decode every slice") {
+    import CramForeign._
+    // the same one-record slice twice in one container: decodeContainer
+    // must walk both slice-header-delimited block runs
+    val h = CompHeader(apDelta = false, rnCaptured = true, refRequired = false,
+      subMatrix = Array[Byte](0x1b, 0x1b, 0x1b, 0x1b, 0x1b),
+      tagLines = Array(Array.empty[TagDef]),
+      ds = Map(
+        "BF" -> HuffmanEnc(Array(4), Array(0)), // unmapped
+        "CF" -> HuffmanEnc(Array(2), Array(0)), // detached, no stored quals
+        "RL" -> HuffmanEnc(Array(3), Array(0)),
+        "AP" -> HuffmanEnc(Array(0), Array(0)),
+        "RG" -> HuffmanEnc(Array(-1), Array(0)),
+        "RN" -> ByteArrayStopEnc(0, 1),
+        "MF" -> HuffmanEnc(Array(0), Array(0)),
+        "NS" -> HuffmanEnc(Array(-1), Array(0)),
+        "NP" -> HuffmanEnc(Array(0), Array(0)),
+        "TS" -> HuffmanEnc(Array(0), Array(0)),
+        "TL" -> HuffmanEnc(Array(0), Array(0)),
+        "BA" -> ExternalEnc(2)),
+      tagEnc = Map.empty)
+    // serialize the compression header through the spec writer's own
+    // framing? simpler: reuse decode-side objects directly by calling
+    // decodeSlice twice is NOT the point — build Block seq for
+    // decodeContainer with a real comp-header payload
+    def compHeaderBytes: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      // preservation: RN=1, AP=0, RR=0 (TD omitted → no tag lines)
+      val pres = new java.io.ByteArrayOutputStream()
+      Cram.writeItf8(pres, 3)
+      pres.write("RN".getBytes("US-ASCII")); pres.write(1)
+      pres.write("AP".getBytes("US-ASCII")); pres.write(0)
+      pres.write("RR".getBytes("US-ASCII")); pres.write(0)
+      Cram.writeItf8(out, pres.size()); out.write(pres.toByteArray)
+      def enc(codec: Int, params: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        Cram.writeItf8(b, codec); Cram.writeItf8(b, params.length); b.write(params)
+        b.toByteArray
+      }
+      def itf8(v: Int): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream(); Cram.writeItf8(b, v); b.toByteArray
+      }
+      def huffConst(v: Int): Array[Byte] =
+        enc(3, itf8(1) ++ itf8(v) ++ itf8(1) ++ itf8(0))
+      val ds = Seq(
+        "BF" -> huffConst(4), "CF" -> huffConst(2), "RL" -> huffConst(3),
+        "AP" -> huffConst(0), "RG" -> huffConst(-1),
+        "RN" -> enc(5, Array[Byte](0) ++ itf8(1)),
+        "MF" -> huffConst(0), "NS" -> huffConst(-1), "NP" -> huffConst(0),
+        "TS" -> huffConst(0), "TL" -> huffConst(0),
+        "BA" -> enc(1, itf8(2)))
+      val dsB = new java.io.ByteArrayOutputStream()
+      Cram.writeItf8(dsB, ds.length)
+      ds.foreach { case (k, e) => dsB.write(k.getBytes("US-ASCII")); dsB.write(e) }
+      Cram.writeItf8(out, dsB.size()); out.write(dsB.toByteArray)
+      // empty tag map
+      Cram.writeItf8(out, 1); Cram.writeItf8(out, 0)
+      out.toByteArray
+    }
+    def sliceBlocks(name: String, bases: String): Seq[CramIO.Block] = {
+      val sh = new java.io.ByteArrayOutputStream()
+      Cram.writeItf8(sh, -1); Cram.writeItf8(sh, 0); Cram.writeItf8(sh, 0)
+      Cram.writeItf8(sh, 1) // one record
+      Cram.writeLtf8(sh, 0L); Cram.writeItf8(sh, 3)
+      Cram.writeItf8(sh, 2); Cram.writeItf8(sh, 1); Cram.writeItf8(sh, 2)
+      Cram.writeItf8(sh, -1); sh.write(new Array[Byte](16))
+      Seq(
+        CramIO.Block(CramIO.Raw, CramIO.SliceHeader, 0, sh.toByteArray),
+        CramIO.Block(CramIO.Raw, CramIO.CoreData, 0, Array.emptyByteArray),
+        CramIO.Block(CramIO.Raw, CramIO.External, 1,
+          (name.getBytes("US-ASCII") ++ Array[Byte](0))),
+        CramIO.Block(CramIO.Raw, CramIO.External, 2, bases.getBytes("US-ASCII")))
+    }
+    val blocks = Seq(CramIO.Block(CramIO.Raw, CramIO.CompressionHeader, 0,
+      compHeaderBytes)) ++ sliceBlocks("s1", "ACG") ++ sliceBlocks("s2", "TTA")
+    val refs = Array.empty[graft.model.SamRef]
+    val recs = decodeContainer(blocks, refs, Array.empty, new RefSource(None, refs))
+    assert(recs.map(r => (r.qname, r.seq)).toSeq ===
+      Seq(("s1", "ACG"), ("s2", "TTA")))
+    val _ = h
+  }
+
   test("substitution features reconstruct bases through the SM matrix") {
     // hand-build a slice: one mapped read, 2 features — an X at read
     // pos 3 (code 0 = first alternative base) and a D of 2 at pos 6 —
