@@ -191,12 +191,17 @@ object CramIO {
     out.write(bodyBytes)
   }
 
-  /** EOF container: the spec-prescribed sentinel field values
-    * (refSeqId -1, startPos 4542278, 0 records, one empty raw block). */
+  /** EOF container: the spec-prescribed sentinel (refSeqId -1,
+    * startPos 4542278, 0 records) whose single raw compression-header
+    * block carries three empty maps (01 00 ×3) — with these contents
+    * the serialized container is byte-identical to the canonical
+    * 38-byte CRAM 3.0 EOF sequence, which foreign readers compare
+    * literally (CramSpecWriteSpec pins the bytes). */
   private def writeEofContainer(out: OutputStream): Unit =
     writeContainer(out, refSeqId = -1, startPos = 4542278, span = 0,
       nRecords = 0, counter = 0L, bases = 0L,
-      blocks = Seq(Block(Raw, CompressionHeader, 0, Array.emptyByteArray)),
+      blocks = Seq(Block(Raw, CompressionHeader, 0,
+        Array[Byte](1, 0, 1, 0, 1, 0))),
       landmarks = Nil)
 
   private def isEof(c: Cram.Container): Boolean =

@@ -112,6 +112,24 @@ class CramSpecWriteSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("files terminate with the canonical 38-byte CRAM 3.0 EOF sequence") {
+    import spark.implicits._
+    val dir = tmpDir("crameof")
+    val file = s"$dir/e.cram"
+    CramIO.write(spark.createDataset(mkRecs(10)).coalesce(1), header, file,
+      profile = "spec")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    // hts-specs CRAM 3.0 §9: the prescribed EOF container bytes — what
+    // htslib/htsjdk compare literally to detect a complete file
+    val canonical = Array(
+      0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0,
+      0x45, 0x4f, 0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05,
+      0xbd, 0xd9, 0x4f, 0x00, 0x01, 0x00, 0x06, 0x06, 0x01, 0x00,
+      0x01, 0x00, 0x01, 0x00, 0xee, 0x63, 0x01, 0x4b).map(_.toByte)
+    assert(bytes.length > 38)
+    assert(bytes.takeRight(38).toSeq === canonical.toSeq)
+  }
+
   test("DSv2 sink writes spec profile via option, reads back foreign") {
     import spark.implicits._
     val recs = mkRecs(200)
