@@ -990,7 +990,101 @@ object Pipeline {
       |  CAST(SUM(q.qv[CAST(v2n.dd + 1 AS INT)] * v2n.v) AS BIGINT) AS proj
       |FROM q, v2n GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- P51
+  // The composite RELEASE FILTER — the keep/drop decision an actual
+  // training-data release runs, combining four gates per document in
+  // ONE pass: exact-dedup canonicality (min doc_id over the content
+  // hash group — the only exchange in the plan), quality score ≥ 30
+  // (the P8 formula, identical association order both engines),
+  // predicted-language == en (the P7 heuristic), and PII-free (the P50
+  // patterns over the same deterministic injection).  Everything but
+  // the dedup window is scan-local, so at 100 TB this costs one
+  // content-hash shuffle — not four pipeline passes.
+  def qReleaseFilter(s: SparkSession, d: String): DataFrame = {
+    def cnt(l: String) = stopCount(l,
+      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
+    val byHash = Window.partitionBy(md5(col("text")))
+    val piiPats = Seq(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "\\+?[0-9][0-9 -]{6,}[0-9]",
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
+    Tables.documents(s, d)
+      .withColumn("is_canonical",
+        (col("doc_id") === min("doc_id").over(byHash)).cast("int"))
+      .withColumn("score", expr(
+        s"""100 * (0.4 * (CAST(size(array_distinct($tok)) AS DOUBLE) / size($tok))
+           |     + 0.3 * (least(CAST(size($tok) AS DOUBLE), 200.0) / 200.0)
+           |     + 0.3 * (CAST(${cnt("en")} AS DOUBLE) / size($tok)))""".stripMargin))
+      .withColumn("s_en", expr(cnt("en"))).withColumn("s_de", expr(cnt("de")))
+      .withColumn("s_es", expr(cnt("es"))).withColumn("s_fr", expr(cnt("fr")))
+      .withColumn("m", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+      .withColumn("lang_en", expr(
+        """CAST(CASE WHEN CAST(octet_length(text) AS DOUBLE) > 1.5 * length(text) THEN 0
+          |     WHEN m = 0 THEN 0
+          |     WHEN s_de = m THEN 0 WHEN s_en = m THEN 1
+          |     ELSE 0 END AS INT)""".stripMargin))
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" reach user"), expr("CAST(doc_id % 50 AS STRING)"),
+          lit("@mail"), expr("CAST(doc_id % 7 AS STRING)"),
+          lit(".com or host 10."), expr("CAST(doc_id % 256 AS STRING)"),
+          lit(".0."), expr("CAST(doc_id % 100 AS STRING)"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1, concat(
+          lit(" call +1 555-01"), expr("CAST(doc_id % 90 + 10 AS STRING)"),
+          lit(" now"))).otherwise(lit(""))))
+      .withColumn("pii_free",
+        piiPats.map(p => regexp_count(col("aug"), lit(p)))
+          .reduce(_ + _).equalTo(0).cast("int"))
+      .withColumn("q_pass", (col("score") >= 30.0).cast("int"))
+      .withColumn("keep",
+        (col("is_canonical") * col("q_pass") * col("lang_en") * col("pii_free"))
+          .cast("int"))
+      .select("doc_id", "is_canonical", "q_pass", "lang_en", "pii_free", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qReleaseFilterSql: String = {
+    def cnt(l: String) = stopCount(l,
+      lst => s"CAST(len(list_filter($duckTok, t -> list_contains([$lst], t))) AS INT)")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+       |         THEN 1 ELSE 0 END AS INT) AS is_canonical,
+       |    100 * (0.4 * (CAST(len(list_distinct($duckTok)) AS DOUBLE) / len($duckTok))
+       |         + 0.3 * (least(CAST(len($duckTok) AS DOUBLE), 200.0) / 200.0)
+       |         + 0.3 * (CAST(${cnt("en")} AS DOUBLE) / len($duckTok))) AS score,
+       |    ${cnt("en")} AS s_en, ${cnt("de")} AS s_de,
+       |    ${cnt("es")} AS s_es, ${cnt("fr")} AS s_fr,
+       |    text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id % 50 AS VARCHAR)
+       |         || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+       |         || '.com or host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1 555-01'
+       |         || CAST(doc_id % 90 + 10 AS VARCHAR) || ' now' ELSE '' END AS aug
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, is_canonical,
+       |    CAST(CASE WHEN score >= 30.0 THEN 1 ELSE 0 END AS INT) AS q_pass,
+       |    CAST(CASE WHEN CAST(strlen(text) AS DOUBLE) > 1.5 * length(text) THEN 0
+       |         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 0
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 0
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 1
+       |         ELSE 0 END AS INT) AS lang_en,
+       |    CAST(CASE WHEN
+       |      len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |      + len(regexp_extract_all(aug, '\\+?[0-9][0-9 -]{6,}[0-9]'))
+       |      + len(regexp_extract_all(aug, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) = 0
+       |      THEN 1 ELSE 0 END AS INT) AS pii_free
+       |  FROM base
+       |)
+       |SELECT doc_id, is_canonical, q_pass, lang_en, pii_free,
+       |  CAST(is_canonical * q_pass * lang_en * pii_free AS INT) AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_release_filter" -> (qReleaseFilter _),
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca_project" -> (qPcaProject _),
     "q_kmeans" -> (qKmeans _),
@@ -1011,6 +1105,7 @@ object Pipeline {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_release_filter" -> qReleaseFilterSql,
     "q_embed_cov" -> qEmbedCovSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_kmeans" -> qKmeansSql,
