@@ -140,11 +140,21 @@ object Bcf {
     buf.toByteArray
   }
 
+  /** Resolve a record wire index against a (possibly sparse) header
+    * dictionary — sparse IDX= headers leave null holes; a record
+    * pointing at one means the header and body disagree. */
+  private def resolve(table: Array[String], i: Int, kind: String): String = {
+    if (i < 0 || i >= table.length || table(i) == null)
+      throw new IllegalStateException(
+        s"BCF record references $kind dictionary index $i, which the header does not define")
+    table(i)
+  }
+
   def decode(data: Array[Byte], contigs: Array[String], filters: Array[String],
              infoKeys: Array[String], indiv: Array[Byte] = Array.emptyByteArray,
              fmtKeys: Array[String] = Array.empty): VcfVariant = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    val chrom = contigs(b.getInt)
+    val chrom = resolve(contigs, b.getInt, "contig")
     val pos = b.getInt + 1L
     b.getInt // rlen
     val qualBits = b.getInt
@@ -161,12 +171,12 @@ object Bcf {
     val (ft, flen) = readTyped(b)
     val filter =
       if (flen == 0) "."
-      else (0 until flen).map(_ => filters(readInt(b, ft))).mkString(";")
+      else (0 until flen).map(_ => resolve(filters, readInt(b, ft), "FILTER")).mkString(";")
     val ik = new Array[String](nInfo)
     val iv = new Array[String](nInfo)
     (0 until nInfo).foreach { i =>
       val keyIdx = readTypedIntV(b)
-      ik(i) = infoKeys(keyIdx)
+      ik(i) = resolve(infoKeys, keyIdx, "INFO")
       iv(i) = readTypedValueString(b)
     }
     val (fmt, gts) =
@@ -313,7 +323,7 @@ object Bcf {
     val fmt = new Array[String](nFmt)
     val cols = Array.fill(nSample)(new java.lang.StringBuilder(16))
     (0 until nFmt).foreach { j =>
-      val key = fmtKeys(readTypedIntV(b))
+      val key = resolve(fmtKeys, readTypedIntV(b), "FORMAT")
       fmt(j) = key
       val (t, width) = readTyped(b)
       (0 until nSample).foreach { s =>
@@ -518,7 +528,8 @@ object BcfIO {
       fmtKeys.foreach(out += _)
       out.toArray
     }
-    lazy val stringIdx: Map[String, Int] = strings.zipWithIndex.toMap
+    lazy val stringIdx: Map[String, Int] =
+      strings.zipWithIndex.filter(_._1 != null).toMap
 
     // Decode tables: what the record wire format's typed ints index.
     // Foreign/standard files use the shared table for all three kinds;
@@ -546,7 +557,8 @@ object BcfIO {
         sb.append(s"""##FORMAT=<ID=$id,Number=$num,Type=String,Description="$id",IDX=${stringIdx(id)}>""").append('\n')
       }
       contigs.zipWithIndex.foreach { case (c, i) =>
-        sb.append(s"##contig=<ID=$c,IDX=$i>").append('\n')
+        // null slots appear when a foreign header had sparse IDX= values
+        if (c != null) sb.append(s"##contig=<ID=$c,IDX=$i>").append('\n')
       }
       sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
       if (fmtKeys.nonEmpty) sb.append("\tFORMAT")
@@ -606,7 +618,12 @@ object BcfIO {
             if (free < n) table(free) = id
           case _ =>
         }
-        table.filter(_ != null)
+        // keep null entries at unused slots: htslib IDX= values may be
+        // sparse (e.g. after bcftools subsetting), and the record wire
+        // indices are the IDX values themselves — compacting would
+        // shift every id after a gap.  Lookups of a null slot fail
+        // loudly in Bcf.resolve.
+        table
       }
       val shared = place(entries.toSeq, passFirst = true)
       def kind(k: String): Array[String] =

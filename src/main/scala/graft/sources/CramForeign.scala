@@ -384,10 +384,12 @@ object CramForeign {
   final case class ExternalEnc(cid: Int) extends Enc
 
   /** Canonical Huffman (§12.4): `lens(i)` bits for `syms(i)`, codes
-    * assigned in (length, listed-order) sequence.  The ubiquitous
-    * degenerate single-symbol/zero-bit form reads nothing. */
+    * assigned in (length, symbol-value) sequence — htslib/htsjdk sort
+    * ties within a code length by symbol VALUE, not by listed order,
+    * so a conforming file may list its alphabet unsorted.  The
+    * ubiquitous degenerate single-symbol/zero-bit form reads nothing. */
   final case class HuffmanEnc(syms: Array[Int], lens: Array[Int]) extends Enc {
-    private val order = syms.indices.sortBy(i => (lens(i), i))
+    private val order = syms.indices.sortBy(i => (lens(i), syms(i)))
     // (length, code) -> symbol; alphabets here are tiny (≤ ~41 syms)
     private val table: Map[(Int, Int), Int] = {
       var code = 0
@@ -578,18 +580,29 @@ object CramForeign {
     * through the FASTA `.fai` ranged read — a task never loads more
     * than the spans its slices cover. */
   final class RefSource(path: Option[String], refs: Array[SamRef]) {
+    // one window per refId, sized by the slice span — NOT the contig:
+    // a whole human chr1 would be ~250 MB of String per task thread.
+    // Slices of a task arrive in coordinate order, so keeping only the
+    // latest window per refId bounds memory at max-slice-span while
+    // still serving every record of the current slice from one fetch.
     private val cache = scala.collection.mutable.Map[Int, (Int, String)]()
     /** Bases covering [start, start+span) of `refId`, 1-based start. */
-    def slice(refId: Int, start: Int, span: Int): (Int, String) =
-      cache.getOrElseUpdate(refId, {
-        val p = path.getOrElse(throw new IllegalArgumentException(
-          "this CRAM requires the reference FASTA to reconstruct sequences " +
-            "(compression header sets RR=1): pass option(\"reference\", <fasta>) " +
-            "/ CramIO.read(..., reference = Some(<fasta>))"))
-        // whole contig: slices of one task commonly tile it, and CRAM
-        // contigs bound memory by construction (one contig per entry)
-        (1, Fasta.region(p, refs(refId).name, 1L, refs(refId).length))
-      })
+    def slice(refId: Int, start: Int, span: Int): (Int, String) = {
+      cache.get(refId) match {
+        case Some(w @ (s0, bases))
+            if s0 <= start && start.toLong + span <= s0.toLong + bases.length => w
+        case _ =>
+          val p = path.getOrElse(throw new IllegalArgumentException(
+            "this CRAM requires the reference FASTA to reconstruct sequences " +
+              "(compression header sets RR=1): pass option(\"reference\", <fasta>) " +
+              "/ CramIO.read(..., reference = Some(<fasta>))"))
+          val s1 = math.max(1L, start.toLong)
+          val e1 = math.min(refs(refId).length, start.toLong + math.max(span, 1) - 1)
+          val w = (s1.toInt, Fasta.region(p, refs(refId).name, s1, e1))
+          cache(refId) = w
+          w
+      }
+    }
     def available: Boolean = path.isDefined
   }
 
@@ -804,6 +817,10 @@ object CramForeign {
         while (k < rl) { seq(k) = (readByte(reqEnc("BA"), ctx) & 0xff).toChar; k += 1 }
         r.seq = if (rl == 0) "*" else new String(seq)
       }
+      // CF bit 0x8 (§8.4): SEQ is unknown — htslib sets it for mapped
+      // records whose bases were not stored; report '*' like samtools
+      // rather than the reference-reconstructed bases decoded above.
+      if ((cf & 0x8) != 0) r.seq = "*"
       if ((cf & 0x1) != 0) { // qualities stored as an array
         val qe = reqEnc("QS")
         var k = 0

@@ -217,7 +217,19 @@ object CramSpecWrite {
       }
       val unmapped = (r.flag & 0x4) != 0
       val seqLen = if (r.seq == "*") 0 else r.seq.length
-      if (!unmapped) {
+      if (!unmapped && r.cigar == "*") {
+        // Legal SAM corner: mapped (0x4 clear) but CIGAR-less.  CRAM
+        // has no way to say "mapped, no alignment detail", so store any
+        // bases as one verbatim 'b' run — it reads back as <len>M with
+        // the exact bases, which is how htsjdk reconstructs such
+        // records too (features → CIGAR; no features → readLength M).
+        if (seqLen > 0) {
+          s.itf8(FN, 1)
+          s.byte(FC, 'b'); s.itf8(FP, 1)
+          s.itf8(BB, seqLen); s.bytes(BB, r.seq.getBytes(US_ASCII))
+        } else s.itf8(FN, 0)
+        s.itf8(MQ, r.mapq)
+      } else if (!unmapped) {
         val ops = cigarOps(r.cigar)
         val feats = scala.collection.mutable.ArrayBuffer[(Char, Int)]() // (code, fpos)
         var rpos = 0 // 0-based read cursor

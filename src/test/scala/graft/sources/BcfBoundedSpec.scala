@@ -146,4 +146,40 @@ class BcfBoundedSpec extends SparkSpec {
     val intervals = Seq(("c1", 100, 800))
     assert(ids(BcfIO.readIntervals(spark, f, intervals)) === naive(f, intervals))
   }
+
+  test("sparse IDX= headers keep dictionary gaps (htslib subsetting)") {
+    // bcftools subsetting legitimately leaves holes in the IDX space;
+    // record wire indices ARE the IDX values, so the table must not
+    // compact around gaps
+    val header =
+      """##fileformat=VCFv4.3
+        |##FILTER=<ID=PASS,Description="ok",IDX=0>
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=3>
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="g",IDX=5>
+        |##contig=<ID=chr1,IDX=0>
+        |##contig=<ID=chr3,IDX=2>
+        |#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO""".stripMargin
+    val d = BcfIO.Dicts.fromHeader(header)
+    assert(d.strings(0) === "PASS")
+    assert(d.strings(3) === "DP")
+    assert(d.strings(5) === "GT")
+    assert(d.strings(1) === null && d.strings(2) === null && d.strings(4) === null)
+    assert(d.contigs(0) === "chr1" && d.contigs(1) === null && d.contigs(2) === "chr3")
+
+    // a record whose wire indices are the sparse IDX values decodes to
+    // the right names
+    val v = VcfVariant("chr3", 42L, "v1", "A", Array("C"), Some(9.0), "PASS",
+      Array("DP"), Array("7"), Array.empty, Array.empty)
+    val bytes = Bcf.encode(v, Map("chr3" -> 2), Map("PASS" -> 0), Map("DP" -> 3))
+    val back = Bcf.decode(bytes, d.contigs, d.filterTable, d.infoTable)
+    assert(back.chrom === "chr3")
+    assert(back.filter === "PASS")
+    assert(back.infoKeys.toSeq === Seq("DP") && back.infoValues.toSeq === Seq("7"))
+
+    // a record pointing at an undefined slot fails loudly, not silently
+    val badContig = Bcf.encode(v, Map("chr3" -> 1), Map("PASS" -> 0), Map("DP" -> 3))
+    val e = intercept[IllegalStateException](
+      Bcf.decode(badContig, d.contigs, d.filterTable, d.infoTable))
+    assert(e.getMessage.contains("dictionary index 1"))
+  }
 }

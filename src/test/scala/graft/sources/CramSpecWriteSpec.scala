@@ -98,6 +98,29 @@ class CramSpecWriteSpec extends SparkSpec {
     assert(r.seq === "ACGTACGTAC" && r.pos === 5) // bases/pos preserved
   }
 
+  test("mapped records with CIGAR '*' but bases present write without aborting") {
+    import spark.implicits._
+    // legal SAM corner (flag 0x4 clear, CIGAR '*', bases stored):
+    // previously hit the rpos==seqLen assertion mid-encode.  CRAM has
+    // no "mapped, no alignment detail" state; the bases go out as one
+    // verbatim run and read back as <len>M — the same reconstruction
+    // htsjdk performs for feature-less mapped records.
+    val in = Seq(
+      SamRecord("m0", 0, "chr1", 50, 13, "*", "*", 0, 0,
+        "ACGTAC", "IIIIII", Array("XX:i:1")),
+      SamRecord("m1", 0x10, "chr1", 90, 0, "*", "*", 0, 0, "*", "*", Array.empty))
+    val dir = tmpDir("cramspec_nocigar")
+    val file = s"$dir/c.cram"
+    CramIO.write(spark.createDataset(in).coalesce(1), header, file, profile = "spec")
+    val back = CramIO.read(spark, file).collect().map(r => r.qname -> r).toMap
+    val m0 = back("m0")
+    assert(m0.seq === "ACGTAC" && m0.qual === "IIIIII")
+    assert(m0.cigar === "6M" && m0.pos === 50 && m0.mapq === 13)
+    assert(m0.tags.toSeq === Seq("XX:i:1"))
+    val m1 = back("m1")
+    assert(m1.seq === "*" && m1.cigar === "*" && m1.pos === 90)
+  }
+
   test("interval reads prune spec-profile containers through the .crai") {
     import spark.implicits._
     val recs = mkRecs(600)

@@ -381,4 +381,52 @@ class ForeignCramSpec extends SparkSpec {
     assert(rec.tlen === 0)
     assert(rec.qual === "*")
   }
+
+  test("canonical Huffman codes assign by (length, symbol value), not listed order") {
+    import CramForeign._
+    // alphabet listed value-DESCENDING within equal code lengths: the
+    // spec (and htslib/htsjdk) sort ties by symbol VALUE, so 65 must
+    // take the short code and 66 < 67 the two-bit codes in value order
+    val enc = HuffmanEnc(Array(67, 66, 65), Array(2, 2, 1))
+    // bit stream 0 | 10 | 11 → 65, 66, 67; packed MSB-first = 0101_1000
+    val br = new BitReader(Array(0x58.toByte))
+    assert(enc.read(br) === 65)
+    assert(enc.read(br) === 66)
+    assert(enc.read(br) === 67)
+  }
+
+  test("CF bit 0x8 reports SEQ as '*' instead of reference bases") {
+    import CramForeign._
+    // one mapped record, FN=0 (pure match run) against an embedded
+    // reference — without CF 0x8 it would decode as the reference
+    // bases; with it, samtools/htsjdk report '*'
+    val h = CompHeader(apDelta = false, rnCaptured = true, refRequired = false,
+      subMatrix = Array[Byte](0x1b, 0x1b, 0x1b, 0x1b, 0x1b),
+      tagLines = Array(Array.empty[TagDef]),
+      ds = Map(
+        "BF" -> HuffmanEnc(Array(0), Array(0)),
+        "CF" -> HuffmanEnc(Array(0xA), Array(0)), // detached + unknown SEQ
+        "RL" -> HuffmanEnc(Array(4), Array(0)),
+        "AP" -> HuffmanEnc(Array(10), Array(0)),
+        "RG" -> HuffmanEnc(Array(-1), Array(0)),
+        "RN" -> ByteArrayStopEnc(0, 1),
+        "MF" -> HuffmanEnc(Array(0), Array(0)),
+        "NS" -> HuffmanEnc(Array(-1), Array(0)),
+        "NP" -> HuffmanEnc(Array(0), Array(0)),
+        "TS" -> HuffmanEnc(Array(0), Array(0)),
+        "TL" -> HuffmanEnc(Array(0), Array(0)),
+        "FN" -> HuffmanEnc(Array(0), Array(0)),
+        "MQ" -> HuffmanEnc(Array(60), Array(0))),
+      tagEnc = Map.empty)
+    val slice = SliceHeader(0, 10, 4, 1, Array(1, 2), 2)
+    val ctx = new SliceCtx(new BitReader(Array[Byte](0)), Map(
+      1 -> new ByteStream("r1".getBytes("US-ASCII") ++ Array[Byte](0)),
+      2 -> new ByteStream("ACGT".getBytes("US-ASCII")))) // embedded ref
+    val refs = Array(graft.model.SamRef("chr1", 100))
+    val rec = decodeSlice(h, slice, ctx, refs, Array.empty,
+      new RefSource(None, refs)).head
+    assert(rec.cigar === "4M") // alignment detail still decodes
+    assert(rec.seq === "*")    // but SEQ is reported unknown
+    assert(rec.qual === "*")
+  }
 }
