@@ -1000,17 +1000,22 @@ object Pipeline {
   // patterns over the same deterministic injection).  Everything but
   // the dedup window is scan-local, so at 100 TB this costs one
   // content-hash shuffle — not four pipeline passes.
-  def qReleaseFilter(s: SparkSession, d: String): DataFrame = {
+  /** The scan-local release gates (quality, language, PII) on any
+    * frame carrying (doc_id, text) — shared VERBATIM between the batch
+    * composite below and its streaming analog
+    * ([[graft.streaming.StreamReleaseFilter]]), so the two engines
+    * cannot drift: adds q_pass / lang_en / pii_free (plus the
+    * intermediate score / lang-evidence columns they derive from).
+    * Everything here is per-row, so in a stream it runs in the scan
+    * stage with no state. */
+  def releaseGates(df: DataFrame): DataFrame = {
     def cnt(l: String) = stopCount(l,
       lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
-    val byHash = Window.partitionBy(md5(col("text")))
     val piiPats = Seq(
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
       "\\+?[0-9][0-9 -]{6,}[0-9]",
       "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
-    Tables.documents(s, d)
-      .withColumn("is_canonical",
-        (col("doc_id") === min("doc_id").over(byHash)).cast("int"))
+    df
       .withColumn("score", expr(
         s"""100 * (0.4 * (CAST(size(array_distinct($tok)) AS DOUBLE) / size($tok))
            |     + 0.3 * (least(CAST(size($tok) AS DOUBLE), 200.0) / 200.0)
@@ -1036,6 +1041,14 @@ object Pipeline {
         piiPats.map(p => regexp_count(col("aug"), lit(p)))
           .reduce(_ + _).equalTo(0).cast("int"))
       .withColumn("q_pass", (col("score") >= 30.0).cast("int"))
+  }
+
+  def qReleaseFilter(s: SparkSession, d: String): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    releaseGates(
+      Tables.documents(s, d)
+        .withColumn("is_canonical",
+          (col("doc_id") === min("doc_id").over(byHash)).cast("int")))
       .withColumn("keep",
         (col("is_canonical") * col("q_pass") * col("lang_en") * col("pii_free"))
           .cast("int"))
