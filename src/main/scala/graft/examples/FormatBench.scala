@@ -115,6 +115,71 @@ object FormatBench {
     }
     creadN("cram_read_graft", cg)
     creadN("cram_read_spec", cspec)
+
+    // ---- lazy VCF/BCF genotype decode (LazyVCFGenotypesContext /
+    // LazyBCFGenotypesContext analog): a many-sample cohort file read
+    // site-only vs full.  The genotype matrix dominates the bytes, so
+    // the site-only read should win big — for BCF it never even reads
+    // those bytes off the decompressed stream.
+    import graft.model.VcfVariant
+    import graft.sources.{BcfIO, Vcf}
+    val nSam = 500
+    val nSite = n / 100
+    val gtNames = (0 until nSam).map(i => s"s$i")
+    val vcfFile = s"$dir/bench_cohort.vcf"
+    val vcfHeader = Seq(
+      "##fileformat=VCFv4.3",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"g\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"d\">",
+      "##contig=<ID=chr1,length=200000000>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +
+        gtNames.map("\t" + _).mkString)
+    timed("vcf_cohort_write") {
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(vcfFile), 1 << 20)
+      vcfHeader.foreach { l => w.write(l); w.write('\n') }
+      var i = 0
+      while (i < nSite) {
+        w.write(s"chr1\t${100 + i * 37}\tv$i\tA\tG\t50\tPASS\tDP=${i % 90}\tGT:DP")
+        var s2 = 0
+        while (s2 < nSam) { w.write(s"\t${s2 % 2}/${(s2 + i) % 2}:${s2 % 60}"); s2 += 1 }
+        w.write('\n')
+        i += 1
+      }
+      w.close()
+    }
+    val vlen = java.nio.file.Files.size(java.nio.file.Paths.get(vcfFile))
+    val vsplit = math.max(1L << 20, vlen / (cpus * 2))
+    def vreadN(label: String, cols: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val c = Vcf.read(spark, vcfFile, splitSize = vsplit, columns = cols).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      require(c == nSite, s"$label read $c of $nSite")
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nSite / t / 1e3}%6.1f ksite/s")
+      t
+    }
+    val vFull = vreadN("vcf_cohort_full", Nil)
+    val vSite = vreadN("vcf_cohort_site", Seq("chrom", "pos", "id", "infoKeys"))
+    println(f"FORMATBENCH vcf_site_speedup ${vFull / vSite}%.2fx")
+
+    val bcfFile = s"$dir/bench_cohort.bcf"
+    val dicts = BcfIO.Dicts(Array("chr1"), Array("PASS"), Array("DP"),
+      Array("GT", "DP"))
+    timed("bcf_cohort_write") {
+      BcfIO.write(Vcf.read(spark, vcfFile, splitSize = vsplit)
+        .repartition(1).sortWithinPartitions("pos"), dicts, bcfFile)
+    }
+    def breadN(label: String, cols: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val c = BcfIO.read(spark, bcfFile, columns = cols).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      require(c == nSite, s"$label read $c of $nSite")
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nSite / t / 1e3}%6.1f ksite/s")
+      t
+    }
+    val bFull = breadN("bcf_cohort_full", Nil)
+    val bSite = breadN("bcf_cohort_site", Seq("chrom", "pos", "id", "infoKeys"))
+    println(f"FORMATBENCH bcf_site_speedup ${bFull / bSite}%.2fx")
     spark.stop()
   }
 }

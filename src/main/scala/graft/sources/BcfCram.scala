@@ -152,7 +152,8 @@ object Bcf {
 
   def decode(data: Array[Byte], contigs: Array[String], filters: Array[String],
              infoKeys: Array[String], indiv: Array[Byte] = Array.emptyByteArray,
-             fmtKeys: Array[String] = Array.empty): VcfVariant = {
+             fmtKeys: Array[String] = Array.empty,
+             fields: Int = Vcf.AllFields): VcfVariant = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val chrom = resolve(contigs, b.getInt, "contig")
     val pos = b.getInt + 1L
@@ -172,15 +173,20 @@ object Bcf {
     val filter =
       if (flen == 0) "."
       else (0 until flen).map(_ => resolve(filters, readInt(b, ft), "FILTER")).mkString(";")
-    val ik = new Array[String](nInfo)
-    val iv = new Array[String](nInfo)
-    (0 until nInfo).foreach { i =>
+    // INFO is the tail of the shared block: an unmasked-out decode
+    // (lazy site-only read, ref: LazyBCFGenotypesContext.java:1) just
+    // stops here instead of walking the typed values
+    val wantInfo = (fields & Vcf.FInfo) != 0 && nInfo > 0
+    val ik = if (wantInfo) new Array[String](nInfo) else Array.empty[String]
+    val iv = if (wantInfo) new Array[String](nInfo) else Array.empty[String]
+    if (wantInfo) (0 until nInfo).foreach { i =>
       val keyIdx = readTypedIntV(b)
       ik(i) = resolve(infoKeys, keyIdx, "INFO")
       iv(i) = readTypedValueString(b)
     }
     val (fmt, gts) =
-      if (nFmt > 0 && nSample > 0 && indiv.nonEmpty && fmtKeys.nonEmpty)
+      if ((fields & Vcf.FGenotypes) != 0 &&
+        nFmt > 0 && nSample > 0 && indiv.nonEmpty && fmtKeys.nonEmpty)
         decodeIndiv(indiv, fmtKeys, nFmt, nSample)
       else (Array.empty[String], Array.empty[String])
     VcfVariant(chrom, pos, if (id0.isEmpty) "." else id0, ref, alts, qual,
@@ -757,14 +763,30 @@ object BcfIO {
     } finally in.close()
   }
 
+  /** Skip exactly `n` stream bytes through a bounded scratch buffer
+    * (InputStream.skip may be a read loop anyway on decoded streams,
+    * and can legally return 0). */
+  private def skipFully(in: java.io.InputStream, n: Int,
+                        scratch: Array[Byte]): Unit = {
+    var left = n
+    while (left > 0) {
+      val r = in.read(scratch, 0, math.min(left, scratch.length))
+      require(r > 0, s"EOF with $left genotype bytes left to skip")
+      left -= r
+    }
+  }
+
   /** Decode every record of a plain (uncompressed) BCF body stream. */
   private def plainRecordIterator(in: java.io.InputStream,
-                                  dicts: Dicts): Iterator[VcfVariant] = {
+                                  dicts: Dicts,
+                                  fields: Int = Vcf.AllFields): Iterator[VcfVariant] = {
     val contigs = dicts.contigs; val filters = dicts.filterTable
     val infoKeys = dicts.infoTable; val fmtKeys = dicts.fmtTable
+    val wantG = (fields & Vcf.FGenotypes) != 0
     new Iterator[VcfVariant] {
       private var nextV: VcfVariant = _
       private var done = false
+      private lazy val scratch = new Array[Byte](8192)
       private def fetch(): Unit = {
         while (nextV == null && !done) {
           val a = in.read()
@@ -775,10 +797,14 @@ object BcfIO {
           val shared = new Array[Byte](lShared)
           var o = 0
           while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
-          val indiv = new Array[Byte](lIndiv)
-          var o2 = 0
-          while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
-          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
+          val indiv =
+            if (wantG) {
+              val b = new Array[Byte](lIndiv)
+              var o2 = 0
+              while (o2 < lIndiv) { val r = in.read(b, o2, lIndiv - o2); require(r > 0); o2 += r }
+              b
+            } else { skipFully(in, lIndiv, scratch); Array.emptyByteArray }
+          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys, fields)
         }
       }
       override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }
@@ -807,12 +833,13 @@ object BcfIO {
 
   /** Plain BCF = the single-stream piping form: one task decodes the
     * body (files at scale are BGZF; this path exists for interop). */
-  private def readPlain(spark: org.apache.spark.sql.SparkSession, file: String):
+  private def readPlain(spark: org.apache.spark.sql.SparkSession, file: String,
+                        fields: Int = Vcf.AllFields):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
     spark.sparkContext.parallelize(Seq(file), 1).flatMap { f =>
       val (dicts, in) = openPlainBody(f)
-      plainRecordIterator(in, dicts)
+      plainRecordIterator(in, dicts, fields)
     }.toDS()
   }
 
@@ -861,11 +888,12 @@ object BcfIO {
     * on exhaustion; use [[openRangeWithCloser]] when the iterator may
     * be abandoned early. */
   private[sources] def openRange(file: String, startVo: Long, endVo: Long,
-                        dicts: Dicts): Iterator[VcfVariant] =
-    openRangeWithCloser(file, startVo, endVo, dicts)._1
+                        dicts: Dicts, fields: Int = Vcf.AllFields): Iterator[VcfVariant] =
+    openRangeWithCloser(file, startVo, endVo, dicts, fields)._1
 
   private[sources] def openRangeWithCloser(file: String, startVo: Long, endVo: Long,
-                        dicts: Dicts): (Iterator[VcfVariant], () => Unit) = {
+                        dicts: Dicts, fields: Int = Vcf.AllFields):
+      (Iterator[VcfVariant], () => Unit) = {
     val (tfs, tpath) = Fs.get(file)
     val raw = tfs.open(tpath)
     raw.seek(Bgzf.voCompressed(startVo))
@@ -874,9 +902,11 @@ object BcfIO {
     in.seekInBlock(Bgzf.voUncompressed(startVo))
     val contigs = dicts.contigs; val filters = dicts.filterTable
     val infoKeys = dicts.infoTable; val fmtKeys = dicts.fmtTable
+    val wantG = (fields & Vcf.FGenotypes) != 0
     val it = new Iterator[VcfVariant] {
       private var nextV: VcfVariant = _
       private var done = false
+      private lazy val scratch = new Array[Byte](8192)
       private def fetch(): Unit = {
         while (nextV == null && !done) {
           if (in.virtualPos >= endVo) { done = true; in.close(); return }
@@ -888,10 +918,14 @@ object BcfIO {
           val shared = new Array[Byte](lShared)
           var o = 0
           while (o < lShared) { val r = in.read(shared, o, lShared - o); require(r > 0); o += r }
-          val indiv = new Array[Byte](lIndiv)
-          var o2 = 0
-          while (o2 < lIndiv) { val r = in.read(indiv, o2, lIndiv - o2); require(r > 0); o2 += r }
-          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys)
+          val indiv =
+            if (wantG) {
+              val b = new Array[Byte](lIndiv)
+              var o2 = 0
+              while (o2 < lIndiv) { val r = in.read(b, o2, lIndiv - o2); require(r > 0); o2 += r }
+              b
+            } else { skipFully(in, lIndiv, scratch); Array.emptyByteArray }
+          nextV = Bcf.decode(shared, contigs, filters, infoKeys, indiv, fmtKeys, fields)
         }
       }
       override def hasNext: Boolean = { if (nextV == null) fetch(); nextV != null }
@@ -904,16 +938,18 @@ object BcfIO {
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, file: String,
-           splitSize: Long = 64L * 1024 * 1024):
+           splitSize: Long = 64L * 1024 * 1024,
+           columns: Seq[String] = Nil):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
-    if (isPlainBcf(file)) return readPlain(spark, file)
+    val fields = Vcf.maskFor(columns)
+    if (isPlainBcf(file)) return readPlain(spark, file, fields)
     val (dicts, _) = headerInfo(file)
     // foreign BCFs without a sidecar fall back to BGZF block discovery
     // + record guessing, exactly the BAM shape (ref: BCFSplitGuesser.java)
     val ranges = planFullRanges(file, splitSize)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { case (startVo, endVo2) => openRange(file, startVo, endVo2, dicts) }
+      .flatMap { case (startVo, endVo2) => openRange(file, startVo, endVo2, dicts, fields) }
       .toDS()
   }
 
@@ -942,15 +978,19 @@ object BcfIO {
     * needed. */
   def readIntervals(spark: org.apache.spark.sql.SparkSession, file: String,
                     intervals: Seq[(String, Int, Int)],
-                    splitSize: Long = 64L * 1024 * 1024):
+                    splitSize: Long = 64L * 1024 * 1024,
+                    columns: Seq[String] = Nil):
       org.apache.spark.sql.Dataset[VcfVariant] = {
     import spark.implicits._
-    if (intervals.isEmpty) return read(spark, file, splitSize)
+    if (intervals.isEmpty) return read(spark, file, splitSize, columns)
+    // the overlap filter needs INFO END= spans, so the INFO group
+    // always decodes on bounded paths; genotype masking still applies
+    val fields = Vcf.maskFor(columns) | Vcf.FInfo
     if (isPlainBcf(file)) {
       // no index can exist over an uncompressed body: exact filter
       // over the single-stream read
       val iv = intervals.toArray
-      return readPlain(spark, file).filter { v =>
+      return readPlain(spark, file, fields).filter { v =>
         iv.exists { case (c, s, e) => v.chrom == c && v.pos <= e && bcfEnd(v) >= s }
       }
     }
@@ -965,10 +1005,14 @@ object BcfIO {
     planIntervalRanges(file, intervals, splitSize) match {
       case Some(ranges) =>
         spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
-          .flatMap { case (s0, e0) => openRange(file, s0, e0, dicts).filter(overlaps) }
+          .flatMap { case (s0, e0) =>
+            openRange(file, s0, e0, dicts, fields).filter(overlaps) }
           .toDS()
       case None =>
-        read(spark, file, splitSize).filter(overlaps(_))
+        // keep INFO in the mask: overlaps() reads END= spans
+        val cols = if (columns.isEmpty) Nil
+          else (columns ++ Seq("infoKeys", "infoValues")).distinct
+        read(spark, file, splitSize, cols).filter(overlaps(_))
     }
   }
 

@@ -44,15 +44,61 @@ object Vcf {
     } finally in.close()
   }
 
+  // ---- lazy-decode field groups (ref: LazyVCFGenotypesContext.java:1
+  // — the reference defers genotype parsing until accessed; here the
+  // caller states up front which column groups it needs and the rest
+  // are skipped at scan level: a site-only read of a many-sample VCF
+  // never splits, allocates, or even scans the genotype columns).
+  // Site fields (CHROM..FILTER) are always parsed.
+  val FInfo = 1
+  val FGenotypes = 2
+  val AllFields: Int = FInfo | FGenotypes
+
+  /** Decode mask for a set of requested VcfVariant column names (the
+    * DSv2 pruned schema or a typed reader's `columns` option). */
+  def maskFor(columns: Seq[String]): Int =
+    if (columns.isEmpty) AllFields
+    else columns.foldLeft(0) { (m, c) =>
+      m | (c match {
+        case "infoKeys" | "infoValues" => FInfo
+        case "format" | "genotypes" => FGenotypes
+        case _ => 0
+      })
+    }
+
   /** Parse one record line (8+ tab fields).  INFO decomposes into
     * parallel key/value arrays (flag keys get value "");
     * genotype columns stay raw with the FORMAT key list — lazy decode
     * like LazyVCFGenotypesContext.java. */
-  def parseLine(l: String): VcfVariant = {
-    val f = l.split("\t", -1)
+  def parseLine(l: String): VcfVariant = parseLine(l, AllFields)
+
+  /** Parse with a field mask: unmasked column groups are skipped, not
+    * parsed — a genotype-less parse stops its tab scan after INFO. */
+  def parseLine(l: String, fields: Int): VcfVariant = {
+    val f =
+      if ((fields & FGenotypes) != 0) l.split("\t", -1)
+      else {
+        // a many-sample line is mostly genotype text: extract only the
+        // 8 site fields by position instead of splitting the whole line
+        val head = new Array[String](8)
+        var start = 0
+        var i = 0
+        while (i < 8) {
+          if (start > l.length) head(i) = "."
+          else {
+            val t = l.indexOf('\t', start)
+            val end = if (t < 0) l.length else t
+            head(i) = l.substring(start, end)
+            start = end + 1
+          }
+          i += 1
+        }
+        head
+      }
     val info = f(7)
     val (ik, iv) =
-      if (info == "." || info.isEmpty) (Array.empty[String], Array.empty[String])
+      if ((fields & FInfo) == 0 || info == "." || info.isEmpty)
+        (Array.empty[String], Array.empty[String])
       else {
         val pairs = info.split(";").map { kv =>
           val i = kv.indexOf('=')
@@ -91,13 +137,17 @@ object Vcf {
     (base ++ tail).mkString("\t")
   }
 
-  /** Distributed read (plain or BGZF). */
+  /** Distributed read (plain or BGZF).  `columns` limits decode to the
+    * named VcfVariant columns (site fields always decode) — a
+    * site-only read of a many-sample file skips the genotype text. */
   def read(spark: SparkSession, path: String,
-           splitSize: Long = 64L * 1024 * 1024): Dataset[VcfVariant] = {
+           splitSize: Long = 64L * 1024 * 1024,
+           columns: Seq[String] = Nil): Dataset[VcfVariant] = {
     import spark.implicits._
+    val mask = maskFor(columns)
     RangedText.lines(spark, path, splitSize)
       .filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
-      .map(l => parseLine(l.text))
+      .map(l => parseLine(l.text, mask))
       .toDS()
   }
 
@@ -188,14 +238,16 @@ object Vcf {
   /** [[readTask]] plus a closer for consumers that may abandon the
     * iterator early (DSv2 readers under LIMIT): chunks self-close on
     * exhaustion, the closer releases the one in flight. */
-  def openTask(t: ChunkTask): (Iterator[VcfVariant], () => Unit) = {
+  def openTask(t: ChunkTask, fields: Int = AllFields): (Iterator[VcfVariant], () => Unit) = {
     val (ivS, _) = t.contigIvs(t.ivIdx)
     var inFlight: () => Unit = () => ()
     val it = t.chunks.iterator.flatMap { case (beg, end) =>
       val (lines, closer) = RangedText.openLinesAtVo(t.file, beg, end)
       inFlight = closer
       lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
-        .map(l => parseLine(l.text))
+        // the ownership filter below needs spanEnd (INFO END=), so the
+        // INFO group always decodes on this path
+        .map(l => parseLine(l.text, fields | FInfo))
         .filter { v =>
           val pos = v.pos.toInt
           lazy val end1 = spanEnd(v)

@@ -297,10 +297,17 @@ object SamFraming extends RangeFraming[SamRecord] {
 
 object VcfFraming extends RangeFraming[VcfVariant] {
   def frame(path: String, start: Long, end: Long, comp: RangedText.Compression)
+      : (Iterator[VcfVariant], () => Unit) =
+    frameMasked(path, start, end, comp, Vcf.AllFields)
+
+  /** Range framing with a lazy-decode field mask (pruned-schema-driven
+    * batch reads; streaming keeps the full decode). */
+  def frameMasked(path: String, start: Long, end: Long,
+                  comp: RangedText.Compression, mask: Int)
       : (Iterator[VcfVariant], () => Unit) = {
     val (lines, closer) = RangedText.openLines(path, start, end, comp, stopAtEnd = true)
     (lines.filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
-      .map(l => Vcf.parseLine(l.text)), closer)
+      .map(l => Vcf.parseLine(l.text, mask)), closer)
   }
 }
 
@@ -904,6 +911,9 @@ case class VcfRangePartition(path: String, start: Long, end: Long,
     extends InputPartition
 
 class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+  // lazy decode from the pruned schema (ref: LazyVCFGenotypesContext
+  // .java:1): a site-only projection never parses genotype columns
+  private def mask: Int = Vcf.maskFor(pruned.fieldNames.toSeq)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VcfChunkPartition(task) =>
@@ -912,11 +922,13 @@ class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
         // `intervals` option promises; for filter-derived intervals the
         // same output is a superset of what Spark's residual predicates
         // keep, so exactness stays with Spark either way
-        val (it, closer) = Vcf.openTask(task)
+        val (it, closer) = Vcf.openTask(task, mask)
         new GraftDataSources.RecordReader(it,
           ExpressionEncoder[VcfVariant](), pruned, closer)
       case VcfRangePartition(path, start, end, comp, intervals) =>
-        val (it, closer) = VcfFraming.frame(path, start, end, comp)
+        // the interval overlap filter below needs INFO END= spans
+        val m = if (intervals.isEmpty) mask else mask | Vcf.FInfo
+        val (it, closer) = VcfFraming.frameMasked(path, start, end, comp, m)
         val filtered =
           if (intervals.isEmpty) it
           else {
@@ -1030,8 +1042,13 @@ case class BcfPartition(file: String, startVo: Long, endVo: Long,
 class BcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BcfPartition]
+    // lazy decode from the pruned schema: a site-only projection skips
+    // the genotype matrix at byte level (and the INFO walk when
+    // neither INFO column nor an interval filter needs it)
+    val mask0 = Vcf.maskFor(pruned.fieldNames.toSeq)
+    val mask = if (bp.intervals.isEmpty) mask0 else mask0 | Vcf.FInfo
     val (base, closer) =
-      BcfIO.openRangeWithCloser(bp.file, bp.startVo, bp.endVo, bp.dicts)
+      BcfIO.openRangeWithCloser(bp.file, bp.startVo, bp.endVo, bp.dicts, mask)
     val it =
       if (bp.intervals.isEmpty) base
       else base.filter(BcfIO.overlapFilter(Vcf.mergeIntervals(bp.intervals.toSeq)))
