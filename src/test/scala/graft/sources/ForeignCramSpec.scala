@@ -195,6 +195,129 @@ class ForeignCramSpec extends SparkSpec {
     }
   }
 
+  test("rANS Nx16 round-trips: orders, 4/32-way, PACK/RLE/CAT/STRIPE/NOSZ") {
+    import RansNx16._
+    val rnd = new scala.util.Random(31)
+    val payloads = Seq(
+      Array.fill(1)(42.toByte),
+      Array.fill(3)(0.toByte),
+      Array.tabulate(4096)(i => (i % 251).toByte), // dense alphabet
+      Array.fill(10000)((rnd.nextInt(4) + 60).toByte), // ≤16 syms (packable)
+      Array.tabulate(5000)(i => if (i % 100 < 90) 'A'.toByte else rnd.nextInt(256).toByte),
+      Array.fill(7)(rnd.nextInt(256).toByte), // below one interleave round
+      Array.fill(9000)(7.toByte), // single symbol, long runs
+      (("AAAAAAAABBC" * 700) + "ZQ").getBytes("US-ASCII"), // runny
+      ("FredJim" * 400).getBytes("US-ASCII"))
+    val flagSets = Seq(
+      0, Order1, N32, Order1 | N32, Cat,
+      Pack, Pack | Order1, Rle, Rle | Order1 | N32, Pack | Rle,
+      Stripe, Stripe | Order1, Stripe | N32)
+    for (p <- payloads; fl <- flagSets) {
+      val enc = encode(p, fl)
+      val dec = decode(enc)
+      assert(java.util.Arrays.equals(dec, p),
+        s"nx16 flags 0x${fl.toHexString} length ${p.length} round-trip mismatch")
+      // NOSZ variant: size carried out of band
+      val encN = encode(p, fl | NoSz)
+      val decN = decode(encN, p.length)
+      assert(java.util.Arrays.equals(decN, p),
+        s"nx16+NOSZ flags 0x${fl.toHexString} round-trip mismatch")
+    }
+  }
+
+  /** Re-emit a CRAM 2.x stream as CRAM 3.1: every block payload
+    * re-compressed with rANS Nx16 (method 5), 3.0-style CRCs, version
+    * bytes 3.1.  No htslib 3.1 fixture is available offline; this
+    * pins the method-5 dispatch and the Nx16 codec under a real
+    * container built from htslib's own block payloads. */
+  private def reframeTo31(src: Array[Byte]): Array[Byte] = {
+    val bs = new CramForeign.ByteStream(src)
+    val out = new java.io.ByteArrayOutputStream(src.length + 256)
+    out.write("CRAM".getBytes("US-ASCII"))
+    out.write(3); out.write(1)
+    out.write(src, 6, 20) // file id
+    bs.p = 26
+    while (bs.remaining > 0) {
+      val clen = bs.byte() | (bs.byte() << 8) | (bs.byte() << 16) | (bs.byte() << 24)
+      val refId = bs.itf8(); val start = bs.itf8()
+      val span = bs.itf8(); val nRec = bs.itf8()
+      val ctr = bs.ltf8(); val bases = bs.ltf8()
+      val nBlk = bs.itf8(); val nLm = bs.itf8()
+      val lms = Array.fill(nLm)(bs.itf8())
+      val bodyStart = bs.p
+      val newBody = new java.io.ByteArrayOutputStream(clen + 4 * nBlk)
+      val offMap = scala.collection.mutable.Map[Int, Int]()
+      var b = 0
+      while (b < nBlk) {
+        offMap(bs.p - bodyStart) = newBody.size()
+        val method = bs.byte(); val btype = bs.byte(); val cid = bs.itf8()
+        val csz = bs.itf8(); val rsz = bs.itf8()
+        val body = java.util.Arrays.copyOfRange(src, bs.p, bs.p + csz)
+        bs.p += csz
+        // decompress with the 2.x method, recompress as Nx16
+        val raw = method match {
+          case _ if csz == 0 && rsz == 0 => body // empty (EOF-style) block
+          case 0 => body
+          case 1 =>
+            val g = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(body))
+            val o = new Array[Byte](rsz)
+            var n = 0
+            while (n < rsz) { val r = g.read(o, n, rsz - n); require(r > 0); n += r }
+            o
+          case 4 => CramForeign.Rans.decode(body)
+          case m => fail(s"unexpected 2.x method $m")
+        }
+        val (newMethod, enc) =
+          if (raw.isEmpty) (0, raw)
+          else (5, RansNx16.encode(raw, RansNx16.Order1 | RansNx16.N32))
+        val blk = new java.io.ByteArrayOutputStream(enc.length + 16)
+        blk.write(newMethod); blk.write(btype)
+        Cram.writeItf8(blk, cid)
+        Cram.writeItf8(blk, enc.length)
+        Cram.writeItf8(blk, raw.length)
+        blk.write(enc)
+        val blkBytes = blk.toByteArray
+        newBody.write(blkBytes)
+        val crc = new java.util.zip.CRC32(); crc.update(blkBytes)
+        w32(newBody, crc.getValue.toInt)
+        b += 1
+      }
+      assert(bs.p === bodyStart + clen, "container body length mismatch")
+      val head = new java.io.ByteArrayOutputStream(64)
+      w32(head, newBody.size())
+      Cram.writeItf8(head, refId); Cram.writeItf8(head, start)
+      Cram.writeItf8(head, span); Cram.writeItf8(head, nRec)
+      Cram.writeLtf8(head, ctr); Cram.writeLtf8(head, bases)
+      Cram.writeItf8(head, nBlk); Cram.writeItf8(head, lms.length)
+      lms.foreach(l => Cram.writeItf8(head, offMap.getOrElse(l, l)))
+      val hb = head.toByteArray
+      out.write(hb)
+      val hcrc = new java.util.zip.CRC32(); hcrc.update(hb)
+      w32(out, hcrc.getValue.toInt)
+      newBody.writeTo(out)
+    }
+    out.toByteArray
+  }
+
+  test("the same records decode from a CRAM 3.1 re-framing (rANS Nx16 blocks)") {
+    val dir = tmpDir("cram31")
+    val out = s"$dir/test31.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      reframeTo31(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cram))))
+    val recs = CramIO.read(spark, out, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    val orig = CramIO.read(spark, cram, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    assert(recs.length === 2)
+    recs.zip(orig).foreach { case (a, b) =>
+      assert((a.qname, a.flag, a.rname, a.pos, a.mapq, a.cigar, a.seq, a.qual,
+        a.tags.toSeq) ===
+        ((b.qname, b.flag, b.rname, b.pos, b.mapq, b.cigar, b.seq, b.qual,
+          b.tags.toSeq)))
+    }
+  }
+
   test("NF mate chains resolve flags, RNEXT/PNEXT and signed TLEN") {
     import CramForeign._
     // two paired records, CF=4 (mate downstream) on the first with
