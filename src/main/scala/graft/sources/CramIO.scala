@@ -333,14 +333,29 @@ object CramIO {
     private var approx = 0L
 
     private def flush(): Unit = if (buf.nonEmpty) {
-      val enc = CramSpecWrite.encodeSlice(buf.toSeq, refIdx, nTotal)
+      // two slices per container once enough is buffered — the
+      // multi-slice layout htslib writes (shared compression header,
+      // one landmark per slice).  The split point avoids separating a
+      // qname pair so within-slice NF mate chains stay intact.
+      var mid = buf.length / 2
+      while (mid > 0 && mid < buf.length && buf(mid).qname == buf(mid - 1).qname)
+        mid += 1
+      val slices =
+        if (buf.length >= 64 && mid < buf.length)
+          Seq(buf.take(mid).toSeq, buf.drop(mid).toSeq)
+        else Seq(buf.toSeq)
+      val enc = CramSpecWrite.encodeContainer(slices, refIdx, nTotal)
       val body = new ByteArrayOutputStream(1 << 20)
-      writeBlock(body, enc.blocks.head) // compression header
-      val landmark = body.size()
-      enc.blocks.tail.foreach(b => writeBlock(body, b))
-      writeContainerRaw(out, enc.refSeqId, enc.start, enc.span, buf.length,
-        nTotal, enc.bases, enc.blocks.length, Seq(landmark), body.toByteArray)
-      nTotal += buf.length
+      writeBlock(body, enc.compHeader)
+      val landmarks = scala.collection.mutable.ArrayBuffer[Int]()
+      enc.slices.foreach { sl =>
+        landmarks += body.size()
+        sl.blocks.foreach(b => writeBlock(body, b))
+      }
+      writeContainerRaw(out, enc.refSeqId, enc.start, enc.span, enc.nRecords,
+        nTotal, enc.bases, 1 + enc.slices.map(_.blocks.length).sum,
+        landmarks.toSeq, body.toByteArray)
+      nTotal += enc.nRecords
       buf.clear(); approx = 0L
     }
 

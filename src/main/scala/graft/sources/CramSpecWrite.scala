@@ -20,8 +20,12 @@ import graft.model.SamRecord
   *  - no reference required (RR=0): match segments ride explicit `b`
   *    (bases-verbatim) features, so neither writer nor reader needs
   *    the FASTA — the htslib "no-ref" mode shape;
-  *  - every mate detached (CF bit 2): RNEXT/PNEXT/TLEN stored
-  *    verbatim per record, no NF chains to resolve;
+  *  - within-slice qname pairs whose mate fields reconstruct exactly
+  *    ride NF chains (CF bit 4 + NF series, the htslib shape); every
+  *    other record is detached (CF bit 2) with RNEXT/PNEXT/TLEN
+  *    stored verbatim;
+  *  - containers carry two slices sharing one compression header once
+  *    enough records are buffered (multi-slice layout);
   *  - all series EXTERNAL (ITF8/byte streams) or constant HUFFMAN,
   *    names/insertions/clips BYTE_ARRAY_STOP, tag values
   *    BYTE_ARRAY_LEN over a per-tag block — the CORE bit stream is
@@ -44,7 +48,8 @@ object CramSpecWrite {
   private val FP = 22; private val DL = 23; private val RS = 24
   private val HC = 25; private val PD = 26; private val IN = 27
   private val SC = 28; private val BB = 29; private val BA = 30
-  private val QS = 31; private val MQ = 32
+  private val QS = 31; private val MQ = 32; private val CF = 33
+  private val NF = 34
 
   private final class Streams {
     private val m = scala.collection.mutable.LinkedHashMap[Int, ByteArrayOutputStream]()
@@ -114,10 +119,14 @@ object CramSpecWrite {
     val entries = scala.collection.mutable.ArrayBuffer[(String, ByteArrayOutputStream => Unit)]()
     def ext(key: String, cid: Int): Unit = entries += ((key, writeExternal(_, cid)))
     ext("BF", BF); ext("RI", RI); ext("RL", RL); ext("AP", AP)
-    entries += (("CF", writeHuffConst(_, 3))) // detached + quals stored
+    // CF varies per record since the writer emits NF mate chains for
+    // reconstructable within-slice pairs (htslib's shape): detached
+    // 0x3, chain head 0x5, chain tail 0x1
+    ext("CF", CF)
     entries += (("RG", writeHuffConst(_, -1))) // RG rides the tag dict
     entries += (("RN", writeByteArrayStop(_, RN)))
     ext("MF", MF); ext("NS", NS); ext("NP", NP); ext("TS", TS)
+    ext("NF", NF)
     ext("TL", TL); ext("FN", FN); ext("FC", FC); ext("FP", FP)
     ext("DL", DL); ext("RS", RS); ext("HC", HC); ext("PD", PD)
     entries += (("IN", writeByteArrayStop(_, IN)))
@@ -162,14 +171,59 @@ object CramSpecWrite {
   final case class EncodedSlice(blocks: Seq[CramIO.Block], refSeqId: Int,
                                 start: Int, span: Int, bases: Long)
 
-  /** One slice's worth of buffered records → serialized blocks. */
-  private[sources] def encodeSlice(recs: Seq[SamRecord],
-                                   refIdx: Map[String, Int],
-                                   counterStart: Long): EncodedSlice = {
+  /** A whole container: one compression header shared by its slices
+    * (the multi-slice layout htslib writes). */
+  final case class EncodedContainer(compHeader: CramIO.Block,
+                                    slices: Seq[EncodedSlice],
+                                    refSeqId: Int, start: Int, span: Int,
+                                    bases: Long, nRecords: Int)
+
+  /** NF chain plan for one slice: mateNext(i) = index of i's mate when
+    * the pair reconstructs EXACTLY from chain resolution (both mapped,
+    * mutual RNEXT/PNEXT, consistent mate flags, canonical TLEN) —
+    * htslib's eligibility bar; everything else stays detached. */
+  private def chainPlan(recs: Seq[SamRecord],
+                        refIdx: Map[String, Int]): Array[Int] = {
+    val mateNext = Array.fill(recs.length)(-1)
+    def rid(r: SamRecord) = refIdx.getOrElse(r.rname, -1)
+    def chainable(a: SamRecord, b: SamRecord): Boolean = {
+      val ra = rid(a); val rb = rid(b)
+      def ns(r: SamRecord, self: Int) =
+        if (r.rnext == "=") self else refIdx.getOrElse(r.rnext, -1)
+      val bothMapped = (a.flag & 0x4) == 0 && (b.flag & 0x4) == 0
+      bothMapped && ra >= 0 && rb >= 0 && a.pos > 0 && b.pos > 0 &&
+        ns(a, ra) == rb && ns(b, rb) == ra &&
+        a.pnext == b.pos && b.pnext == a.pos &&
+        (a.flag & 0x8) == 0 && (b.flag & 0x8) == 0 &&
+        (((a.flag & 0x20) != 0) == ((b.flag & 0x10) != 0)) &&
+        (((b.flag & 0x20) != 0) == ((a.flag & 0x10) != 0)) && {
+          val left = math.min(a.pos, b.pos)
+          val right = math.max(a.end, b.end)
+          val span = right - left + 1
+          val (ta, tb) = if (a.pos <= b.pos) (span, -span) else (-span, span)
+          a.tlen == ta && b.tlen == tb
+        }
+    }
+    recs.zipWithIndex.groupBy(_._1.qname).values.foreach { grp =>
+      if (grp.length == 2) {
+        val Seq((a, ai), (b, bi)) = grp.sortBy(_._2)
+        if (chainable(a, b)) mateNext(ai) = bi
+      }
+    }
+    mateNext
+  }
+
+  /** Encode `recsSlices` as the slices of ONE container sharing a
+    * compression header; the tag dictionary and TL indices span the
+    * container, exactly like a multi-slice htslib container. */
+  private[sources] def encodeContainer(recsSlices: Seq[Seq[SamRecord]],
+                                       refIdx: Map[String, Int],
+                                       counterStart: Long): EncodedContainer = {
+    val all = recsSlices.flatten
     // tag dictionary: distinct (tag, normalized type) line per record
-    val wired = recs.map(r => r.tags.map(BamCodec.tagWire))
+    val wired = all.map(r => r.tags.map(BamCodec.tagWire))
     val lines = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val tlOf = wired.map { ts =>
+    val tlOfAll = wired.map { ts =>
       val sig = ts.map { case (tag, typ, _) => tag + typ }.mkString
       lines.getOrElseUpdate(sig, lines.size)
     }
@@ -178,11 +232,43 @@ object CramSpecWrite {
       .map { case (tag, typ, _) => (tag.charAt(0) << 16) | (tag.charAt(1) << 8) | typ }
       .distinct.sorted
 
+    var counter = counterStart
+    var offset = 0
+    val encSlices = recsSlices.filter(_.nonEmpty).map { recs =>
+      val sliceWired = wired.slice(offset, offset + recs.length)
+      val sliceTl = tlOfAll.slice(offset, offset + recs.length)
+      offset += recs.length
+      val es = encodeOneSlice(recs, sliceWired, sliceTl, refIdx, counter)
+      counter += recs.length
+      es
+    }
+    val rids = encSlices.map(_.refSeqId).distinct
+    val crid = if (rids.length == 1) rids.head else -2
+    val spanned = encSlices.filter(e => e.refSeqId >= 0 && e.span > 0)
+    val cstart = if (crid >= 0 && spanned.nonEmpty) spanned.map(_.start).min else 0
+    val cend = if (crid >= 0 && spanned.nonEmpty)
+      spanned.map(e => e.start + e.span - 1).max else -1
+    EncodedContainer(compressionHeader(tdBlob, tagCids), encSlices,
+      crid, cstart, if (cend >= cstart) cend - cstart + 1 else 0,
+      encSlices.map(_.bases).sum, all.length)
+  }
+
+  /** One slice's records → serialized blocks (`wired`/`tlOf` carry
+    * the container-level tag encodings for exactly these records). */
+  private def encodeOneSlice(recs: Seq[SamRecord],
+                             wired: Seq[Array[(String, Char, Array[Byte])]],
+                             tlOf: Seq[Int],
+                             refIdx: Map[String, Int],
+                             counterStart: Long): EncodedSlice = {
+    val mateNext = chainPlan(recs, refIdx)
+    val isTail = Array.fill(recs.length)(false)
+    mateNext.foreach(j => if (j >= 0) isTail(j) = true)
+
     val s = new Streams
     var refSeq = -3 // -3 unset; else the common refId or -2 mixed
     var minPos = Int.MaxValue
     var maxEnd = 0
-    recs.zip(tlOf).foreach { case (r, tl) =>
+    recs.zipWithIndex.zip(tlOf).foreach { case ((r, i), tl) =>
       val rid = refIdx.getOrElse(r.rname, -1)
       refSeq = if (refSeq == -3) rid else if (refSeq == rid) refSeq else -2
       val unmapped = (r.flag & 0x4) != 0
@@ -194,16 +280,24 @@ object CramSpecWrite {
         minPos = math.min(minPos, r.pos)
         maxEnd = math.max(maxEnd, math.max(r.end, r.pos))
       }
-      s.itf8(BF, r.flag & ~0x28) // 0x8/0x20 reconstruct from MF
+      s.itf8(BF, r.flag & ~0x28) // 0x8/0x20 reconstruct from MF / chain
+      // quals always stored (0x1); mate info detached (0x2) unless the
+      // record heads (0x4 + NF) or tails (resolution target) a chain
+      val head = mateNext(i) >= 0
+      s.itf8(CF, 0x1 | (if (head) 0x4 else if (isTail(i)) 0x0 else 0x2))
       s.itf8(RI, rid)
       s.itf8(RL, seqLen)
       s.itf8(AP, r.pos)
       s.bytes(RN, r.qname.getBytes(UTF_8)); s.byte(RN, 0)
-      s.itf8(MF, (if ((r.flag & 0x20) != 0) 1 else 0) | (if ((r.flag & 0x8) != 0) 2 else 0))
-      val nsId = if (r.rnext == "=") rid else refIdx.getOrElse(r.rnext, -1)
-      s.itf8(NS, nsId)
-      s.itf8(NP, r.pnext)
-      s.itf8(TS, r.tlen)
+      if (head) {
+        s.itf8(NF, mateNext(i) - i - 1)
+      } else if (!isTail(i)) {
+        s.itf8(MF, (if ((r.flag & 0x20) != 0) 1 else 0) | (if ((r.flag & 0x8) != 0) 2 else 0))
+        val nsId = if (r.rnext == "=") rid else refIdx.getOrElse(r.rnext, -1)
+        s.itf8(NS, nsId)
+        s.itf8(NP, r.pnext)
+        s.itf8(TS, r.tlen)
+      }
       s.itf8(TL, tl)
     }
     // second pass alignment payloads + tags (kept separate for clarity;
@@ -297,7 +391,9 @@ object CramSpecWrite {
     Cram.writeItf8(sh, -1) // no embedded reference
     sh.write(new Array[Byte](16)) // md5 (RR=0: zeroed)
     val core = CramIO.Block(CramIO.Raw, CramIO.CoreData, 0, Array.emptyByteArray)
-    val blocks = Seq(compressionHeader(tdBlob, tagCids),
+    // compression header NOT included: the container owns it (shared
+    // across this container's slices)
+    val blocks = Seq(
       CramIO.Block(CramIO.Raw, CramIO.SliceHeader, 0, sh.toByteArray),
       core) ++
       ext.map { case (cid, data) =>

@@ -98,6 +98,71 @@ class CramSpecWriteSpec extends SparkSpec {
     assert(r.seq === "ACGTACGTAC" && r.pos === 5) // bases/pos preserved
   }
 
+  test("paired-end reads round-trip through NF mate chains in multi-slice containers") {
+    import spark.implicits._
+    // real pairs: mutual RNEXT/PNEXT, consistent mate flags, canonical
+    // TLEN — exactly what the writer chains (CF 0x4 + NF) instead of
+    // storing detached mate fields, and what resolveMates reconstructs
+    val readLen = 60
+    val seq = ("ACGTTGCA" * 8).take(readLen)
+    val qual = ("IIFF@@HH" * 8).take(readLen)
+    val pairs = (0 until 600).flatMap { i =>
+      val p = 1 + i * 97
+      val span = 100 + readLen // mate starts at p+100
+      Seq(
+        SamRecord(s"p$i", 0x63, "chr1", p, 60, s"${readLen}M", "=", p + 100,
+          span, seq, qual, Array(s"NM:i:${i % 5}")),
+        SamRecord(s"p$i", 0x93, "chr1", p + 100, 60, s"${readLen}M", "=", p,
+          -span, seq, qual, Array(s"NM:i:${i % 5}")))
+    }
+    val dir = tmpDir("cramspec_pairs")
+    val file = s"$dir/p.cram"
+    CramIO.write(spark.createDataset(pairs).coalesce(1), header, file,
+      profile = "spec")
+
+    // the bytes must really carry NF chains and >1 slice per container:
+    // walk the container structure and count slice headers / NF blocks
+    val src = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val bs = new CramForeign.ByteStream(src)
+    bs.p = 26 // past file definition
+    var nfBlocks = 0
+    val slicesPerContainer = scala.collection.mutable.ArrayBuffer[Int]()
+    while (bs.remaining > 0) {
+      val clen = bs.byte() | (bs.byte() << 8) | (bs.byte() << 16) | (bs.byte() << 24)
+      bs.itf8(); bs.itf8(); bs.itf8(); bs.itf8() // rid, start, span, nRec
+      bs.ltf8(); bs.ltf8() // counter, bases
+      val nBlk = bs.itf8(); val nLm = bs.itf8()
+      (0 until nLm).foreach(_ => bs.itf8())
+      bs.p += 4 // header crc
+      val end = bs.p + clen
+      var slices = 0
+      var b = 0
+      while (b < nBlk) {
+        bs.byte() // method
+        val btype = bs.byte()
+        val cid = bs.itf8()
+        val csz = bs.itf8(); bs.itf8()
+        if (btype == CramIO.SliceHeader) slices += 1
+        if (btype == CramIO.External && cid == 34 && csz > 0) nfBlocks += 1
+        bs.p += csz + 4 // body + crc
+        b += 1
+      }
+      assert(bs.p === end, "container walk desync")
+      slicesPerContainer += slices
+    }
+    assert(nfBlocks > 0, "no NF series block written — pairs were not chained")
+    // the data container carries 2 slices sharing one compression header
+    assert(slicesPerContainer.max >= 2,
+      s"no multi-slice container written: $slicesPerContainer")
+
+    val back = CramIO.read(spark, file).collect()
+    assert(back.length === pairs.length)
+    val byKey = back.map(r => (r.qname, r.flag) -> r).toMap
+    pairs.foreach { r =>
+      assert(fields(byKey((r.qname, r.flag))) === fields(r), r.qname)
+    }
+  }
+
   test("mapped records with CIGAR '*' but bases present write without aborting") {
     import spark.implicits._
     // legal SAM corner (flag 0x4 clear, CIGAR '*', bases stored):

@@ -20,6 +20,69 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+
+def gen_sf1(out, sfdir):
+    """sf1-equivalent set: every sf0.1 table x10 with key-remapped
+    replicas (joins stay consistent, results scale ~10x) written as
+    MULTI-row-group parquet so scans genuinely fan out.  Usage:
+      python3 tools/gen_probe.py sf1 [outdir] [sfdir]
+    Then: SPARK_GRAFT_SF_DIR=<outdir> sbt "runMain graft.Bench ..."
+    """
+    os.makedirs(out, exist_ok=True)
+    reps = 10
+
+    def base(df, col):
+        return int(df[col].max()) + 1
+
+    def rep(df, offsets, rg):
+        parts = []
+        for i in range(reps):
+            p = df.copy()
+            for col, b in offsets.items():
+                p[col] = p[col] + i * b
+            parts.append(p)
+        big = pd.concat(parts, ignore_index=True)
+        return big, rg
+
+    t = {}
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        t[name] = pd.read_parquet(f"{sfdir}/{name}.parquet")
+    ck, pk, sk, ok = (base(t["customer"], "c_custkey"),
+                      base(t["part"], "p_partkey"),
+                      base(t["supplier"], "s_suppkey"),
+                      base(t["orders"], "o_orderkey"))
+    ek, uk = base(t["events"], "event_id"), base(t["events"], "user_id")
+    dk, vk = base(t["documents"], "doc_id"), base(t["embeddings"], "vec_id")
+    plan = {
+        "region": ({}, 1), "nation": ({}, 4),
+        "customer": ({"c_custkey": ck}, 20_000),
+        "supplier": ({"s_suppkey": sk}, 2_000),
+        "part": ({"p_partkey": pk}, 25_000),
+        "orders": ({"o_orderkey": ok, "o_custkey": ck}, 150_000),
+        "lineitem": ({"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk},
+                     500_000),
+        "events": ({"event_id": ek, "user_id": uk}, 100_000),
+        "documents": ({"doc_id": dk}, 5_000),
+        "embeddings": ({"vec_id": vk}, 2_000),
+    }
+    for name, (offsets, rg) in plan.items():
+        big, rg = rep(t[name], offsets, rg)
+        # keep the driver set's physical types (events ts is ns)
+        schema = pq.read_schema(f"{sfdir}/{name}.parquet")
+        table = pa.Table.from_pandas(big, schema=schema,
+                                     preserve_index=False)
+        pq.write_table(table, f"{out}/{name}.parquet", row_group_size=rg)
+        print(f"{name}: {len(big)} rows, "
+              f"{pq.ParquetFile(f'{out}/{name}.parquet').metadata.num_row_groups} row groups")
+    print("generated sf1-equivalent set at", out)
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "sf1":
+    gen_sf1(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1",
+            sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
+    sys.exit(0)
+
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe100x"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
