@@ -118,6 +118,27 @@ class BamSpec extends SparkSpec {
     }
   }
 
+  test("pipelined deflate writes byte-identical files and indexes") {
+    import spark.implicits._
+    val dir = tmpDir("bam_pipe")
+    val sync = s"$dir/sync.bam"
+    val pipe = s"$dir/pipe.bam"
+    val ds = spark.createDataset(sorted).coalesce(1)
+    BamIO.write(ds, header, sync, granularity = 50)
+    spark.conf.set("spark.graft.bgzf.write.workers", "8")
+    try BamIO.write(ds, header, pipe, granularity = 50)
+    finally spark.conf.unset("spark.graft.bgzf.write.workers")
+    // blocks are written strictly in order, so the BYTES are identical
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sync))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pipe))
+    assert(java.util.Arrays.equals(a, b), "pipelined BGZF bytes differ")
+    val (fs, ps) = Fs.get(sync)
+    val (_, pp) = Fs.get(pipe)
+    val ia = SplittingIndex.read(fs, SplittingIndex.indexPath(ps)).get
+    val ib = SplittingIndex.read(fs, SplittingIndex.indexPath(pp)).get
+    assert(ia.entries.toSeq === ib.entries.toSeq, "index entries differ")
+  }
+
   test("read honors small split sizes (multi-range) identically") {
     import spark.implicits._
     val dir = tmpDir("bam2")
