@@ -34,9 +34,12 @@ def gen_sf1(out, sfdir):
     def base(df, col):
         return int(df[col].max()) + 1
 
-    def rep(df, offsets, rg):
+    def rep(df, offsets, rg, n_reps):
+        # dimension tables with NO key offsets must be written once:
+        # verbatim copies would duplicate join keys and explode every
+        # join through them (nation/region fan out x100)
         parts = []
-        for i in range(reps):
+        for i in range(n_reps):
             p = df.copy()
             for col, b in offsets.items():
                 p[col] = p[col] + i * b
@@ -67,7 +70,7 @@ def gen_sf1(out, sfdir):
         "embeddings": ({"vec_id": vk}, 2_000),
     }
     for name, (offsets, rg) in plan.items():
-        big, rg = rep(t[name], offsets, rg)
+        big, rg = rep(t[name], offsets, rg, 1 if not offsets else reps)
         # keep the driver set's physical types (events ts is ns)
         schema = pq.read_schema(f"{sfdir}/{name}.parquet")
         table = pa.Table.from_pandas(big, schema=schema,
