@@ -653,11 +653,18 @@ object BcfIO {
     val infoIdx = dicts.stringIdx
     val fmtIdx = if (dicts.fmtKeys.isEmpty) Map.empty[String, Int] else dicts.stringIdx
 
+    // opt-in per-stream pipelined deflate (see BamIO.write): wins only
+    // when this stage runs fewer write tasks than idle cores
+    val deflateWorkers = ds.sparkSession.conf
+      .getOption("spark.graft.bgzf.write.workers").map(_.toInt).getOrElse(0)
     val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
       val (tfs, _) = Fs.get(tmpDirStr)
       val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.bcf")
-      val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true))
-      val entries = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+      val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true),
+        workers = deflateWorkers)
+      // (blockIndex, refId, pos0) — resolved to offsets at shard end so
+      // index markers never drain the (possibly pipelined) deflate
+      val pending = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
       var n = 0L
       // track (refId, pos) monotonicity + max record span so the
       // driver can mark the sidecar interval-prunable (maxSpan >= 0)
@@ -669,8 +676,7 @@ object BcfIO {
       var maxSpan = 0
       it.foreach { v =>
         if (n % granularity == 0) {
-          out.blockBoundary()
-          entries += ((Bgzf.virtualOffset(out.compressedOffset, 0),
+          pending += ((out.markBoundary(),
             contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1))
         }
         val key = (contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1)
@@ -695,6 +701,9 @@ object BcfIO {
       }
       out.blockBoundary()
       val shardLen = out.compressedOffset
+      val entries = pending.map { case (bi, refId, pos0) =>
+        (Bgzf.virtualOffset(out.offsetOfBlock(bi), 0), refId, pos0)
+      }
       out.closeWithoutTerminator()
       Iterator.single((pid, shardLen, entries.toArray, sorted,
         Option(firstKey), Option(lastKey), maxSpan))
