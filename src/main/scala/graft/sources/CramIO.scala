@@ -47,6 +47,7 @@ object CramIO {
   val Bzip2 = 2
   val Rans4x8 = 4
   val RansNx16M = 5 // CRAM 3.1 (spec: compression method 5)
+  val NameTokM = 8  // CRAM 3.1 read-name tokeniser (method 8)
 
   /** Decode plan for one CRAM file, shipped with each partition:
     * container framing differs by major version (3.x adds CRC32s) and
@@ -72,6 +73,7 @@ object CramIO {
       case RansNx16M =>
         // order-1 32-way, the CRAM 3.1 entropy coder
         RansNx16.encode(b.data, RansNx16.Order1 | RansNx16.N32)
+      case NameTokM => NameTok.encode(b.data)
       case m => throw new IllegalArgumentException(s"unsupported method $m")
     }
     // block bytes (method..data) are CRC32'd per CRAM 3.0
@@ -137,6 +139,7 @@ object CramIO {
         out
       case Rans4x8 => CramForeign.Rans.decode(body)
       case RansNx16M => RansNx16.decode(body, rawSize)
+      case NameTokM => NameTok.decode(body)
       case Bzip2 =>
         val codec = new org.apache.hadoop.io.compress.BZip2Codec()
         codec.setConf(new org.apache.hadoop.conf.Configuration(false))

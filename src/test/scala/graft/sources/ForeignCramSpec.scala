@@ -505,6 +505,31 @@ class ForeignCramSpec extends SparkSpec {
     assert(rec.qual === "*")
   }
 
+  test("name tokeniser round-trips realistic read-name sets") {
+    def run(names: Seq[String]): Unit = {
+      val raw = names.flatMap(n => n.getBytes("US-ASCII") :+ 0.toByte).toArray
+      val enc = NameTok.encode(raw)
+      val dec = NameTok.decode(enc)
+      assert(java.util.Arrays.equals(dec, raw),
+        s"name set starting ${names.head} round-trip mismatch " +
+          s"(${raw.length} raw, ${enc.length} comp)")
+    }
+    // Illumina-style: instrument:run:flowcell:lane:tile:x:y
+    run((0 until 3000).map(i =>
+      s"M00123:77:000000000-A1B2C:1:${1101 + i / 500}:${10000 + i * 3}:${20000 + (i * 7) % 9999}"))
+    // SRA-style with DUP pairs (mate pairs share the name)
+    run((0 until 2000).flatMap(i => Seq(s"SRR1234567.${i + 1}", s"SRR1234567.${i + 1}")))
+    // leading-zero counters (DIGITS0 + DDELTA0)
+    run((0 until 1500).map(i => f"read_${i % 800}%06d_tail"))
+    // heterogeneous and short
+    run(Seq("a", "", "x:1", "x:2", "x:2", "zz09", "zz10", "0"))
+    // compression sanity: the structured sets should shrink a lot
+    val names = (0 until 5000).map(i => s"HS25_09827:2:2102:${i * 13 % 99999}:${i * 31 % 99999}")
+    val raw = names.flatMap(n => n.getBytes("US-ASCII") :+ 0.toByte).toArray
+    assert(NameTok.encode(raw).length < raw.length / 3,
+      "tokenised names should compress far below the raw bytes")
+  }
+
   test("canonical Huffman codes assign by (length, symbol value), not listed order") {
     import CramForeign._
     // alphabet listed value-DESCENDING within equal code lengths: the
