@@ -326,7 +326,8 @@ object CramIO {
     * output any foreign CRAM reader consumes.  Same streaming
     * discipline as [[ShardWriter]]: ~1 MB of buffered payload per
     * container, so a multi-GB partition never accumulates. */
-  final class SpecShardWriter(pathStr: String, refIdx: Map[String, Int]) {
+  final class SpecShardWriter(pathStr: String, refIdx: Map[String, Int],
+                              v31: Boolean = false) {
     private val out = {
       val (tfs, tp) = Fs.get(pathStr)
       new java.io.BufferedOutputStream(tfs.create(tp, true))
@@ -347,7 +348,7 @@ object CramIO {
         if (buf.length >= 64 && mid < buf.length)
           Seq(buf.take(mid).toSeq, buf.drop(mid).toSeq)
         else Seq(buf.toSeq)
-      val enc = CramSpecWrite.encodeContainer(slices, refIdx, nTotal)
+      val enc = CramSpecWrite.encodeContainer(slices, refIdx, nTotal, v31)
       val body = new ByteArrayOutputStream(1 << 20)
       writeBlock(body, enc.compHeader)
       val landmarks = scala.collection.mutable.ArrayBuffer[Int]()
@@ -378,11 +379,12 @@ object CramIO {
   /** Driver-side assembly: file definition + SAM-header container +
     * the shard files under `tmpDir` in name order + EOF container. */
   private[sources] def mergeShards(file: String, header: SamHeader,
-                                   tmpDir: org.apache.hadoop.fs.Path): Unit = {
+                                   tmpDir: org.apache.hadoop.fs.Path,
+                                   minor: Int = 0): Unit = {
     val (fs, path) = Fs.get(file)
     val out = new java.io.BufferedOutputStream(fs.create(path, true))
     out.write("CRAM".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.write(3); out.write(0)
+    out.write(3); out.write(minor)
     out.write(new Array[Byte](20)) // file id
     // SAM header container: one FileHeader block; spec prefixes the
     // text with its int32 length inside the block
@@ -408,22 +410,26 @@ object CramIO {
     * header); `profile = "spec"` writes real CRAM 3.0 data-series
     * containers ([[CramSpecWrite]]) that any foreign CRAM reader
     * consumes — graft's own foreign decoder round-trips them, which is
-    * also how they read back here. */
+    * also how they read back here; `profile = "spec31"` is the same
+    * container shape framed as CRAM 3.1 with the 3.1 codecs — rANS
+    * Nx16 blocks and the name tokeniser on the RN series. */
   def write(ds: Dataset[SamRecord], header: SamHeader, file: String,
             profile: String = "graft"): Unit = {
-    require(profile == "graft" || profile == "spec", s"unknown profile $profile")
+    require(profile == "graft" || profile == "spec" || profile == "spec31",
+      s"unknown profile $profile")
     val (fs, path) = Fs.get(file)
     val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
     fs.mkdirs(tmpDir)
     val tmpDirStr = tmpDir.toString
     val refIdx = header.refs.map(_.name).zipWithIndex.toMap
-    val spec = profile == "spec"
+    val spec = profile != "graft"
+    val v31 = profile == "spec31"
 
     val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
       val p = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram").toString
       val n =
         if (spec) {
-          val shard = new SpecShardWriter(p, refIdx)
+          val shard = new SpecShardWriter(p, refIdx, v31)
           it.foreach(shard.write)
           shard.finish()
         } else {
@@ -434,7 +440,7 @@ object CramIO {
       Iterator.single((pid, n))
     }.collect().sortBy(_._1)
 
-    mergeShards(file, header, tmpDir)
+    mergeShards(file, header, tmpDir, minor = if (v31) 1 else 0)
     val _ = shardCounts
     // container-granularity .crai sidecar (one driver header-walk):
     // interval reads then prune containers without re-walking headers

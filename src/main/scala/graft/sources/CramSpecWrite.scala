@@ -218,7 +218,8 @@ object CramSpecWrite {
     * container, exactly like a multi-slice htslib container. */
   private[sources] def encodeContainer(recsSlices: Seq[Seq[SamRecord]],
                                        refIdx: Map[String, Int],
-                                       counterStart: Long): EncodedContainer = {
+                                       counterStart: Long,
+                                       v31: Boolean = false): EncodedContainer = {
     val all = recsSlices.flatten
     // tag dictionary: distinct (tag, normalized type) line per record
     val wired = all.map(r => r.tags.map(BamCodec.tagWire))
@@ -238,7 +239,7 @@ object CramSpecWrite {
       val sliceWired = wired.slice(offset, offset + recs.length)
       val sliceTl = tlOfAll.slice(offset, offset + recs.length)
       offset += recs.length
-      val es = encodeOneSlice(recs, sliceWired, sliceTl, refIdx, counter)
+      val es = encodeOneSlice(recs, sliceWired, sliceTl, refIdx, counter, v31)
       counter += recs.length
       es
     }
@@ -259,7 +260,8 @@ object CramSpecWrite {
                              wired: Seq[Array[(String, Char, Array[Byte])]],
                              tlOf: Seq[Int],
                              refIdx: Map[String, Int],
-                             counterStart: Long): EncodedSlice = {
+                             counterStart: Long,
+                             v31: Boolean = false): EncodedSlice = {
     val mateNext = chainPlan(recs, refIdx)
     val isTail = Array.fill(recs.length)(false)
     mateNext.foreach(j => if (j >= 0) isTail(j) = true)
@@ -397,10 +399,16 @@ object CramSpecWrite {
       CramIO.Block(CramIO.Raw, CramIO.SliceHeader, 0, sh.toByteArray),
       core) ++
       ext.map { case (cid, data) =>
-        // rANS 4x8 (CRAM 3.0's native entropy coder) for the bulky
-        // byte-stream series — the decoder side is the same codec that
-        // reads htslib blocks; small streams stay gzip (table overhead)
-        val method = if (data.length >= 256) CramIO.Rans4x8 else CramIO.Gzip
+        // CRAM 3.0 profile: rANS 4x8 for the bulky byte-stream series
+        // (the decoder side is the same codec that reads htslib
+        // blocks), gzip below the table-overhead floor.  CRAM 3.1
+        // profile: rANS Nx16, and the RN series rides the name
+        // tokeniser — the htslib 3.1 default shape.
+        val method =
+          if (v31 && cid == RN) CramIO.NameTokM
+          else if (data.length < 256) CramIO.Gzip
+          else if (v31) CramIO.RansNx16M
+          else CramIO.Rans4x8
         CramIO.Block(method, CramIO.External, cid, data)
       }
     val bases = recs.iterator.map(r => if (r.seq == "*") 0L else r.seq.length.toLong).sum
