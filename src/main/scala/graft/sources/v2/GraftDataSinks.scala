@@ -212,7 +212,8 @@ class CramBatchWrite(target: String, header: graft.model.SamHeader,
     new CramWriterFactory(tmp, refIdx, decoder, profile)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    graft.sources.CramIO.mergeShards(target, header, new Path(tmp))
+    graft.sources.CramIO.mergeShards(target, header, new Path(tmp),
+      minor = if (profile == "spec31") 1 else 0)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, p) = Fs.get(tmp)
     fs.delete(p, true)
@@ -227,12 +228,14 @@ class CramWriterFactory(tmp: String, refIdx: Map[String, Int],
     new ShardingDataWriter[TextShardDone](tmp, partitionId, taskId, "cram") {
       // streams record-by-record into ~1 MB containers — a multi-GB
       // partition never buffers
+      private val spec = profile == "spec" || profile == "spec31"
       private val graftShard =
-        if (profile == "spec") null
+        if (spec) null
         else new graft.sources.CramIO.ShardWriter(attemptPath.toString, refIdx)
       private val specShard =
-        if (profile == "spec")
-          new graft.sources.CramIO.SpecShardWriter(attemptPath.toString, refIdx)
+        if (spec)
+          new graft.sources.CramIO.SpecShardWriter(attemptPath.toString, refIdx,
+            v31 = profile == "spec31")
         else null
       override def write(row: InternalRow): Unit = {
         val r = decoder.decode(row)

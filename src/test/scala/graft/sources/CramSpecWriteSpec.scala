@@ -284,5 +284,19 @@ class CramSpecWriteSpec extends SparkSpec {
     val back = spark.read.format("cram").load(file)
       .selectExpr("qname", "seq").as[(String, String)].collect().toMap
     recs.foreach(r => assert(back(r.qname) === r.seq, r.qname))
+
+    // spec31 through the same sink: 3.1 version bytes, reads back
+    val file31 = s"$dir/v31.cram"
+    spark.createDataset(recs).toDF()
+      .write.format("cram")
+      .option("header", headerSrc)
+      .option("profile", "spec31")
+      .mode("overwrite")
+      .save(file31)
+    val src31 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file31))
+    assert(src31(4) === 3.toByte && src31(5) === 1.toByte)
+    val back31 = spark.read.format("cram").load(file31)
+      .selectExpr("qname", "seq").as[(String, String)].collect().toMap
+    recs.foreach(r => assert(back31(r.qname) === r.seq, r.qname))
   }
 }
