@@ -47,6 +47,7 @@ object CramIO {
   val Bzip2 = 2
   val Rans4x8 = 4
   val RansNx16M = 5 // CRAM 3.1 (spec: compression method 5)
+  val ArithM = 6    // CRAM 3.1 adaptive arithmetic coder (method 6)
   val NameTokM = 8  // CRAM 3.1 read-name tokeniser (method 8)
 
   /** Decode plan for one CRAM file, shipped with each partition:
@@ -73,6 +74,7 @@ object CramIO {
       case RansNx16M =>
         // order-1 32-way, the CRAM 3.1 entropy coder
         RansNx16.encode(b.data, RansNx16.Order1 | RansNx16.N32)
+      case ArithM => Arith.encode(b.data, RansNx16.Order1)
       case NameTokM => NameTok.encode(b.data)
       case m => throw new IllegalArgumentException(s"unsupported method $m")
     }
@@ -139,6 +141,7 @@ object CramIO {
         out
       case Rans4x8 => CramForeign.Rans.decode(body)
       case RansNx16M => RansNx16.decode(body, rawSize)
+      case ArithM => Arith.decode(body, rawSize)
       case NameTokM => NameTok.decode(body)
       case Bzip2 =>
         val codec = new org.apache.hadoop.io.compress.BZip2Codec()

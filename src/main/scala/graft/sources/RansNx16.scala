@@ -39,14 +39,14 @@ object RansNx16 {
 
   // ------------------------------------------------------------ uint7
 
-  private def readUint7(bs: ByteStream): Int = {
+  private[sources] def readUint7(bs: ByteStream): Int = {
     var v = 0
     var c = bs.byte()
     while ((c & 0x80) != 0) { v = (v << 7) | (c & 0x7f); c = bs.byte() }
     (v << 7) | c
   }
 
-  private def writeUint7(out: ByteArrayOutputStream, v0: Int): Unit = {
+  private[sources] def writeUint7(out: ByteArrayOutputStream, v0: Int): Unit = {
     require(v0 >= 0)
     var started = false
     var shift = 28
@@ -351,11 +351,11 @@ object RansNx16 {
 
   // ------------------------------------------------- pre-transforms
 
-  private def packBits(nsym: Int): Int =
+  private[sources] def packBits(nsym: Int): Int =
     if (nsym <= 1) 0 else if (nsym <= 2) 1 else if (nsym <= 4) 2
     else if (nsym <= 16) 4 else 8
 
-  private def packData(raw: Array[Byte], map: Array[Int]): Array[Byte] = {
+  private[sources] def packData(raw: Array[Byte], map: Array[Int]): Array[Byte] = {
     val bits = packBits(map.length)
     if (bits == 0) return Array.emptyByteArray
     val inv = new Array[Int](256)
@@ -371,7 +371,7 @@ object RansNx16 {
     out
   }
 
-  private def unpackData(packed: Array[Byte], map: Array[Int],
+  private[sources] def unpackData(packed: Array[Byte], map: Array[Int],
                          outLen: Int): Array[Byte] = {
     val bits = packBits(map.length)
     val out = new Array[Byte](outLen)
@@ -393,7 +393,7 @@ object RansNx16 {
   /** RLE split: returns (literal stream, meta = runSyms ++ runLens).
     * A run symbol's every occurrence in the literal stream is followed
     * (in the meta stream) by its extra-repeat count. */
-  private def rleSplit(raw: Array[Byte]): (Array[Byte], Array[Int], Array[Int]) = {
+  private[sources] def rleSplit(raw: Array[Byte]): (Array[Byte], Array[Int], Array[Int]) = {
     // symbols worth run-length encoding: net savings per symbol
     val saving = new Array[Long](256)
     var i = 0
@@ -423,7 +423,7 @@ object RansNx16 {
     (lits.toByteArray, runSyms, lens.toArray)
   }
 
-  private def rleExpand(lits: Array[Byte], runSyms: Array[Int],
+  private[sources] def rleExpand(lits: Array[Byte], runSyms: Array[Int],
                         lens: ByteStream, outLen: Int): Array[Byte] = {
     val isRun = new Array[Boolean](256)
     runSyms.foreach(isRun(_) = true)

@@ -505,6 +505,36 @@ class ForeignCramSpec extends SparkSpec {
     assert(rec.qual === "*")
   }
 
+  test("adaptive arithmetic coder round-trips: orders, transforms, carry paths") {
+    import RansNx16.{Order1, Cat, Pack, Rle, Stripe, NoSz}
+    val rnd = new scala.util.Random(17)
+    val payloads = Seq(
+      Array.fill(1)(42.toByte),
+      Array.fill(3)(0.toByte),
+      Array.tabulate(4096)(i => (i % 251).toByte),
+      Array.fill(10000)((rnd.nextInt(4) + 60).toByte),
+      Array.tabulate(5000)(i => if (i % 100 < 90) 'A'.toByte else rnd.nextInt(256).toByte),
+      Array.fill(9000)(7.toByte), // long runs: exercises carry chains
+      Array.fill(20000)(0xFF.toByte), // all-0xFF: the carry-propagation worst case
+      ("FredJim" * 400).getBytes("US-ASCII"))
+    val flagSets = Seq(0, Order1, Cat, Pack, Rle, Rle | Order1, Pack | Rle,
+      Stripe, Stripe | Order1)
+    for (p <- payloads; fl <- flagSets) {
+      val enc = Arith.encode(p, fl)
+      val dec = Arith.decode(enc)
+      assert(java.util.Arrays.equals(dec, p),
+        s"arith flags 0x${fl.toHexString} length ${p.length} round-trip mismatch")
+      val encN = Arith.encode(p, fl | NoSz)
+      val decN = Arith.decode(encN, p.length)
+      assert(java.util.Arrays.equals(decN, p),
+        s"arith+NOSZ flags 0x${fl.toHexString} round-trip mismatch")
+    }
+    // the adaptive model should beat raw storage on skewed data
+    val skewed = Array.tabulate(50000)(i =>
+      if (i % 10 < 9) 'Q'.toByte else (i % 7 + 40).toByte)
+    assert(Arith.encode(skewed, Order1).length < skewed.length / 4)
+  }
+
   test("name tokeniser round-trips realistic read-name sets") {
     def run(names: Seq[String]): Unit = {
       val raw = names.flatMap(n => n.getBytes("US-ASCII") :+ 0.toByte).toArray
