@@ -104,8 +104,10 @@ object FormatBench {
     import graft.sources.CramIO
     val cg = s"$dir/bench_graft.cram"
     val cspec = s"$dir/bench_spec.cram"
+    val cspec31 = s"$dir/bench_spec31.cram"
     timed("cram_write_graft")(CramIO.write(heavy, header, cg))
     timed("cram_write_spec")(CramIO.write(heavy, header, cspec, profile = "spec"))
+    timed("cram_write_spec31")(CramIO.write(heavy, header, cspec31, profile = "spec31"))
     def creadN(label: String, f: String): Unit = {
       val t0 = System.nanoTime()
       val c = CramIO.read(spark, f).count()
@@ -115,6 +117,11 @@ object FormatBench {
     }
     creadN("cram_read_graft", cg)
     creadN("cram_read_spec", cspec)
+    creadN("cram_read_spec31", cspec31)
+    println("FORMATBENCH cram_bytes graft=" +
+      java.nio.file.Files.size(java.nio.file.Paths.get(cg)) + " spec=" +
+      java.nio.file.Files.size(java.nio.file.Paths.get(cspec)) + " spec31=" +
+      java.nio.file.Files.size(java.nio.file.Paths.get(cspec31)))
 
     // ---- lazy VCF/BCF genotype decode (LazyVCFGenotypesContext /
     // LazyBCFGenotypesContext analog): a many-sample cohort file read
