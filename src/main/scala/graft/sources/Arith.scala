@@ -133,6 +133,12 @@ object Arith {
   def decode(comp: Array[Byte], expectedLen: Int = -1): Array[Byte] = {
     val bs = new ByteStream(comp)
     val flags = bs.byte()
+    // in the method-6 spec, bit 0x04 (N32 in the Nx16 vocabulary) marks
+    // EXTERNAL compression of the stream; decoding past it would treat
+    // externally-compressed literals as range-coded and silently corrupt
+    if ((flags & RansNx16.N32) != 0)
+      throw new UnsupportedOperationException(
+        "arith codec: external-compression flag (0x04) not supported")
     val outLen =
       if ((flags & RansNx16.NoSz) != 0) {
         require(expectedLen >= 0, "NOSZ stream needs an expected length")
@@ -171,15 +177,8 @@ object Arith {
     var runLens: ByteStream = null
     var litLen = packedLen
     if ((flags & RansNx16.Rle) != 0) {
-      val metaLen = RansNx16.readUint7(bs)
-      val meta = new Array[Byte](metaLen)
-      System.arraycopy(bs.data, bs.p, meta, 0, metaLen)
-      bs.p += metaLen
-      val mbs = new ByteStream(meta)
-      val l = mbs.byte()
-      runSyms = Array.fill(if (l == 0) 256 else l)(mbs.byte())
-      runLens = mbs
-      litLen = RansNx16.readUint7(bs)
+      val (rs, rl, ll) = RansNx16.readRleMeta(bs)
+      runSyms = rs; runLens = rl; litLen = ll
     }
 
     val lits = new Array[Byte](litLen)
@@ -275,11 +274,7 @@ object Arith {
       packMeta.writeTo(out)
       RansNx16.writeUint7(out, packedLen)
     }
-    if (rleMeta != null) {
-      RansNx16.writeUint7(out, rleMeta.size())
-      rleMeta.writeTo(out)
-      RansNx16.writeUint7(out, data.length)
-    }
+    if (rleMeta != null) RansNx16.writeRleMeta(out, rleMeta, data.length)
     if (data.isEmpty) return out.toByteArray
     if ((flags & RansNx16.Cat) != 0) out.write(data)
     else {

@@ -190,6 +190,12 @@ object NameTok {
     while (bs.remaining > 0) {
       val tb = bs.byte()
       if ((tb & 0x80) != 0) pos += 1
+      // 0x40 is the spec's duplicate-stream flag (share bytes with an
+      // earlier stream); silently masking it would decode wrong names,
+      // so reject it like useArith != 0 until fixtures pin the layout.
+      if ((tb & 0x40) != 0)
+        throw new UnsupportedOperationException(
+          "name codec: duplicate-stream flag (0x40) not supported")
       val typ = tb & 0x3f
       val clen = readUint7(bs)
       val sub = new Array[Byte](clen)
@@ -209,10 +215,20 @@ object NameTok {
     while (n < nnames) {
       val t0 = stream(0, TType).byte()
       if (t0 == TDup) {
-        stream(0, TDup).byte() // distance (always 1 here)
+        // only distance-1 duplicates are implemented; a conformant
+        // stream may reference any earlier name, which would silently
+        // decode to the WRONG name if we substituted the previous one
+        val dist = stream(0, TDup).byte()
+        if (dist != 1)
+          throw new UnsupportedOperationException(
+            s"name codec: DUP distance $dist not supported (only 1)")
         out.write(prevName.getBytes("US-ASCII")); out.write(0)
       } else {
-        stream(0, TDiff).byte()
+        val ddist = stream(0, TDiff).byte()
+        val expect = if (prev == null) 0 else 1
+        if (ddist != expect)
+          throw new UnsupportedOperationException(
+            s"name codec: DIFF distance $ddist not supported (only $expect)")
         val toks = scala.collection.mutable.ArrayBuffer[Tok]()
         val sb = new StringBuilder
         var ti = 1

@@ -443,6 +443,42 @@ object RansNx16 {
     out
   }
 
+  /** Read spec-framed RLE metadata (hts-specs Nx16 RLE layout): uint7
+    * `rle_meta_len` whose LOW BIT discriminates raw (1) from
+    * order-0-rANS-compressed (0) metadata, then uint7 literal length,
+    * then the metadata bytes (raw `rle_meta_len>>1` bytes, or uint7
+    * compressed length + payload decoding to `rle_meta_len>>1`).
+    * Returns (runSyms, runLens stream, literal length). */
+  private[sources] def readRleMeta(bs: ByteStream): (Array[Int], ByteStream, Int) = {
+    val metaRaw = readUint7(bs)
+    val litLen = readUint7(bs)
+    val mlen = metaRaw >>> 1
+    val meta = new Array[Byte](mlen)
+    if ((metaRaw & 1) != 0) {
+      System.arraycopy(bs.data, bs.p, meta, 0, mlen)
+      bs.p += mlen
+    } else {
+      val clen = readUint7(bs)
+      val sub = new Array[Byte](clen)
+      System.arraycopy(bs.data, bs.p, sub, 0, clen)
+      bs.p += clen
+      decode0(new ByteStream(sub), meta, 4)
+    }
+    val mbs = new ByteStream(meta)
+    val l = mbs.byte()
+    val runSyms = Array.fill(if (l == 0) 256 else l)(mbs.byte())
+    (runSyms, mbs, litLen)
+  }
+
+  /** Write spec-framed RLE metadata (always the raw form: low bit 1). */
+  private[sources] def writeRleMeta(out: ByteArrayOutputStream,
+                                    meta: ByteArrayOutputStream,
+                                    litLen: Int): Unit = {
+    writeUint7(out, (meta.size() << 1) | 1)
+    writeUint7(out, litLen)
+    meta.writeTo(out)
+  }
+
   // ----------------------------------------------------------- API
 
   /** Decode one rANS Nx16 stream.  `expectedLen` is required when the
@@ -491,15 +527,8 @@ object RansNx16 {
     var runLens: ByteStream = null
     var litLen = packedLen
     if ((flags & Rle) != 0) {
-      val metaLen = readUint7(bs)
-      val meta = new Array[Byte](metaLen)
-      System.arraycopy(bs.data, bs.p, meta, 0, metaLen)
-      bs.p += metaLen
-      val mbs = new ByteStream(meta)
-      val l = mbs.byte()
-      runSyms = Array.fill(if (l == 0) 256 else l)(mbs.byte())
-      runLens = mbs
-      litLen = readUint7(bs)
+      val (rs, rl, ll) = readRleMeta(bs)
+      runSyms = rs; runLens = rl; litLen = ll
     }
 
     val lits = new Array[Byte](litLen)
@@ -583,11 +612,7 @@ object RansNx16 {
       packMeta.writeTo(out)
       writeUint7(out, packedLen)
     }
-    if (rleMeta != null) {
-      writeUint7(out, rleMeta.size())
-      rleMeta.writeTo(out)
-      writeUint7(out, data.length)
-    }
+    if (rleMeta != null) writeRleMeta(out, rleMeta, data.length)
     if (data.isEmpty) return out.toByteArray
     if ((flags & Cat) != 0) out.write(data)
     else {

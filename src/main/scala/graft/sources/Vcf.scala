@@ -75,22 +75,27 @@ object Vcf {
   /** Parse with a field mask: unmasked column groups are skipped, not
     * parsed — a genotype-less parse stops its tab scan after INFO. */
   def parseLine(l: String, fields: Int): VcfVariant = {
+    // malformed input must fail identically regardless of projection:
+    // both paths raise the same error on a line with <8 site fields
+    def malformed(n: Int): Nothing = throw new IllegalArgumentException(
+      s"malformed VCF record line: expected 8 tab-separated site fields, got $n")
     val f =
-      if ((fields & FGenotypes) != 0) l.split("\t", -1)
-      else {
+      if ((fields & FGenotypes) != 0) {
+        val all = l.split("\t", -1)
+        if (all.length < 8) malformed(all.length)
+        all
+      } else {
         // a many-sample line is mostly genotype text: extract only the
         // 8 site fields by position instead of splitting the whole line
         val head = new Array[String](8)
         var start = 0
         var i = 0
         while (i < 8) {
-          if (start > l.length) head(i) = "."
-          else {
-            val t = l.indexOf('\t', start)
-            val end = if (t < 0) l.length else t
-            head(i) = l.substring(start, end)
-            start = end + 1
-          }
+          if (start > l.length) malformed(i)
+          val t = l.indexOf('\t', start)
+          val end = if (t < 0) l.length else t
+          head(i) = l.substring(start, end)
+          start = end + 1
           i += 1
         }
         head

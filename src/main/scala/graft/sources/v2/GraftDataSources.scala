@@ -252,10 +252,13 @@ class BamReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BamPartition]
     // prune-then-decode: the pruned schema drives the byte-level field
-    // mask, so a SELECT qname, pos never builds seq/qual/tag strings
+    // mask, so a SELECT qname, pos never builds seq/qual/tag strings;
+    // an empty pruned schema (count(*)) decodes only fixed fields
+    val bamMask =
+      if (pruned.fieldNames.isEmpty) 0
+      else graft.sources.BamCodec.maskFor(pruned.fieldNames.toSeq)
     val (it, closer) = BamIO.openRange(bp.file, bp.startVo, bp.endVo, bp.refs,
-      bp.intervals, bp.includeUnmapped,
-      graft.sources.BamCodec.maskFor(pruned.fieldNames.toSeq))
+      bp.intervals, bp.includeUnmapped, bamMask)
     new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned, closer)
   }
 }
@@ -912,8 +915,11 @@ case class VcfRangePartition(path: String, start: Long, end: Long,
 
 class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   // lazy decode from the pruned schema (ref: LazyVCFGenotypesContext
-  // .java:1): a site-only projection never parses genotype columns
-  private def mask: Int = Vcf.maskFor(pruned.fieldNames.toSeq)
+  // .java:1): a site-only projection never parses genotype columns.
+  // An EMPTY pruned schema here means count(*) — decode nothing extra
+  // (the typed readers' Nil-means-everything convention does not apply)
+  private def mask: Int =
+    if (pruned.fieldNames.isEmpty) 0 else Vcf.maskFor(pruned.fieldNames.toSeq)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VcfChunkPartition(task) =>
@@ -1044,8 +1050,11 @@ class BcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
     val bp = p.asInstanceOf[BcfPartition]
     // lazy decode from the pruned schema: a site-only projection skips
     // the genotype matrix at byte level (and the INFO walk when
-    // neither INFO column nor an interval filter needs it)
-    val mask0 = Vcf.maskFor(pruned.fieldNames.toSeq)
+    // neither INFO column nor an interval filter needs it); an empty
+    // pruned schema (count(*)) decodes nothing beyond site fields
+    val mask0 =
+      if (pruned.fieldNames.isEmpty) 0
+      else Vcf.maskFor(pruned.fieldNames.toSeq)
     val mask = if (bp.intervals.isEmpty) mask0 else mask0 | Vcf.FInfo
     val (base, closer) =
       BcfIO.openRangeWithCloser(bp.file, bp.startVo, bp.endVo, bp.dicts, mask)
