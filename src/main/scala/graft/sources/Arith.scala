@@ -23,109 +23,8 @@ import graft.sources.CramForeign.ByteStream
   */
 object Arith {
 
-  // ----------------------------------------------------- range coder
-
-  private final val Top = 1L << 24
-
-  private final class RangeEncoder(val out: ByteArrayOutputStream) {
-    private var low = 0L
-    private var range = 0xFFFFFFFFL
-    private var cache = 0
-    private var cacheSize = 1L
-
-    private def shiftLow(): Unit = {
-      if (low < 0xFF000000L || low > 0xFFFFFFFFL) {
-        val carry = (low >>> 32).toInt
-        out.write(cache + carry)
-        var i = 1L
-        while (i < cacheSize) { out.write(0xFF + carry); i += 1 }
-        cacheSize = 0
-        cache = ((low >>> 24) & 0xFF).toInt
-      }
-      cacheSize += 1
-      low = (low << 8) & 0xFFFFFFFFL
-    }
-
-    def encode(cumFreq: Int, freq: Int, tot: Int): Unit = {
-      val r = range / tot
-      low += cumFreq * r
-      range = freq * r
-      while (range < Top) { range <<= 8; shiftLow() }
-    }
-
-    def finish(): Unit = {
-      var i = 0
-      while (i < 5) { shiftLow(); i += 1 }
-    }
-  }
-
-  private final class RangeDecoder(bs: ByteStream) {
-    private var range = 0xFFFFFFFFL
-    private var code = 0L
-    // first byte is the encoder's initial cache (always 0): skip it
-    bs.byte()
-    (0 until 4).foreach(_ => code = (code << 8) | bs.byte())
-
-    private var r = 0L
-    def freqAt(tot: Int): Int = {
-      r = range / tot
-      math.min(tot - 1, (code / r).toInt)
-    }
-    def decode(cumFreq: Int, freq: Int): Unit = {
-      code -= cumFreq * r
-      range = freq * r
-      while (range < Top) {
-        range <<= 8
-        code = ((code << 8) | bs.byte()) & 0xFFFFFFFFL
-      }
-    }
-  }
-
-  // ------------------------------------------------- adaptive model
-
-  private final val Step = 8
-  private final val MaxTotal = (1 << 16) - 32
-
-  /** Adaptive byte model: frequencies start at 1, bump by [[Step]] on
-    * use, halve (keeping ≥1) past [[MaxTotal]].  Encoder and decoder
-    * evolve identically, so no table is stored. */
-  private final class Model {
-    private val freq = Array.fill(256)(1)
-    private var total = 256
-
-    private def rescale(): Unit = {
-      var t = 0
-      var i = 0
-      while (i < 256) {
-        freq(i) = (freq(i) + 1) >> 1
-        t += freq(i)
-        i += 1
-      }
-      total = t
-    }
-
-    def encode(rc: RangeEncoder, sym: Int): Unit = {
-      var cum = 0
-      var i = 0
-      while (i < sym) { cum += freq(i); i += 1 }
-      rc.encode(cum, freq(sym), total)
-      freq(sym) += Step
-      total += Step
-      if (total > MaxTotal) rescale()
-    }
-
-    def decode(rc: RangeDecoder): Int = {
-      val f = rc.freqAt(total)
-      var cum = 0
-      var sym = 0
-      while (cum + freq(sym) <= f) { cum += freq(sym); sym += 1 }
-      rc.decode(cum, freq(sym))
-      freq(sym) += Step
-      total += Step
-      if (total > MaxTotal) rescale()
-      sym
-    }
-  }
+  // range coder + adaptive model are shared with the fqzcomp codec:
+  // [[RangeEncoder]]/[[RangeDecoder]]/[[SimpleModel]] (RangeCoder.scala)
 
   // ----------------------------------------------------------- API
 
@@ -190,19 +89,19 @@ object Arith {
     } else {
       val rc = new RangeDecoder(bs)
       if ((flags & RansNx16.Order1) != 0) {
-        val models = Array.fill(256)(new Model)
+        val models = Array.fill(256)(new SimpleModel(256))
         var prev = 0
         var i = 0
         while (i < litLen) {
-          val s = models(prev).decode(rc)
+          val s = models(prev).decodeSym(rc)
           lits(i) = s.toByte
           prev = s
           i += 1
         }
       } else {
-        val m = new Model
+        val m = new SimpleModel(256)
         var i = 0
-        while (i < litLen) { lits(i) = m.decode(rc).toByte; i += 1 }
+        while (i < litLen) { lits(i) = m.decodeSym(rc).toByte; i += 1 }
       }
     }
 
@@ -280,19 +179,19 @@ object Arith {
     else {
       val rc = new RangeEncoder(out)
       if ((flags & RansNx16.Order1) != 0) {
-        val models = Array.fill(256)(new Model)
+        val models = Array.fill(256)(new SimpleModel(256))
         var prev = 0
         var i = 0
         while (i < data.length) {
           val s = data(i) & 0xff
-          models(prev).encode(rc, s)
+          models(prev).encodeSym(rc, s)
           prev = s
           i += 1
         }
       } else {
-        val m = new Model
+        val m = new SimpleModel(256)
         var i = 0
-        while (i < data.length) { m.encode(rc, data(i) & 0xff); i += 1 }
+        while (i < data.length) { m.encodeSym(rc, data(i) & 0xff); i += 1 }
       }
       rc.finish()
     }

@@ -45,9 +45,11 @@ object CramIO {
   val Raw = 0
   val Gzip = 1
   val Bzip2 = 2
+  val Lzma = 3      // xz container (what htslib/htsjdk emit for "lzma")
   val Rans4x8 = 4
   val RansNx16M = 5 // CRAM 3.1 (spec: compression method 5)
   val ArithM = 6    // CRAM 3.1 adaptive arithmetic coder (method 6)
+  val FqzM = 7      // CRAM 3.1 fqzcomp quality codec (method 7)
   val NameTokM = 8  // CRAM 3.1 read-name tokeniser (method 8)
 
   /** Decode plan for one CRAM file, shipped with each partition:
@@ -56,11 +58,15 @@ object CramIO {
     * data-series). */
   final case class CramMeta(major: Int, foreign: Boolean)
 
+  /** `pre`, when non-null, is an already-compressed body for methods
+    * whose encoder needs out-of-band context (fqzcomp needs the
+    * per-record quality lengths); `data` stays the raw bytes so
+    * `rawSize` and round-trip checks are uniform. */
   final case class Block(method: Int, contentType: Int, contentId: Int,
-                         data: Array[Byte])
+                         data: Array[Byte], pre: Array[Byte] = null)
 
   def writeBlock(out: OutputStream, b: Block): Unit = {
-    val body = b.method match {
+    val body = if (b.pre != null) b.pre else b.method match {
       case Raw => b.data
       case Gzip =>
         // method 1 is RFC 1952 gzip (not bare zlib) per the spec
@@ -76,6 +82,14 @@ object CramIO {
         RansNx16.encode(b.data, RansNx16.Order1 | RansNx16.N32)
       case ArithM => Arith.encode(b.data, RansNx16.Order1)
       case NameTokM => NameTok.encode(b.data)
+      case Lzma =>
+        val bos = new ByteArrayOutputStream(b.data.length / 2 + 64)
+        val xz = new org.tukaani.xz.XZOutputStream(bos,
+          new org.tukaani.xz.LZMA2Options())
+        xz.write(b.data); xz.finish(); xz.close()
+        bos.toByteArray
+      case FqzM => throw new IllegalArgumentException(
+        "fqzcomp blocks need per-record lengths: pass Block.pre from Fqz.encode")
       case m => throw new IllegalArgumentException(s"unsupported method $m")
     }
     // block bytes (method..data) are CRC32'd per CRAM 3.0
@@ -142,7 +156,21 @@ object CramIO {
       case Rans4x8 => CramForeign.Rans.decode(body)
       case RansNx16M => RansNx16.decode(body, rawSize)
       case ArithM => Arith.decode(body, rawSize)
+      case FqzM => Fqz.decode(body, rawSize)
       case NameTokM => NameTok.decode(body)
+      case Lzma =>
+        // method 3 is the xz container (htslib uses liblzma's .xz
+        // framing; htsjdk reads it with org.tukaani.xz, same as here)
+        val xin = new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(body))
+        val out = new Array[Byte](rawSize)
+        var n = 0
+        while (n < rawSize) {
+          val r = xin.read(out, n, rawSize - n)
+          if (r < 0) throw new EOFException("truncated lzma block")
+          n += r
+        }
+        require(xin.read() < 0, "lzma block longer than raw size")
+        out
       case Bzip2 =>
         val codec = new org.apache.hadoop.io.compress.BZip2Codec()
         codec.setConf(new org.apache.hadoop.conf.Configuration(false))
@@ -156,7 +184,7 @@ object CramIO {
         }
         out
       case m => throw new IllegalArgumentException(
-        s"unsupported CRAM block compression method $m (3=lzma needs an xz codec)")
+        s"unsupported CRAM block compression method $m")
     }
     require(data.length == rawSize, "raw size mismatch")
     Block(method, contentType, contentId, data)
@@ -330,7 +358,7 @@ object CramIO {
     * discipline as [[ShardWriter]]: ~1 MB of buffered payload per
     * container, so a multi-GB partition never accumulates. */
   final class SpecShardWriter(pathStr: String, refIdx: Map[String, Int],
-                              v31: Boolean = false) {
+                              v31: Boolean = false, fqz: Boolean = false) {
     private val out = {
       val (tfs, tp) = Fs.get(pathStr)
       new java.io.BufferedOutputStream(tfs.create(tp, true))
@@ -351,7 +379,7 @@ object CramIO {
         if (buf.length >= 64 && mid < buf.length)
           Seq(buf.take(mid).toSeq, buf.drop(mid).toSeq)
         else Seq(buf.toSeq)
-      val enc = CramSpecWrite.encodeContainer(slices, refIdx, nTotal, v31)
+      val enc = CramSpecWrite.encodeContainer(slices, refIdx, nTotal, v31, fqz)
       val body = new ByteArrayOutputStream(1 << 20)
       writeBlock(body, enc.compHeader)
       val landmarks = scala.collection.mutable.ArrayBuffer[Int]()
@@ -415,24 +443,27 @@ object CramIO {
     * consumes — graft's own foreign decoder round-trips them, which is
     * also how they read back here; `profile = "spec31"` is the same
     * container shape framed as CRAM 3.1 with the 3.1 codecs — rANS
-    * Nx16 blocks and the name tokeniser on the RN series. */
+    * Nx16 blocks and the name tokeniser on the RN series;
+    * `profile = "spec31-fqz"` additionally rides the QS series on the
+    * fqzcomp quality codec (the htslib "small"-profile shape). */
   def write(ds: Dataset[SamRecord], header: SamHeader, file: String,
             profile: String = "graft"): Unit = {
-    require(profile == "graft" || profile == "spec" || profile == "spec31",
-      s"unknown profile $profile")
+    require(profile == "graft" || profile == "spec" || profile == "spec31" ||
+      profile == "spec31-fqz", s"unknown profile $profile")
     val (fs, path) = Fs.get(file)
     val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
     fs.mkdirs(tmpDir)
     val tmpDirStr = tmpDir.toString
     val refIdx = header.refs.map(_.name).zipWithIndex.toMap
     val spec = profile != "graft"
-    val v31 = profile == "spec31"
+    val v31 = profile.startsWith("spec31")
+    val fqz = profile == "spec31-fqz"
 
     val shardCounts = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
       val p = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.cram").toString
       val n =
         if (spec) {
-          val shard = new SpecShardWriter(p, refIdx, v31)
+          val shard = new SpecShardWriter(p, refIdx, v31, fqz)
           it.foreach(shard.write)
           shard.finish()
         } else {

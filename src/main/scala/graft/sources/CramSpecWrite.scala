@@ -219,7 +219,8 @@ object CramSpecWrite {
   private[sources] def encodeContainer(recsSlices: Seq[Seq[SamRecord]],
                                        refIdx: Map[String, Int],
                                        counterStart: Long,
-                                       v31: Boolean = false): EncodedContainer = {
+                                       v31: Boolean = false,
+                                       fqz: Boolean = false): EncodedContainer = {
     val all = recsSlices.flatten
     // tag dictionary: distinct (tag, normalized type) line per record
     val wired = all.map(r => r.tags.map(BamCodec.tagWire))
@@ -239,7 +240,7 @@ object CramSpecWrite {
       val sliceWired = wired.slice(offset, offset + recs.length)
       val sliceTl = tlOfAll.slice(offset, offset + recs.length)
       offset += recs.length
-      val es = encodeOneSlice(recs, sliceWired, sliceTl, refIdx, counter, v31)
+      val es = encodeOneSlice(recs, sliceWired, sliceTl, refIdx, counter, v31, fqz)
       counter += recs.length
       es
     }
@@ -261,7 +262,8 @@ object CramSpecWrite {
                              tlOf: Seq[Int],
                              refIdx: Map[String, Int],
                              counterStart: Long,
-                             v31: Boolean = false): EncodedSlice = {
+                             v31: Boolean = false,
+                             fqz: Boolean = false): EncodedSlice = {
     val mateNext = chainPlan(recs, refIdx)
     val isTail = Array.fill(recs.length)(false)
     mateNext.foreach(j => if (j >= 0) isTail(j) = true)
@@ -270,6 +272,9 @@ object CramSpecWrite {
     var refSeq = -3 // -3 unset; else the common refId or -2 mixed
     var minPos = Int.MaxValue
     var maxEnd = 0
+    // per-record QS byte counts: the fqzcomp encoder codes record
+    // lengths in-stream, so the QS block needs them at encode time
+    val qsLens = scala.collection.mutable.ArrayBuffer[Int]()
     recs.zipWithIndex.zip(tlOf).foreach { case ((r, i), tl) =>
       val rid = refIdx.getOrElse(r.rname, -1)
       refSeq = if (refSeq == -3) rid else if (refSeq == rid) refSeq else -2
@@ -374,6 +379,7 @@ object CramSpecWrite {
       // bytes, which read back as "*")
       if (r.qual == "*") (0 until seqLen).foreach(_ => s.byte(QS, 0xff))
       else r.qual.foreach(c => s.byte(QS, c - 33))
+      qsLens += (if (r.qual == "*") seqLen else r.qual.length)
     }
 
     val rid = if (refSeq == -3) -1 else refSeq
@@ -404,12 +410,18 @@ object CramSpecWrite {
         // blocks), gzip below the table-overhead floor.  CRAM 3.1
         // profile: rANS Nx16, and the RN series rides the name
         // tokeniser — the htslib 3.1 default shape.
-        val method =
-          if (v31 && cid == RN) CramIO.NameTokM
-          else if (data.length < 256) CramIO.Gzip
-          else if (v31) CramIO.RansNx16M
-          else CramIO.Rans4x8
-        CramIO.Block(method, CramIO.External, cid, data)
+        if (fqz && cid == QS && data.nonEmpty)
+          // htslib "small"-profile shape: quality scores ride fqzcomp
+          CramIO.Block(CramIO.FqzM, CramIO.External, cid, data,
+            pre = Fqz.encode(data, qsLens.filter(_ > 0).toArray))
+        else {
+          val method =
+            if (v31 && cid == RN) CramIO.NameTokM
+            else if (data.length < 256) CramIO.Gzip
+            else if (v31) CramIO.RansNx16M
+            else CramIO.Rans4x8
+          CramIO.Block(method, CramIO.External, cid, data)
+        }
       }
     val bases = recs.iterator.map(r => if (r.seq == "*") 0L else r.seq.length.toLong).sum
     EncodedSlice(blocks, rid, start, span, bases)

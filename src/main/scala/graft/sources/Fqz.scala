@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import graft.sources.CramForeign.ByteStream
+
+/** CRAM 3.1 fqzcomp quality codec (block compression method 7; public
+  * hts-specs "CRAM compression method specifications", fqzcomp
+  * section).  This is the codec htslib's 3.1 "small"/"archive"
+  * profiles emit for quality-score blocks.
+  *
+  * Model (per the spec): the quality bytes of all records are coded
+  * by one adaptive model per 16-bit CONTEXT, where the context of
+  * each symbol mixes (a) the last few quality symbols (qtab-mapped,
+  * shifted into qbits at qloc), (b) the quantized position within the
+  * record (ptab at ploc), (c) the count of quality transitions so far
+  * (dtab at dloc), and (d) the parameter selector (at sloc).  Record
+  * lengths are coded in-stream (4 bytes through dedicated models),
+  * so the block is self-framing; optional per-record duplicate and
+  * reverse flags ride their own 2-symbol models.  Parameter sets are
+  * read from the header (multi-parameter streams select per record
+  * via a coded selector mapped through `stab`).  Entropy coding is
+  * the shared range coder + SIMPLE_MODEL ([[RangeCoder]]), identical
+  * to the method-6 coder.
+  *
+  * The qtab/ptab/dtab/stab arrays use the spec's two-stage run-length
+  * array format: a value-indexed run-length list (255 = continuation)
+  * whose byte stream compresses repeats as `byte byte count`.
+  *
+  * Conformance caveat identical to [[RansNx16]]/[[NameTok]]/[[Arith]]
+  * (documented once at RansNx16.scala): no htslib-written 3.1 fixture
+  * exists offline, so the codec is pinned by round-trips and by the
+  * re-framed container suite, not live foreign bytes.  Reference
+  * root: CRAMRecordReader.java:30 (the reference delegates all CRAM
+  * codecs to htsjdk; this engine owns them natively).
+  */
+object Fqz {
+
+  final val Vers = 5
+
+  // global flags
+  private final val GMultiParam = 1
+  private final val GHaveStab = 2
+  private final val GDoRev = 4
+
+  // per-parameter flags
+  private final val PDoDedup = 2
+  private final val PDoLen = 4
+  private final val PDoSel = 8
+  private final val PHaveQmap = 16
+  private final val PHavePtab = 32
+  private final val PHaveDtab = 64
+  private final val PHaveQtab = 128
+
+  private final val CtxSize = 1 << 16
+
+  // ------------------------------------------------ array (de)serial
+
+  /** Read one spec array: `size` entries of non-decreasing small ints,
+    * stored as per-value run lengths (255 = continuation) whose byte
+    * list compresses replication as `byte byte count`. */
+  private[sources] def readArray(bs: ByteStream, size: Int): Array[Int] = {
+    // stage 1: un-replicate the run-part byte list; parts sum to size
+    val parts = scala.collection.mutable.ArrayBuffer[Int]()
+    var z = 0
+    var last = -1
+    while (z < size) {
+      val b = bs.byte()
+      if (b == last) {
+        var copy = bs.byte()
+        z += b * copy
+        while (copy > 0) { parts += b; copy -= 1 }
+      } else {
+        parts += b
+        z += b
+      }
+      last = b
+    }
+    // stage 2: expand run parts into the value-indexed array.  A
+    // 255-continuation whose terminating byte would land past the
+    // z >= size stop above is never stored (stage 1 cannot consume
+    // it), so a missing continuation part reads as 0.
+    val arr = new Array[Int](size)
+    var i = 0
+    var j = 0
+    var pi = 0
+    while (i < size) {
+      var run = 0
+      var part = 0
+      do {
+        if (pi < parts.length) { part = parts(pi); pi += 1 }
+        else if (run > 0 && i + run >= size) part = 0 // truncated continuation
+        else throw new IllegalStateException("fqzcomp: truncated array run list")
+        run += part
+      } while (part == 255)
+      var r = run
+      while (r > 0 && i < size) { arr(i) = j; i += 1; r -= 1 }
+      j += 1
+    }
+    arr
+  }
+
+  /** Inverse of [[readArray]]; `arr` must be non-decreasing. */
+  private[sources] def writeArray(out: ByteArrayOutputStream,
+                                  arr: Array[Int], size: Int): Unit = {
+    // per-value run lengths, 255-continuation parts
+    val parts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    var j = 0
+    while (i < size) {
+      require(arr(i) >= j, "fqzcomp array must be non-decreasing")
+      var run = 0
+      while (i < size && arr(i) == j) { run += 1; i += 1 }
+      while (run >= 255) { parts += 255; run -= 255 }
+      parts += run
+      j += 1
+    }
+    // emit with the replication rule the reader applies: a byte equal
+    // to the previous one is followed by an extra-copy count.  Track
+    // the reader's run-total `z` and stop emitting the moment it
+    // reaches `size` — the reader stops there too, so any byte past
+    // that point would desynchronize the enclosing stream.
+    var last = -1
+    var k = 0
+    var z = 0
+    while (k < parts.length && z < size) {
+      val v = parts(k)
+      var cnt = 1
+      while (k + cnt < parts.length && parts(k + cnt) == v) cnt += 1
+      var rem = cnt
+      if (v != last) { out.write(v); z += v; rem -= 1 }
+      while (rem > 0 && z < size) {
+        val c = math.min(rem, 255)
+        out.write(v); out.write(c)
+        z += v * c
+        rem -= c
+      }
+      last = v
+      k += cnt
+    }
+  }
+
+  // ------------------------------------------------------ parameters
+
+  private final case class Param(context: Int, pflags: Int, maxSym: Int,
+                                 qbits: Int, qshift: Int, qloc: Int,
+                                 sloc: Int, ploc: Int, dloc: Int,
+                                 qmap: Array[Int], qtab: Array[Int],
+                                 ptab: Array[Int], dtab: Array[Int]) {
+    def fixedLen: Boolean = (pflags & PDoLen) == 0
+    def qmask: Int = (1 << qbits) - 1
+  }
+
+  private def readParam(bs: ByteStream): Param = {
+    val context = bs.byte() | (bs.byte() << 8)
+    val pflags = bs.byte()
+    val maxSym = bs.byte()
+    var x = bs.byte()
+    val qbits = x >> 4; val qshift = x & 15
+    x = bs.byte()
+    val qloc = x >> 4; val sloc = x & 15
+    x = bs.byte()
+    val ploc = x >> 4; val dloc = x & 15
+    val qmap =
+      if ((pflags & PHaveQmap) != 0) Array.fill(maxSym)(bs.byte())
+      else Array.tabulate(256)(identity)
+    val qtab =
+      if ((pflags & PHaveQtab) != 0) readArray(bs, 256)
+      else Array.tabulate(256)(identity)
+    val ptab =
+      if ((pflags & PHavePtab) != 0) readArray(bs, 1024) else null
+    val dtab =
+      if ((pflags & PHaveDtab) != 0) readArray(bs, 256) else null
+    Param(context, pflags, maxSym, qbits, qshift, qloc, sloc, ploc, dloc,
+      qmap, qtab, ptab, dtab)
+  }
+
+  private def writeParam(out: ByteArrayOutputStream, pm: Param): Unit = {
+    out.write(pm.context & 0xff); out.write((pm.context >> 8) & 0xff)
+    out.write(pm.pflags)
+    out.write(pm.maxSym)
+    out.write((pm.qbits << 4) | pm.qshift)
+    out.write((pm.qloc << 4) | pm.sloc)
+    out.write((pm.ploc << 4) | pm.dloc)
+    if ((pm.pflags & PHaveQmap) != 0) pm.qmap.take(pm.maxSym).foreach(out.write)
+    if ((pm.pflags & PHaveQtab) != 0) writeArray(out, pm.qtab, 256)
+    if ((pm.pflags & PHavePtab) != 0) writeArray(out, pm.ptab, 1024)
+    if ((pm.pflags & PHaveDtab) != 0) writeArray(out, pm.dtab, 256)
+  }
+
+  // ---------------------------------------------------------- decode
+
+  /** Decode one method-7 stream to the concatenated quality bytes. */
+  def decode(comp: Array[Byte], expectedLen: Int = -1): Array[Byte] = {
+    val bs = new ByteStream(comp)
+    val outLen = RansNx16.readUint7(bs)
+    if (expectedLen >= 0)
+      require(outLen == expectedLen,
+        s"fqzcomp: embedded length $outLen != block raw size $expectedLen")
+    val vers = bs.byte()
+    require(vers == Vers, s"fqzcomp version $vers unsupported (expect $Vers)")
+    val gflags = bs.byte()
+    val doRev = (gflags & GDoRev) != 0
+    val nparam = if ((gflags & GMultiParam) != 0) bs.byte() else 1
+    var maxSel = if (nparam > 1) nparam - 1 else 0
+    val stab =
+      if ((gflags & GHaveStab) != 0) {
+        maxSel = bs.byte()
+        readArray(bs, 256)
+      } else Array.tabulate(256)(i => math.min(i, nparam - 1))
+    val params = Array.fill(nparam)(readParam(bs))
+    val maxSym = params.iterator.map(_.maxSym).max
+
+    // models: per-context quality models are created on first touch
+    // (real streams visit a small fraction of the 64k context space)
+    val nsymQ = maxSym + 1
+    val mqual = new Array[SimpleModel](CtxSize)
+    val mlen = Array.fill(4)(new SimpleModel(256))
+    val mrev = new SimpleModel(2)
+    val mdup = new SimpleModel(2)
+    val msel = if (maxSel > 0) new SimpleModel(maxSel + 1) else null
+
+    val rc = new RangeDecoder(bs)
+    val out = new Array[Byte](outLen)
+    val recLens = scala.collection.mutable.ArrayBuffer[Int]()
+    val recRevs = scala.collection.mutable.ArrayBuffer[Boolean]()
+
+    var i = 0
+    var p = 0          // bytes left in the current record
+    var lastLen = 0
+    var firstLen = true
+    var pm: Param = params(0)
+    var qctx = 0
+    var delta = 0
+    var prevq = 0
+    var sel = 0
+    var last = 0       // current model context
+
+    while (i < outLen) {
+      if (p == 0) {
+        // new record: selector, length, flags
+        sel = if (msel != null) msel.decodeSym(rc) else 0
+        val x = stab(sel)
+        require(x >= 0 && x < nparam, s"fqzcomp: selector $sel maps to $x")
+        pm = params(x)
+        if (!pm.fixedLen || firstLen) {
+          lastLen = mlen(0).decodeSym(rc) | (mlen(1).decodeSym(rc) << 8) |
+            (mlen(2).decodeSym(rc) << 16) | (mlen(3).decodeSym(rc) << 24)
+          firstLen = false
+        }
+        require(lastLen > 0 && i + lastLen <= outLen,
+          s"fqzcomp: record length $lastLen overruns buffer ($i of $outLen)")
+        val rev = doRev && mrev.decodeSym(rc) == 1
+        recLens += lastLen
+        recRevs += rev
+        val dup = (pm.pflags & PDoDedup) != 0 && mdup.decodeSym(rc) == 1
+        if (dup) {
+          require(i >= lastLen, "fqzcomp: duplicate flag on first record")
+          System.arraycopy(out, i - lastLen, out, i, lastLen)
+          i += lastLen
+          // p stays 0: next iteration starts a new record
+        } else {
+          p = lastLen
+          qctx = 0; delta = 0; prevq = 0
+          last = pm.context
+        }
+      } else {
+        var m = mqual(last)
+        if (m == null) { m = new SimpleModel(nsymQ); mqual(last) = m }
+        val q = m.decodeSym(rc)
+        out(i) = pm.qmap(q).toByte
+        i += 1
+        // context update (spec fqz_update_ctx): quality history, then
+        // position, transition-count, and selector contributions
+        qctx = (qctx << pm.qshift) + pm.qtab(q)
+        var l = (qctx & pm.qmask) << pm.qloc
+        if (pm.ptab != null) l += pm.ptab(math.min(1023, p)) << pm.ploc
+        if (pm.dtab != null) {
+          l += pm.dtab(math.min(255, delta)) << pm.dloc
+          if (prevq != q) delta += 1
+          prevq = q
+        }
+        if ((pm.pflags & PDoSel) != 0) l += sel << pm.sloc
+        p -= 1
+        last = l & (CtxSize - 1)
+      }
+    }
+
+    if (doRev) {
+      // second pass: reverse the quality strings flagged reversed
+      var off = 0
+      var r = 0
+      while (r < recLens.length) {
+        val len = recLens(r)
+        if (recRevs(r)) {
+          var a = off
+          var b = off + len - 1
+          while (a < b) {
+            val t = out(a); out(a) = out(b); out(b) = t
+            a += 1; b -= 1
+          }
+        }
+        off += len
+        r += 1
+      }
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- encode
+
+  /** Encode concatenated quality bytes with per-record `lengths`
+    * (single parameter set: in-stream lengths, qmap, position and
+    * transition context).  The write side exists for round-trip
+    * verification and the opt-in spec31 fqz quality profile. */
+  def encode(raw: Array[Byte], lengths: Array[Int]): Array[Byte] = {
+    require(lengths.forall(_ > 0), "fqzcomp: record lengths must be positive")
+    require(lengths.sum == raw.length,
+      s"fqzcomp: lengths sum ${lengths.sum} != data ${raw.length}")
+
+    // symbol alphabet: distinct quality values, ascending
+    val present = new Array[Boolean](256)
+    raw.foreach(b => present(b & 0xff) = true)
+    val qmap = (0 until 256).filter(present).toArray
+    val inv = new Array[Int](256)
+    qmap.zipWithIndex.foreach { case (v, s) => inv(v) = s }
+    val maxSym = qmap.length
+
+    // context layout (16 bits): two 6-bit quality symbols of history
+    // at bits 4..15, 2-bit log-position at 2..3, 2-bit transition
+    // count at 0..1 — the more history the model sees, the better it
+    // predicts the next quality in a random-walk-shaped string
+    def bitlen(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+    val ptab = Array.tabulate(1024)(i => math.min(3, bitlen(i) >> 2))
+    val dtab = Array.tabulate(256)(i => math.min(3, bitlen(i) >> 1))
+    val pm = Param(
+      context = 0,
+      pflags = PDoLen | PHaveQmap | PHavePtab | PHaveDtab,
+      maxSym = maxSym,
+      qbits = 12, qshift = 6, qloc = 4,
+      sloc = 0, ploc = 2, dloc = 0,
+      qmap = qmap, qtab = Array.tabulate(256)(identity),
+      ptab = ptab, dtab = dtab)
+
+    val head = new ByteArrayOutputStream(256)
+    RansNx16.writeUint7(head, raw.length)
+    head.write(Vers)
+    head.write(0) // gflags: single param, no stab, no rev
+    writeParam(head, pm)
+
+    val nsymQ = maxSym + 1
+    val mqual = new Array[SimpleModel](CtxSize)
+    val mlen = Array.fill(4)(new SimpleModel(256))
+
+    val body = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val rc = new RangeEncoder(body)
+    var i = 0
+    lengths.foreach { len =>
+      mlen(0).encodeSym(rc, len & 0xff)
+      mlen(1).encodeSym(rc, (len >> 8) & 0xff)
+      mlen(2).encodeSym(rc, (len >> 16) & 0xff)
+      mlen(3).encodeSym(rc, (len >> 24) & 0xff)
+      var p = len
+      var qctx = 0
+      var delta = 0
+      var prevq = 0
+      var last = pm.context
+      while (p > 0) {
+        val q = inv(raw(i) & 0xff)
+        var m = mqual(last)
+        if (m == null) { m = new SimpleModel(nsymQ); mqual(last) = m }
+        m.encodeSym(rc, q)
+        i += 1
+        qctx = (qctx << pm.qshift) + pm.qtab(q)
+        var l = (qctx & pm.qmask) << pm.qloc
+        l += pm.ptab(math.min(1023, p)) << pm.ploc
+        l += pm.dtab(math.min(255, delta)) << pm.dloc
+        if (prevq != q) delta += 1
+        prevq = q
+        p -= 1
+        last = l & (CtxSize - 1)
+      }
+    }
+    rc.finish()
+
+    val out = new ByteArrayOutputStream(head.size() + body.size())
+    head.writeTo(out)
+    body.writeTo(out)
+    out.toByteArray
+  }
+}

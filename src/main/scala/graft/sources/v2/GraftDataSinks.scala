@@ -213,7 +213,7 @@ class CramBatchWrite(target: String, header: graft.model.SamHeader,
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     graft.sources.CramIO.mergeShards(target, header, new Path(tmp),
-      minor = if (profile == "spec31") 1 else 0)
+      minor = if (profile.startsWith("spec31")) 1 else 0)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, p) = Fs.get(tmp)
     fs.delete(p, true)
@@ -228,14 +228,14 @@ class CramWriterFactory(tmp: String, refIdx: Map[String, Int],
     new ShardingDataWriter[TextShardDone](tmp, partitionId, taskId, "cram") {
       // streams record-by-record into ~1 MB containers — a multi-GB
       // partition never buffers
-      private val spec = profile == "spec" || profile == "spec31"
+      private val spec = profile != "graft"
       private val graftShard =
         if (spec) null
         else new graft.sources.CramIO.ShardWriter(attemptPath.toString, refIdx)
       private val specShard =
         if (spec)
           new graft.sources.CramIO.SpecShardWriter(attemptPath.toString, refIdx,
-            v31 = profile == "spec31")
+            v31 = profile.startsWith("spec31"), fqz = profile == "spec31-fqz")
         else null
       override def write(row: InternalRow): Unit = {
         val r = decoder.decode(row)

@@ -144,6 +144,45 @@ class CramSpecWriteSpec extends SparkSpec {
     assert(hit === expect)
   }
 
+  test("spec31-fqz profile rides the QS series on fqzcomp and reads back") {
+    import spark.implicits._
+    val recs = mkRecs(800)
+    val dir = tmpDir("cramspec31fqz")
+    val file = s"$dir/s31fqz.cram"
+    CramIO.write(spark.createDataset(recs).repartition(2), header, file,
+      profile = "spec31-fqz")
+    val src = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    assert(src(4) === 3.toByte && src(5) === 1.toByte, "version bytes must be 3.1")
+    val bs = new CramForeign.ByteStream(src)
+    bs.p = 26
+    val methods = scala.collection.mutable.Set[Int]()
+    while (bs.remaining > 0) {
+      val clen = bs.byte() | (bs.byte() << 8) | (bs.byte() << 16) | (bs.byte() << 24)
+      bs.itf8(); bs.itf8(); bs.itf8(); bs.itf8()
+      bs.ltf8(); bs.ltf8()
+      val nBlk = bs.itf8(); val nLm = bs.itf8()
+      (0 until nLm).foreach(_ => bs.itf8())
+      bs.p += 4
+      val end = bs.p + clen
+      var b = 0
+      while (b < nBlk) {
+        val m = bs.byte(); bs.byte(); bs.itf8()
+        val csz = bs.itf8(); bs.itf8()
+        if (csz > 0) methods += m
+        bs.p += csz + 4
+        b += 1
+      }
+      assert(bs.p === end)
+    }
+    assert(methods.contains(CramIO.FqzM), s"no fqzcomp blocks: $methods")
+    assert(methods.contains(CramIO.NameTokM), s"no name-tokenised blocks: $methods")
+    // record-for-record through the foreign decoder, qualities intact
+    val back = CramIO.read(spark, file).collect()
+    assert(back.length === recs.length)
+    val byName = back.map(r => r.qname -> r).toMap
+    recs.foreach { r => assert(fields(byName(r.qname)) === fields(r), r.qname) }
+  }
+
   test("paired-end reads round-trip through NF mate chains in multi-slice containers") {
     import spark.implicits._
     // real pairs: mutual RNEXT/PNEXT, consistent mate flags, canonical

@@ -230,13 +230,18 @@ class ForeignCramSpec extends SparkSpec {
     * bytes 3.1.  No htslib 3.1 fixture is available offline; this
     * pins the method-5 dispatch and the Nx16 codec under a real
     * container built from htslib's own block payloads. */
-  private def reframeTo31(src: Array[Byte]): Array[Byte] = {
+  private def reframeTo31(
+      src: Array[Byte],
+      pick: (Int, Array[Byte]) => (Int, Array[Byte]) =
+        (_, raw) => (5, RansNx16.encode(raw, RansNx16.Order1 | RansNx16.N32)))
+      : Array[Byte] = {
     val bs = new CramForeign.ByteStream(src)
     val out = new java.io.ByteArrayOutputStream(src.length + 256)
     out.write("CRAM".getBytes("US-ASCII"))
     out.write(3); out.write(1)
     out.write(src, 6, 20) // file id
     bs.p = 26
+    var blockNo = 0
     while (bs.remaining > 0) {
       val clen = bs.byte() | (bs.byte() << 8) | (bs.byte() << 16) | (bs.byte() << 24)
       val refId = bs.itf8(); val start = bs.itf8()
@@ -270,7 +275,7 @@ class ForeignCramSpec extends SparkSpec {
         }
         val (newMethod, enc) =
           if (raw.isEmpty) (0, raw)
-          else (5, RansNx16.encode(raw, RansNx16.Order1 | RansNx16.N32))
+          else { blockNo += 1; pick(blockNo - 1, raw) }
         val blk = new java.io.ByteArrayOutputStream(enc.length + 16)
         blk.write(newMethod); blk.write(btype)
         Cram.writeItf8(blk, cid)
@@ -305,6 +310,42 @@ class ForeignCramSpec extends SparkSpec {
     val out = s"$dir/test31.cram"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       reframeTo31(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cram))))
+    val recs = CramIO.read(spark, out, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    val orig = CramIO.read(spark, cram, reference = Some(fasta))
+      .collect().sortBy(_.pos)
+    assert(recs.length === 2)
+    recs.zip(orig).foreach { case (a, b) =>
+      assert((a.qname, a.flag, a.rname, a.pos, a.mapq, a.cigar, a.seq, a.qual,
+        a.tags.toSeq) ===
+        ((b.qname, b.flag, b.rname, b.pos, b.mapq, b.cigar, b.seq, b.qual,
+          b.tags.toSeq)))
+    }
+  }
+
+  test("the same records decode when blocks ride lzma (3) and fqzcomp (7)") {
+    // cycle methods across the container's non-empty blocks so every
+    // newly-dispatched method is exercised under real container
+    // framing: lzma via the xz container, fqzcomp framed as a single
+    // record spanning the block (its in-stream lengths are
+    // self-contained, so any byte payload is a valid quality series)
+    val dir = tmpDir("cram31mix")
+    val out = s"$dir/test31mix.cram"
+    val pick: (Int, Array[Byte]) => (Int, Array[Byte]) = (i, raw) =>
+      (i % 3) match {
+        case 0 =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val xz = new org.tukaani.xz.XZOutputStream(bos,
+            new org.tukaani.xz.LZMA2Options())
+          xz.write(raw); xz.finish(); xz.close()
+          (CramIO.Lzma, bos.toByteArray)
+        case 1 => (CramIO.FqzM, Fqz.encode(raw, Array(raw.length)))
+        case _ => (CramIO.RansNx16M,
+          RansNx16.encode(raw, RansNx16.Order1 | RansNx16.N32))
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      reframeTo31(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cram)), pick))
     val recs = CramIO.read(spark, out, reference = Some(fasta))
       .collect().sortBy(_.pos)
     val orig = CramIO.read(spark, cram, reference = Some(fasta))
