@@ -19,20 +19,32 @@ import org.apache.spark.sql.SparkSession
   *     the same value round over round, so a loaded machine shows up
   *     as probe inflation inside the artifact itself;
   *   - /proc/loadavg before/after and JVM GC totals;
+  *   - a 25M-step probe before EVERY query ("probe" map): a sustained
+  *     contention window in the middle of the run (BENCH_r08's
+  *     q_cooccur, inflated 5.8× with suspect:false) evades the
+  *     end-point probes but not the per-query ones — any query whose
+  *     probe exceeds 1.5× the run-wide median is listed individually
+  *     in "suspect_queries" with its probe ratio;
   *   - "suspect": true + reasons when warm>cold on >10% of queries,
-  *     the probes disagree by >25%, or starting loadavg already
-  *     exceeds the core count.
+  *     the probes disagree by >25%, starting loadavg already exceeds
+  *     the core count, or any query is individually suspect.
   */
 object Bench {
 
-  /** Fixed-work CPU probe: ~200M xorshift steps, single thread.  The
+  /** Fixed-work CPU probe: `steps` xorshift steps, single thread.  The
     * work is constant, so the wall time ratio between two probes is a
-    * direct read of how much CPU the sandbox actually gave us. */
-  private def calibrate(): Double = {
+    * direct read of how much CPU the sandbox actually gave us.  The
+    * full 200M-step probe (~0.4s idle) runs at start and end; a
+    * 25M-step probe (~50ms idle) runs before EVERY query so a
+    * contention window in the MIDDLE of the run — which the end
+    * probes straddle without seeing (BENCH_r08: q_cooccur reported
+    * 7.2s vs 1.25s idle with suspect:false) — is localized to the
+    * queries it actually touched. */
+  private def calibrate(steps: Int = 200000000): Double = {
     val t0 = System.nanoTime()
     var x = 0x9e3779b97f4a7c15L
     var i = 0
-    while (i < 200000000) {
+    while (i < steps) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
@@ -62,6 +74,13 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob: SPARK_GRAFT_CONF="k=v;k=v" sets session confs (e.g.
+    // spark.graft.ranked.autoRewrite=true) for targeted comparisons
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -85,8 +104,12 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    // (name, median, min, cold, warmMin) per query
+    final case class QR(name: String, med: Double, min: Double, cold: Double,
+                        warmMin: Double, probe: Double)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query contention probe: timed immediately before the
+      // query's three runs, against the run-wide median below
+      val qprobe = calibrate(25000000)
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst ELIMINATE work
@@ -107,12 +130,12 @@ object Bench {
         val w1 = once()
         val w2 = once()
         val sorted = Seq(cold, w1, w2).sorted
-        (name, sorted(1), sorted(0), cold, math.min(w1, w2))
+        QR(name, sorted(1), sorted(0), cold, math.min(w1, w2), qprobe)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           spark.catalog.clearCache()
-          (name, -1.0, -1.0, -1.0, -1.0)
+          QR(name, -1.0, -1.0, -1.0, -1.0, qprobe)
       }
     }
 
@@ -123,8 +146,8 @@ object Bench {
     // Contention diagnosis: on an idle machine a warm run beats the
     // cold run (which additionally pays codegen+JIT).  warm > cold
     // means something stole the CPU between the runs.
-    val ok = results.filter(_._2 >= 0)
-    val warmSlower = ok.count { case (_, _, _, cold, warmMin) => warmMin > cold }
+    val ok = results.filter(_.med >= 0)
+    val warmSlower = ok.count(r => r.warmMin > r.cold)
     val warmSlowerFrac = if (ok.isEmpty) 0.0 else warmSlower.toDouble / ok.size
     val probeDrift = math.abs(probeEnd - probeStart) / math.max(probeStart, 1e-9)
     val reasons = scala.collection.mutable.ArrayBuffer[String]()
@@ -134,27 +157,47 @@ object Bench {
       reasons += f"CPU calibration probe drifted ${probeDrift * 100}%.0f%% ($probeStart%.2fs -> $probeEnd%.2fs)"
     if (load1(loadStart) > cpus)
       reasons += s"loadavg already ${load1(loadStart)} at start with $cpus cores"
+    // per-query contention: a query whose pre-probe ran >1.5× the
+    // run-wide median probe was measured inside a contention window —
+    // its numbers are individually untrustworthy even when the
+    // run-level heuristics stay quiet
+    val probeMedian = {
+      val ps = results.map(_.probe).sorted
+      if (ps.isEmpty) 0.0 else ps(ps.length / 2)
+    }
+    val suspectQueries = results.filter(r =>
+      probeMedian > 0 && r.probe > 1.5 * probeMedian)
+    if (suspectQueries.nonEmpty)
+      reasons += s"${suspectQueries.length} queries probed >1.5x the median " +
+        f"probe ($probeMedian%.3fs): " +
+        suspectQueries.map(r => f"${r.name} (${r.probe / probeMedian}%.1fx)")
+          .mkString(", ").take(300)
     val suspect = reasons.nonEmpty
 
-    def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
-      results.map(r => s""""${esc(r._1)}":${f(r)}""").mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val mins = jmap(_._3)
-    val cs = jmap(_._4)
+    def jmap(f: QR => Double): String =
+      results.map(r => s""""${esc(r.name)}":${f(r)}""").mkString("{", ",", "}")
+    val qs = jmap(_.med)
+    val mins = jmap(_.min)
+    val cs = jmap(_.cold)
+    val probes = jmap(_.probe)
+    val sq = suspectQueries
+      .map(r => s""""${esc(r.name)}":${r.probe / probeMedian}""")
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    def tot(f: ((String, Double, Double, Double, Double)) => Double): Double =
-      results.map(f).filter(_ >= 0).sum
-    val total = tot(_._2)
-    val minTotal = tot(_._3)
-    val coldTotal = tot(_._4)
+    def tot(f: QR => Double): Double = results.map(f).filter(_ >= 0).sum
+    val total = tot(_.med)
+    val minTotal = tot(_.min)
+    val coldTotal = tot(_.cold)
     val env = s"""{"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}",""" +
       s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
+      s""""probe_median_sec":$probeMedian,""" +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""min":$mins,"min_total":$minTotal,"cold":$cs,"cold_total":$coldTotal,""" +
+      s""""probe":$probes,"suspect_queries":$sq,""" +
       s""""suspect":$suspect,"suspect_reasons":$rs,"env":$env,""" +
       s""""errors":$es,"sf":"${esc(sfDir)}"}"""
     println(json)
