@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+import org.apache.spark.sql.types.LongType
+
+import graft.plans.RankedPrefixSum
 
 /** Distributed prefix aggregation for LOW-CARDINALITY partition keys.
   *
@@ -39,51 +41,26 @@ object Ranked {
     * than the number of groups. */
   def prefixSum(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
                 deltaCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val all = (partCols ++ orderCols).map(col)
-    val parted = df.repartitionByRange(all: _*)
-      .sortWithinPartitions(all: _*)
-    val schema = parted.schema
-    val pIdx = partCols.map(schema.fieldIndex).toArray
-    val dIdx = schema.fieldIndex(deltaCol)
-    def key(r: Row): Seq[Any] = pIdx.toSeq.map(r.get)
-    val rdd = parted.rdd
-
-    // pass 1: per-(partition, group) delta totals
-    val partTotals: Array[(Int, Map[Seq[Any], Long])] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
-        it.foreach { r =>
-          val k = key(r)
-          m(k) = m.getOrElse(k, 0L) + r.getLong(dIdx)
-        }
-        Iterator.single((pid, m.toMap))
-      }.collect()
-    val offsets: Map[(Int, Seq[Any]), Long] = {
-      val running = scala.collection.mutable.Map[Seq[Any], Long]()
-      val out = scala.collection.mutable.Map[(Int, Seq[Any]), Long]()
-      partTotals.sortBy(_._1).foreach { case (pid, m) =>
-        m.foreach { case (k, total) =>
-          out((pid, k)) = running.getOrElse(k, 0L)
-          running(k) = running.getOrElse(k, 0L) + total
-        }
-      }
-      out.toMap
-    }
-    val bcOff = spark.sparkContext.broadcast(offsets)
-
-    // pass 2: same exchange, local running sum + group offset
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val local = scala.collection.mutable.Map[Seq[Any], Long]()
-      it.map { r =>
-        val k = key(r)
-        val cum = bcOff.value.getOrElse((pid, k), 0L) +
-          local.getOrElse(k, 0L) + r.getLong(dIdx)
-        local(k) = local.getOrElse(k, 0L) + r.getLong(dIdx)
-        Row.fromSeq(r.toSeq :+ cum)
-      }
-    }
-    spark.createDataFrame(out,
-      StructType(schema.fields :+ StructField(outCol, LongType, nullable = false)))
+    // build the custom logical node directly (same operator the
+    // opt-in RankedWindowRule rewrites windows into): analysis
+    // resolves nothing here, so resolve the columns ourselves
+    val plan = df.queryExecution.analyzed
+    def attr(name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val delta = attr(deltaCol)
+    require(delta.dataType == LongType, s"$deltaCol must be BIGINT")
+    // NULL deltas contribute 0 here; the SQL window's running sum
+    // instead stays NULL until the first value.  The optimizer rule
+    // only rewrites non-nullable sums, so the difference is only
+    // reachable through this API — pass a coalesced column if the
+    // distinction matters.
+    val node = RankedPrefixSum(
+      partCols.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      delta,
+      AttributeReference(outCol, LongType, nullable = false)(),
+      plan)
+    org.apache.spark.sql.classic.GraftDatasetAccess.ofRows(df.sparkSession, node)
   }
 }

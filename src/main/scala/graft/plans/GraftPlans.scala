@@ -15,6 +15,8 @@ object GraftPlans {
   def inject(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinCountRule)
     e.injectOptimizerRule(_ => RangeJoinRule)
+    e.injectOptimizerRule(_ => RankedWindowRule)
+    e.injectPlannerStrategy(_ => RankedStrategy)
   }
 }
 

@@ -102,14 +102,15 @@ object Genomic {
     // rstart <= tend is inclusive → reads first via flag 0)
     // NOTE on the `PARTITION BY contig` windows: contig has a handful
     // of values, so each window sorts the whole event stream on
-    // |contig| tasks.  At the SF gates this codegen'd form wins (the
-    // alternative's fixed multi-job overhead dominates: 1.85s window
-    // vs 4.45s two-pass at sf0.1, parity at sf1); on a many-core
-    // cluster where |contig| << cores, swap each window for
-    // [[graft.operators.Ranked.prefixSum]] — the range-partitioned
-    // two-pass construction with identical semantics that parallelizes
-    // in cores, not groups (measured winning 11.9s → 2.9s on the
-    // analogous q_median_group rank at sf1).
+    // |contig| tasks.  The swap to the distributed-ranking form is now
+    // a CONFIG FLIP, not a code rewrite: with
+    // `spark.graft.ranked.autoRewrite=true` the RankedWindowRule
+    // rewrites both running sums into the InternalRow two-pass
+    // (plans.RankedPrefixSumExec).  Measured r9 at local[32]: window
+    // 2.13s vs ranked 2.39s at sf0.1, window 8.61s vs ranked 4.02s at
+    // sf1 — swap point ≈ sf0.2 here, and on a many-core cluster where
+    // |contig| << cores the ranked form is the only shape that scales.
+    // The codegen window stays the default for the SF-gate regime.
     val evF = r.select(col("contig"), col("rstart").as("pos"), lit(0).as("flag"),
         lit(1L).as("delta"), lit(-1L).as("target_id"))
       .unionAll(t.select(col("tcontig").as("contig"), col("tend").as("pos"),
