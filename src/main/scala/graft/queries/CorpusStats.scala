@@ -604,6 +604,25 @@ object CorpusStats {
   private val piiPhone = "\\+?[0-9][0-9 -]{6,}[0-9]"
   private val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
+  /** Per-row PII counters on `textCol` — shared VERBATIM between the
+    * batch scan below and [[graft.streaming.StreamPiiScan]] so the
+    * two engines cannot drift.  Adds emails / phones / ips (BIGINT).
+    * Pure scan-stage scalars: stateless in a stream. */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("emails", regexp_count(col(textCol), lit(piiEmail)).cast("long"))
+    .withColumn("phones", regexp_count(col(textCol), lit(piiPhone)).cast("long"))
+    .withColumn("ips", regexp_count(col(textCol), lit(piiIp)).cast("long"))
+
+  /** The aggregation half of the PII report, shared the same way
+    * (head +: tail for groupBy(...).agg). */
+  def piiAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum("emails").as("n_emails"),
+    sum("phones").as("n_phones"),
+    sum("ips").as("n_ips"),
+    sum(when(col("emails") + col("phones") + col("ips") > 0, 1L)
+      .otherwise(0L)).as("docs_with_pii"))
+
   def qPiiScan(s: SparkSession, d: String): DataFrame = {
     val aug = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
@@ -618,17 +637,9 @@ object CorpusStats {
             lit(" now"))).otherwise(lit("")),
           when(col("doc_id") % 5 === 2, lit(" v1.2 build 34 rc5"))
             .otherwise(lit(""))).as("aug"))
-    aug.select(col("source"),
-        regexp_count(col("aug"), lit(piiEmail)).cast("long").as("emails"),
-        regexp_count(col("aug"), lit(piiPhone)).cast("long").as("phones"),
-        regexp_count(col("aug"), lit(piiIp)).cast("long").as("ips"))
+    piiCounts(aug, "aug")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("emails").as("n_emails"),
-        sum("phones").as("n_phones"),
-        sum("ips").as("n_ips"),
-        sum(when(col("emails") + col("phones") + col("ips") > 0, 1L)
-          .otherwise(0L)).as("docs_with_pii"))
+      .agg(piiAggs.head, piiAggs.tail: _*)
       .orderBy("source")
   }
 
