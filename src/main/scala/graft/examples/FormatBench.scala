@@ -15,6 +15,10 @@ import graft.sources.BamIO
   * O(chunks) planning only).
   *
   *   sbt "runMain graft.examples.FormatBench [nRecords] [outDir]"
+  *
+  * Besides the printed lines, every metric lands in one JSON artifact
+  * (SPARK_GRAFT_FORMATBENCH_OUT, default formatbench_out.json) so
+  * format-layer throughput is machine-comparable round over round.
   */
 object FormatBench {
   def main(args: Array[String]): Unit = {
@@ -42,12 +46,63 @@ object FormatBench {
     }
 
     val file = s"$dir/bench.bam"
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // the same self-diagnosis discipline as graft.Bench (r8/r9): a
+    // fixed-work CPU probe before every phase localizes sandbox
+    // contention to the phases it actually touched, and per-phase GC
+    // deltas expose JVM-internal stalls (a long-lived bench JVM
+    // accumulates heap pressure phase over phase)
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 25000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def record(label: String, sec: Double, rate: Double): Unit = {
+      metrics(s"${label}_sec") = sec
+      if (rate > 0) metrics(s"${label}_rec_per_sec") = rate
+    }
     def timed[T](label: String)(body: => T): T = {
+      // isolate phases from each other's heap debris: without this a
+      // late phase pays tens of seconds of old-gen collection caused
+      // by earlier phases (observed 7.6s -> 30.5s on cram_read_graft)
+      System.gc()
+      metrics(s"${label}_probe_sec") = probe()
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       val r = body
       val t = (System.nanoTime() - t0) / 1e9
+      metrics(s"${label}_gc_ms") = (gcMs() - g0).toDouble
       println(f"FORMATBENCH $label%-18s $t%7.2fs  ${n / t / 1e6}%6.2f Mrec/s")
+      record(label, t, n / t)
       r
+    }
+    // read phases re-run cheaply: report the median of three so one
+    // contention spike cannot masquerade as a format-layer regression
+    def timedRead(label: String, perRun: Long)(body: => Long): Double = {
+      System.gc()
+      metrics(s"${label}_probe_sec") = probe()
+      val g0 = gcMs()
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val c = body
+        require(c == perRun, s"$label read $c of $perRun")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      metrics(s"${label}_gc_ms") = (gcMs() - g0).toDouble
+      metrics(s"${label}_min_sec") = ts.head
+      val t = ts(1)
+      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${perRun / t / 1e6}%6.2f Mrec/s (median of 3)")
+      record(label, t, perRun / t)
+      t
     }
 
     timed("bam_write")(BamIO.writeSorted(ds, header, file))
@@ -56,18 +111,18 @@ object FormatBench {
     val len = java.nio.file.Files.size(java.nio.file.Paths.get(file))
     val split = math.max(1L << 20, len / (cpus * 2))
     println(s"FORMATBENCH file_bytes $len split $split")
-    val c1 = timed("bam_read")(BamIO.read(spark, file, splitSize = split).count())
-    require(c1 == n, s"read $c1 of $n")
+    timedRead("bam_read", n.toLong)(BamIO.read(spark, file, splitSize = split).count())
     // bounded traversal: middle 1% of the contig via the sidecar index
     val lo = contigLen / 2
     val hi = lo + contigLen / 100
-    val c2 = timed("bam_interval_read")(
+    val c2 = BamIO.read(spark, file, intervals = Seq(("chr1", lo, hi))).count()
+    timedRead("bam_interval_read", c2)(
       BamIO.read(spark, file, intervals = Seq(("chr1", lo, hi))).count())
     println(s"FORMATBENCH interval_rows $c2 (~${100.0 * c2 / n}%)")
-    val c3 = timed("bam_dsv2_read")(
+    timedRead("bam_dsv2_read", (n + 1) / 2)(
       spark.read.format("bam").option("splitsize", split.toString)
         .load(file).where("flag = 99").count())
-    require(c3 == (n + 1) / 2, s"dsv2 counted $c3")
+    metrics("bam_file_bytes") = len.toDouble
 
     // ---- lazy decode on tag-heavy records (LazyBAMRecordFactory
     // analog): same bytes, full decode vs a (qname, rname, pos) field
@@ -86,17 +141,13 @@ object FormatBench {
     timed("tagbam_write")(BamIO.writeSorted(heavy, header, tagFile))
     val tlen = java.nio.file.Files.size(java.nio.file.Paths.get(tagFile))
     val tsplit = math.max(1L << 20, tlen / (cpus * 2))
-    def readN(label: String, cols: Seq[String]): Double = {
-      val t0 = System.nanoTime()
-      val c = BamIO.read(spark, tagFile, splitSize = tsplit, columns = cols).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      require(c == nt, s"$label read $c of $nt")
-      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nt / t / 1e6}%6.2f Mrec/s")
-      t
-    }
+    def readN(label: String, cols: Seq[String]): Double =
+      timedRead(label, nt.toLong)(
+        BamIO.read(spark, tagFile, splitSize = tsplit, columns = cols).count())
     val tFull = readN("tagbam_full", Nil)
     val tPruned = readN("tagbam_pruned", Seq("qname", "rname", "pos"))
     println(f"FORMATBENCH pruned_speedup ${tFull / tPruned}%.2fx")
+    metrics("tagbam_pruned_speedup") = tFull / tPruned
 
     // ---- CRAM, both profiles: graft (BAM-codec payloads, fast path)
     // vs spec (real data-series containers, foreign-readable; reads
@@ -105,23 +156,28 @@ object FormatBench {
     val cg = s"$dir/bench_graft.cram"
     val cspec = s"$dir/bench_spec.cram"
     val cspec31 = s"$dir/bench_spec31.cram"
+    val cfqz = s"$dir/bench_spec31fqz.cram"
     timed("cram_write_graft")(CramIO.write(heavy, header, cg))
     timed("cram_write_spec")(CramIO.write(heavy, header, cspec, profile = "spec"))
     timed("cram_write_spec31")(CramIO.write(heavy, header, cspec31, profile = "spec31"))
+    timed("cram_write_spec31fqz")(CramIO.write(heavy, header, cfqz, profile = "spec31-fqz"))
     def creadN(label: String, f: String): Unit = {
-      val t0 = System.nanoTime()
-      val c = CramIO.read(spark, f).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      require(c == nt, s"$label read $c of $nt")
-      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nt / t / 1e6}%6.2f Mrec/s")
+      timedRead(label, nt.toLong)(CramIO.read(spark, f).count())
+      ()
     }
     creadN("cram_read_graft", cg)
     creadN("cram_read_spec", cspec)
     creadN("cram_read_spec31", cspec31)
+    creadN("cram_read_spec31fqz", cfqz)
     println("FORMATBENCH cram_bytes graft=" +
       java.nio.file.Files.size(java.nio.file.Paths.get(cg)) + " spec=" +
       java.nio.file.Files.size(java.nio.file.Paths.get(cspec)) + " spec31=" +
-      java.nio.file.Files.size(java.nio.file.Paths.get(cspec31)))
+      java.nio.file.Files.size(java.nio.file.Paths.get(cspec31)) + " spec31fqz=" +
+      java.nio.file.Files.size(java.nio.file.Paths.get(cfqz)))
+    metrics("cram_bytes_graft") = java.nio.file.Files.size(java.nio.file.Paths.get(cg)).toDouble
+    metrics("cram_bytes_spec") = java.nio.file.Files.size(java.nio.file.Paths.get(cspec)).toDouble
+    metrics("cram_bytes_spec31") = java.nio.file.Files.size(java.nio.file.Paths.get(cspec31)).toDouble
+    metrics("cram_bytes_spec31fqz") = java.nio.file.Files.size(java.nio.file.Paths.get(cfqz)).toDouble
 
     // ---- lazy VCF/BCF genotype decode (LazyVCFGenotypesContext /
     // LazyBCFGenotypesContext analog): a many-sample cohort file read
@@ -157,17 +213,13 @@ object FormatBench {
     }
     val vlen = java.nio.file.Files.size(java.nio.file.Paths.get(vcfFile))
     val vsplit = math.max(1L << 20, vlen / (cpus * 2))
-    def vreadN(label: String, cols: Seq[String]): Double = {
-      val t0 = System.nanoTime()
-      val c = Vcf.read(spark, vcfFile, splitSize = vsplit, columns = cols).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      require(c == nSite, s"$label read $c of $nSite")
-      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nSite / t / 1e3}%6.1f ksite/s")
-      t
-    }
+    def vreadN(label: String, cols: Seq[String]): Double =
+      timedRead(label, nSite.toLong)(
+        Vcf.read(spark, vcfFile, splitSize = vsplit, columns = cols).count())
     val vFull = vreadN("vcf_cohort_full", Nil)
     val vSite = vreadN("vcf_cohort_site", Seq("chrom", "pos", "id", "infoKeys"))
     println(f"FORMATBENCH vcf_site_speedup ${vFull / vSite}%.2fx")
+    metrics("vcf_site_speedup") = vFull / vSite
 
     val bcfFile = s"$dir/bench_cohort.bcf"
     val dicts = BcfIO.Dicts(Array("chr1"), Array("PASS"), Array("DP"),
@@ -176,17 +228,38 @@ object FormatBench {
       BcfIO.write(Vcf.read(spark, vcfFile, splitSize = vsplit)
         .repartition(1).sortWithinPartitions("pos"), dicts, bcfFile)
     }
-    def breadN(label: String, cols: Seq[String]): Double = {
-      val t0 = System.nanoTime()
-      val c = BcfIO.read(spark, bcfFile, columns = cols).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      require(c == nSite, s"$label read $c of $nSite")
-      println(f"FORMATBENCH $label%-18s $t%7.2fs  ${nSite / t / 1e3}%6.1f ksite/s")
-      t
-    }
+    def breadN(label: String, cols: Seq[String]): Double =
+      timedRead(label, nSite.toLong)(
+        BcfIO.read(spark, bcfFile, columns = cols).count())
     val bFull = breadN("bcf_cohort_full", Nil)
     val bSite = breadN("bcf_cohort_site", Seq("chrom", "pos", "id", "infoKeys"))
     println(f"FORMATBENCH bcf_site_speedup ${bFull / bSite}%.2fx")
+    metrics("bcf_site_speedup") = bFull / bSite
+
+    // one machine-readable artifact per run (BENCH-style), so the
+    // format-layer numbers quoted in SURVEY are checkable round over
+    // round instead of living only in prose
+    metrics("n_records") = n.toDouble
+    metrics("cpus") = cpus.toDouble
+    // run-level probe summary: phases whose probe exceeded 1.5x the
+    // median ran under contention — discount them when comparing
+    val probes = metrics.collect { case (k, v) if k.endsWith("_probe_sec") => (k, v) }
+    val pmed = { val ps = probes.values.toSeq.sorted; if (ps.isEmpty) 0.0 else ps(ps.size / 2) }
+    metrics("probe_median_sec") = pmed
+    probes.foreach { case (k, v) =>
+      if (pmed > 0 && v > 1.5 * pmed)
+        println(s"FORMATBENCH suspect_phase ${k.stripSuffix("_probe_sec")} " +
+          f"probe ${v / pmed}%.1fx median")
+    }
+    val json = metrics.map { case (k, v) =>
+      val vs = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+               else f"$v%.6f"
+      s""""$k":$vs"""
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_FORMATBENCH_OUT", "formatbench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"FORMATBENCH artifact $out")
     spark.stop()
   }
 }

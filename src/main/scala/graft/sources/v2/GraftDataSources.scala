@@ -46,6 +46,20 @@ import graft.sources.{BamIO, BcfIO, Fasta, Fastq, RangedText, Vcf}
   */
 object GraftDataSources {
 
+  /** Decode mask for a DSv2 pruned schema over VcfVariant: an EMPTY
+    * pruned schema is count(*) — decode nothing beyond site fields
+    * (mask 0), NOT the typed readers' Nil-means-everything
+    * convention.  Shared by the VCF and BCF reader factories; public
+    * within graft so the lazy-decode contract is directly testable. */
+  private[graft] def vcfPrunedMask(pruned: StructType): Int =
+    if (pruned.fieldNames.isEmpty) 0
+    else graft.sources.Vcf.maskFor(pruned.fieldNames.toSeq)
+
+  /** Same contract for the BAM reader factory's SamRecord schema. */
+  private[graft] def bamPrunedMask(pruned: StructType): Int =
+    if (pruned.fieldNames.isEmpty) 0
+    else graft.sources.BamCodec.maskFor(pruned.fieldNames.toSeq)
+
   /** Serialize a case-class record stream onto a pruned schema.
     * `closeUnderlying` releases the input stream when the scan stops
     * before exhausting the iterator (LIMIT, task abort). */
@@ -254,11 +268,9 @@ class BamReaderFactory(pruned: StructType) extends PartitionReaderFactory {
     // prune-then-decode: the pruned schema drives the byte-level field
     // mask, so a SELECT qname, pos never builds seq/qual/tag strings;
     // an empty pruned schema (count(*)) decodes only fixed fields
-    val bamMask =
-      if (pruned.fieldNames.isEmpty) 0
-      else graft.sources.BamCodec.maskFor(pruned.fieldNames.toSeq)
     val (it, closer) = BamIO.openRange(bp.file, bp.startVo, bp.endVo, bp.refs,
-      bp.intervals, bp.includeUnmapped, bamMask)
+      bp.intervals, bp.includeUnmapped,
+      GraftDataSources.bamPrunedMask(pruned))
     new GraftDataSources.RecordReader(it, ExpressionEncoder[SamRecord](), pruned, closer)
   }
 }
@@ -915,11 +927,8 @@ case class VcfRangePartition(path: String, start: Long, end: Long,
 
 class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   // lazy decode from the pruned schema (ref: LazyVCFGenotypesContext
-  // .java:1): a site-only projection never parses genotype columns.
-  // An EMPTY pruned schema here means count(*) — decode nothing extra
-  // (the typed readers' Nil-means-everything convention does not apply)
-  private def mask: Int =
-    if (pruned.fieldNames.isEmpty) 0 else Vcf.maskFor(pruned.fieldNames.toSeq)
+  // .java:1): a site-only projection never parses genotype columns
+  private def mask: Int = GraftDataSources.vcfPrunedMask(pruned)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VcfChunkPartition(task) =>
@@ -1050,11 +1059,8 @@ class BcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
     val bp = p.asInstanceOf[BcfPartition]
     // lazy decode from the pruned schema: a site-only projection skips
     // the genotype matrix at byte level (and the INFO walk when
-    // neither INFO column nor an interval filter needs it); an empty
-    // pruned schema (count(*)) decodes nothing beyond site fields
-    val mask0 =
-      if (pruned.fieldNames.isEmpty) 0
-      else Vcf.maskFor(pruned.fieldNames.toSeq)
+    // neither INFO column nor an interval filter needs it)
+    val mask0 = GraftDataSources.vcfPrunedMask(pruned)
     val mask = if (bp.intervals.isEmpty) mask0 else mask0 | Vcf.FInfo
     val (base, closer) =
       BcfIO.openRangeWithCloser(bp.file, bp.startVo, bp.endVo, bp.dicts, mask)

@@ -117,6 +117,40 @@ class LazyGenotypeSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("DSv2 pruned-schema masks: empty means count(*), not everything") {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    import graft.sources.v2.GraftDataSources
+    def schemaOf(names: String*) = StructType(names.map(StructField(_, StringType)))
+    // the ADVICE r8 case: a count(*) arrives as an EMPTY pruned schema
+    // and must decode site fields only — not route through the typed
+    // readers' Nil-means-everything convention
+    assert(GraftDataSources.vcfPrunedMask(schemaOf()) === 0)
+    assert(GraftDataSources.vcfPrunedMask(schemaOf("chrom", "pos", "id")) === 0)
+    assert(GraftDataSources.vcfPrunedMask(schemaOf("pos", "infoKeys")) === Vcf.FInfo)
+    assert(GraftDataSources.vcfPrunedMask(schemaOf("genotypes")) === Vcf.FGenotypes)
+    assert(GraftDataSources.bamPrunedMask(schemaOf()) === 0)
+    assert(GraftDataSources.bamPrunedMask(schemaOf("qname", "seq")) ===
+      (BamCodec.FName | BamCodec.FSeq))
+    // and count(*) over the faces still counts every record
+    assert(spark.read.format("vcf").load(vcfPath).count() === nSites)
+    assert(spark.read.format("bcf").load(bcfPath).count() === nSites)
+  }
+
+  test("bounded DSv2 reads stay lazy: site-only projection over intervals") {
+    // the bounded (intervals-option) partition path ORs INFO back in
+    // for END-span overlap, but must NOT silently decode genotypes
+    val expect = Vcf.read(spark, vcfPath).collect()
+      .filter(v => v.pos <= 700 && Vcf.spanEnd(v) >= 600).map(_.pos).sorted
+    for (fmt <- Seq("vcf", "bcf")) {
+      val path = if (fmt == "vcf") vcfPath else bcfPath
+      val df = spark.read.format(fmt).option("intervals", "c1:600-700").load(path)
+      val hit = df.selectExpr("pos").collect().map(_.getLong(0)).sorted
+      assert(hit.toSeq === expect.toSeq, s"$fmt bounded site-only read")
+      // count(*) over the bounded scan: empty pruned schema + intervals
+      assert(df.count() === expect.length.toLong, s"$fmt bounded count")
+    }
+  }
+
   test("DSv2 bcf face prunes genotype decode but keeps it when requested") {
     val df = spark.read.format("bcf").load(bcfPath)
     val sites = df.selectExpr("chrom", "pos", "id").collect().sortBy(_.getLong(1))
