@@ -82,67 +82,29 @@ object Analytics {
   // broadcast-join of pre-aggregated counts (tried: 2.2s vs 1.5s at
   // sf0.1) — the join variant pays a full extra scan of the table.
   def qMedianGroup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     // EXACT median without a per-group window: `row_number() OVER
     // (PARTITION BY l_returnflag ...)` hash-partitions 6M rows into
     // THREE tasks (one per flag) and single-threads a 2M-row sort in
     // each — the classic low-cardinality window scale-killer; at
-    // 100 TB those three tasks are the job.  Instead, RANGE-partition
-    // by the full ordering key so the sort parallelizes across all
-    // tasks, then turn local row numbers into global ranks with one
-    // tiny per-(partition, flag) count table (the distributed-ranking
-    // pattern).  Pass 1 collects the counts, pass 2 emits the two mid
-    // rows per flag; both passes reuse the SAME range exchange (Spark
-    // reuses the shuffle files), so the data moves once.
+    // 100 TB those three tasks are the job.  The distributed-ranking
+    // construction is the first-class operator now
+    // (plans.RankedPrefixSumExec, all-InternalRow): rn = prefix sum
+    // of 1 over the range-partitioned total ordering key, sort
+    // parallel in cores, offsets input-size-independent, one exchange.
     val base = Tables.lineitem(s, d)
-      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-      .repartitionByRange(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-      .sortWithinPartitions("l_returnflag", "l_extendedprice",
-        "l_orderkey", "l_linenumber")
-      .as[(String, Double, Long, Int)]
-    val rdd = base.rdd
-    // pass 1: per-partition, per-flag row counts (a few dozen longs)
-    val partCounts: Array[(Int, Map[String, Long])] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.Map[String, Long]()
-        it.foreach { r => m(r._1) = m.getOrElse(r._1, 0L) + 1L }
-        Iterator.single((pid, m.toMap))
-      }.collect()
-    val totals: Map[String, Long] =
-      partCounts.flatMap(_._2).groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
-    // rank offset of each (partition, flag): rows of that flag in
-    // EARLIER partitions (range partitioning orders flags across
-    // partitions, so earlier-partition rows sort strictly before)
-    val offsets: Map[(Int, String), Long] = {
-      val sorted = partCounts.sortBy(_._1)
-      val running = scala.collection.mutable.Map[String, Long]()
-      val out = scala.collection.mutable.Map[(Int, String), Long]()
-      sorted.foreach { case (pid, m) =>
-        m.foreach { case (f, c) =>
-          out((pid, f)) = running.getOrElse(f, 0L)
-          running(f) = running.getOrElse(f, 0L) + c
-        }
-      }
-      out.toMap
-    }
-    val wanted: Map[String, (Long, Long)] = totals.map { case (f, cnt) =>
-      f -> (((cnt + 1) / 2, (cnt + 2) / 2))
-    }
-    val bcOff = s.sparkContext.broadcast(offsets)
-    val bcWant = s.sparkContext.broadcast(wanted)
-    // pass 2 (same exchange, shuffle files reused): emit the mid rows
-    val mids = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val local = scala.collection.mutable.Map[String, Long]()
-      it.flatMap { case (f, price, ok, ln) =>
-        val rn = bcOff.value.getOrElse((pid, f), 0L) + local.getOrElse(f, 0L) + 1L
-        local(f) = local.getOrElse(f, 0L) + 1L
-        val (k1, k2) = bcWant.value(f)
-        if (rn == k1 || rn == k2) Iterator.single((f, price, ok, ln))
-        else Iterator.empty
-      }
-    }.toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-    mids
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), lit(1L).as("one"))
+    val ranked = graft.operators.Ranked.prefixSum(base, Seq("l_returnflag"),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "one", "rn")
+    // per-flag totals: a 3-row aggregate (driver state is |flags|,
+    // input-size-independent) → the two mid ranks each flag wants
+    val wanted = Tables.lineitem(s, d).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cond = wanted.map { case (f, cnt) =>
+      col("l_returnflag") === f &&
+        (col("rn") === (cnt + 1) / 2 || col("rn") === (cnt + 2) / 2)
+    }.reduce(_ || _)
+    ranked.filter(cond)
       .groupBy("l_returnflag")
       .agg(
         (Relational.dsum("l_extendedprice") /

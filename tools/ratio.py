@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Per-query scale-ratio table from two graft.Bench artifacts.
+
+    python3 tools/ratio.py BENCH_SF01_r09.json BENCH_SF1_r09.json [--md]
+
+Prints each query's median seconds at both scales and the ratio
+(second / first), sorted by ratio descending, plus the summary the
+SURVEY scale notes quote (median/max ratio, count above 10x).  Queries
+missing from either artifact (e.g. guarded all-pairs baselines that
+refuse to plan at the larger scale) are listed separately.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    md = "--md" in sys.argv
+    if len(args) != 2:
+        sys.exit(__doc__)
+    a = json.load(open(args[0]))
+    b = json.load(open(args[1]))
+    qa, qb = a["queries"], b["queries"]
+    shared = sorted(
+        (k for k in qa if k in qb and qa[k] > 0 and qb[k] > 0),
+        key=lambda k: qb[k] / qa[k], reverse=True)
+    missing = sorted(set(qa) ^ set(qb))
+    ratios = [qb[k] / qa[k] for k in shared]
+    ratios_sorted = sorted(ratios)
+    med = ratios_sorted[len(ratios_sorted) // 2] if ratios_sorted else 0.0
+
+    if md:
+        print("| query | %s s | %s s | ratio |" % (a.get("sf", "a"), b.get("sf", "b")))
+        print("|---|---|---|---|")
+        for k in shared:
+            print("| %s | %.2f | %.2f | %.1fx |" % (k, qa[k], qb[k], qb[k] / qa[k]))
+    else:
+        for k in shared:
+            print("%-24s %8.2fs %8.2fs %6.1fx" % (k, qa[k], qb[k], qb[k] / qa[k]))
+    print()
+    print("queries=%d median_ratio=%.2fx max_ratio=%.1fx above_10x=%d" % (
+        len(shared), med, max(ratios) if ratios else 0,
+        sum(1 for r in ratios if r > 10)))
+    print("totals: %.1fs -> %.1fs (%.2fx)" % (
+        a["value"], b["value"], b["value"] / a["value"] if a["value"] else 0))
+    for art in (a, b):
+        if art.get("suspect"):
+            print("SUSPECT %s: %s" % (art.get("sf"), art.get("suspect_reasons")))
+        sq = art.get("suspect_queries") or {}
+        if sq:
+            print("  suspect queries: %s" % sq)
+    if missing:
+        print("only in one artifact (guards differ?): %s" % ", ".join(missing))
+
+
+if __name__ == "__main__":
+    main()
