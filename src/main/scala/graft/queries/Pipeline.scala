@@ -273,33 +273,25 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------- P4
-  // N-gram Jaccard similarity, blocked by source: shingle sets become
-  // SORTED 64-bit hash arrays (collision odds 2⁻⁶⁴ — immaterial), the
-  // block equi-join streams each pair through the linear merge kernel
-  // graft_intersect_size, and only the block key shuffles.  This beats
-  // both the all-pairs array_intersect form (interpreted, 25s) and the
-  // exploded sparse-join form (Σ|A∩B| intermediate rows, 13s) at
-  // ~2s/sf0.1; work is pairs-within-block × O(|A|+|B|) long compares.
+  // N-gram Jaccard similarity, EXACT at any scale (r9): shingle sets
+  // become sorted 64-bit hash arrays (collision odds 2⁻⁶⁴ —
+  // immaterial), and candidate pairs come from SimJoin's df-ordered
+  // prefix filter (AllPairs/PPJoin) instead of all pairs within the
+  // source block — a pair at J ≥ 0.5 must share one of each doc's
+  // rarest ~len/2 shingles, so the inverted-index join touches only
+  // co-rare pairs and the linear merge kernel verifies exactly.
+  // Bit-identical to the quadratic form (parity spec SimJoinSpec);
+  // the r8 guarded all-pairs body is gone and so is the guard.
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    guardAllPairs(s, d, "documents", "doc_id", "q_ngram_jaccard",
-      "q_dedup_minhash (P2) for Jaccard-threshold pairs")
-    val sh = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
-      .repartition(col("source")) // one shuffle of n fixed-width rows
-    // (a J ≥ 0.5 size filter — min·2 ≥ max — is provably lossless and
-    // worth adding when document lengths vary widely; on this corpus's
-    // near-uniform lengths it prunes ~nothing and the extra predicate
-    // measurably slows the join, so the kernel runs on every pair)
-    sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("graft_intersect_size(a.sh, b.sh)").as("inter"),
-        expr("size(a.sh)").as("la"), expr("size(b.sh)").as("lb"))
+    graft.operators.SimJoin
+      .jaccardCandidates(docs, "doc_id", "source", "sh", 0.5)
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
       .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -318,26 +310,22 @@ object Pipeline {
   // ------------------------------------------------------------- P4b
   // Containment similarity C(A,B) = |A∩B| / |A| — the DIRECTIONAL
   // near-dup measure (is A mostly inside B?) that catches
-  // quote-inclusion and subset duplication jaccard misses.  Same
-  // blocked self-join + sorted-intersect kernel shape as P4; ordered
-  // pairs, so both directions are reported.
+  // quote-inclusion and subset duplication jaccard misses.  Ordered
+  // pairs, so both directions are reported.  EXACT at any scale (r9):
+  // candidates = A's rarest-(len − ⌈0.3·len⌉ + 1) prefix tokens
+  // joined against the full inverted index (the overlap bound ⌈0.3|A|⌉
+  // depends on |A| only, so B carries no prefix), then the same merge
+  // kernel verifies.  Bit-identical to the r8 quadratic form.
   def qContainment(s: SparkSession, d: String): DataFrame = {
-    guardAllPairs(s, d, "documents", "doc_id", "q_containment",
-      "q_dedup_minhash (P2) candidates + exact containment re-check")
-    val sh = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
-      .repartition(col("source"))
-    // (same note as qNgramJaccard: the lossless directional size
-    // filter 10·|B| ≥ 3·|A| pays off only on variable-length corpora)
-    sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("graft_intersect_size(a.sh, b.sh)").as("inter"),
-        expr("size(a.sh)").as("la"))
+    graft.operators.SimJoin
+      .containmentCandidates(docs, "doc_id", "source", "sh", 0.3)
       .withColumn("containment", expr("CAST(inter AS DOUBLE) / la"))
       .filter(col("containment") >= 0.3)
-      .select("doc_a", "doc_b", "containment")
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("containment"))
       .orderBy("doc_a", "doc_b")
   }
 
