@@ -161,8 +161,15 @@ object FormatBench {
     timed("cram_write_spec")(CramIO.write(heavy, header, cspec, profile = "spec"))
     timed("cram_write_spec31")(CramIO.write(heavy, header, cspec31, profile = "spec31"))
     timed("cram_write_spec31fqz")(CramIO.write(heavy, header, cfqz, profile = "spec31-fqz"))
+    // size splits to the machine, exactly as the BAM phases do: the
+    // default 64 MB split exceeds the whole ~21 MB bench file, so
+    // without this the foreign decode ran as ONE task and the phase
+    // measured single-thread throughput (r9: 8.9s -> parallel)
     def creadN(label: String, f: String): Unit = {
-      timedRead(label, nt.toLong)(CramIO.read(spark, f).count())
+      val clen = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      val csplit = math.max(256L << 10, clen / (cpus * 2))
+      timedRead(label, nt.toLong)(
+        CramIO.read(spark, f, splitSize = csplit).count())
       ()
     }
     creadN("cram_read_graft", cg)

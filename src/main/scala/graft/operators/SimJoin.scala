@@ -107,19 +107,25 @@ object SimJoin {
         expr("graft_intersect_size(sha, shb)").as("inter"),
         size(col("sha")).as("la"), size(col("shb")).as("lb"))
 
-  /** Unordered candidate pairs (ida < idb) that can reach
-    * J = |A∩B|/|A∪B| ≥ τ, with the exact intersection size attached.
-    *
-    * Losslessness: J ≥ τ ⟹ i := |A∩B| ≥ τ/(1+τ)·(la+lb) =: t (and
-    * i ≤ min ⟹ min ≥ τ·max — the length filter). Every shared token
-    * outside the A-prefix∩B-prefix collision set occupies an A-suffix
-    * or B-suffix slot, so observed collisions ≥ i − (la−pA) − (lb−pB)
-    * ≥ ⌈t⌉ − (la−pA) − (lb−pB) — the count filter. Output is a
-    * candidate SUPERSET; the caller's τ filter on the exact measure
-    * restores equality with the all-pairs result. */
-  def jaccardCandidates(recs: DataFrame, idCol: String, blockCol: String,
-      setCol: String, tau: Double): DataFrame = {
-    val b = base(recs, idCol, blockCol, setCol)
+  /** Identical-set collapse: one representative record per distinct
+    * (blk, sh) class. Exact-duplicate documents are the dominant
+    * redundancy of production corpora (and of the replica-built sf1
+    * gate corpus); running the candidate join on class representatives
+    * and expanding class pairs back to id pairs afterwards makes the
+    * quadratic-prone stage cost what the DISTINCT content costs.
+    * Identical sets have identical measures, so expansion is exact. */
+  private def classes(b: DataFrame): (DataFrame, DataFrame) = {
+    val reps = b.groupBy("blk", "sh").agg(min(col("id")).as("id"))
+      .withColumn("len", size(col("sh")))
+    val members = b.join(
+        reps.select(col("blk"), col("sh"), col("id").as("rid")),
+        Seq("blk", "sh"))
+      .select(col("id"), col("rid"))
+    (reps, members)
+  }
+
+  /** Rep-level jaccard candidate pairs (see jaccardCandidates). */
+  private def repJaccard(b: DataFrame, tau: Double): DataFrame = {
     val pref = prefixes(tokens(b), tau)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
@@ -138,6 +144,43 @@ object SimJoin {
     verified(cand, b)
   }
 
+  /** Unordered candidate pairs (ida < idb) that can reach
+    * J = |A∩B|/|A∪B| ≥ τ, with the exact intersection size attached.
+    *
+    * Losslessness: J ≥ τ ⟹ i := |A∩B| ≥ τ/(1+τ)·(la+lb) =: t (and
+    * i ≤ min ⟹ min ≥ τ·max — the length filter). Every shared token
+    * outside the A-prefix∩B-prefix collision set occupies an A-suffix
+    * or B-suffix slot, so observed collisions ≥ i − (la−pA) − (lb−pB)
+    * ≥ ⌈t⌉ − (la−pA) − (lb−pB) — the count filter. The join runs on
+    * identical-set class representatives; class pairs expand to member
+    * pairs and within-class pairs carry inter = la = lb (J = 1, or
+    * NULL-measure for empty sets — exactly what the naive form
+    * computes on identical arrays). Output is a candidate SUPERSET;
+    * the caller's τ filter on the exact measure restores equality
+    * with the all-pairs result. */
+  def jaccardCandidates(recs: DataFrame, idCol: String, blockCol: String,
+      setCol: String, tau: Double): DataFrame = {
+    val b0 = base(recs, idCol, blockCol, setCol)
+    val (reps, members) = classes(b0)
+    val cross = repJaccard(reps, tau)
+      .join(members.select(col("rid").as("ida"), col("id").as("xa")), "ida")
+      .join(members.select(col("rid").as("idb"), col("id").as("xb")), "idb")
+      .select(
+        least(col("xa"), col("xb")).as("ida"),
+        greatest(col("xa"), col("xb")).as("idb"),
+        col("inter"),
+        // keep la with the smaller id, as the quadratic form does
+        when(col("xa") <= col("xb"), col("la")).otherwise(col("lb")).as("la"),
+        when(col("xa") <= col("xb"), col("lb")).otherwise(col("la")).as("lb"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .join(reps.select(col("id").as("wrid"), col("len")),
+        col("x.rid") === col("wrid"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"),
+        col("len").as("inter"), col("len").as("la"), col("len").as("lb"))
+    cross.unionByName(within)
+  }
+
   /** Ordered candidate pairs (ida ≠ idb, ida the direction owner)
     * that can reach C = |A∩B|/|A| ≥ τ, exact intersection attached.
     *
@@ -145,11 +188,15 @@ object SimJoin {
     * filter), and every shared token outside A's prefix occupies one
     * of A's (la − pA) suffix slots ⟹ collisions against B's FULL
     * index ≥ ⌈τ·la⌉ − (la − pA) — the single-sided count filter (B
-    * carries no prefix: the overlap bound depends on |A| only). */
+    * carries no prefix: the overlap bound depends on |A| only). The
+    * join runs on identical-set class representatives (both ordered
+    * directions are separate rep pairs); within-class ordered pairs
+    * carry inter = la. */
   def containmentCandidates(recs: DataFrame, idCol: String, blockCol: String,
       setCol: String, tau: Double): DataFrame = {
-    val b = base(recs, idCol, blockCol, setCol)
-    val toks = tokens(b)
+    val b0 = base(recs, idCol, blockCol, setCol)
+    val (reps, members) = classes(b0)
+    val toks = tokens(reps)
     val cand = prefixes(toks, tau).as("a").join(toks.as("b"),
         col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
           col("a.id") =!= col("b.id") &&
@@ -160,6 +207,17 @@ object SimJoin {
       .filter(col("hits") >= greatest(lit(1L),
         ceil(col("lla") * tau - Eps) - (col("lla") - col("pa"))))
       .select("ida", "idb")
-    verified(cand, b)
+    val cross = verified(cand, reps)
+      .join(members.select(col("rid").as("ida"), col("id").as("xa")), "ida")
+      .join(members.select(col("rid").as("idb"), col("id").as("xb")), "idb")
+      .select(col("xa").as("ida"), col("xb").as("idb"),
+        col("inter"), col("la"), col("lb"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rid") === col("y.rid") && col("x.id") =!= col("y.id"))
+      .join(reps.select(col("id").as("wrid"), col("len")),
+        col("x.rid") === col("wrid"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"),
+        col("len").as("inter"), col("len").as("la"), col("len").as("lb"))
+    cross.unionByName(within)
   }
 }

@@ -103,4 +103,42 @@ class SimJoinSpec extends SparkSpec {
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(j == Set((1L, 2L)))
   }
+
+  test("identical-set collapse expands classes exactly") {
+    // ids 1,4,5 share one set; 2 is near 1; 3 is unrelated; 6 shares
+    // 2's set in ANOTHER block (must not pair).  Expansion must emit
+    // within-class pairs (J = 1) and fan the 1↔2 similarity out to
+    // 4↔2 and 5↔2 with identical values, and never cross blocks.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("blk", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+    val s1 = (1L to 8L).toSeq          // class A (x3)
+    val s2 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L, 10L) // J(s1,s2) = 6/10 ≥ 0.5
+    val s3 = Seq(20L, 21L, 22L)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "x", s1), org.apache.spark.sql.Row(4L, "x", s1),
+      org.apache.spark.sql.Row(5L, "x", s1), org.apache.spark.sql.Row(2L, "x", s2),
+      org.apache.spark.sql.Row(3L, "x", s3), org.apache.spark.sql.Row(6L, "y", s2))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = SimJoin.jaccardCandidates(df, "id", "blk", "sh", 0.5)
+      .withColumn("jac", expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
+      .filter(col("jac") >= 0.5)
+      .select("ida", "idb", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 4L, 1.0), (1L, 5L, 1.0), (4L, 5L, 1.0),
+      (1L, 2L, 0.6), (2L, 4L, 0.6), (2L, 5L, 0.6)))
+    // containment: same corpus, both directions, class-expanded
+    val gotC = SimJoin.containmentCandidates(df, "id", "blk", "sh", 0.3)
+      .withColumn("cont", expr("CAST(inter AS DOUBLE) / la"))
+      .filter(col("cont") >= 0.3)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectC = Set(
+      (1L, 4L), (4L, 1L), (1L, 5L), (5L, 1L), (4L, 5L), (5L, 4L), // J=1 class
+      (1L, 2L), (2L, 1L), (4L, 2L), (2L, 4L), (5L, 2L), (2L, 5L)) // 6/8=0.75
+    assert(gotC == expectC)
+  }
 }
