@@ -262,6 +262,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.allpairs.maxRows")
   }
 
+  test("similarity joins stay equi-join + partial-agg shaped") {
+    // the SimJoin pipeline must plan as hash equi-joins (inverted
+    // index + expansion) with map-side partials on the collision
+    // count — never a cartesian/nested-loop pair enumeration, and the
+    // merge kernel must appear exactly once per candidate (project,
+    // not join condition)
+    for (df <- Seq(Pipeline.qNgramJaccard(spark, sf),
+                   Pipeline.qContainment(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert("partial_count".r.findAllIn(plan).nonEmpty, plan)
+      assert(plan.contains("graft_intersect_size"), plan)
+    }
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
