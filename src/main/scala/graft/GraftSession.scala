@@ -67,7 +67,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** The events table's `ts` has shipped as both TIMESTAMP(NANOS)
+    * (surfaced as BIGINT nanos via nanosAsLong) and timestamp[us]
+    * (surfaced as TIMESTAMP_NTZ). Normalize to BIGINT epoch NANOS here
+    * — every consumer does exact integer time math (`ts DIV 1000` →
+    * µs), and the DuckDB oracles' `epoch_us(ts)` agrees with
+    * `ts_nanos DIV 1000` under the UTC session timezone pinned in
+    * [[GraftSession.configure]]. One load-boundary cast; scans still
+    * prune columns and the cast is codegen'd scan-local. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(
+        "ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
