@@ -68,6 +68,47 @@ object Bench {
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
 
+  /** Cross-round absolute probe anchor (VERDICT r9 item 2).  A
+    * CONSTANT background load inflates every probe in a run equally,
+    * so all the relative checks above stay quiet — the only signal
+    * left is the ABSOLUTE probe time, which is fixed work on fixed
+    * hardware and therefore comparable across rounds.  Find the prior
+    * round's artifact (explicit SPARK_GRAFT_PREV_BENCH path, else the
+    * highest-round BENCH*_r*.json in the cwd, preferring runs that
+    * were themselves suspect:false) and return
+    * (file, prev probe_median_sec, prev was suspect).
+    */
+  private def prevProbeAnchor(): Option[(String, Double, Boolean)] = {
+    def parse(p: java.nio.file.Path): Option[(String, Double, Boolean)] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val pm = """"probe_median_sec"\s*:\s*([0-9.eE+-]+)""".r
+          .findFirstMatchIn(s).map(_.group(1).toDouble)
+        val susp = """"suspect"\s*:\s*(true|false)""".r
+          .findFirstMatchIn(s).exists(_.group(1) == "true")
+        pm.filter(_ > 0).map(v => (p.getFileName.toString, v, susp))
+      } catch { case _: Throwable => None }
+    sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
+      case Some(path) => parse(java.nio.file.Paths.get(path))
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val rx = """BENCH.*_r(\d+)\.json""".r
+        val cands = try {
+          java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+            .flatMap { p =>
+              p.getFileName.toString match {
+                case rx(n) => parse(p).map(t => (n.toInt, t))
+                case _ => None
+              }
+            }.toSeq
+        } catch { case _: Throwable => Seq.empty }
+        // a clean (suspect:false) anchor from any round beats a
+        // contended one from the latest round
+        val clean = cands.filter(!_._2._3)
+        (if (clean.nonEmpty) clean else cands).sortBy(-_._1).headOption.map(_._2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -172,6 +213,18 @@ object Bench {
         f"probe ($probeMedian%.3fs): " +
         suspectQueries.map(r => f"${r.name} (${r.probe / probeMedian}%.1fx)")
           .mkString(", ").take(300)
+    // cross-round absolute anchor: constant background load inflates
+    // every probe equally and evades all the relative checks above
+    val prevAnchor = prevProbeAnchor()
+    val probeVsPrev = prevAnchor.map { case (_, prevMed, _) => probeMedian / prevMed }
+    prevAnchor.foreach { case (file, prevMed, prevSusp) =>
+      probeVsPrev.foreach { ratio =>
+        if (math.abs(ratio - 1.0) > 0.25)
+          reasons += f"probe median $probeMedian%.3fs is $ratio%.2fx the prior " +
+            f"round's ($prevMed%.3fs in $file${if (prevSusp) ", itself suspect" else ""})" +
+            " -- machine speed changed or constant background load present"
+      }
+    }
     val suspect = reasons.nonEmpty
 
     def jmap(f: QR => Double): String =
@@ -189,9 +242,16 @@ object Bench {
     val total = tot(_.med)
     val minTotal = tot(_.min)
     val coldTotal = tot(_.cold)
+    val pvp = (prevAnchor, probeVsPrev) match {
+      case (Some((file, prevMed, prevSusp)), Some(ratio)) =>
+        s""""probe_vs_prev":{"prev_file":"${esc(file)}",""" +
+          s""""prev_probe_median_sec":$prevMed,"prev_suspect":$prevSusp,""" +
+          s""""ratio":$ratio},"""
+      case _ => s""""probe_vs_prev":null,"""
+    }
     val env = s"""{"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}",""" +
       s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
-      s""""probe_median_sec":$probeMedian,""" +
+      s""""probe_median_sec":$probeMedian,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")

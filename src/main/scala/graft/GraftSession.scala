@@ -72,16 +72,24 @@ object Tables {
     * (surfaced as TIMESTAMP_NTZ). Normalize to BIGINT epoch NANOS here
     * — every consumer does exact integer time math (`ts DIV 1000` →
     * µs), and the DuckDB oracles' `epoch_us(ts)` agrees with
-    * `ts_nanos DIV 1000` under the UTC session timezone pinned in
-    * [[GraftSession.configure]]. One load-boundary cast; scans still
-    * prune columns and the cast is codegen'd scan-local. */
+    * `ts_nanos DIV 1000` regardless of session timezone: the NTZ path
+    * uses timestampdiff from the NTZ epoch (timezone-free by
+    * construction — ADVICE r9), and the LTZ path uses unix_micros
+    * (instant-based, timezone-free). Any other physical type is schema
+    * drift and fails loudly instead of being silently misread. One
+    * load-boundary cast; scans still prune columns and the cast is
+    * codegen'd scan-local. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn(
-        "ts", org.apache.spark.sql.functions.expr(
-          "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      case LongType => df
+      case TimestampNTZType => df.withColumn(
+        "ts", expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000L"))
+      case TimestampType => df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected BIGINT nanos, TIMESTAMP or TIMESTAMP_NTZ, got $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -49,6 +49,14 @@ def main() -> None:
         sq = art.get("suspect_queries") or {}
         if sq:
             print("  suspect queries: %s" % sq)
+        env = art.get("env") or {}
+        pvp = env.get("probe_vs_prev")
+        if pvp:
+            print("probe anchor %s: %.4fs vs %.4fs (%s%s) = %.2fx" % (
+                art.get("sf"), env.get("probe_median_sec", -1),
+                pvp["prev_probe_median_sec"], pvp["prev_file"],
+                ", prev suspect" if pvp.get("prev_suspect") else "",
+                pvp["ratio"]))
     if missing:
         print("only in one artifact (guards differ?): %s" % ", ".join(missing))
 
