@@ -640,86 +640,104 @@ object BcfIO {
     }
   }
 
-  def write(ds: org.apache.spark.sql.Dataset[VcfVariant], dicts: Dicts,
-            file: String, granularity: Int = 1000): Unit = {
-    val (fs, path) = Fs.get(file)
-    val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
-    fs.mkdirs(tmpDir)
-    val tmpDirStr = tmpDir.toString
-    val contigIdx = dicts.contigs.zipWithIndex.toMap
+  /** Per-shard write summary - what the driver needs to concat shards
+    * and build the shifted splitting index (mirrors BamIO.ShardInfo). */
+  final case class ShardInfo(pid: Int, shardLen: Long,
+                             entries: Array[(Long, Int, Int)], sorted: Boolean,
+                             firstKey: Option[(Int, Int)],
+                             lastKey: Option[(Int, Int)], maxSpan: Int)
+      extends Serializable
+
+  /** Incremental header-less BCF shard writer (one record at a time -
+    * nothing buffers the partition), shared by [[write]] and the
+    * DataSource V2 sink's per-row writes (v2.BcfWriterFactory). */
+  private[graft] final class ShardWriter(shardPath: String, dicts: Dicts,
+                                         granularity: Int, pid: Int,
+                                         deflateWorkers: Int = 0) {
+    private val contigIdx = dicts.contigs.zipWithIndex.toMap
     // record ints index the SHARED string table (BCF2 spec), matching
     // the IDX= attributes headerText emits
-    val filterIdx = dicts.stringIdx
-    val infoIdx = dicts.stringIdx
-    val fmtIdx = if (dicts.fmtKeys.isEmpty) Map.empty[String, Int] else dicts.stringIdx
+    private val filterIdx = dicts.stringIdx
+    private val infoIdx = dicts.stringIdx
+    private val fmtIdx =
+      if (dicts.fmtKeys.isEmpty) Map.empty[String, Int] else dicts.stringIdx
+    private val out = {
+      val (tfs, tp) = Fs.get(shardPath)
+      new Bgzf.BgzfOutputStream(tfs.create(tp, true), workers = deflateWorkers)
+    }
+    // (blockIndex, refId, pos0) - resolved to offsets at shard end so
+    // index markers never drain the (possibly pipelined) deflate
+    private val pending = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    private var n = 0L
+    // track (refId, pos) monotonicity + max record span so the
+    // driver can mark the sidecar interval-prunable (maxSpan >= 0)
+    // exactly when the FILE is coordinate-sorted - the same v2
+    // sidecar contract the BAM writer keeps
+    private var sorted = true
+    private var firstKey: (Int, Int) = null
+    private var lastKey: (Int, Int) = null
+    private var maxSpan = 0
 
-    // opt-in per-stream pipelined deflate (see BamIO.write): wins only
-    // when this stage runs fewer write tasks than idle cores
-    val deflateWorkers = ds.sparkSession.conf
-      .getOption("spark.graft.bgzf.write.workers").map(_.toInt).getOrElse(0)
-    val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (tfs, _) = Fs.get(tmpDirStr)
-      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.bcf")
-      val out = new Bgzf.BgzfOutputStream(tfs.create(shardPath, true),
-        workers = deflateWorkers)
-      // (blockIndex, refId, pos0) — resolved to offsets at shard end so
-      // index markers never drain the (possibly pipelined) deflate
-      val pending = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
-      var n = 0L
-      // track (refId, pos) monotonicity + max record span so the
-      // driver can mark the sidecar interval-prunable (maxSpan >= 0)
-      // exactly when the FILE is coordinate-sorted — the same v2
-      // sidecar contract the BAM writer keeps
-      var sorted = true
-      var firstKey: (Int, Int) = null
-      var lastKey: (Int, Int) = null
-      var maxSpan = 0
-      it.foreach { v =>
-        if (n % granularity == 0) {
-          pending += ((out.markBoundary(),
-            contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1))
-        }
-        val key = (contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1)
-        if (firstKey == null) firstKey = key
-        if (lastKey != null &&
-          (key._1 < lastKey._1 || (key._1 == lastKey._1 && key._2 < lastKey._2)))
-          sorted = false
-        lastKey = key
-        maxSpan = math.max(maxSpan, (Vcf.spanEnd(v) - v.pos + 1).toInt)
-        val withGts = fmtIdx.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
-        val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx,
-          nFmt = if (withGts) v.format.length else 0,
-          nSample = if (withGts) v.genotypes.length else 0)
-        val indiv = if (withGts) Bcf.encodeIndiv(v, fmtIdx) else Array.emptyByteArray
-        val len = shared.length
-        val li = indiv.length
-        out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
-        out.write(Array[Byte](li.toByte, (li >> 8).toByte, (li >> 16).toByte, (li >> 24).toByte))
-        out.write(shared)
-        out.write(indiv)
-        n += 1
+    def write(v: VcfVariant): Unit = {
+      if (n % granularity == 0) {
+        pending += ((out.markBoundary(),
+          contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1))
       }
+      val key = (contigIdx.getOrElse(v.chrom, -1), v.pos.toInt - 1)
+      if (firstKey == null) firstKey = key
+      if (lastKey != null &&
+        (key._1 < lastKey._1 || (key._1 == lastKey._1 && key._2 < lastKey._2)))
+        sorted = false
+      lastKey = key
+      maxSpan = math.max(maxSpan, (Vcf.spanEnd(v) - v.pos + 1).toInt)
+      val withGts = fmtIdx.nonEmpty && v.format.nonEmpty && v.genotypes.nonEmpty
+      val shared = Bcf.encode(v, contigIdx, filterIdx, infoIdx,
+        nFmt = if (withGts) v.format.length else 0,
+        nSample = if (withGts) v.genotypes.length else 0)
+      val indiv = if (withGts) Bcf.encodeIndiv(v, fmtIdx) else Array.emptyByteArray
+      val len = shared.length
+      val li = indiv.length
+      out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
+      out.write(Array[Byte](li.toByte, (li >> 8).toByte, (li >> 16).toByte, (li >> 24).toByte))
+      out.write(shared)
+      out.write(indiv)
+      n += 1
+    }
+
+    def finish(): ShardInfo = {
       out.blockBoundary()
       val shardLen = out.compressedOffset
       val entries = pending.map { case (bi, refId, pos0) =>
         (Bgzf.virtualOffset(out.offsetOfBlock(bi), 0), refId, pos0)
       }
       out.closeWithoutTerminator()
-      Iterator.single((pid, shardLen, entries.toArray, sorted,
-        Option(firstKey), Option(lastKey), maxSpan))
-    }.collect().sortBy(_._1)
+      ShardInfo(pid, shardLen, entries.toArray, sorted,
+        Option(firstKey), Option(lastKey), maxSpan)
+    }
 
-    val nonEmpty = shardInfo.filter(_._5.nonEmpty)
-    val fileSorted = nonEmpty.forall(_._4) &&
+    def abort(): Unit =
+      try out.closeWithoutTerminator()
+      catch { case _: Throwable => () }
+  }
+
+  /** Driver-side commit: header + shard concat (offset-shifted index
+    * entries) + EOF + v2 sidecar splitting index.  Shards are
+    * `part-<pid>.bcf` files under `tmpDirStr`, deleted afterwards. */
+  private[graft] def mergeShardInfo(file: String, dicts: Dicts,
+                                    tmpDirStr: String, shardInfo: Seq[ShardInfo],
+                                    granularity: Int): Unit = {
+    val (fs, path) = Fs.get(file)
+    val nonEmpty = shardInfo.filter(_.firstKey.nonEmpty)
+    val fileSorted = nonEmpty.forall(_.sorted) &&
       nonEmpty.sliding(2).forall {
-        case Array(a, b) =>
-          val (ar, ap) = a._6.get
-          val (br, bp) = b._5.get
+        case Seq(a, b) =>
+          val (ar, ap) = a.lastKey.get
+          val (br, bp) = b.firstKey.get
           ar < br || (ar == br && ap <= bp)
         case _ => true
       }
     val fileMaxSpan =
-      if (fileSorted) nonEmpty.map(_._7).foldLeft(0)(math.max) else -1
+      if (fileSorted) nonEmpty.map(_.maxSpan).foldLeft(0)(math.max) else -1
 
     val out = new java.io.BufferedOutputStream(fs.create(path, true))
     val headerBuf = new ByteArrayOutputStream()
@@ -733,25 +751,44 @@ object BcfIO {
     var coffset = 0L
     coffset += Bgzf.writeBlocksTo(out, headerBuf.toByteArray, 0, headerBuf.size())
     val allEntries = scala.collection.mutable.ArrayBuffer[SplittingIndex.Entry]()
-    shardInfo.foreach { case (pid, shardLen, entries, _, _, _, _) =>
-      entries.foreach { case (vo, refId, pos) =>
+    shardInfo.foreach { si =>
+      si.entries.foreach { case (vo, refId, pos) =>
         allEntries += SplittingIndex.Entry(
           Bgzf.virtualOffset(Bgzf.voCompressed(vo) + coffset, Bgzf.voUncompressed(vo)),
           refId, pos)
       }
-      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.bcf")
+      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-${si.pid}%05d.bcf")
       val sin = fs.open(shardPath)
       val buf = new Array[Byte](1 << 20)
       var r = sin.read(buf)
       while (r > 0) { out.write(buf, 0, r); r = sin.read(buf) }
       sin.close()
-      coffset += shardLen
+      coffset += si.shardLen
     }
     out.write(Bgzf.EofMarker)
     out.close()
-    fs.delete(tmpDir, true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDirStr), true)
     SplittingIndex.write(fs, SplittingIndex.indexPath(path), granularity,
       allEntries.toSeq, Bgzf.virtualOffset(coffset, 0), fileMaxSpan)
+  }
+
+  def write(ds: org.apache.spark.sql.Dataset[VcfVariant], dicts: Dicts,
+            file: String, granularity: Int = 1000): Unit = {
+    val (fs, path) = Fs.get(file)
+    val tmpDir = new org.apache.hadoop.fs.Path(path.getParent, "." + path.getName + ".shards")
+    fs.mkdirs(tmpDir)
+    val tmpDirStr = tmpDir.toString
+    // opt-in per-stream pipelined deflate (see BamIO.write): wins only
+    // when this stage runs fewer write tasks than idle cores
+    val deflateWorkers = ds.sparkSession.conf
+      .getOption("spark.graft.bgzf.write.workers").map(_.toInt).getOrElse(0)
+    val shardInfo = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val shardPath = new org.apache.hadoop.fs.Path(tmpDirStr, f"part-$pid%05d.bcf")
+      val w = new ShardWriter(shardPath.toString, dicts, granularity, pid, deflateWorkers)
+      try { it.foreach(w.write); Iterator.single(w.finish()) }
+      catch { case e: Throwable => w.abort(); throw e }
+    }.collect().sortBy(_.pid).toSeq
+    mergeShardInfo(file, dicts, tmpDirStr, shardInfo, granularity)
   }
 
   /** htslib can emit BCF2 UNCOMPRESSED (raw "BCF" magic, no BGZF —

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{SamRecord, SequencedFragment, VcfVariant}
-import graft.sources.{BamIO, Bgzf, Fastq, Fs, Qseq, Sam, Vcf}
+import graft.sources.{BamIO, BcfIO, Bgzf, Fastq, Fs, Qseq, Sam, Vcf}
 
 /** DataSource V2 write paths — `df.write.format("bam"/"sam"/"fastq"/
   * "vcf").mode("overwrite").save(path)` — completing the SQL-level
@@ -98,6 +98,19 @@ object GraftDataSinks {
     else Sam.readHeader(path)
   }
 
+  /** Resolve BCF write dictionaries from option("header", path): a
+    * .bcf donates its parsed dictionaries verbatim (IDX= preserved); a
+    * .vcf/.vcf.bgz header is parsed into the shared string table the
+    * same way a foreign BCF header would be. */
+  private[v2] def bcfDictsFrom(opt: Option[String]): BcfIO.Dicts = {
+    val path = opt.getOrElse(throw new IllegalArgumentException(
+      "BCF writes need option(\"header\", <path to an existing .bcf/.vcf/" +
+        ".vcf.bgz>) — records do not carry the contig/FILTER/INFO/FORMAT " +
+        "dictionaries their wire format indexes"))
+    if (path.endsWith(".bcf")) BcfIO.dictsOf(path)
+    else BcfIO.Dicts.fromHeader(Vcf.readHeader(path).lines.mkString("\n"))
+  }
+
   /** Single-file sinks rewrite the target wholesale; only
     * mode("overwrite") expresses that honestly.  Appending to a BAM
     * needs a sort-merge — that's writeSorted's job on the typed API. */
@@ -179,6 +192,67 @@ class BamWriterFactory(tmp: String, refIdx: Map[String, Int], granularity: Int,
       private val shard = new BamIO.ShardWriter(attemptPath, refIdx, granularity, partitionId)
       override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
       override def finishAttempt(): BamShardDone = BamShardDone(shard.finish())
+      override def abortAttempt(): Unit = shard.abort()
+    }
+}
+
+// ------------------------------------------------------------------ BCF
+
+/** `df.write.format("bcf").option("header", ...)` — the BAM sink
+  * pattern applied to BCF2: per-task header-less BGZF shards through
+  * [[BcfIO.ShardWriter]], driver commit concat + shifted splitting
+  * index via [[BcfIO.mergeShardInfo]] (ref:
+  * KeyIgnoringBCFRecordWriter.java:1 copies a donor header the same
+  * way; the merge machinery here is graft's own v2-sidecar contract).
+  */
+class BcfWriteBuilder(target: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    GraftDataSinks.requireOverwrite(truncated, target, "bcf")
+    // resolve dictionaries NOW so a bad/missing option fails before
+    // any task launches, not after the whole job has run
+    val dicts = GraftDataSinks.bcfDictsFrom(Option(info.options.get("header")))
+    val granularity = Option(info.options.get("granularity")).map(_.toInt).getOrElse(1000)
+    new Write {
+      override def toBatch: BatchWrite =
+        new BcfBatchWrite(target, dicts, granularity, info.schema(),
+          GraftDataSinks.shardDir(target, info.queryId()))
+    }
+  }
+}
+
+case class BcfShardDone(info: BcfIO.ShardInfo) extends WriterCommitMessage
+
+class BcfBatchWrite(target: String, dicts: BcfIO.Dicts, granularity: Int,
+                    schema: StructType, tmp: String) extends BatchWrite {
+  override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
+    val decoder = new GraftDataSinks.RowDecoder(ExpressionEncoder[VcfVariant]().schema,
+      schema, GraftDataSinks.RowCodecs.vcf)
+    decoder.validate()
+    new BcfWriterFactory(tmp, dicts, granularity, decoder)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val infos = messages.map(_.asInstanceOf[BcfShardDone].info).sortBy(_.pid)
+    BcfIO.mergeShardInfo(target, dicts, tmp, infos.toSeq, granularity)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, p) = Fs.get(tmp)
+    fs.delete(p, true)
+  }
+}
+
+class BcfWriterFactory(tmp: String, dicts: BcfIO.Dicts, granularity: Int,
+                       decoder: GraftDataSinks.RowDecoder[VcfVariant])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardingDataWriter[BcfShardDone](tmp, partitionId, taskId, "bcf") {
+      // streams record-by-record — a multi-GB partition never buffers
+      private val shard =
+        new BcfIO.ShardWriter(attemptPath.toString, dicts, granularity, partitionId)
+      override def write(row: InternalRow): Unit = shard.write(decoder.decode(row))
+      override def finishAttempt(): BcfShardDone = BcfShardDone(shard.finish())
       override def abortAttempt(): Unit = shard.abort()
     }
 }

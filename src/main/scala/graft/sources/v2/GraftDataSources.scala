@@ -966,8 +966,8 @@ class VcfReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   * equality/IN + `pos` bounds (or the authoritative `intervals`
   * option) prune to disjoint record-aligned VO ranges through a
   * `.csi` or the v2 sidecar splitting index (BcfIO.planIntervalRanges).
-  * Read-only: BCF writes go through the typed BcfIO.write API, which
-  * owns the dictionary contract. */
+  * Writes mirror the BAM sink: per-task header-less shards + driver
+  * merge, dictionaries donated by option("header", <.bcf/.vcf>). */
 class BcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "bcf"
   override def supportsExternalMetadata(): Boolean = false
@@ -978,14 +978,20 @@ class BcfDataSource extends TableProvider with DataSourceRegister {
     new BcfTable(new CaseInsensitiveStringMap(properties))
 }
 
-class BcfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class BcfTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"bcf:${GraftDataSources.pathsOf(options).mkString(",")}"
   override def schema(): StructType = ExpressionEncoder[VcfVariant]().schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new BcfScanBuilder(options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BcfWriteBuilder(GraftDataSources.pathsOf(options).head, info)
 }
 
 class BcfScanBuilder(options: CaseInsensitiveStringMap)

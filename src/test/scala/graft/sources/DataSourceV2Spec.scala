@@ -318,6 +318,64 @@ class DataSourceV2Spec extends SparkSpec {
     assert(gotF.nonEmpty)
   }
 
+  test("format(\"bcf\") write round-trips with genotype fidelity and a prunable index") {
+    import spark.implicits._
+    import graft.model.VcfVariant
+    val dir = tmpDir("dsv2wbcf")
+    val src = s"$dir/src.bcf"
+    val dicts = BcfIO.Dicts(Array("c1", "c2"), Array("PASS", "q10"),
+      Array("DP"), Array("GT", "DP"))
+    val vs = (0 until 600).map { i =>
+      val chrom = if (i < 400) "c1" else "c2"
+      val pos = 100L + (if (i < 400) i else i - 400) * 5
+      VcfVariant(chrom, pos, s"v$i", "A", Array("C", "G"),
+        Some((i % 90).toDouble), if (i % 7 == 0) "q10" else "PASS",
+        Array("DP"), Array(i.toString),
+        Array("GT", "DP"), Array(s"0/1:${i % 40}", s"1/1:${(i * 3) % 40}"))
+    }
+    BcfIO.write(spark.createDataset(vs).coalesce(1), dicts, src, granularity = 32)
+
+    // DSv2 read -> DSv2 write (header donated by the source file)
+    val out = s"$dir/out.bcf"
+    spark.read.format("bcf").load(src).orderBy("chrom", "pos")
+      .write.format("bcf").option("header", src).option("granularity", "32")
+      .mode("overwrite").save(out)
+
+    // typed reader sees the identical variant set, genotype matrix included
+    val back = BcfIO.read(spark, out).collect().sortBy(v => (v.chrom, v.pos))
+    val want = vs.sortBy(v => (v.chrom, v.pos))
+    assert(back.length === want.length)
+    back.zip(want).foreach { case (b, w) =>
+      assert((b.chrom, b.pos, b.id, b.ref, b.qual, b.filter) ===
+        (w.chrom, w.pos, w.id, w.ref, w.qual, w.filter))
+      assert(b.alt.toSeq === w.alt.toSeq)
+      assert(b.infoKeys.toSeq === w.infoKeys.toSeq)
+      assert(b.infoValues.toSeq === w.infoValues.toSeq)
+      assert(b.format.toSeq === w.format.toSeq)
+      assert(b.genotypes.toSeq === w.genotypes.toSeq)
+    }
+
+    // the written file's sidecar index supports bounded traversal
+    val all = spark.read.format("bcf").option("splitsize", "2048").load(out)
+    val full = all.select("id").rdd.getNumPartitions
+    val filtered = spark.read.format("bcf").option("splitsize", "2048").load(out)
+      .filter(col("chrom") === "c1" && col("pos") >= 150 && col("pos") <= 400)
+    val pruned = filtered.select("id").rdd.getNumPartitions
+    assert(full > 2, s"fixture too small to split: $full")
+    assert(pruned < full, s"no chunk pruning: $pruned vs $full")
+    val got = filtered.select("id").collect().map(_.getString(0)).sorted
+    val expect = vs.filter(v => v.chrom == "c1" && v.pos >= 150 && v.pos <= 400)
+      .map(_.id).sorted.toArray
+    assert(got === expect)
+
+    // header-less write fails before any task runs
+    val e = intercept[Exception] {
+      spark.read.format("bcf").load(src)
+        .write.format("bcf").mode("overwrite").save(s"$dir/nohdr.bcf")
+    }
+    assert(msgs(e).exists(_.contains("header")), msgs(e).mkString(" | "))
+  }
+
   test("format(\"vcf\") matches the typed VCF reader on a bgzipped file") {
     import spark.implicits._
     val dir = tmpDir("dsv2vcf")
