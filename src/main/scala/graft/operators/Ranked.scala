@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Coalesce, Literal, SortOrder}
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.RankedPrefixSum
+import graft.plans.{RankedKind, RankedPrefixSum}
 
 /** Distributed prefix aggregation for LOW-CARDINALITY partition keys.
   *
@@ -50,16 +50,15 @@ object Ranked {
         s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
     val delta = attr(deltaCol)
     require(delta.dataType == LongType, s"$deltaCol must be BIGINT")
-    // NULL deltas contribute 0 here; the SQL window's running sum
-    // instead stays NULL until the first value.  The optimizer rule
-    // only rewrites non-nullable sums, so the difference is only
-    // reachable through this API — pass a coalesced column if the
-    // distinction matters.
+    // NULL deltas contribute 0 through this API (coalesced here); the
+    // SQL window's running sum instead stays NULL until the first
+    // value — the optimizer rule keeps those exact SQL semantics.
     val node = RankedPrefixSum(
       partCols.map(attr),
       orderCols.map(c => SortOrder(attr(c), Ascending)),
-      delta,
-      AttributeReference(outCol, LongType, nullable = false)(),
+      Seq(RankedKind.RSum),
+      Seq(if (delta.nullable) Coalesce(Seq(delta, Literal(0L))) else delta),
+      Seq(AttributeReference(outCol, LongType, nullable = false)()),
       plan)
     org.apache.spark.sql.classic.GraftDatasetAccess.ofRows(df.sparkSession, node)
   }

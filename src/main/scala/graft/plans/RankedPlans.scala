@@ -12,16 +12,17 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** The distributed-ranking construction as a first-class operator
-  * (I7 scale path, made automatic — VERDICT r8 item 3).
+  * (I7 scale path, made automatic — VERDICT r8 item 3; broadened
+  * eligibility — VERDICT r9 item 5).
   *
-  * `sum(x) OVER (PARTITION BY k ORDER BY o ROWS UNBOUNDED PRECEDING)`
-  * and `row_number()` hash-partition the table into ONE task per
-  * distinct `k`: with low-cardinality keys (a 3-value flag, a
+  * `sum(x) OVER (PARTITION BY k ORDER BY o ROWS UNBOUNDED PRECEDING)`,
+  * `row_number()` and `rank()` hash-partition the table into ONE task
+  * per distinct `k`: with low-cardinality keys (a 3-value flag, a
   * chromosome set) a 100 TB sort collapses onto |k| cores.  The
   * rewrite keeps identical semantics but range-partitions by (k, o)
   * so the sort runs on every core, then stitches per-partition
-  * running sums into global ones with a per-(partition, group) offset
-  * table that is a few longs per task — input-size-independent.
+  * running values into global ones with a per-(partition, group)
+  * offset table that is a few longs per task — input-size-independent.
   *
   * Opt-in (`spark.graft.ranked.autoRewrite=true`): cardinality is a
   * property of the DATA, not the plan, so the user asserts the
@@ -31,87 +32,126 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Tie behavior: rows equal under (k, o) take an arbitrary order, as
   * they do in the window form (ROWS frames over ties are
-  * order-sensitive in any engine); results are identical whenever the
-  * ordering key is total, and a valid tie order otherwise.
+  * order-sensitive in any engine); `rank()` is tie-exact — peer runs
+  * that span range-partition boundaries are chained through the
+  * offset table (see [[RankedWindowRule]]).
   */
+sealed trait RankedKind extends Serializable
+object RankedKind {
+  /** Running sum of a BIGINT delta.  SQL null semantics: null deltas
+    * are skipped and the output stays null until the first value. */
+  case object RSum extends RankedKind
+  case object RRowNumber extends RankedKind
+  /** `rank()`: the global position of the current peer-run's first
+    * row.  Exact under ties, including runs spanning partitions. */
+  case object RRank extends RankedKind
+}
+
+/** One logical node per Window spec; `kinds(i)`/`deltas(i)`/
+  * `outAttrs(i)` describe the i-th window expression (deltas carries
+  * Literal(1L) placeholders for row_number/rank so column pruning
+  * sees every referenced input attribute). */
 case class RankedPrefixSum(partCols: Seq[Expression],
                            orderSpec: Seq[SortOrder],
-                           delta: Expression,
-                           outAttr: Attribute,
+                           kinds: Seq[RankedKind],
+                           deltas: Seq[Expression],
+                           outAttrs: Seq[Attribute],
                            child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ outAttr
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): RankedPrefixSum =
     copy(child = newChild)
 }
 
-/** Rewrites eligible one-expression Window nodes into
-  * [[RankedPrefixSum]] when `spark.graft.ranked.autoRewrite` is on.
-  * Eligible: a single `sum(<non-null bigint>)` or `row_number()` over
-  * `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW` with a
-  * non-empty ORDER BY. */
+/** Rewrites eligible Window nodes into [[RankedPrefixSum]] when
+  * `spark.graft.ranked.autoRewrite` is on.  Eligible: EVERY window
+  * expression of the node is one of
+  *   - `sum(<bigint>)` (nullable or not) over `ROWS UNBOUNDED
+  *     PRECEDING .. CURRENT ROW`,
+  *   - `row_number()` (same frame),
+  *   - `rank()` (resolved to the same ROWS running frame by
+  *     Spark's ResolveWindowFrame — rank is frame-insensitive),
+  * all sharing the node's partition/order spec, with a non-empty
+  * ORDER BY. */
 object RankedWindowRule extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.ranked.autoRewrite", "false")
       .equalsIgnoreCase("true")
 
-  private val RunningFrame =
+  private val RunningRows =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case w: Window if w.windowExpressions.size == 1 &&
-        w.orderSpec.nonEmpty && w.windowExpressions.head.deterministic =>
-        w.windowExpressions.head match {
-          case a @ Alias(WindowExpression(fn,
-              WindowSpecDefinition(ps, os, RunningFrame)), _)
-              if ps == w.partitionSpec && os == w.orderSpec =>
-            fn match {
-              case ae: AggregateExpression
-                  if ae.aggregateFunction.isInstanceOf[Sum] &&
-                    !ae.isDistinct && ae.filter.isEmpty &&
-                    ae.aggregateFunction.children.head.dataType == LongType &&
-                    !ae.aggregateFunction.children.head.nullable =>
-                RankedPrefixSum(w.partitionSpec, w.orderSpec,
-                  ae.aggregateFunction.children.head, a.toAttribute, w.child)
-              case _: RowNumber =>
-                RankedPrefixSum(w.partitionSpec, w.orderSpec,
-                  Literal(1L), a.toAttribute, w.child)
-              case _ => w
-            }
-          case _ => w
-        }
+      case w: Window if w.windowExpressions.nonEmpty && w.orderSpec.nonEmpty &&
+        w.windowExpressions.forall(_.deterministic) =>
+        val parsed: Seq[Option[(RankedKind, Expression, Attribute)]] =
+          w.windowExpressions.map {
+            case a @ Alias(WindowExpression(fn,
+                WindowSpecDefinition(ps, os, frame)), _)
+                if ps == w.partitionSpec && os == w.orderSpec =>
+              fn match {
+                case ae: AggregateExpression
+                    if frame == RunningRows &&
+                      ae.aggregateFunction.isInstanceOf[Sum] &&
+                      !ae.isDistinct && ae.filter.isEmpty &&
+                      ae.aggregateFunction.children.head.dataType == LongType =>
+                  Some((RankedKind.RSum,
+                    ae.aggregateFunction.children.head, a.toAttribute))
+                case _: RowNumber if frame == RunningRows =>
+                  Some((RankedKind.RRowNumber, Literal(1L), a.toAttribute))
+                case _: Rank if frame == RunningRows =>
+                  Some((RankedKind.RRank, Literal(1L), a.toAttribute))
+                case _ => None
+              }
+            case _ => None
+          }
+        if (parsed.forall(_.isDefined)) {
+          val fs = parsed.flatten
+          RankedPrefixSum(w.partitionSpec, w.orderSpec,
+            fs.map(_._1), fs.map(_._2), fs.map(_._3), w.child)
+        } else w
     }
   }
 }
 
 object RankedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RankedPrefixSum(part, order, delta, out, child) =>
-      RankedPrefixSumExec(part, order, delta, out, planLater(child)) :: Nil
+    case RankedPrefixSum(part, order, kinds, deltas, out, child) =>
+      RankedPrefixSumExec(part, order, kinds, deltas, out, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical two-pass prefix sum.  EnsureRequirements satisfies the
-  * [[OrderedDistribution]] below with ONE range exchange + sort on
+/** Physical two-pass prefix computation.  EnsureRequirements satisfies
+  * the [[OrderedDistribution]] below with ONE range exchange + sort on
   * (part, order); pass 1 (a small collect job over the exchanged RDD)
-  * gathers per-(partition, group) delta totals, pass 2 re-reads the
-  * same shuffle files (Spark reuses them across the two jobs — the
-  * data moves once) and adds each group's earlier-partition offset to
-  * the local running sum.  All row work is InternalRow/UnsafeRow —
-  * no external-Row conversion anywhere on the hot path. */
+  * gathers per-(partition, group) totals — per-sum deltas, row counts,
+  * and for `rank()` the min/max order keys with their peer counts —
+  * pass 2 re-reads the same shuffle files (Spark reuses them across
+  * the two jobs — the data moves once) and stitches local running
+  * values into global ones.  All row work is InternalRow/UnsafeRow —
+  * no external-Row conversion anywhere on the hot path.
+  *
+  * `rank()` exactness across partitions: a peer run (rows equal under
+  * the ORDER BY) can straddle a range-partition boundary.  The driver
+  * walks partitions in order per group, chaining trailing-run lengths
+  * (a run covering a whole partition extends the chain), and hands
+  * each partition a `lead` adjustment = how many earlier-partition
+  * rows are peers of its first order key; pass 2 starts its first
+  * peer run at `rowOffset - lead + 1`. */
 case class RankedPrefixSumExec(partCols: Seq[Expression],
                                orderSpec: Seq[SortOrder],
-                               delta: Expression,
-                               outAttr: Attribute,
+                               kinds: Seq[RankedKind],
+                               deltas: Seq[Expression],
+                               outAttrs: Seq[Attribute],
                                child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ outAttr
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
   private def sortOrders: Seq[SortOrder] =
     partCols.map(e => SortOrder(e, Ascending)) ++ orderSpec
@@ -140,43 +180,121 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    import RankedPrefixSumExec.{GroupOffsets, GroupStat}
     val childRdd = child.execute()
     val childOutput = child.output
     val boundPart = partCols.map(BindReferences.bindReference(_, childOutput))
-    val boundDelta = BindReferences.bindReference(delta, childOutput)
-    val intOut = outAttr.dataType == IntegerType // row_number
-    val deltaFn: InternalRow => Long = boundDelta match {
-      case b: BoundReference if !b.nullable => r => r.getLong(b.ordinal)
-      case Literal(v: Long, LongType) => _ => v
-      case e => r => e.eval(r).asInstanceOf[Long]
+    val boundDeltas = deltas.map(BindReferences.bindReference(_, childOutput))
+    val orderExprs = orderSpec.map(so =>
+      BindReferences.bindReference(so.child, childOutput))
+    val ks = kinds.toArray
+    val nFuncs = ks.length
+    val needRank = ks.contains(RankedKind.RRank)
+    val intOut = outAttrs.map(_.dataType == IntegerType).toArray
+    // order-key comparator over the PROJECTED key row — peers for
+    // rank() are rows comparing equal under the full ORDER BY; built
+    // from locals so task closures don't capture the plan itself
+    val reboundOrders = orderSpec.zipWithIndex.map { case (so, i) =>
+      so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
     }
+    def keyOrdering = new InterpretedOrdering(reboundOrders)
+    // null-returning delta evaluators (SQL sum skips nulls but stays
+    // null until the first value); fast path for non-nullable refs
+    val deltaFns: Array[InternalRow => java.lang.Long] = boundDeltas.map {
+      case b: BoundReference if !b.nullable && b.dataType == LongType =>
+        (r: InternalRow) => java.lang.Long.valueOf(r.getLong(b.ordinal))
+      case b: BoundReference if b.dataType == LongType =>
+        (r: InternalRow) =>
+          if (r.isNullAt(b.ordinal)) null
+          else java.lang.Long.valueOf(r.getLong(b.ordinal))
+      case Literal(v: Long, LongType) =>
+        val boxed = java.lang.Long.valueOf(v)
+        (_: InternalRow) => boxed
+      case e => (r: InternalRow) => e.eval(r).asInstanceOf[java.lang.Long]
+    }.toArray
 
-    // pass 1: per-(partition, group) delta totals — a few longs per
-    // task regardless of input size
+    // pass 1: per-(partition, group) totals — a few longs per task
+    // regardless of input size
     val pass1Rdd = preSortInput.map(_.execute()).getOrElse(childRdd)
-    val totals: Array[(Int, Array[(InternalRow, Long)])] =
+    val totals: Array[(Int, Array[(InternalRow, GroupStat)])] =
       pass1Rdd.mapPartitionsWithIndex { (pid, it) =>
         val proj = UnsafeProjection.create(boundPart)
-        val m = scala.collection.mutable.LinkedHashMap[InternalRow, Long]()
+        val oProj = if (needRank) UnsafeProjection.create(orderExprs) else null
+        val ord = if (needRank) keyOrdering else null
+        val m = scala.collection.mutable.LinkedHashMap[InternalRow, GroupStat]()
         it.foreach { row =>
           val k = proj(row)
-          val cur = m.get(k)
-          if (cur.isDefined) m(k) = cur.get + deltaFn(row)
-          else m(k.copy()) = deltaFn(row)
+          val st = m.get(k) match {
+            case Some(s) => s
+            case None =>
+              val s = new GroupStat(nFuncs)
+              m(k.copy()) = s
+              s
+          }
+          var i = 0
+          while (i < nFuncs) {
+            if (ks(i) == RankedKind.RSum) {
+              val v = deltaFns(i)(row)
+              if (v != null) { st.sums(i) += v.longValue(); st.any(i) = true }
+            }
+            i += 1
+          }
+          st.count += 1
+          if (needRank) {
+            val ok = oProj(row)
+            if (st.minKey == null) {
+              st.minKey = ok.copy(); st.minCnt = 1
+              st.maxKey = st.minKey; st.maxCnt = 1
+            } else {
+              val cMin = ord.compare(ok, st.minKey)
+              if (cMin < 0) { st.minKey = ok.copy(); st.minCnt = 1 }
+              else {
+                if (cMin == 0) st.minCnt += 1
+                val cMax = ord.compare(ok, st.maxKey)
+                if (cMax > 0) { st.maxKey = ok.copy(); st.maxCnt = 1 }
+                else if (cMax == 0) st.maxCnt += 1
+              }
+            }
+          }
         }
         Iterator.single((pid, m.toArray))
       }.collect()
 
-    // earlier-partition offsets per (partition, group); rows sorted by
-    // (part, order) with range partitioning => earlier partitions hold
-    // strictly-earlier rows of each group
-    val offsets: Map[(Int, InternalRow), Long] = {
-      val running = scala.collection.mutable.Map[InternalRow, Long]()
-      val out = Map.newBuilder[(Int, InternalRow), Long]
+    // driver: earlier-partition offsets per (partition, group); rows
+    // sorted by (part, order) with range partitioning => earlier
+    // partitions hold earlier rows of each group.  For rank, chain
+    // trailing peer runs across partitions (single-key partitions
+    // extend the chain).
+    val offsets: Map[(Int, InternalRow), GroupOffsets] = {
+      val ord = if (needRank) keyOrdering else null
+      final class Running {
+        val sums = new Array[Long](nFuncs)
+        val any = new Array[Boolean](nFuncs)
+        var rows = 0L
+        var trailKey: UnsafeRow = null
+        var trailCnt = 0L
+      }
+      val runningMap = scala.collection.mutable.Map[InternalRow, Running]()
+      val out = Map.newBuilder[(Int, InternalRow), GroupOffsets]
       totals.sortBy(_._1).foreach { case (pid, groups) =>
-        groups.foreach { case (k, total) =>
-          out += ((pid, k) -> running.getOrElse(k, 0L))
-          running(k) = running.getOrElse(k, 0L) + total
+        groups.foreach { case (k, st) =>
+          val r = runningMap.getOrElseUpdate(k, new Running)
+          val lead =
+            if (needRank && r.trailKey != null &&
+              ord.compare(st.minKey, r.trailKey) == 0) r.trailCnt
+            else 0L
+          out += ((pid, k) -> new GroupOffsets(r.sums.clone(), r.any.clone(),
+            r.rows, lead))
+          var i = 0
+          while (i < nFuncs) {
+            r.sums(i) += st.sums(i); r.any(i) |= st.any(i); i += 1
+          }
+          r.rows += st.count
+          if (needRank) {
+            val singleKey = ord.compare(st.minKey, st.maxKey) == 0
+            r.trailCnt = st.maxCnt + (if (singleKey) lead else 0L)
+            r.trailKey = st.maxKey
+          }
         }
       }
       out.result()
@@ -188,24 +306,81 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     // once per (partition, group), not per row
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(boundPart)
+      val oProj = if (needRank) UnsafeProjection.create(orderExprs) else null
+      val ord = if (needRank) keyOrdering else null
       val joined = new JoinedRow
-      val cumRow = new GenericInternalRow(1)
+      val outRow = new GenericInternalRow(nFuncs)
       var curKey: UnsafeRow = null
-      var running = 0L
+      var off: GroupOffsets = null
+      val runSums = new Array[Long](nFuncs)
+      val localAny = new Array[Boolean](nFuncs)
+      var localCount = 0L
+      var runKey: UnsafeRow = null
+      var curRank = 0L
       it.map { row =>
         val k = proj(row)
         if (curKey == null || k != curKey) {
           curKey = k.copy()
-          running = bcOff.value.getOrElse((pid, curKey: InternalRow), 0L)
+          off = bcOff.value.getOrElse((pid, curKey: InternalRow),
+            new GroupOffsets(new Array[Long](nFuncs),
+              new Array[Boolean](nFuncs), 0L, 0L))
+          java.util.Arrays.fill(runSums, 0L)
+          java.util.Arrays.fill(localAny, false)
+          localCount = 0L
+          runKey = null
         }
-        running += deltaFn(row)
-        if (intOut) cumRow.update(0, running.toInt)
-        else cumRow.update(0, running)
-        joined(row, cumRow)
+        localCount += 1
+        if (needRank) {
+          val ok = oProj(row)
+          if (runKey == null) {
+            curRank = off.rows - off.lead + 1
+            runKey = ok.copy()
+          } else if (ord.compare(ok, runKey) != 0) {
+            curRank = off.rows + localCount
+            runKey = ok.copy()
+          }
+        }
+        var i = 0
+        while (i < nFuncs) {
+          ks(i) match {
+            case RankedKind.RSum =>
+              val v = deltaFns(i)(row)
+              if (v != null) { runSums(i) += v.longValue(); localAny(i) = true }
+              if (localAny(i) || off.anyPrior(i))
+                outRow.update(i, off.sums(i) + runSums(i))
+              else outRow.update(i, null)
+            case RankedKind.RRowNumber =>
+              val rn = off.rows + localCount
+              if (intOut(i)) outRow.update(i, rn.toInt) else outRow.update(i, rn)
+            case RankedKind.RRank =>
+              if (intOut(i)) outRow.update(i, curRank.toInt)
+              else outRow.update(i, curRank)
+          }
+          i += 1
+        }
+        joined(row, outRow)
       }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): RankedPrefixSumExec =
     copy(child = newChild)
+}
+
+object RankedPrefixSumExec {
+  /** Per-(partition, group) pass-1 stats (top-level: instances are
+    * collected to the driver — no `$outer` plan reference). */
+  private[plans] final class GroupStat(nFuncs: Int) extends Serializable {
+    val sums = new Array[Long](nFuncs)
+    val any = new Array[Boolean](nFuncs)
+    var count = 0L
+    var minKey: UnsafeRow = null
+    var minCnt = 0L
+    var maxKey: UnsafeRow = null
+    var maxCnt = 0L
+  }
+  private[plans] final class GroupOffsets(val sums: Array[Long],
+                                          val anyPrior: Array[Boolean],
+                                          val rows: Long, val lead: Long)
+      extends Serializable
 }

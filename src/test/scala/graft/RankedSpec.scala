@@ -88,17 +88,119 @@ class RankedSpec extends SparkSpec {
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i.toLong))
       .toDF("k", "pos", "delta")
     withRule(on = true) {
-      // RANGE frame (the orderBy default): not a ROWS running frame
+      // RANGE frame (the orderBy default): not a ROWS running sum
       val range = Window.partitionBy("k").orderBy("pos")
       assert(!hasRankedExec(df.withColumn("c", sum("delta").over(range))))
       // avg: not a prefix sum
       val rows = Window.partitionBy("k").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       assert(!hasRankedExec(df.withColumn("c", avg("delta").over(rows))))
-      // nullable delta: running SQL sum stays null until a value appears
-      val nullable = df.withColumn("d",
-        when(col("pos") > 10, col("delta")))
-      assert(!hasRankedExec(nullable.withColumn("c", sum("d").over(rows))))
+      // a node mixing an eligible and an ineligible expression stays
+      assert(!hasRankedExec(df.select(col("*"),
+        row_number().over(Window.partitionBy("k").orderBy("pos")).as("rn"),
+        avg("delta").over(rows).as("a"))))
     }
+  }
+
+  test("autoRewrite handles nullable sums with SQL null-until-first-value semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // group g0 starts with a long null prefix so the null-propagation
+    // path is exercised across partition boundaries too
+    val rows = (0 until 20000).map { i =>
+      val k = s"g${rnd.nextInt(3)}"
+      val d: java.lang.Long =
+        if (k == "g0" && i < 15000) null
+        else java.lang.Long.valueOf(rnd.nextInt(5).toLong)
+      (k, rnd.nextInt(1000).toLong, d, i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "delta", "row_id")
+    val w = Window.partitionBy("k").orderBy("pos", "row_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.withColumn("cum", sum("delta").over(w)).select("row_id", "cum")
+    val (planned, got) = withRule(on = true) {
+      (hasRankedExec(q), q.as[(Long, Option[Long])].collect().sortBy(_._1))
+    }
+    assert(planned, "expected RankedPrefixSumExec for a nullable sum")
+    val want = withRule(on = false)(q.as[(Long, Option[Long])].collect().sortBy(_._1))
+    assert(got.exists(_._2.isEmpty), "fixture should produce null running sums")
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("autoRewrite handles sum + row_number sharing one spec (q_median_group shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 20000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, rnd.nextInt(5).toLong,
+        i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "delta", "row_id")
+    val spec = Window.partitionBy("k").orderBy("pos", "row_id")
+    val running = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.select(col("row_id"),
+      sum("delta").over(running).as("cum"),
+      row_number().over(spec).as("rn"))
+    val (planned, got) = withRule(on = true) {
+      (hasRankedExec(q), q.as[(Long, Long, Int)].collect().sortBy(_._1))
+    }
+    assert(planned, "expected ONE RankedPrefixSumExec for both expressions")
+    val want = withRule(on = false)(q.as[(Long, Long, Int)].collect().sortBy(_._1))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("autoRewrite handles rank() exactly, including peer runs spanning partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // only 7 distinct order values over 30000 rows: every range
+    // partition boundary lands inside a peer run, so the cross-
+    // partition chaining is load-bearing, not incidental
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(2)}", rnd.nextInt(7).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "row_id")
+    val spec = Window.partitionBy("k").orderBy("pos")
+    def q = df.select(col("row_id"), col("k"), col("pos"),
+      rank().over(spec).as("rk"))
+    val (planned, got) = withRule(on = true) {
+      (hasRankedExec(q),
+        q.select("row_id", "rk").as[(Long, Int)].collect().sortBy(_._1))
+    }
+    assert(planned, "expected RankedPrefixSumExec for rank()")
+    val want = withRule(on = false)(
+      q.select("row_id", "rk").as[(Long, Int)].collect().sortBy(_._1))
+    assert(got.toSeq === want.toSeq)
+    // and a single-key group: one giant peer run across every partition
+    val flat = (0 until 5000).map(i => ("only", 42L, i.toLong))
+      .toDF("k", "pos", "row_id")
+    def q2 = flat.select(col("row_id"), rank().over(spec).as("rk"))
+    val got2 = withRule(on = true)(q2.as[(Long, Int)].collect())
+    assert(got2.forall(_._2 === 1))
+  }
+
+  test("autoRewrite handles rank + row_number + sum in one window node") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 15000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(11).toLong, rnd.nextInt(5).toLong,
+        i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "delta", "row_id")
+    val spec = Window.partitionBy("k").orderBy("pos", "row_id")
+    val tieSpec = Window.partitionBy("k").orderBy("pos")
+    val running = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.select(col("row_id"),
+      sum("delta").over(running).as("cum"),
+      row_number().over(spec).as("rn"),
+      rank().over(tieSpec).as("rk"))
+    // rank's spec differs (no tiebreaker) so Catalyst plans two Window
+    // nodes; BOTH must rewrite
+    val (planned, got) = withRule(on = true) {
+      val nExecs = "RankedPrefixSum".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+      (nExecs, q.as[(Long, Long, Int, Int)].collect().sortBy(_._1))
+    }
+    assert(planned >= 2, s"expected both window nodes rewritten, got $planned")
+    val want = withRule(on = false)(q.as[(Long, Long, Int, Int)].collect().sortBy(_._1))
+    assert(got.toSeq === want.toSeq)
   }
 }
