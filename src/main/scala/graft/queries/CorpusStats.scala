@@ -351,6 +351,76 @@ object CorpusStats {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- P35b
+  // IVF probe-sweep recall: total exact-top-3 hits of the IVF path at
+  // 1 vs 3 probed cells against the same brute-force oracle — the
+  // audit that justifies multi-probe (candidates only ever GROW with
+  // m, so recall should too; the exact re-rank is shared).  Like P35,
+  // a composition of gated frames: the joins run over tiny top-k sets.
+  def qAnnRecallIvf(s: SparkSession, d: String): DataFrame = {
+    val exact = Pipeline.qAnnBruteforce(s, d).filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id")
+    def totalHits(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"))
+    totalHits(Pipeline.qAnnIvfProbed(s, d, 1), "ivf_m1")
+      .unionAll(totalHits(Pipeline.qAnnIvfProbed(s, d, 3), "ivf_m3"))
+      .orderBy("variant")
+  }
+
+  val qAnnRecallIvfSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), " +
+        s"i -> CAST($a[CAST(i + 1 AS INT)] AS DOUBLE) * CAST($b[CAST(i + 1 AS INT)] AS DOUBLE))), (x, y) -> x + y)"
+    def ivfTop(m: Int): String =
+      s"""(SELECT qid, neighbor_id FROM (
+         |    SELECT sc.qid, sc.neighbor_id, ROW_NUMBER() OVER (PARTITION BY sc.qid
+         |      ORDER BY sc.cosine DESC, sc.neighbor_id) AS rk FROM (
+         |      SELECT pr.qid, ea.vec_id AS neighbor_id,
+         |        ${dot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+         |      FROM (SELECT vec_id AS qid, aid AS qcell FROM scored
+         |            WHERE rn <= $m AND vec_id % 100 = 0) pr
+         |        JOIN asg ea ON pr.qcell = ea.cell AND ea.vec_id <> pr.qid
+         |        JOIN n nq ON nq.vec_id = pr.qid
+         |        JOIN n ne ON ne.vec_id = ea.vec_id) sc)
+         |  WHERE rk <= 3)""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 100 = 0)
+       |  WHERE rk <= 3
+       |), a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 8
+       |), an AS (
+       |  SELECT aid, ae, sqrt(${dot("ae", "ae")}) AS anrm FROM a
+       |), scored AS (
+       |  SELECT e.vec_id, an.aid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dot("e.embedding", "an.ae")} / (n.nrm * an.anrm) DESC, an.aid) AS rn
+       |  FROM embeddings e CROSS JOIN an JOIN n ON n.vec_id = e.vec_id
+       |), asg AS (
+       |  SELECT vec_id, aid AS cell FROM scored WHERE rn = 1
+       |), m1 AS ${ivfTop(1)},
+       |m3 AS ${ivfTop(3)}
+       |SELECT 'ivf_m1' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM m1
+       |  JOIN exact ON m1.qid = exact.query_id
+       |    AND m1.neighbor_id = exact.neighbor_id) AS n_hits
+       |UNION ALL
+       |SELECT 'ivf_m3' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM m3
+       |  JOIN exact ON m3.qid = exact.query_id
+       |    AND m3.neighbor_id = exact.neighbor_id) AS n_hits
+       |ORDER BY variant""".stripMargin
+  }
+
   // --------------------------------------------------------------- P36
   // Canonical document per near-dup cluster: the step after P2b that
   // actually shrinks the corpus — one keeper per connected component
@@ -680,6 +750,7 @@ object CorpusStats {
     "q_dup_rate_source" -> (qDupRateSource _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_cluster_keep" -> (qClusterKeep _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_length_outliers" -> (qLengthOutliers _),
@@ -697,6 +768,7 @@ object CorpusStats {
     "q_dup_rate_source" -> qDupRateSourceSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ann_recall_ivf" -> qAnnRecallIvfSql,
     "q_cluster_keep" -> qClusterKeepSql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_length_outliers" -> qLengthOutliersSql,

@@ -441,25 +441,31 @@ object Pipeline {
   // --------------------------------------------------------------- P6b
   // IVF-style ANN: coarse quantization — every vector is assigned to
   // its nearest of 8 centroid vectors (argmax cosine, deterministic
-  // tiebreak), queries probe only their own cell, exact re-rank inside
-  // the cell.  Assignment is one broadcast pass (O(n·centroids) dots);
-  // candidates shuffle by cell id.  Complements the sign-LSH path with
-  // the other standard bucketing scheme.
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  // tiebreak); queries probe their `probes` nearest cells (multi-probe
+  // recovers neighbors that fall just across a Voronoi boundary — the
+  // standard IVF recall lever, audited by q_ann_recall_ivf), exact
+  // re-rank over the probed cells' members.  Assignment is one
+  // broadcast pass (O(n·centroids) dots); candidate vectors shuffle
+  // ONCE by their single assigned cell — only the m-row-per-query
+  // probe frame grows with m; never all-pairs.
+  def qAnnIvfProbed(s: SparkSession, d: String, probes: Int): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d))
     val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"))
     val w1 = Window.partitionBy("vec_id").orderBy(desc("acos"), col("aid"))
-    val assigned = emb.select("vec_id", "embedding").join(broadcast(cents))
+    val ranked = emb.select("vec_id", "embedding").join(broadcast(cents))
       .select(col("vec_id"), col("aid"),
         expr("graft_cosine(embedding, ae)").as("acos"))
       .withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("aid").as("cell"))
     val tagged = emb.join(assigned, "vec_id")
-    val q = tagged.filter(col("vec_id") % 100 === 0)
+    val qprobes = ranked.filter(col("rn") <= probes && col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("aid").as("qcell"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cell").as("qcell"))
+        col("nrm").as("qn"))
+      .join(qprobes, "qid")
     val w2 = Window.partitionBy("qid").orderBy(desc("cosine"), col("neighbor_id"))
     q.join(tagged, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
@@ -469,6 +475,11 @@ object Pipeline {
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .orderBy("query_id", "rk")
   }
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = qAnnIvfProbed(s, d, 1)
+
+  /** P6b multi-probe form: 3 nearest cells per query. */
+  def qAnnIvfMp(s: SparkSession, d: String): DataFrame = qAnnIvfProbed(s, d, 3)
 
   val qAnnIvfSql: String =
     s"""WITH a AS (
@@ -493,6 +504,42 @@ object Pipeline {
        |    JOIN n ne ON ne.vec_id = ea.vec_id
        |  WHERE qa.vec_id % 100 = 0
        |)
+       |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
+       |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  /** Shared WITH-clauses for the IVF oracles: cell scores ranked per
+    * vector, single-cell assignment, and an m-nearest-cell probe
+    * frame for the query subset. */
+  private def ivfOracleCtes(probes: Int): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 8
+       |), n AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), an AS (
+       |  SELECT aid, ae, sqrt(${duckDot("ae", "ae")}) AS anrm FROM a
+       |), scored AS (
+       |  SELECT e.vec_id, an.aid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${duckDot("e.embedding", "an.ae")} / (n.nrm * an.anrm) DESC, an.aid) AS rn
+       |  FROM embeddings e CROSS JOIN an JOIN n ON n.vec_id = e.vec_id
+       |), asg AS (
+       |  SELECT vec_id, aid AS cell FROM scored WHERE rn = 1
+       |), pr AS (
+       |  SELECT vec_id AS qid, aid AS qcell FROM scored
+       |  WHERE rn <= $probes AND vec_id % 100 = 0
+       |), sc AS (
+       |  SELECT pr.qid, ea.vec_id AS neighbor_id,
+       |    ${duckDot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+       |  FROM pr JOIN asg ea ON pr.qcell = ea.cell AND ea.vec_id <> pr.qid
+       |    JOIN n nq ON nq.vec_id = pr.qid
+       |    JOIN n ne ON ne.vec_id = ea.vec_id
+       |)""".stripMargin
+
+  val qAnnIvfMpSql: String =
+    s"""${ivfOracleCtes(3)}
        |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
@@ -1100,6 +1147,7 @@ object Pipeline {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_mp" -> (qAnnIvfMp _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -1121,6 +1169,7 @@ object Pipeline {
     "q_ann_lsh" -> qAnnLshSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_ivf_mp" -> qAnnIvfMpSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,

@@ -278,6 +278,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF multi-probe stays equi-join shaped and strictly improves recall") {
+    // the probe factor only widens the m-row-per-query probe frame:
+    // candidates still join by cell EQUALITY (hash/merge equi-join on
+    // qcell = cell).  The only nested-loop in the plan is the
+    // deliberate constant-x8 centroid broadcast fan-out; no cartesian
+    // anywhere.
+    val plan = planOf(graft.queries.Pipeline.qAnnIvfMp(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[qcell".r
+      .findFirstIn(plan).isDefined, plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    // recall@3 vs the exact oracle must strictly improve with probes
+    // (candidate sets only grow with m; sf0.01 measures 6 -> 12 hits)
+    val rec = graft.queries.CorpusStats.qAnnRecallIvf(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rec("ivf_m3") > rec("ivf_m1"),
+      s"multi-probe did not improve recall: $rec")
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
