@@ -986,7 +986,7 @@ class BcfTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = ExpressionEncoder[VcfVariant]().schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new BcfScanBuilder(options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1052,6 +1052,36 @@ class BcfScan(paths: Seq[String], splitSize: Long, pruned: StructType,
     }.toArray
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BcfReaderFactory(pruned)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"streaming reads tail exactly one directory; got ${paths.size} paths")
+    require(optionIntervals.isEmpty,
+      "bounded traversal (intervals) applies to batch reads; " +
+        "filter the stream with ordinary predicates instead")
+    new BcfMicroBatchStream(paths.head, splitSize, pruned, checkpointLocation)
+  }
+}
+
+/** BCF shards landing in a directory (cohort pipelines emit BCF
+  * continuously): each new file plans the same record-aligned VO
+  * ranges the batch scan would, and the lazy genotype mask from the
+  * pruned schema applies identically. */
+class BcfMicroBatchStream(dir: String, splitSize: Long, pruned: StructType,
+                          checkpointLocation: String)
+    extends FileLogMicroBatchStream(dir, checkpointLocation) {
+  // variant callers land .bcf files alongside sidecar indexes
+  // (.bcf.sidx/.csi) — only the records are rows
+  override protected def accepts(name: String): Boolean = name.endsWith(".bcf")
+  override protected def planFile(path: String): Seq[InputPartition] = {
+    val dicts = BcfIO.dictsOf(path)
+    BcfIO.planFullRanges(path, splitSize).map { case (s, e) =>
+      BcfPartition(path, s, e, Array.empty, dicts): InputPartition
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new BcfReaderFactory(pruned)
 }

@@ -89,6 +89,63 @@ class StreamingV2Spec extends SparkSpec {
     assert(runOnce() === 50L)
   }
 
+  test("bcf micro-batch stream tails cohort shards at batch parity, mask honored") {
+    import spark.implicits._
+    import graft.model.VcfVariant
+    val dicts = BcfIO.Dicts(Array("c1"), Array("PASS"), Array("DP"),
+      Array("GT", "DP"))
+    def variant(i: Int) = VcfVariant("c1", 100L + i, s"v$i", "A", Array("C"),
+      Some(30.0), "PASS", Array("DP"), Array(i.toString),
+      Array("GT", "DP"), Array(s"0/1:$i", s"1/1:${i * 2}"))
+    val dir = tmpDir("bcf_stream")
+    val ckpt = tmpDir("bcf_ckpt")
+    val out = tmpDir("bcf_out")
+    def writeShard(name: String, range: Range): Unit =
+      BcfIO.write(spark.createDataset(range.map(variant)).coalesce(1), dicts,
+        s"$dir/$name", granularity = 16)
+    writeShard("shard-000.bcf", 0 until 30)
+
+    def runOnce(): Long = {
+      val q = spark.readStream.format("bcf").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).count()
+    }
+
+    // incremental restarts: only newly landed shards append (the
+    // .bcf.sidx sidecars in the same directory never enter the log)
+    assert(runOnce() === 30L)
+    writeShard("shard-001.bcf", 30 until 50)
+    assert(runOnce() === 50L)
+    assert(runOnce() === 50L)
+
+    // batch parity on the full row, genotype matrix included
+    val streamed = spark.read.parquet(out).as[VcfVariant]
+      .collect().sortBy(_.pos)
+    val batch = (BcfIO.read(spark, s"$dir/shard-000.bcf").collect() ++
+      BcfIO.read(spark, s"$dir/shard-001.bcf").collect()).sortBy(_.pos)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert((a.chrom, a.pos, a.id, a.qual, a.filter) ===
+        (b.chrom, b.pos, b.id, b.qual, b.filter))
+      assert(a.genotypes.toSeq === b.genotypes.toSeq)
+      assert(a.infoValues.toSeq === b.infoValues.toSeq)
+    }
+
+    // lazy genotype mask: a site-only streaming projection decodes
+    // empty genotype/info arrays, same as the batch DSv2 face
+    val q2 = spark.readStream.format("bcf").load(dir)
+      .select("chrom", "pos", "id")
+      .writeStream.format("memory").queryName("bcf_sites")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val sites = spark.table("bcf_sites")
+    assert(sites.count() === 50L)
+    assert(sites.schema.fieldNames.toSeq === Seq("chrom", "pos", "id"))
+  }
+
   test("streamed rows carry the same parsed fields as the batch reader") {
     val dir = tmpDir("fq_stream_eq")
     writeFile(dir, "part-00000.fastq", 0 until 25)
