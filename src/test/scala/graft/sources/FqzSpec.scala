@@ -39,6 +39,81 @@ class FqzSpec extends AnyFunSuite {
     }
   }
 
+  test("writer-produced multi-parameter selector streams round-trip") {
+    // GMultiParam + GHaveStab + coded per-record selector, parameter
+    // sets with distinct context layouts (alternating qshift), PDoSel
+    // context contribution — the decoder's rarer header/model branches
+    // against encoder-produced bytes, not hand-built streams
+    for (nParam <- Seq(2, 3, 4)) {
+      val (raw, lens) = qualData(160, seed = 7 * nParam, i => 40 + (i * 13) % 60)
+      val enc = Fqz.encodeOpt(raw, lens, nParam = nParam)
+      assert(java.util.Arrays.equals(Fqz.decode(enc, raw.length), raw),
+        s"multi-param round-trip mismatch at nParam=$nParam")
+    }
+    // an explicit selector array denser than round-robin (bursts), and
+    // selectors above nParam-1 exercising the stab clamp
+    val (raw, lens) = qualData(120, seed = 99, i => 50 + i % 20)
+    val sel = Array.tabulate(120)(i => if (i < 60) 0 else (i % 3) + 1)
+    val enc = Fqz.encodeOpt(raw, lens, nParam = 3, selector = sel)
+    assert(java.util.Arrays.equals(Fqz.decode(enc, raw.length), raw))
+  }
+
+  test("writer-produced dedup streams round-trip and actually shrink") {
+    val rnd = new scala.util.Random(41)
+    val lens = Array.fill(300)(80)
+    val base = Array.tabulate(80)(i => (20 + (i * 7) % 25).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    lens.indices.foreach { r =>
+      // runs of byte-identical records, as optical duplicates produce
+      if (r % 5 == 0 || r % 5 == 4)
+        out.write(Array.tabulate(80)(_ => (15 + rnd.nextInt(30)).toByte))
+      else out.write(base)
+    }
+    val raw = out.toByteArray
+    val dedup = Fqz.encodeOpt(raw, lens, dedup = true)
+    val plain = Fqz.encodeOpt(raw, lens)
+    assert(java.util.Arrays.equals(Fqz.decode(dedup, raw.length), raw))
+    assert(dedup.length < plain.length,
+      s"dup elimination did not shrink: ${dedup.length} vs ${plain.length}")
+  }
+
+  test("writer-produced reverse-flag streams round-trip to original orientation") {
+    val (raw, lens) = qualData(150, seed = 43, i => 30 + (i * 11) % 70)
+    val revs = Array.tabulate(150)(i => i % 3 == 1)
+    val enc = Fqz.encodeOpt(raw, lens, revFlags = revs)
+    // the decoder's final pass must restore ORIGINAL orientation
+    assert(java.util.Arrays.equals(Fqz.decode(enc, raw.length), raw))
+    // sanity: an all-false flag vector also round-trips (rev models
+    // coded but never firing)
+    val enc0 = Fqz.encodeOpt(raw, lens, revFlags = Array.fill(150)(false))
+    assert(java.util.Arrays.equals(Fqz.decode(enc0, raw.length), raw))
+  }
+
+  test("sel + dedup + rev combined round-trips (every rare branch at once)") {
+    val rnd = new scala.util.Random(47)
+    val nRec = 200
+    val lens = Array.fill(nRec)(64)
+    val patterns = Array.tabulate(4)(p =>
+      Array.tabulate(64)(i => (10 + ((i * (p + 3)) % 30)).toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nRec).foreach { r =>
+      if (r % 4 == 3) out.write(patterns(rnd.nextInt(4)))
+      else out.write(patterns(r % 4))
+    }
+    val raw = out.toByteArray
+    val sel = Array.tabulate(nRec)(_ % 3)
+    val revs = Array.tabulate(nRec)(r => r % 7 == 2)
+    val enc = Fqz.encodeOpt(raw, lens, nParam = 3, selector = sel,
+      dedup = true, revFlags = revs)
+    assert(java.util.Arrays.equals(Fqz.decode(enc, raw.length), raw))
+  }
+
+  test("encodeOpt defaults are byte-identical to the plain encode profile") {
+    val (raw, lens) = qualData(100, seed = 53, i => 20 + i % 40)
+    assert(java.util.Arrays.equals(Fqz.encode(raw, lens),
+      Fqz.encodeOpt(raw, lens)))
+  }
+
   test("round-trips degenerate alphabets (constant and binary quality)") {
     val lens = Array.fill(50)(80)
     val const = Array.fill(50 * 80)(30.toByte)
