@@ -52,6 +52,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parallel fixed-work probe: `threads` workers each running the
+    * single-thread probe's work concurrently; the wall time measures
+    * MULTI-thread throughput.  A host whose single-thread speed is
+    * unchanged can still hand out fewer effective cores (noisy
+    * neighbors, cgroup quota) — r10 measured a round where every
+    * 32-way query inflated ~1.3x while the single-thread probes sat
+    * at 1.01x of the prior round; this probe is the artifact-side
+    * witness for exactly that case. */
+  private def calibratePar(threads: Int, steps: Int = 50000000): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < steps) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42) println("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -78,15 +104,17 @@ object Bench {
     * were themselves suspect:false) and return
     * (file, prev probe_median_sec, prev was suspect).
     */
-  private def prevProbeAnchor(): Option[(String, Double, Boolean)] = {
-    def parse(p: java.nio.file.Path): Option[(String, Double, Boolean)] =
+  private def prevProbeAnchor(): Option[(String, Double, Boolean, Option[Double])] = {
+    def parse(p: java.nio.file.Path): Option[(String, Double, Boolean, Option[Double])] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val pm = """"probe_median_sec"\s*:\s*([0-9.eE+-]+)""".r
           .findFirstMatchIn(s).map(_.group(1).toDouble)
+        val par = """"probe_par_sec"\s*:\s*([0-9.eE+-]+)""".r
+          .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
         val susp = """"suspect"\s*:\s*(true|false)""".r
           .findFirstMatchIn(s).exists(_.group(1) == "true")
-        pm.filter(_ > 0).map(v => (p.getFileName.toString, v, susp))
+        pm.filter(_ > 0).map(v => (p.getFileName.toString, v, susp, par))
       } catch { case _: Throwable => None }
     sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
       case Some(path) => parse(java.nio.file.Paths.get(path))
@@ -132,6 +160,7 @@ object Bench {
 
     val loadStart = loadavg()
     val probeStart = calibrate()
+    val probeParStart = calibratePar(cpus)
 
     // Warm the JVM/codegen once so per-query numbers measure the query,
     // not first-use classloading.
@@ -181,6 +210,8 @@ object Bench {
     }
 
     val probeEnd = calibrate()
+    val probeParEnd = calibratePar(cpus)
+    val probePar = math.min(probeParStart, probeParEnd)
     val loadEnd = loadavg()
     val (gcCount, gcMs) = gcTotals()
 
@@ -214,15 +245,30 @@ object Bench {
         suspectQueries.map(r => f"${r.name} (${r.probe / probeMedian}%.1fx)")
           .mkString(", ").take(300)
     // cross-round absolute anchor: constant background load inflates
-    // every probe equally and evades all the relative checks above
+    // every probe equally and evades all the relative checks above.
+    // Both single-thread (probe_median) and multi-thread (probe_par)
+    // anchors are compared: r10 measured a round where 32-way
+    // throughput dropped ~1.3x while single-thread speed held at
+    // 1.01x — only the parallel anchor can witness that.
     val prevAnchor = prevProbeAnchor()
-    val probeVsPrev = prevAnchor.map { case (_, prevMed, _) => probeMedian / prevMed }
-    prevAnchor.foreach { case (file, prevMed, prevSusp) =>
+    val probeVsPrev = prevAnchor.map { case (_, prevMed, _, _) => probeMedian / prevMed }
+    val probeParVsPrev = prevAnchor.flatMap { case (_, _, _, prevPar) =>
+      prevPar.map(probePar / _)
+    }
+    prevAnchor.foreach { case (file, prevMed, prevSusp, prevPar) =>
+      val suffix = if (prevSusp) ", itself suspect" else ""
       probeVsPrev.foreach { ratio =>
         if (math.abs(ratio - 1.0) > 0.25)
           reasons += f"probe median $probeMedian%.3fs is $ratio%.2fx the prior " +
-            f"round's ($prevMed%.3fs in $file${if (prevSusp) ", itself suspect" else ""})" +
+            f"round's ($prevMed%.3fs in $file$suffix)" +
             " -- machine speed changed or constant background load present"
+      }
+      (probeParVsPrev, prevPar) match {
+        case (Some(ratio), Some(pp)) if math.abs(ratio - 1.0) > 0.25 =>
+          reasons += f"parallel probe $probePar%.3fs is $ratio%.2fx the prior " +
+            f"round's ($pp%.3fs in $file$suffix)" +
+            " -- multi-thread throughput changed (fewer effective cores?)"
+        case _ =>
       }
     }
     val suspect = reasons.nonEmpty
@@ -243,15 +289,22 @@ object Bench {
     val minTotal = tot(_.min)
     val coldTotal = tot(_.cold)
     val pvp = (prevAnchor, probeVsPrev) match {
-      case (Some((file, prevMed, prevSusp)), Some(ratio)) =>
+      case (Some((file, prevMed, prevSusp, prevPar)), Some(ratio)) =>
+        val par = (prevPar, probeParVsPrev) match {
+          case (Some(pp), Some(pr)) =>
+            s""","prev_probe_par_sec":$pp,"par_ratio":$pr"""
+          case _ => ""
+        }
         s""""probe_vs_prev":{"prev_file":"${esc(file)}",""" +
           s""""prev_probe_median_sec":$prevMed,"prev_suspect":$prevSusp,""" +
-          s""""ratio":$ratio},"""
+          s""""ratio":$ratio$par},"""
       case _ => s""""probe_vs_prev":null,"""
     }
     val env = s"""{"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}",""" +
       s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
-      s""""probe_median_sec":$probeMedian,""" + pvp +
+      s""""probe_median_sec":$probeMedian,""" +
+      s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
+      s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")

@@ -28,7 +28,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * property of the DATA, not the plan, so the user asserts the
   * low-|k| regime.  With high-cardinality keys the hash-partitioned
   * window is already parallel and cheaper (one exchange, no offset
-  * job) — the default stays off.
+  * job) — the default stays off.  Measured at sf1 (r10 A/B): low-|k|
+  * windows hold parity under the rewrite (q_coverage, q_token_shard,
+  * q_sessionize), while high-|k| ones regress 3-5× (q_window by
+  * customer, q_markdup by read-position keys: millions of groups make
+  * the pass-1 offset table itself the bottleneck) — enable the rule
+  * per-query on low-|k| windows, not globally on mixed workloads.
   *
   * Tie behavior: rows equal under (k, o) take an arbitrary order, as
   * they do in the window form (ROWS frames over ties are
