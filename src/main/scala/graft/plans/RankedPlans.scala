@@ -304,6 +304,15 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
       }
       out.result()
     }
+    // the operator's contract is low-|k|; a user who opted in on a
+    // high-cardinality window gets a driver-side witness (measured at
+    // sf1: q_markdup 3.5s -> 16.8s when millions of groups make this
+    // very table the bottleneck) instead of a silent 5x
+    if (offsets.size > 100000)
+      logWarning(s"RankedPrefixSum: ${offsets.size} (partition, group) offset " +
+        "entries — the partition keys are not low-cardinality and the " +
+        "hash-partitioned window form is likely faster; disable " +
+        "spark.graft.ranked.autoRewrite for this query")
     val bcOff = sparkContext.broadcast(offsets)
 
     // pass 2: same exchange; group changes are detected by key

@@ -421,6 +421,78 @@ object CorpusStats {
        |ORDER BY variant""".stripMargin
   }
 
+  // -------------------------------------------------------------- P35c
+  // LSH probe-sweep recall: exact-top-3 hits of the sign-LSH path at
+  // radius 0 vs radius 1 (own bucket vs + the 4 hamming-1 buckets)
+  // against the brute-force oracle — the multi-probe audit for the
+  // OTHER bucketing scheme (same contract as P35b for IVF).
+  def qAnnRecallLsh(s: SparkSession, d: String): DataFrame = {
+    val exact = Pipeline.qAnnBruteforce(s, d).filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id")
+    def totalHits(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"))
+    totalHits(Pipeline.qAnnLshProbed(s, d, 0), "lsh_r0")
+      .unionAll(totalHits(Pipeline.qAnnLshProbed(s, d, 1), "lsh_r1"))
+      .orderBy("variant")
+  }
+
+  val qAnnRecallLshSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), " +
+        s"i -> CAST($a[CAST(i + 1 AS INT)] AS DOUBLE) * CAST($b[CAST(i + 1 AS INT)] AS DOUBLE))), (x, y) -> x + y)"
+    def lshTop(radius: Int): String = {
+      val probes =
+        if (radius == 0) "[bucket]"
+        else "[bucket, xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)), " +
+          "xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]"
+      s"""(SELECT qid, neighbor_id FROM (
+         |    SELECT sc.qid, sc.neighbor_id, ROW_NUMBER() OVER (PARTITION BY sc.qid
+         |      ORDER BY sc.cosine DESC, sc.neighbor_id) AS rk FROM (
+         |      SELECT pr.qid, be.vec_id AS neighbor_id,
+         |        ${dot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+         |      FROM (SELECT vec_id AS qid, unnest($probes) AS qb
+         |            FROM b WHERE vec_id % 100 = 0) pr
+         |        JOIN b be ON be.bucket = pr.qb AND be.vec_id <> pr.qid
+         |        JOIN n nq ON nq.vec_id = pr.qid
+         |        JOIN n ne ON ne.vec_id = be.vec_id) sc)
+         |  WHERE rk <= 3)""".stripMargin
+    }
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 100 = 0)
+       |  WHERE rk <= 3
+       |), a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 4
+       |), dts AS (
+       |  SELECT e.vec_id, a.aid, ${dot("e.embedding", "a.ae")} AS dot
+       |  FROM embeddings e CROSS JOIN a
+       |), b AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(aid AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dts GROUP BY vec_id
+       |), r0 AS ${lshTop(0)},
+       |r1 AS ${lshTop(1)}
+       |SELECT 'lsh_r0' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM r0
+       |  JOIN exact ON r0.qid = exact.query_id
+       |    AND r0.neighbor_id = exact.neighbor_id) AS n_hits
+       |UNION ALL
+       |SELECT 'lsh_r1' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM r1
+       |  JOIN exact ON r1.qid = exact.query_id
+       |    AND r1.neighbor_id = exact.neighbor_id) AS n_hits
+       |ORDER BY variant""".stripMargin
+  }
+
   // --------------------------------------------------------------- P36
   // Canonical document per near-dup cluster: the step after P2b that
   // actually shrinks the corpus — one keeper per connected component
@@ -751,6 +823,7 @@ object CorpusStats {
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
+    "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_cluster_keep" -> (qClusterKeep _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_length_outliers" -> (qLengthOutliers _),
@@ -769,6 +842,7 @@ object CorpusStats {
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_ivf" -> qAnnRecallIvfSql,
+    "q_ann_recall_lsh" -> qAnnRecallLshSql,
     "q_cluster_keep" -> qClusterKeepSql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_length_outliers" -> qLengthOutliersSql,

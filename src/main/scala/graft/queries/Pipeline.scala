@@ -388,8 +388,14 @@ object Pipeline {
   // P6 — LSH-bucketed ANN: 4 anchor hyperplanes (sign of dot with
   // anchor vectors 0-3) → 16 buckets; candidates = same-bucket only
   // (equi-join), exact cosine re-rank within bucket.  Shuffle is
-  // O(n · anchors) signatures, not O(n²).
-  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+  // O(n · anchors) signatures, not O(n²).  `radius` adds multi-probe
+  // (Lv et al., VLDB'07): queries also probe buckets within hamming
+  // distance `radius` of their own — the near-miss buckets where a
+  // neighbor lands when ONE hyperplane splits the pair.  Candidate
+  // vectors still carry their single bucket; only the query probe
+  // frame grows (×5 at radius 1), never all-pairs.
+  def qAnnLshProbed(s: SparkSession, d: String, radius: Int): DataFrame = {
+    require(radius >= 0 && radius <= 1, s"lsh probe radius $radius")
     val emb = withNorm(Tables.embeddings(s, d))
     val anchors = Tables.embeddings(s, d).filter(col("vec_id") < 4)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"))
@@ -399,9 +405,13 @@ object Pipeline {
         "shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT)), CAST(0 AS BIGINT))"))
         .cast("bigint").as("bucket"))
     val tagged = emb.join(buckets, "vec_id")
+    val probeSet =
+      if (radius == 0) array(col("bucket"))
+      else array(col("bucket") +: (0 until 4).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val q = tagged.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket").as("qb"))
+        col("nrm").as("qn"), explode(probeSet).as("qb"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("neighbor_id"))
     q.join(tagged, col("qb") === col("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
@@ -411,6 +421,11 @@ object Pipeline {
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .orderBy("query_id", "rk")
   }
+
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = qAnnLshProbed(s, d, 0)
+
+  /** P6 multi-probe form: own bucket + the 4 hamming-1 buckets. */
+  def qAnnLshMp(s: SparkSession, d: String): DataFrame = qAnnLshProbed(s, d, 1)
 
   val qAnnLshSql: String =
     s"""WITH a AS (
@@ -432,6 +447,36 @@ object Pipeline {
        |    JOIN n nq ON nq.vec_id = bq.vec_id
        |    JOIN n ne ON ne.vec_id = be.vec_id
        |  WHERE bq.vec_id % 100 = 0
+       |)
+       |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM sc
+       |) WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  val qAnnLshMpSql: String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id < 4
+       |), dts AS (
+       |  SELECT e.vec_id, a.aid, ${duckDot("e.embedding", "a.ae")} AS dot
+       |  FROM embeddings e CROSS JOIN a
+       |), b AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(aid AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dts GROUP BY vec_id
+       |), n AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), pr AS (
+       |  SELECT vec_id AS qid, unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+       |    xor(bucket, CAST(2 AS BIGINT)), xor(bucket, CAST(4 AS BIGINT)),
+       |    xor(bucket, CAST(8 AS BIGINT))]) AS qb
+       |  FROM b WHERE vec_id % 100 = 0
+       |), sc AS (
+       |  SELECT pr.qid, be.vec_id AS neighbor_id,
+       |    ${duckDot("nq.embedding", "ne.embedding")} / (nq.nrm * ne.nrm) AS cosine
+       |  FROM pr JOIN b be ON be.bucket = pr.qb AND be.vec_id <> pr.qid
+       |    JOIN n nq ON nq.vec_id = pr.qid
+       |    JOIN n ne ON ne.vec_id = be.vec_id
        |)
        |SELECT qid AS query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -1145,6 +1190,7 @@ object Pipeline {
     "q_containment" -> (qContainment _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_mp" -> (qAnnLshMp _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_mp" -> (qAnnIvfMp _),
@@ -1167,6 +1213,7 @@ object Pipeline {
     "q_containment" -> qContainmentSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
+    "q_ann_lsh_mp" -> qAnnLshMpSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_ivf_mp" -> qAnnIvfMpSql,

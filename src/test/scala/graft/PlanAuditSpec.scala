@@ -298,6 +298,20 @@ class PlanAuditSpec extends SparkSpec {
       s"multi-probe did not improve recall: $rec")
   }
 
+  test("LSH multi-probe stays equi-join shaped and strictly improves recall") {
+    // hamming-1 probing: candidates keep their single bucket; only the
+    // query probe frame grows x5 — bucket equi-join, no cartesian
+    val plan = planOf(graft.queries.Pipeline.qAnnLshMp(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[qb".r
+      .findFirstIn(plan).isDefined, plan)
+    // recall@3: radius 1 must strictly beat radius 0 (sf0.01: 3 -> 7)
+    val rec = graft.queries.CorpusStats.qAnnRecallLsh(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rec("lsh_r1") > rec("lsh_r0"),
+      s"multi-probe did not improve recall: $rec")
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
