@@ -742,9 +742,44 @@ object CorpusStats {
   // Scale shape: scan-stage scalars (regexp_count is codegen'd) + one
   // hash agg on `source` with map-side partials; the text never
   // shuffles.
-  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val piiPhone = "\\+?[0-9][0-9 -]{6,}[0-9]"
-  private val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiPhone = "\\+?[0-9][0-9 -]{6,}[0-9]"
+  private[graft] val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** The deterministic PII fixture (planted emails / phones / IPv4s +
+    * decoy version strings, doc_id-keyed), shared VERBATIM by the scan
+    * report (P50) and the redaction transform ([[Quality.qPiiRedact]],
+    * P53) so the two queries cannot drift. */
+  private[queries] def piiFixture(df: DataFrame): DataFrame = df
+    .select(col("source"), col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" reach user"), expr("CAST(doc_id % 50 AS STRING)"),
+          lit("@mail"), expr("CAST(doc_id % 7 AS STRING)"),
+          lit(".com or host 10."), expr("CAST(doc_id % 256 AS STRING)"),
+          lit(".0."), expr("CAST(doc_id % 100 AS STRING)"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1, concat(
+          lit(" call +1 555-01"), expr("CAST(doc_id % 90 + 10 AS STRING)"),
+          lit(" now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, lit(" v1.2 build 34 rc5"))
+          .otherwise(lit(""))).as("aug"))
+
+  /** DuckDB twin of [[piiFixture]]: the CTE body selecting
+    * (source, doc_id, aug).  NOTE: no line may start with
+    * whitespace + '|' — this string is interpolated into
+    * stripMargin'd SQL, which would eat the first pipe of a leading
+    * '||' operator. */
+  private[queries] val piiFixtureSqlCte: String =
+    """SELECT source, doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id % 50 AS VARCHAR) ||
+      |         '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.com or host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |         '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 1 THEN ' call +1 555-01' ||
+      |         CAST(doc_id % 90 + 10 AS VARCHAR) || ' now' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 2 THEN ' v1.2 build 34 rc5' ELSE '' END AS aug
+      |  FROM documents""".stripMargin
 
   /** Per-row PII counters on `textCol` — shared VERBATIM between the
     * batch scan below and [[graft.streaming.StreamPiiScan]] so the
@@ -765,43 +800,21 @@ object CorpusStats {
     sum(when(col("emails") + col("phones") + col("ips") > 0, 1L)
       .otherwise(0L)).as("docs_with_pii"))
 
-  def qPiiScan(s: SparkSession, d: String): DataFrame = {
-    val aug = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0, concat(
-            lit(" reach user"), expr("CAST(doc_id % 50 AS STRING)"),
-            lit("@mail"), expr("CAST(doc_id % 7 AS STRING)"),
-            lit(".com or host 10."), expr("CAST(doc_id % 256 AS STRING)"),
-            lit(".0."), expr("CAST(doc_id % 100 AS STRING)"))).otherwise(lit("")),
-          when(col("doc_id") % 4 === 1, concat(
-            lit(" call +1 555-01"), expr("CAST(doc_id % 90 + 10 AS STRING)"),
-            lit(" now"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 2, lit(" v1.2 build 34 rc5"))
-            .otherwise(lit(""))).as("aug"))
-    piiCounts(aug, "aug")
+  def qPiiScan(s: SparkSession, d: String): DataFrame =
+    piiCounts(piiFixture(Tables.documents(s, d)), "aug")
       .groupBy("source")
       .agg(piiAggs.head, piiAggs.tail: _*)
       .orderBy("source")
-  }
 
   val qPiiScanSql: String =
-    """WITH a AS (
+    s"""WITH a AS (
+      |  $piiFixtureSqlCte
+      |), m AS (""".stripMargin +
+    s"""
       |  SELECT source,
-      |    text
-      |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id % 50 AS VARCHAR)
-      |         || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-      |         || '.com or host 10.' || CAST(doc_id % 256 AS VARCHAR)
-      |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
-      |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1 555-01'
-      |         || CAST(doc_id % 90 + 10 AS VARCHAR) || ' now' ELSE '' END
-      |    || CASE WHEN doc_id % 5 = 2 THEN ' v1.2 build 34 rc5' ELSE '' END AS aug
-      |  FROM documents
-      |), m AS (
-      |  SELECT source,
-      |    len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
-      |    len(regexp_extract_all(aug, '\+?[0-9][0-9 -]{6,}[0-9]')) AS phones,
-      |    len(regexp_extract_all(aug, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ips
+      |    len(regexp_extract_all(aug, '$piiEmail')) AS emails,
+      |    len(regexp_extract_all(aug, '$piiPhone')) AS phones,
+      |    len(regexp_extract_all(aug, '$piiIp')) AS ips
       |  FROM a
       |)
       |SELECT source, COUNT(*) AS n_docs,

@@ -36,8 +36,8 @@ object Pipeline {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), " +
       s"i -> CAST(strpos('0123456789abcdef', substr(md5($x), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
 
-  private val tok = "split(lower(text), ' ')"
-  private val duckTok = "string_split(lower(text), ' ')"
+  private[queries] val tok = "split(lower(text), ' ')"
+  private[queries] val duckTok = "string_split(lower(text), ' ')"
 
   // (the Spark-side string-shingle SQL builder is gone — every Spark
   // query shingles through the fused graft_shingles32/64 kernels; the
@@ -226,16 +226,19 @@ object Pipeline {
   // Signature via the graft_simhash32 kernel: one counter-array pass
   // per doc instead of the 32-fold interpreted HOF chain (identical
   // integer vote semantics; r6 bench 2.4s → sub-second at sf0.1).
-  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, simhash) — the 32-bit simhash frame, shared VERBATIM by
+    * the bucket dedup (P3) and the hamming near-dup join
+    * ([[Quality.qSimhashHamming]], P52) so the two cannot drift. */
+  private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         expr(s"transform(array_distinct($tok), t -> ${hash32("t")})").as("hs"))
       .select(col("doc_id"), expr("graft_simhash32(hs)").as("simhash"))
-      .withColumn("dup_group", min("doc_id").over(Window.partitionBy("simhash")))
-      .orderBy("doc_id")
 
-  val qDedupSimhashSql: String =
-    s"""WITH h AS (
+  /** The DuckDB twin of [[simhashFrame]]: CTEs `h` (token hashes) and
+    * `sh` (doc_id, simhash), shared by both simhash oracles. */
+  private[queries] val duckSimhashCte: String =
+    s"""h AS (
        |  SELECT doc_id,
        |    list_transform(list_distinct($duckTok), t -> ${duckHash32("t")}) AS hs
        |  FROM documents
@@ -247,7 +250,15 @@ object Pipeline {
        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)),
        |      (a, c) -> a + c) AS simhash
        |  FROM h
-       |)
+       |)""".stripMargin
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashFrame(s, d)
+      .withColumn("dup_group", min("doc_id").over(Window.partitionBy("simhash")))
+      .orderBy("doc_id")
+
+  val qDedupSimhashSql: String =
+    s"""WITH $duckSimhashCte
        |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
        |FROM sh ORDER BY doc_id""".stripMargin
 

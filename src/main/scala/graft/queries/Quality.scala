@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Release-quality pipeline operators (SURVEY §2.3 P52–P55): hamming
+  * near-dup pairs over simhash signatures, PII redaction, Bloom-
+  * prefiltered decontamination, and Gopher-style quality-rule
+  * filtering.  Reference scope: Hadoop-BAM exposes only format I/O
+  * (see README.md:1); these operators are the training-data layer the
+  * engine adds on top, per the published corpus-pipeline literature
+  * (Rae et al. 2021 "Gopher" §A.1 quality heuristics; Manku/Jain/
+  * Sarma WWW'07 simhash near-dup detection; Bloom CACM'70 +
+  * Kirsch–Mitzenmacher ESA'06 double hashing).
+  *
+  * Scale posture mirrors the rest of §2.3: candidate generation is
+  * always a bucket equi-join or a broadcast-sketch scan filter —
+  * never all-pairs — and every verify stage touches candidates only.
+  * All gated arithmetic is integer/boolean, so a 1000-executor run
+  * hash-matches the single-node oracle exactly.
+  */
+object Quality {
+
+  // --------------------------------------------------------------- P52
+  // Hamming near-dup pairs: all (doc_a < doc_b) whose 32-bit simhash
+  // signatures differ in ≤ 2 bits — the Manku/Jain/Sarma WWW'07
+  // near-duplicate query, answered EXACTLY by pigeonhole banding: a
+  // pair within hamming distance k < 4 must agree exactly on at least
+  // one of 4 disjoint 8-bit bands, so candidates come from an
+  // equi-join on (band, bits) — O(n·4) fixed-width keys through the
+  // shuffle, never O(n²) — and graft_hamming64 verifies each distinct
+  // candidate once.  Random-pair candidate odds are 4·2⁻⁸ ≈ 1.6%;
+  // on a denser signature space, widen the signature (64-bit sigs ×
+  // 16-bit bands → 4·2⁻¹⁶) — the banding identity is unchanged.
+  // The signature frame is shared verbatim with P3 (Pipeline
+  // .simhashFrame), so the dedup and the near-dup views cannot drift.
+  def qSimhashHamming(s: SparkSession, d: String): DataFrame = {
+    val bands = Pipeline.simhashFrame(s, d)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bits", expr("CAST(shiftright(simhash, 8 * band) & 255 AS INT)"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("dist", expr("graft_hamming64(sim_a, sim_b)"))
+      .filter(col("dist") <= 2)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qSimhashHammingSql: String =
+    s"""WITH ${Pipeline.duckSimhashCte}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------- P53
+  // PII redaction: the transform half of the P50 scan — replace every
+  // email / IPv4 / phone match with a typed placeholder and report the
+  // per-doc redaction count.  Patterns, fixture, and counters are
+  // shared VERBATIM with the scan (CorpusStats.piiEmail/piiPhone/
+  // piiIp, piiFixture, piiCounts); replacement order (email → ip →
+  // phone) is identical on both engines, and earlier replacements
+  // cannot create or destroy later matches (placeholders carry no
+  // digits, and '.'-separated IPs never satisfy the phone run).
+  // Scale shape: pure scan-stage scalars — the text never shuffles.
+  def qPiiRedact(s: SparkSession, d: String): DataFrame =
+    CorpusStats.piiCounts(CorpusStats.piiFixture(Tables.documents(s, d)), "aug")
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(
+        col("aug"), lit(CorpusStats.piiEmail), lit("[EMAIL]")),
+        lit(CorpusStats.piiIp), lit("[IP]")),
+        lit(CorpusStats.piiPhone), lit("[PHONE]")))
+      .select(col("doc_id"), col("red"),
+        (col("emails") + col("phones") + col("ips")).as("n_red"))
+      .orderBy("doc_id")
+
+  val qPiiRedactSql: String =
+    s"""WITH a AS (
+       |  ${CorpusStats.piiFixtureSqlCte}
+       |), r AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      aug, '${CorpusStats.piiEmail}', '[EMAIL]', 'g'),
+       |      '${CorpusStats.piiIp}', '[IP]', 'g'),
+       |      '${CorpusStats.piiPhone}', '[PHONE]', 'g') AS red,
+       |    len(regexp_extract_all(aug, '${CorpusStats.piiEmail}'))
+       |      + len(regexp_extract_all(aug, '${CorpusStats.piiPhone}'))
+       |      + len(regexp_extract_all(aug, '${CorpusStats.piiIp}')) AS n_red
+       |  FROM a
+       |)
+       |SELECT doc_id, red, CAST(n_red AS BIGINT) AS n_red
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- P54
+  // Bloom-prefiltered decontamination — same answer as P20
+  // (q_decontaminate), via the plan a 100-TB run wants: build a 2²⁰-bit
+  // Bloom filter (128 KiB) over the eval set's distinct 5-gram hashes,
+  // prefilter the train side's shingles against it IN THE SCAN STAGE
+  // (graft_bloom_contains on a broadcast literal — codegen'd, no
+  // shuffle), and only bloom-surviving shingles reach the exact
+  // broadcast join that removes false positives.  False negatives are
+  // impossible (every true eval shingle is inserted), so the result is
+  // bit-identical to the exact self-join form — the oracle IS P20's.
+  // The driver-side collect is the eval set's distinct shingle hashes:
+  // by decontamination semantics the eval side is a fixed-size
+  // benchmark suite, so both the collect and the broadcast are bounded
+  // regardless of train-corpus scale (P20's self-join, by contrast,
+  // shuffles every train shingle).
+  def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_hash32(text) % 20 = 0").as("is_eval"),
+        explode(expr("graft_shingles64(text, 5)")).as("sh"))
+    val eval = sh.filter(col("is_eval")).select(col("doc_id").as("eval_id"), col("sh"))
+    val bits = graft.functions.GraftFunctions.bloomBuild(
+      eval.select("sh").distinct().as[Long].collect(), 20)
+    sh.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), col("sh"))
+      .filter(call_function("graft_bloom_contains", col("sh"), lit(bits)))
+      .join(broadcast(eval), "sh")
+      .select("train_id", "eval_id").distinct()
+      .groupBy("train_id").agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy("train_id")
+  }
+
+  /** Bit-identical to P20 by construction, so it shares P20's oracle. */
+  val qDecontaminateBloomSql: String = Corpus.qDecontaminateSql
+
+  // --------------------------------------------------------------- P55
+  // Gopher-style quality rules (Rae et al. 2021 §A.1, thresholds
+  // adapted to this corpus's scale): word-count bounds, mean-word-
+  // length bounds, alphabetic-character ratio, stopword presence, and
+  // lexical diversity, each surfaced as its own flag plus the combined
+  // keep verdict.  All arithmetic is integer (DIV / per-mille), so the
+  // gate is exact.  Scale shape: scan-stage scalars + the gating sort;
+  // as a filter it composes with P51's release gates.
+  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    val t = Pipeline.tok
+    Tables.documents(s, d)
+      .withColumn("n_words", expr(s"CAST(size($t) AS BIGINT)"))
+      .withColumn("mwl_centi",
+        expr(s"100L * aggregate($t, 0L, (a, x) -> a + length(x)) DIV n_words"))
+      .withColumn("alpha_pm", expr("1000L * graft_charclass(text)[0] DIV length(text)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter($t, x -> x IN ('the','and','of','to','in'))) AS BIGINT)"))
+      .withColumn("div_pct", expr(s"100L * size(array_distinct($t)) DIV n_words"))
+      .withColumn("r_words", col("n_words").between(25, 90))
+      .withColumn("r_wordlen", col("mwl_centi").between(400, 520))
+      .withColumn("r_alpha", col("alpha_pm") >= 812)
+      .withColumn("r_stop", col("n_stop") >= 1)
+      .withColumn("r_div", col("div_pct") >= 40)
+      .withColumn("keep",
+        col("r_words") && col("r_wordlen") && col("r_alpha") &&
+          col("r_stop") && col("r_div"))
+      .select("doc_id", "n_words", "r_words", "r_wordlen", "r_alpha",
+        "r_stop", "r_div", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qGopherRulesSql: String = {
+    val w = Pipeline.duckTok
+    s"""WITH b AS (
+       |  SELECT doc_id, text, $w AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    100 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, t -> CAST(len(t) AS BIGINT))), (a, x) -> a + x)
+       |      // CAST(len(w) AS BIGINT) AS mwl_centi,
+       |    1000 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+       |      // CAST(length(text) AS BIGINT) AS alpha_pm,
+       |    CAST(len(list_filter(w, x ->
+       |      list_contains(['the','and','of','to','in'], x))) AS BIGINT) AS n_stop,
+       |    100 * CAST(len(list_distinct(w)) AS BIGINT)
+       |      // CAST(len(w) AS BIGINT) AS div_pct
+       |  FROM b
+       |)
+       |SELECT doc_id, n_words,
+       |  n_words BETWEEN 25 AND 90 AS r_words,
+       |  mwl_centi BETWEEN 400 AND 520 AS r_wordlen,
+       |  alpha_pm >= 812 AS r_alpha,
+       |  n_stop >= 1 AS r_stop,
+       |  div_pct >= 40 AS r_div,
+       |  (n_words BETWEEN 25 AND 90) AND (mwl_centi BETWEEN 400 AND 520)
+       |    AND alpha_pm >= 812 AND n_stop >= 1 AND div_pct >= 40 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simhash_hamming" -> (qSimhashHamming _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_gopher_rules" -> (qGopherRules _))
+
+  val oracle: Map[String, String] = Map(
+    "q_simhash_hamming" -> qSimhashHammingSql,
+    "q_pii_redact" -> qPiiRedactSql,
+    "q_decontaminate_bloom" -> qDecontaminateBloomSql,
+    "q_gopher_rules" -> qGopherRulesSql)
+}
