@@ -660,6 +660,54 @@ object GraftFunctions {
     bits
   }
 
+  /** entropy_mb(s): Shannon entropy of the CODEPOINT distribution of a
+    * string, in integer millibits (⌊1000·H + 0.5⌋) — the quality-
+    * filter signal for low-entropy boilerplate / high-entropy noise.
+    * Engine parity contract: the fold runs over counts in ASCENDING
+    * codepoint order with p = k/n doubles and log2 = ln(p)/ln(2), the
+    * exact association order and formula the DuckDB oracle spells out
+    * (list(... ORDER BY cp) + list_reduce); the only cross-engine
+    * freedom left is the last ulp of libm-vs-JVM ln, which the
+    * millibit rounding absorbs except within ~1e-13 of a boundary.
+    * Codepoints (not UTF-16 units, not bytes) so multibyte text
+    * agrees with DuckDB's character semantics. */
+  case class EntropyMb(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_entropy_mb"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.entropyMb(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.entropyMb($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def entropyMb(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n = 0L
+    val it = str.codePoints().iterator()
+    while (it.hasNext) {
+      val cp = it.next()
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+    }
+    if (n == 0L) return 0L
+    var acc = 0.0
+    val vit = counts.values().iterator() // ascending codepoint order
+    while (vit.hasNext) {
+      val p = vit.next().toDouble / n.toDouble
+      acc += -p * (math.log(p) / math.log(2.0))
+    }
+    math.floor(1000.0 * acc + 0.5).toLong
+  }
+
   /** charclass(s): one-pass ASCII character-class counts
     * [letters, digits, whitespace] over the UTF-8 bytes.  ASCII classes
     * occupy single bytes that never collide with UTF-8 continuation
@@ -1058,6 +1106,8 @@ object GraftFunctions {
       es => Hash64Md5(es(0))),
     ("graft_bloom_contains", "k=3 double-hash Bloom probe of a 64-bit key",
       es => BloomContains(es(0), es(1))),
+    ("graft_entropy_mb", "codepoint Shannon entropy in integer millibits",
+      es => EntropyMb(es(0))),
     ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
       es => CharClass(es(0))),
     ("graft_media_dims", "[fmt, width, height] from image container headers",

@@ -192,9 +192,51 @@ object Multimodal {
       |       ELSE 'webp' END AS fmt
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ P11b frames
+  /** Gated frame sampling: every 2nd of a payload-dependent frame
+    * count, one output row per sampled frame — the flatMap shape an
+    * ffmpeg-backed sampler uses, end-to-end through real payloads.
+    * The container dims ride along from the REAL header parse
+    * (decodeMeta — the oracle only matches if the built headers parse
+    * back), while the pixel-level frame decode is the documented stub:
+    * frame_sig derives deterministically from (doc_id, frame_no) with
+    * the same md5-walk hash both engines share.  Scale shape: the
+    * scan-stage metadata decode projects the payload away BEFORE the
+    * typed fan-out, so only (id, dims) rows leave the scan. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeMeta(s, mediaPayloads(s, d))
+      .select(col("doc_id"), col("width"), col("height"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(_.flatMap { case (id, w, h) =>
+        val n = (id % 9 + 1).toInt
+        (0 until n by 2).iterator.map { f =>
+          (id, f.toLong, w, h, hash32(s"$id:$f".getBytes(UTF_8)))
+        }
+      })
+      .toDF("doc_id", "frame_no", "width", "height", "frame_sig")
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val qFrameSampleSql: String = {
+    val sig = Pipeline.duckHash32(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR)")
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(range((doc_id % 9) + 1)) AS frame_no FROM documents
+       |)
+       |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+       |  $sig AS frame_sig
+       |FROM f WHERE frame_no % 2 = 0
+       |ORDER BY doc_id, frame_no""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> (qMultimodalMeta _))
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_frame_sample" -> (qFrameSample _))
 
   val oracle: Map[String, String] = Map(
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_frame_sample" -> qFrameSampleSql)
 }

@@ -226,14 +226,19 @@ object Pipeline {
   // Signature via the graft_simhash32 kernel: one counter-array pass
   // per doc instead of the 32-fold interpreted HOF chain (identical
   // integer vote semantics; r6 bench 2.4s → sub-second at sf0.1).
+  /** text → 32-bit simhash, as one SQL scalar — shared VERBATIM by
+    * the batch simhash frame below and the STREAMING near-dup
+    * ([[graft.streaming.StreamNearDedup]]), so signatures cannot
+    * drift between the batch and streaming faces. */
+  private[graft] val simhashExpr: String =
+    s"graft_simhash32(transform(array_distinct($tok), t -> ${hash32("t")}))"
+
   /** (doc_id, simhash) — the 32-bit simhash frame, shared VERBATIM by
     * the bucket dedup (P3) and the hamming near-dup join
     * ([[Quality.qSimhashHamming]], P52) so the two cannot drift. */
   private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr(s"transform(array_distinct($tok), t -> ${hash32("t")})").as("hs"))
-      .select(col("doc_id"), expr("graft_simhash32(hs)").as("simhash"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
 
   /** The DuckDB twin of [[simhashFrame]]: CTEs `h` (token hashes) and
     * `sh` (doc_id, simhash), shared by both simhash oracles. */

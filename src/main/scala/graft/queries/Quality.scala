@@ -36,21 +36,43 @@ object Quality {
   // 16-bit bands → 4·2⁻¹⁶) — the banding identity is unchanged.
   // The signature frame is shared verbatim with P3 (Pipeline
   // .simhashFrame), so the dedup and the near-dup views cannot drift.
+  /** The 4×8-bit banding of a 32-bit simhash — shared VERBATIM with
+    * the streaming near-dup ([[graft.streaming.StreamNearDedup]]). */
+  private[graft] val bandsExpr = "sequence(0, 3)"
+  private[graft] val bandBitsExpr = "CAST(shiftright(simhash, 8 * band) & 255 AS INT)"
+
   def qSimhashHamming(s: SparkSession, d: String): DataFrame = {
-    val bands = Pipeline.simhashFrame(s, d)
-      .select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bits", expr("CAST(shiftright(simhash, 8 * band) & 255 AS INT)"))
-    bands.as("a").join(bands.as("b"),
+    val sigs = Pipeline.simhashFrame(s, d)
+    // Identical-signature collapse (the r9 SimJoin move): ALL banded
+    // work runs over DISTINCT signatures, so candidate volume scales
+    // with the signature vocabulary, not the corpus — on a corpus
+    // with heavy duplication (this one: 386 sigs over 500 docs) the
+    // doc-level band join would re-verify every member pair of every
+    // dup-group × dup-group combination.  Dist-0 pairs expand from
+    // the same-sig groups; dist-1/2 pairs expand from the verified
+    // distinct-sig pairs via two member joins (output-bound — no
+    // wasted candidate work).
+    val uniq = sigs.select("simhash").distinct()
+    val bands = uniq
+      .select(col("simhash"), explode(expr(bandsExpr)).as("band"))
+      .withColumn("bits", expr(bandBitsExpr))
+    val sigPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct() // a pair may agree on several bands
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct() // a sig pair may agree on several bands
       .withColumn("dist", expr("graft_hamming64(sim_a, sim_b)"))
       .filter(col("dist") <= 2)
-      .select("doc_a", "doc_b", "dist")
-      .orderBy("doc_a", "doc_b")
+    val crossSig = sigPairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a")), "sim_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), "sim_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
+    val sameSig = sigs.as("a").join(sigs.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).cast("int").as("dist"))
+    sameSig.unionAll(crossSig).orderBy("doc_a", "doc_b")
   }
 
   val qSimhashHammingSql: String =
@@ -194,15 +216,122 @@ object Quality {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- P56
+  // Int8 embedding quantization audit — the vector-index compression
+  // step (per-dim min/max affine scaling to [-128, 127]), reported as
+  // per-dim code ranges + reconstruction error.  Engine-exact float
+  // discipline: scale/dequantize are single IEEE expressions evaluated
+  // identically on identical doubles (+,-,*,/ are correctly rounded;
+  // ROUND-half-away agrees on the non-negative scaled domain), and the
+  // error metric fixes values to integer micro-units BEFORE the
+  // aggregation (the P26 move) so the BIGINT sums are order-free.
+  // Scale shape: one posexplode pass + a 64-row broadcast of the dim
+  // stats back onto the same pass; map-side partials collapse each
+  // partition to ≤ 64 rows.
+  def qQuantizeEmbed(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = dims.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    dims.join(broadcast(stats), "dim")
+      .withColumn("code", expr(
+        "CASE WHEN hi = lo THEN -128 " +
+          "ELSE CAST(ROUND((v - lo) / (hi - lo) * 255.0, 0) AS INT) - 128 END"))
+      .withColumn("deq", expr(
+        "lo + (CAST(code AS DOUBLE) + 128.0) / 255.0 * (hi - lo)"))
+      .withColumn("err_u", expr(
+        "abs(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) " +
+          "- CAST(FLOOR(deq * 1000000.0 + 0.5) AS BIGINT))"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("code").as("code_min"), max("code").as("code_max"),
+        sum("err_u").as("sum_err_u"), max("err_u").as("max_err_u"))
+      .orderBy("dim")
+  }
+
+  val qQuantizeEmbedSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN range(64) t(i)
+      |), st AS (
+      |  SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY dim
+      |), q AS (
+      |  SELECT e.dim, v,
+      |    CASE WHEN hi = lo THEN -128
+      |         ELSE CAST(ROUND((v - lo) / (hi - lo) * 255.0, 0) AS INT) - 128 END AS code,
+      |    lo, hi
+      |  FROM e JOIN st ON e.dim = st.dim
+      |), r AS (
+      |  SELECT dim, code,
+      |    abs(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)
+      |      - CAST(FLOOR((lo + (CAST(code AS DOUBLE) + 128.0) / 255.0 * (hi - lo))
+      |               * 1000000.0 + 0.5) AS BIGINT)) AS err_u
+      |  FROM q
+      |)
+      |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(code) AS code_min, MAX(code) AS code_max,
+      |  CAST(SUM(err_u) AS BIGINT) AS sum_err_u, MAX(err_u) AS max_err_u
+      |FROM r GROUP BY dim ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------- P57
+  // Per-doc codepoint Shannon entropy (integer millibits) bucketed
+  // into a per-source entropy profile — the low-entropy-boilerplate /
+  // high-entropy-noise quality signal (C4/Gopher-family heuristic).
+  // The scalar is the codegen `graft_entropy_mb` kernel; the DuckDB
+  // oracle spells the identical fold out (counts in ascending
+  // codepoint order, p = k/n, ln(p)/ln(2)) — see the kernel's parity
+  // contract.  Scale shape: one scan-stage scalar + a per-source agg;
+  // the text never shuffles.
+  def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("graft_entropy_mb(text)").as("entropy_mb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("entropy_mb").as("min_mb"), max("entropy_mb").as("max_mb"),
+        expr("sum(entropy_mb) DIV count(1)").as("mean_mb"),
+        sum(when(col("entropy_mb") < 4080, 1L).otherwise(0L)).as("low_entropy_docs"))
+      .orderBy("source")
+
+  val qCharEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source, length(text) AS n,
+      |    unnest(list_transform(range(length(text)),
+      |      i -> unicode(substr(text, CAST(i + 1 AS INT), 1)))) AS cp
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, cp, CAST(COUNT(*) AS DOUBLE) AS k,
+      |    CAST(MAX(n) AS DOUBLE) AS n
+      |  FROM c GROUP BY doc_id, source, cp
+      |), h AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(1000.0 * list_reduce(list_prepend(0.0,
+      |      list(-(k / n) * (ln(k / n) / ln(2)) ORDER BY cp)),
+      |      (a, x) -> a + x) + 0.5) AS BIGINT) AS entropy_mb
+      |  FROM g GROUP BY doc_id, source
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(entropy_mb) AS min_mb, MAX(entropy_mb) AS max_mb,
+      |  CAST(SUM(entropy_mb) AS BIGINT) // CAST(COUNT(1) AS BIGINT) AS mean_mb,
+      |  CAST(SUM(CASE WHEN entropy_mb < 4080 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low_entropy_docs
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
-    "q_gopher_rules" -> (qGopherRules _))
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_quantize_embed" -> (qQuantizeEmbed _),
+    "q_char_entropy" -> (qCharEntropy _))
 
   val oracle: Map[String, String] = Map(
     "q_simhash_hamming" -> qSimhashHammingSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
-    "q_gopher_rules" -> qGopherRulesSql)
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_quantize_embed" -> qQuantizeEmbedSql,
+    "q_char_entropy" -> qCharEntropySql)
 }

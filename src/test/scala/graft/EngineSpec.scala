@@ -434,6 +434,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 2 * 4) // frames 0,3,6,9 per doc
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("q_frame_sample: stride-2 fan-out with header-parsed dims riding along") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qFrameSample(spark, sf).collect()
+    val metas = Multimodal.qMultimodalMeta(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // per-doc frame count = ceil(((id % 9) + 1) / 2); dims match the
+    // real header parse; even frame numbers only
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == metas.keySet)
+    byDoc.foreach { case (id, fr) =>
+      assert(fr.length == ((id % 9 + 1) + 1) / 2, s"doc $id")
+      assert(fr.forall(_.getLong(1) % 2 == 0))
+      assert(fr.forall(r => (r.getLong(2), r.getLong(3)) == metas(id)))
+    }
+  }
 }
 
 class SkewSpec extends SparkSpec {

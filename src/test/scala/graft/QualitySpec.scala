@@ -87,6 +87,41 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_quantize_embed: codes saturate the int8 range, error ≤ half-step") {
+    val sq = spark
+    import sq.implicits._
+    val stats = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+      .as[(Int, Float, Float)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = Quality.qQuantizeEmbed(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (dim, cmin, cmax) = (r.getInt(0), r.getInt(2), r.getInt(3))
+      // min/max of every dim map to the range ends by construction
+      assert(cmin == -128 && cmax == 127, s"dim $dim: [$cmin, $cmax]")
+      // |v - dequant(v)| ≤ half a quantization step (+1 µu rounding slack)
+      val (lo, hi) = stats(dim)
+      val halfStepU = ((hi - lo).toDouble / 255.0 / 2.0 * 1e6).ceil.toLong + 1
+      assert(r.getLong(5) <= halfStepU, s"dim $dim: max_err ${r.getLong(5)} > $halfStepU")
+    }
+  }
+
+  test("entropy kernel: known values, codepoint semantics, profile discriminates") {
+    import spark.implicits._
+    val got = Seq("aaaa", "ab", "abcd", "漢漢字字", "")
+      .toDF("text").selectExpr("graft_entropy_mb(text)")
+      .as[Long].collect().toSeq
+    // H("aaaa")=0, H("ab")=1 bit, H("abcd")=2 bits, H(2×2 cps)=1 bit
+    assert(got == Seq(0L, 1000L, 2000L, 1000L, 0L))
+    val prof = Quality.qCharEntropy(spark, sf).collect()
+    assert(prof.nonEmpty)
+    // the low-entropy bucket must split real docs, not be degenerate
+    val low = prof.map(_.getLong(5)).sum
+    val n = prof.map(_.getLong(1)).sum
+    assert(low > 0 && low < n, s"low=$low of $n")
+  }
+
   test("hamming join plans as an equi-join on (band, bits), no cartesian") {
     val plan = Quality.qSimhashHamming(spark, sf)
       .queryExecution.executedPlan.toString
