@@ -164,10 +164,13 @@ object Quality {
   // keep verdict.  All arithmetic is integer (DIV / per-mille), so the
   // gate is exact.  Scale shape: scan-stage scalars + the gating sort;
   // as a filter it composes with P51's release gates.
-  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+  /** Adds the five rule columns + `keep` to any frame with `text` —
+    * shared VERBATIM between the batch query below and the streaming
+    * keep-rate report ([[graft.streaming.StreamQualityGate]]), so the
+    * two faces cannot drift. */
+  private[graft] def gopherCols(df: DataFrame): DataFrame = {
     val t = Pipeline.tok
-    Tables.documents(s, d)
-      .withColumn("n_words", expr(s"CAST(size($t) AS BIGINT)"))
+    df.withColumn("n_words", expr(s"CAST(size($t) AS BIGINT)"))
       .withColumn("mwl_centi",
         expr(s"100L * aggregate($t, 0L, (a, x) -> a + length(x)) DIV n_words"))
       .withColumn("alpha_pm", expr("1000L * graft_charclass(text)[0] DIV length(text)"))
@@ -182,10 +185,13 @@ object Quality {
       .withColumn("keep",
         col("r_words") && col("r_wordlen") && col("r_alpha") &&
           col("r_stop") && col("r_div"))
+  }
+
+  def qGopherRules(s: SparkSession, d: String): DataFrame =
+    gopherCols(Tables.documents(s, d))
       .select("doc_id", "n_words", "r_words", "r_wordlen", "r_alpha",
         "r_stop", "r_div", "keep")
       .orderBy("doc_id")
-  }
 
   val qGopherRulesSql: String = {
     val w = Pipeline.duckTok

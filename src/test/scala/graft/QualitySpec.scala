@@ -122,6 +122,38 @@ class QualitySpec extends SparkSpec {
     assert(low > 0 && low < n, s"low=$low of $n")
   }
 
+  test("bloom property: no false negatives over seeded random key sets") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val keys = Array.fill(1000)(rnd.nextLong())
+      val bits = GraftFunctions.bloomBuild(keys, 17)
+      keys.foreach(k => assert(GraftFunctions.bloomContains(k, bits), s"trial $trial"))
+      // fill ratio sanity: k·n probes can set at most k·n of 2^17 bits
+      val set = bits.map(b => java.lang.Integer.bitCount(b & 0xff)).sum
+      assert(set > 0 && set <= 3000, s"trial $trial set $set")
+    }
+  }
+
+  test("entropy property: bounds 0 ≤ H ≤ log2(distinct codepoints)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val alpha = 1 + rnd.nextInt(40)
+      val s = Array.fill(5 + rnd.nextInt(400))(('a' + rnd.nextInt(alpha)).toChar).mkString
+      val h = GraftFunctions.entropyMb(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val distinct = s.distinct.length
+      val hi = math.floor(1000.0 * math.log(distinct.toDouble) / math.log(2.0) + 0.5).toLong
+      assert(h >= 0L && h <= hi, s"H=$h hi=$hi for '$s'")
+    }
+  }
+
+  test("q_quantize_embed broadcasts the dim stats, keeps partial agg") {
+    val plan = Quality.qQuantizeEmbed(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("hamming join plans as an equi-join on (band, bits), no cartesian") {
     val plan = Quality.qSimhashHamming(spark, sf)
       .queryExecution.executedPlan.toString
