@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Release-quality pipeline operators (SURVEY §2.3 P52–P55): hamming
+/** Release-quality pipeline operators (SURVEY §2.3 P52–P57): hamming
   * near-dup pairs over simhash signatures, PII redaction, Bloom-
-  * prefiltered decontamination, and Gopher-style quality-rule
-  * filtering.  Reference scope: Hadoop-BAM exposes only format I/O
+  * prefiltered decontamination, Gopher-style quality-rule filtering,
+  * int8 embedding-quantization audit, and codepoint-entropy
+  * profiling.  Reference scope: Hadoop-BAM exposes only format I/O
   * (see README.md:1); these operators are the training-data layer the
   * engine adds on top, per the published corpus-pipeline literature
   * (Rae et al. 2021 "Gopher" §A.1 quality heuristics; Manku/Jain/
@@ -42,7 +43,14 @@ object Quality {
   private[graft] val bandBitsExpr = "CAST(shiftright(simhash, 8 * band) & 255 AS INT)"
 
   def qSimhashHamming(s: SparkSession, d: String): DataFrame = {
-    val sigs = Pipeline.simhashFrame(s, d)
+    // materialize the tiny (doc_id, sig) frame ONCE: the plan consumes
+    // it five times (distinct, both expansion joins, both same-sig
+    // sides), and each consumer would otherwise re-run the md5-per-
+    // token signature kernel over the full corpus — twice per scan,
+    // since the join null-filters evaluate it too (measured ~8 kernel
+    // passes ≈ 70% of sf1 runtime).  16 bytes/doc — block-manager
+    // resident at any corpus scale that fits a cluster.
+    val sigs = Pipeline.simhashFrame(s, d).localCheckpoint()
     // Identical-signature collapse (the r9 SimJoin move): ALL banded
     // work runs over DISTINCT signatures, so candidate volume scales
     // with the signature vocabulary, not the corpus — on a corpus
