@@ -91,6 +91,46 @@ object Quality {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------- P52b
+  // Count-only form of the hamming near-dup query (the O3/O3b
+  // range-join/range-count split): pair counts per distance, computed
+  // from signature GROUP SIZES alone — Σ C(g,2) for dist 0, Σ g_a·g_b
+  // over verified distinct-sig pairs for dist 1/2 — so NOT ONE pair
+  // row is ever materialized or sorted.  P52's pair list is
+  // output-bound by its own answer (78M rows at sf1 on this
+  // corpus); the count form is what a 100-TB dup-rate report runs,
+  // and it stays aggregation-shaped at any scale.
+  def qSimhashHammingCount(s: SparkSession, d: String): DataFrame = {
+    val groups = Pipeline.simhashFrame(s, d)
+      .groupBy("simhash").agg(count(lit(1)).as("g"))
+      .localCheckpoint() // one signature pass feeds all three consumers
+    val bands = groups
+      .select(col("simhash"), explode(expr(bandsExpr)).as("band"))
+      .withColumn("bits", expr(bandBitsExpr))
+    val crossCounts = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("dist", expr("graft_hamming64(sim_a, sim_b)"))
+      .filter(col("dist") <= 2 && col("dist") > 0)
+      .join(groups.select(col("simhash").as("sim_a"), col("g").as("g_a")), "sim_a")
+      .join(groups.select(col("simhash").as("sim_b"), col("g").as("g_b")), "sim_b")
+      .groupBy("dist").agg(sum(col("g_a") * col("g_b")).as("n_pairs"))
+    val sameCounts = groups
+      .select(lit(0).cast("int").as("dist"), expr("(g * (g - 1)) DIV 2").as("p"))
+      .groupBy("dist").agg(sum("p").as("n_pairs"))
+    sameCounts.unionAll(crossCounts).filter(col("n_pairs") > 0).orderBy("dist")
+  }
+
+  val qSimhashHammingCountSql: String =
+    s"""WITH ${Pipeline.duckSimhashCte}
+       |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY dist""".stripMargin
+
   // --------------------------------------------------------------- P53
   // PII redaction: the transform half of the P50 scan — replace every
   // email / IPv4 / phone match with a typed placeholder and report the
@@ -335,6 +375,7 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simhash_hamming" -> (qSimhashHamming _),
+    "q_simhash_hamming_count" -> (qSimhashHammingCount _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -343,6 +384,7 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q_simhash_hamming" -> qSimhashHammingSql,
+    "q_simhash_hamming_count" -> qSimhashHammingCountSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_gopher_rules" -> qGopherRulesSql,

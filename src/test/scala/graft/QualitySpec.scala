@@ -28,6 +28,16 @@ class QualitySpec extends SparkSpec {
     assert(got.exists(_.getInt(2) == 0) && got.exists(_.getInt(2) > 0))
   }
 
+  test("q_simhash_hamming_count ≡ groupBy-dist of the pair list, no pair rows") {
+    val fromPairs = Quality.qSimhashHamming(spark, sf)
+      .groupBy("dist").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Quality.qSimhashHammingCount(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == fromPairs)
+    assert(got.getOrElse(0, 0L) > 0 && got.keys.exists(_ > 0))
+  }
+
   test("q_decontaminate_bloom ≡ exact q_decontaminate") {
     val exact = Corpus.qDecontaminate(spark, sf).collect().toSeq
     val bloom = Quality.qDecontaminateBloom(spark, sf).collect().toSeq
