@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Corpus, CorpusStats, Events, Genomic, Multimodal, Pipeline, Quality, Relational}
+import graft.queries.{Analytics, Corpus, CorpusStats, Events, Genomic, Multimodal, Packing, Pipeline, Quality, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Genomic.queries ++ Pipeline.queries ++
       Multimodal.queries ++ Analytics.queries ++ Corpus.queries ++
-      CorpusStats.queries ++ Events.queries ++ Quality.queries
+      CorpusStats.queries ++ Events.queries ++ Quality.queries ++ Packing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++
       Multimodal.oracle ++ Analytics.oracle ++ Corpus.oracle ++
-      CorpusStats.oracle ++ Events.oracle ++ Quality.oracle
+      CorpusStats.oracle ++ Events.oracle ++ Quality.oracle ++ Packing.oracle
 }

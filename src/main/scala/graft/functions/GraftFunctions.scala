@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -1052,6 +1052,54 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** bpe_apply(toks, a, b): ONE greedy left-to-right merge pass — every
+    * non-overlapping adjacent (a, b) token pair becomes the single
+    * token a||b, scanning left to right (the standard merge-application
+    * order of Sennrich et al. ACL'16 §3; on a run like [a,a,a] with
+    * merge (a,a) the leftmost pair wins → [aa, a]).  O(n) per row,
+    * codegen'd — the apply step of each distributed BPE round runs
+    * inside the scan stage. */
+  case class BpeApply(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    private def isStrArray(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isStrArray(first.dataType) && second.dataType == StringType &&
+        third.dataType == StringType,
+        s"$prettyName expects (ARRAY<STRING>, STRING, STRING)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_apply"
+
+    override def nullSafeEval(t: Any, a: Any, b: Any): Any =
+      GraftFunctions.bpeApply(t.asInstanceOf[ArrayData],
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, a, b) => s"${ev.value} = $fn.bpeApply($t, $a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def bpeApply(toks: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (i + 1 < n && t == a && toks.getUTF8String(i + 1) == b) {
+        out.add(UTF8String.concat(a, b)); i += 2
+      } else { out.add(t); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -1123,7 +1171,9 @@ object GraftFunctions {
     ("graft_packgrams", "positional k-byte grams packed into longs",
       es => PackGrams(es(0), es(1))),
     ("graft_word_ngrams", "positional word n-gram strings",
-      es => WordNgrams(es(0), es(1))))
+      es => WordNgrams(es(0), es(1))),
+    ("graft_bpe_apply", "one greedy left-to-right BPE merge over a token array",
+      es => BpeApply(es(0), es(1), es(2))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -19,9 +19,9 @@ object Corpus {
 
   /** Whitespace token count, spelled once per engine — P24/P25 (and
     * P9's q_token_count) must never drift apart on tokenization. */
-  private val tokCount =
+  private[queries] val tokCount =
     "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
-  private val duckTokCount =
+  private[queries] val duckTokCount =
     "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
 
   // ------------------------------------------------------------ tf-idf

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ranked
+
+/** Sequence packing and tokenizer training (SURVEY §2.3 P58/P59) —
+  * the two steps that turn a cleaned corpus into model input: packing
+  * documents into fixed-length context windows (the GPT-style
+  * concat-and-chunk layout) and learning a byte-pair-encoding merge
+  * table (Sennrich et al. ACL'16 §3).  Reference scope: Hadoop-BAM is
+  * format I/O only; these belong to the training-data layer this
+  * engine adds (same posture as P52-P57).
+  *
+  * Scale shapes:
+  *  - Packing needs a GLOBAL running token sum — the one window SQL
+  *    serializes onto a single task (empty PARTITION BY).  It runs on
+  *    [[graft.operators.Ranked.prefixSum]] with NO partition key: the
+  *    range exchange spreads the sort over every core and the offset
+  *    table is one long per task (the keyless case of the distributed
+  *    ranking construction — see RankedPlans.scala).
+  *  - BPE rounds aggregate adjacent-pair counts over the DISTINCT
+  *    word vocabulary with frequency weights: map-side partials
+  *    collapse each partition to ~|pair vocabulary| rows, and the
+  *    corpus text itself is scanned once (vocabulary extraction) —
+  *    every later round touches only the vocab frame, which grows
+  *    sublinearly in corpus size (Heaps' law).
+  *
+  * Oracle-parity rules as everywhere else: integer arithmetic only,
+  * total deterministic ORDER BY, identical column names both sides.
+  */
+object Packing {
+
+  /** Fixed context length (tokens) for the packing queries. */
+  private val CtxLen = 2048L
+
+  // --------------------------------------------------------------- P58
+  // Concat-and-chunk sequence packing: documents are laid end-to-end
+  // in doc_id order and cut into CtxLen-token context windows; each
+  // doc reports the window span it lands in and whether a window
+  // boundary splits it (the fragmentation signal packing schemes
+  // trade against padding).  Zero-token docs occupy no tokens and are
+  // dropped from the layout on both engines.
+  private def packedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(Corpus.tokCount).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    // keyless prefixSum: global cumulative tokens, parallel in cores
+    Ranked.prefixSum(docs, Seq(), Seq("doc_id"), "n_tok", "cum")
+      .withColumn("cum_before", col("cum") - col("n_tok"))
+      .withColumn("w_first", expr(s"cum_before DIV $CtxLen"))
+      .withColumn("w_last", expr(s"(cum - 1) DIV $CtxLen"))
+  }
+
+  def qPackSequences(s: SparkSession, d: String): DataFrame =
+    packedDocs(s, d)
+      .select(col("doc_id"), col("n_tok"), col("cum_before"),
+        col("w_first"), col("w_last"),
+        (col("w_last") - col("w_first") + 1L).as("n_windows"),
+        (col("w_last") > col("w_first")).as("split"))
+      .orderBy("doc_id")
+
+  val qPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Corpus.duckTokCount} AS n_tok FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM t WHERE n_tok > 0
+       |)
+       |SELECT doc_id, n_tok, cum_before,
+       |  cum_before // $CtxLen AS w_first,
+       |  (cum_before + n_tok - 1) // $CtxLen AS w_last,
+       |  (cum_before + n_tok - 1) // $CtxLen - cum_before // $CtxLen + 1 AS n_windows,
+       |  (cum_before + n_tok - 1) // $CtxLen > cum_before // $CtxLen AS split
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- P58b
+  // Per-window packing stats: how many docs touch each context
+  // window, how many carried in from an earlier window, and the exact
+  // token fill (= CtxLen everywhere but the final window) — the
+  // audit a packing job emits.  The explode is bounded: Σ n_windows
+  // ≤ n_docs + total_tokens/CtxLen rows.
+  def qPackWindows(s: SparkSession, d: String): DataFrame =
+    packedDocs(s, d)
+      .select(col("cum"), col("cum_before"), col("w_first"),
+        explode(expr("sequence(w_first, w_last)")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w_first") < col("w"), 1L).otherwise(0L)).as("n_carry_in"),
+        sum(expr(s"least(cum, (w + 1) * $CtxLen) - greatest(cum_before, w * $CtxLen)"))
+          .as("tok_filled"))
+      .orderBy("w")
+
+  val qPackWindowsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Corpus.duckTokCount} AS n_tok FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM t WHERE n_tok > 0
+       |), e AS (
+       |  SELECT cum_before + n_tok AS cum, cum_before,
+       |    cum_before // $CtxLen AS w_first,
+       |    unnest(range(cum_before // $CtxLen,
+       |      (cum_before + n_tok - 1) // $CtxLen + 1)) AS w
+       |  FROM c
+       |)
+       |SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN w_first < w THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+       |  CAST(SUM(LEAST(cum, (w + 1) * $CtxLen)
+       |    - GREATEST(cum_before, w * $CtxLen)) AS BIGINT) AS tok_filled
+       |FROM e GROUP BY w ORDER BY w""".stripMargin
+
+  // --------------------------------------------------------------- P59
+  // BPE pair statistics (round 1 of tokenizer training): every word
+  // becomes its character symbols plus an end-of-word marker, and
+  // adjacent symbol pairs are counted with word-frequency weights —
+  // the aggregation each BPE round runs.  Top 50 pairs, total order.
+  /** (word, freq, syms) over the corpus — the vocabulary frame every
+    * BPE round iterates on. */
+  private[queries] def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(Pipeline.tok)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), " +
+          "array('</w>'))"))
+
+  /** Frequency-weighted adjacent-pair counts of a vocab frame. */
+  private def pairCounts(v: DataFrame): DataFrame = v
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> " +
+        "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
+      .as("p"))
+    .groupBy(col("p.l").as("tok_l"), col("p.r").as("tok_r"))
+    .agg(sum("freq").as("cnt"))
+
+  def qBpePairs(s: SparkSession, d: String): DataFrame =
+    pairCounts(vocab(s, d))
+      .orderBy(desc("cnt"), col("tok_l"), col("tok_r"))
+      .limit(50)
+
+  val qBpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${Pipeline.duckTok}) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word
+       |), s AS (
+       |  SELECT freq, list_append(list_transform(range(length(word)),
+       |    i -> substr(word, CAST(i + 1 AS INT), 1)), '</w>') AS syms
+       |  FROM w
+       |), p AS (
+       |  SELECT freq, unnest(list_transform(range(len(syms) - 1),
+       |    i -> {'l': syms[CAST(i + 1 AS INT)], 'r': syms[CAST(i + 2 AS INT)]})) AS pr
+       |  FROM s
+       |)
+       |SELECT pr.l AS tok_l, pr.r AS tok_r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY pr.l, pr.r
+       |ORDER BY cnt DESC, tok_l, tok_r LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------- P59b
+  // Distributed BPE merge learning (Sennrich et al. ACL'16): k rounds
+  // of [count pairs over the vocab → take the top pair → apply the
+  // merge].  The driver collects ONE row per round (the argmax — a
+  // few bytes); the merge application is the codegen
+  // `graft_bpe_apply` kernel over the vocab frame, localCheckpoint'd
+  // per round so round r's plan does not re-run rounds 1..r-1.
+  // Deterministic: top pair ties break on (tok_l, tok_r).  Not
+  // SQL-expressible (each round's merge is a data-dependent global
+  // argmax feeding a greedy sequential rewrite) → gated by BpeSpec's
+  // reference-implementation parity instead of a DuckDB oracle.
+  private val BpeRounds = 6
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var v = vocab(s, d).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to BpeRounds) {
+      val top = pairCounts(v)
+        .orderBy(desc("cnt"), col("tok_l"), col("tok_r")).limit(1)
+        .collect()(0)
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step.toLong, l, r, c))
+      val next = v.withColumn("syms",
+        call_function("graft_bpe_apply", col("syms"), lit(l), lit(r)))
+        .localCheckpoint()
+      v.unpersist()
+      v = next
+    }
+    v.unpersist()
+    merges.result().toDF("step", "tok_l", "tok_r", "freq")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_windows" -> (qPackWindows _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pack_sequences" -> qPackSequencesSql,
+    "q_pack_windows" -> qPackWindowsSql,
+    "q_bpe_pairs" -> qBpePairsSql)
+}

@@ -897,10 +897,17 @@ object Pipeline {
        |ORDER BY a2.cell""".stripMargin
   }
 
-  val qKmeansSql: String = {
-    def dot(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(len($a)), " +
-        s"i -> $a[CAST(i + 1 AS INT)] * $b[CAST(i + 1 AS INT)])), (x, y) -> x + y)"
+  /** Exact BIGINT dot over two quantized DuckDB lists — the oracle
+    * twin of graft_doti, shared by the k-means and SemDeDup oracles. */
+  private def duckDoti(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(len($a)), " +
+      s"i -> $a[CAST(i + 1 AS INT)] * $b[CAST(i + 1 AS INT)])), (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain for the two-iteration Lloyd state
+    * (q → c0 → a1 → c1 → a2) — q_kmeans and q_semdedup both consume
+    * it, so the assignment/update arithmetic lives in ONE place. */
+  private val duckKmeansCtes: String = {
+    def dot(a: String, b: String): String = duckDoti(a, b)
     def assign(cents: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, cell FROM (
@@ -920,14 +927,71 @@ object Pipeline {
          |    GROUP BY cell, d)
          |  GROUP BY cell
          |)""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS cell, qv AS c FROM q WHERE vec_id < $KmeansK
-       |), ${assign("c0", "a1")}, ${update("a1", "c1")}, ${assign("c1", "a2")}
+       |), ${assign("c0", "a1")}, ${update("a1", "c1")}, ${assign("c1", "a2")}""".stripMargin
+  }
+
+  val qKmeansSql: String =
+    s"""WITH $duckKmeansCtes
        |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- P60
+  // SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication"): semantic near-dup
+  // removal INSIDE k-means cells — cluster the embeddings (the P40
+  // Lloyd state, reused verbatim), then within each cell drop every
+  // vector that has a LOWER-id cell-mate with cosine ≥ τ (the
+  // deterministic earliest-representative convention the exact-dedup
+  // family uses).  The clustering is what makes this a 100-TB shape:
+  // pair work is Σ|cell|² — at production scale k grows with n so
+  // cells stay small and the candidate join never approaches
+  // all-pairs (the paper's own argument for clustering first), while
+  // cross-cell near-dups are the sanctioned recall loss.  Cosines run
+  // over the SAME micro-quantized integer vectors as the clustering
+  // (graft_doti → exact BIGINT dots; the divide/sqrt are single
+  // correctly-rounded IEEE expressions identical on both engines).
+  private val SemTau = "0.45"
+
+  def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val (q, _, a2) = kmeansState(s, d)
+    // one small (vec_id, cell, qv) frame feeds BOTH self-join sides:
+    // without the checkpoint each side re-runs the full two-iteration
+    // Lloyd assignment subtree
+    val members = a2.join(q, "vec_id")
+      .select(col("vec_id"), col("cell"), col("qv")).localCheckpoint()
+    val cos = "CAST(graft_doti(a.qv, b.qv) AS DOUBLE) / " +
+      "(sqrt(CAST(graft_doti(a.qv, a.qv) AS DOUBLE)) * " +
+      "sqrt(CAST(graft_doti(b.qv, b.qv) AS DOUBLE)))"
+    val drops = members.as("a").join(members.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"$cos >= $SemTau"))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    members.select("vec_id", "cell").join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
+  val qSemDedupSql: String = {
+    val cos = s"CAST(${duckDoti("a.qv", "b.qv")} AS DOUBLE) / " +
+      s"(sqrt(CAST(${duckDoti("a.qv", "a.qv")} AS DOUBLE)) * " +
+      s"sqrt(CAST(${duckDoti("b.qv", "b.qv")} AS DOUBLE)))"
+    s"""WITH $duckKmeansCtes, m AS (
+       |  SELECT a2.vec_id, a2.cell, q.qv FROM a2 JOIN q USING (vec_id)
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id FROM m a JOIN m b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $SemTau
+       |)
+       |SELECT m.vec_id, m.cell, drops.vec_id IS NOT NULL AS dropped
+       |FROM m LEFT JOIN drops ON m.vec_id = drops.vec_id
+       |ORDER BY m.vec_id""".stripMargin
   }
 
   // --------------------------------------------------------------- P43
@@ -1213,7 +1277,8 @@ object Pipeline {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_semdedup" -> (qSemDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_release_filter" -> qReleaseFilterSql,
@@ -1236,5 +1301,6 @@ object Pipeline {
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_semdedup" -> qSemDedupSql)
 }

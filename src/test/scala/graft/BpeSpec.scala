@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Packing
+
+/** P59 distributed BPE — kernel semantics + reference-implementation
+  * parity for the driver-loop trainer (not SQL-expressible, so this
+  * spec IS its correctness gate), plus the P58 plan pin: packing must
+  * run on the keyless RankedPrefixSum operator, not a single-task
+  * global window. */
+class BpeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft_bpe_apply merges greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), "a", "b", Seq("ab", "c")),
+      // leftmost wins on an overlapping run: [a,a,a] + (a,a) -> [aa, a]
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      // a merged token does NOT re-merge within the same pass
+      (Seq("a", "b", "b"), "a", "b", Seq("ab", "b")),
+      (Seq("x", "y"), "a", "b", Seq("x", "y")),
+      (Seq("a"), "a", "a", Seq("a")),
+      (Seq.empty[String], "a", "b", Seq.empty[String]))
+    cases.foreach { case (toks, l, r, want) =>
+      val got = Seq(toks).toDF("t")
+        .select(call_function("graft_bpe_apply", col("t"), lit(l), lit(r)))
+        .as[Seq[String]].collect()(0)
+      assert(got === want, s"bpe_apply($toks, $l, $r)")
+    }
+  }
+
+  /** Straightforward in-memory BPE (Sennrich ACL'16 §3 as published):
+    * word-freq table, symbols = chars + '</w>', per round count
+    * weighted adjacent pairs, merge the (count desc, pair asc) argmax
+    * greedily left-to-right. */
+  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    val freq = scala.collection.mutable.Map[String, Long]()
+    texts.foreach(_.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    var vocab: Map[Vector[String], Long] =
+      freq.toMap.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    (1 to rounds).map { step =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), c) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      (step.toLong, l, r, c)
+    }
+  }
+
+  test("q_bpe_train matches the in-memory reference on the sf0.001 corpus") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("text").as[String].collect().toSeq
+    val want = referenceBpe(texts, 6)
+    val got = Packing.qBpeTrain(spark, sf)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
+
+  test("q_pack_sequences plans through the keyless RankedPrefixSum operator") {
+    val plan = Packing.qPackSequences(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("RankedPrefixSum"),
+      "packing must use the distributed prefix-sum operator")
+    assert(!plan.contains("Window "),
+      "no window exec expected — the keyless window would serialize")
+  }
+}

@@ -28,6 +28,28 @@ class RankedSpec extends SparkSpec {
     assert(viaOp.toSeq === viaWin.toSeq)
   }
 
+  test("keyless prefixSum equals the GLOBAL running sum (empty partitionBy)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 30000).map(i => (i.toLong, rnd.nextInt(7).toLong))
+    val df = rows.toDF("row_id", "delta").repartition(16)
+    val got = Ranked.prefixSum(df, Seq(), Seq("row_id"), "delta", "cum")
+      .select("row_id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    // the oracle is a driver-side scan — the keyless window form would
+    // serialize onto one task, which is the case this exists to avoid
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, d) => acc += d; (id, acc) }
+    assert(got.toSeq === want)
+    // and the range exchange is genuinely parallel (AQE coalesces this
+    // tiny frame to 1 partition — disable that to see the real fan-out)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val parts = Ranked.prefixSum(df, Seq(), Seq("row_id"), "delta", "cum")
+        .rdd.getNumPartitions
+      assert(parts > 1, s"keyless prefixSum collapsed to $parts partition(s)")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("prefixSum is exact when one group dominates a partition boundary") {
     import spark.implicits._
     // all rows in ONE group: every partition boundary splits the group
