@@ -312,6 +312,27 @@ class PlanAuditSpec extends SparkSpec {
       s"multi-probe did not improve recall: $rec")
   }
 
+  test("q_semdedup joins candidates by cell equality, never all-pairs") {
+    // SemDeDup's whole point: the expensive cosine verify runs only on
+    // within-cell pairs — the self-join must be a hash/merge EQUI-join
+    // on the cell key, and the Lloyd centroid passes stay broadcast
+    val plan = planOf(Pipeline.qSemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(plan).isDefined, s"no cell equi-join:\n$plan")
+    // the centroid join of the assignment passes is the deliberate
+    // constant-x8 broadcast fan-out; nothing else may nested-loop
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("graft_doti"), plan)
+  }
+
+  test("q_pack_windows explodes off the prefix-sum frame with partial aggregation") {
+    val plan = planOf(graft.queries.Packing.qPackWindows(spark, sf))
+    assert(plan.contains("RankedPrefixSum"), plan)
+    assert(!plan.contains("Window "), s"keyless window would serialize:\n$plan")
+    assert("partial_count".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
