@@ -181,6 +181,14 @@ object Packing {
 
   def qBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    learnMerges(s, d).toDF("step", "tok_l", "tok_r", "freq")
+  }
+
+  /** The k-round driver loop shared by train/encode: per round ONE
+    * pair-count aggregate over the vocab frame, a 1-row argmax
+    * collect, and a codegen merge pass, localCheckpoint'd so round r
+    * never re-runs rounds 1..r-1. */
+  private def learnMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
     var v = vocab(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to BpeRounds) {
@@ -196,14 +204,46 @@ object Packing {
       v = next
     }
     v.unpersist()
-    merges.result().toDF("step", "tok_l", "tok_r", "freq")
+    merges.result()
+  }
+
+  // -------------------------------------------------------------- P59c
+  // BPE encode: apply the learned merge table to the corpus and report
+  // per-doc symbol counts before/after — the tokenize step a training
+  // run pays, and the compression audit that justifies the merges.
+  // Each doc flattens to ONE symbol stream (all words' chars + '</w>'
+  // terminals): learned pairs can never match across a word boundary
+  // — the left symbol of any boundary-adjacent pair carries the
+  // '</w>' suffix, and terminal symbols only ever occur as the RIGHT
+  // half of counted pairs — so the flat stream encodes identically to
+  // per-word application while the k merge passes stay k chained
+  // scan-stage kernels (no explode, no shuffle; text never leaves the
+  // scan).  Not SQL-expressible (inherits the trained merges) →
+  // BpeSpec pins parity against the reference encoder.
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = learnMerges(s, d).map(m => (m._2, m._3))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        s"flatten(transform(filter(${Pipeline.tok}, w -> w <> ''), " +
+          "w -> concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), " +
+          "array('</w>'))))").as("syms"))
+      .withColumn("n_char_syms", expr("CAST(size(syms) AS BIGINT)"))
+    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("syms", call_function("graft_bpe_apply", col("syms"), lit(l), lit(r)))
+    }
+    encoded
+      .select(col("doc_id"), col("n_char_syms"),
+        expr("CAST(size(syms) AS BIGINT)").as("n_bpe_syms"))
+      .withColumn("saved", col("n_char_syms") - col("n_bpe_syms"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_windows" -> (qPackWindows _),
     "q_bpe_pairs" -> (qBpePairs _),
-    "q_bpe_train" -> (qBpeTrain _))
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "q_pack_sequences" -> qPackSequencesSql,

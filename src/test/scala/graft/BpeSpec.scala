@@ -73,6 +73,40 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_bpe_encode matches reference per-doc encoding and compresses") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val merges = referenceBpe(texts.map(_._2), 6).map(m => (m._2, m._3))
+    // reference: per-word char symbols + '</w>', each merge applied
+    // greedily left-to-right in learned order
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val want = texts.map { case (id, t) =>
+      val words = t.toLowerCase.split(" ", -1).filter(_.nonEmpty).toVector
+      val pre = words.map(_.length + 1).sum.toLong
+      val post = words.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+          case (syms, (l, r)) => applyMerge(syms, l, r)
+        }.length.toLong
+      }.sum
+      (id, pre, post, pre - post)
+    }.sortBy(_._1)
+    val got = Packing.qBpeEncode(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // and the merges genuinely compress the corpus
+    assert(got.map(_._4).sum > 0, "BPE merges saved zero symbols")
+  }
+
   test("q_pack_sequences plans through the keyless RankedPrefixSum operator") {
     val plan = Packing.qPackSequences(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("RankedPrefixSum"),

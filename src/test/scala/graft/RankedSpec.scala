@@ -105,6 +105,23 @@ class RankedSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("autoRewrite swaps a KEYLESS running-sum window (global cumsum)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 20000).map(i => (i.toLong, rnd.nextInt(9).toLong))
+    val df = rows.toDF("row_id", "delta").repartition(8)
+    val w = Window.orderBy("row_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.withColumn("cum", sum("delta").over(w)).select("row_id", "cum")
+    val (planned, got) = withRule(on = true) {
+      (hasRankedExec(q), q.as[(Long, Long)].collect().sortBy(_._1))
+    }
+    assert(planned, "keyless running sum must rewrite — the window form " +
+      "serializes the whole table onto one task")
+    val want = withRule(on = false)(q.as[(Long, Long)].collect().sortBy(_._1))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("autoRewrite leaves ineligible windows alone") {
     import spark.implicits._
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i.toLong))
