@@ -1157,6 +1157,88 @@ object GraftFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** bpe_stats(text, merges): fused tokenize → char symbols + '</w>'
+    * → full merge-table application → [pre, post] symbol counts, one
+    * pass per word with reused buffers.  Semantically identical to
+    * exploding the symbol array and chaining bpe_apply per merge, but
+    * never materializes a symbol array row — the higher-order-function
+    * form spends its time building ~n_chars UTF8Strings per document
+    * (same lesson as graft_shingles32: the fused kernel replaces the
+    * HOF chain, not the arithmetic). */
+  case class BpeStats(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType &&
+        (right.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }),
+        s"$prettyName expects (STRING text, ARRAY<STRING> flat merge pairs)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_bpe_stats"
+
+    override def nullSafeEval(t: Any, m: Any): Any =
+      GraftFunctions.bpeStats(t.asInstanceOf[UTF8String], m.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, m) => s"${ev.value} = $fn.bpeStats($t, $m);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def bpeStats(text: UTF8String, merges: ArrayData): ArrayData = {
+    val s = text.toString.toLowerCase
+    val nm = merges.numElements() / 2
+    val ls = new Array[String](nm)
+    val rs = new Array[String](nm)
+    val ab = new Array[String](nm)
+    var m = 0
+    while (m < nm) {
+      ls(m) = merges.getUTF8String(2 * m).toString
+      rs(m) = merges.getUTF8String(2 * m + 1).toString
+      ab(m) = ls(m) + rs(m)
+      m += 1
+    }
+    var pre = 0L
+    var post = 0L
+    val n = s.length
+    var buf = new Array[String](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val wlen = j - i
+        if (wlen + 1 > buf.length) buf = new Array[String](wlen + 1)
+        var k = 0
+        while (k < wlen) { buf(k) = String.valueOf(s.charAt(i + k)); k += 1 }
+        buf(wlen) = "</w>"
+        var cnt = wlen + 1
+        pre += cnt
+        m = 0
+        while (m < nm) {
+          val a = ls(m); val b = rs(m); val merged = ab(m)
+          var r = 0; var w = 0
+          while (r < cnt) {
+            if (r + 1 < cnt && buf(r) == a && buf(r + 1) == b) {
+              buf(w) = merged; r += 2
+            } else { buf(w) = buf(r); r += 1 }
+            w += 1
+          }
+          cnt = w
+          m += 1
+        }
+        post += cnt
+      }
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(pre, post))
+  }
+
   /** Base complement incl. IUPAC ambiguity codes (public SAM spec). */
   def complement(b: Byte): Byte = (b match {
     case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
@@ -1232,7 +1314,9 @@ object GraftFunctions {
     ("graft_bpe_apply", "one greedy left-to-right BPE merge over a token array",
       es => BpeApply(es(0), es(1), es(2))),
     ("graft_bpe_encode", "a full BPE merge table applied in order, one call",
-      es => BpeEncode(es(0), es(1))))
+      es => BpeEncode(es(0), es(1))),
+    ("graft_bpe_stats", "fused text -> BPE [pre, post] symbol counts",
+      es => BpeStats(es(0), es(1))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

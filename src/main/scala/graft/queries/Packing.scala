@@ -221,21 +221,17 @@ object Packing {
   // scan).  Not SQL-expressible (inherits the trained merges) →
   // BpeSpec pins parity against the reference encoder.
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
-    // flattened (l1, r1, l2, r2, …) literal for the fused kernel: the
-    // k merge passes run inside ONE graft_bpe_encode call per doc
-    // (one working array, not k materializations — chained
-    // graft_bpe_apply measured ~2x slower at sf1)
+    // flattened (l1, r1, l2, r2, …) literal for the fused kernel:
+    // tokenize → symbols → all k merges → counts in ONE scan-stage
+    // call per doc (the HOF symbol-array form spent its time building
+    // n_chars UTF8Strings per doc — BpeSpec pins the kernel ≡ the
+    // explicit chained form)
     val flat = learnMerges(s, d).flatMap(m => Seq(m._2, m._3))
     Tables.documents(s, d)
-      .select(col("doc_id"), expr(
-        s"flatten(transform(filter(${Pipeline.tok}, w -> w <> ''), " +
-          "w -> concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), " +
-          "array('</w>'))))").as("syms"))
-      .withColumn("n_char_syms", expr("CAST(size(syms) AS BIGINT)"))
-      .withColumn("syms", call_function("graft_bpe_encode", col("syms"),
-        array(flat.map(lit): _*)))
-      .select(col("doc_id"), col("n_char_syms"),
-        expr("CAST(size(syms) AS BIGINT)").as("n_bpe_syms"))
+      .select(col("doc_id"), call_function("graft_bpe_stats", col("text"),
+        array(flat.map(lit): _*)).as("st"))
+      .select(col("doc_id"), col("st")(0).as("n_char_syms"),
+        col("st")(1).as("n_bpe_syms"))
       .withColumn("saved", col("n_char_syms") - col("n_bpe_syms"))
       .orderBy("doc_id")
   }

@@ -50,6 +50,31 @@ class BpeSpec extends SparkSpec {
     assert(fused.toSeq === chained.toSeq)
   }
 
+  test("graft_bpe_stats equals the explicit symbol-array + chained-apply form") {
+    import spark.implicits._
+    val merges = Seq(("e", "r"), ("e", "</w>"), ("er", "</w>"), ("a", "a"))
+    val flat = merges.flatMap(m => Seq(m._1, m._2))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .union(Seq((90001L, ""), (90002L, "  aaa  x  "), (90003L, "er er")
+        ).toDF("doc_id", "text"))
+    val explicitBase = docs
+      .select(col("doc_id"), expr(
+        "flatten(transform(filter(split(lower(text), ' '), w -> w <> ''), " +
+          "w -> concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), " +
+          "array('</w>'))))").as("syms"))
+      .withColumn("pre", expr("CAST(size(syms) AS BIGINT)"))
+    val chained = merges.foldLeft(explicitBase) { case (d, (l, r)) =>
+      d.withColumn("syms", call_function("graft_bpe_apply", col("syms"), lit(l), lit(r)))
+    }.select(col("doc_id"), col("pre"), expr("CAST(size(syms) AS BIGINT)").as("post"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val fused = docs
+      .select(col("doc_id"), call_function("graft_bpe_stats", col("text"),
+        array(flat.map(lit): _*)).as("st"))
+      .select(col("doc_id"), col("st")(0), col("st")(1))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(fused.toSeq === chained.toSeq)
+  }
+
   /** Straightforward in-memory BPE (Sennrich ACL'16 §3 as published):
     * word-freq table, symbols = chars + '</w>', per round count
     * weighted adjacent pairs, merge the (count desc, pair asc) argmax
