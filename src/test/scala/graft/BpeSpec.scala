@@ -50,6 +50,61 @@ class BpeSpec extends SparkSpec {
     assert(fused.toSeq === chained.toSeq)
   }
 
+  test("property: kernels agree with a scala reference on random inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.GraftFunctions
+    def refApply(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(37)
+    val alpha = Vector("a", "b", "ab", "</w>", "c")
+    (0 until 300).foreach { _ =>
+      val toks = Vector.fill(rnd.nextInt(40))(alpha(rnd.nextInt(alpha.size)))
+      val merges = Vector.fill(1 + rnd.nextInt(5))(
+        (alpha(rnd.nextInt(alpha.size)), alpha(rnd.nextInt(alpha.size))))
+      def arr(v: Vector[String]) =
+        new GenericArrayData(v.map(UTF8String.fromString).toArray[Any])
+      // single apply
+      val (l0, r0) = merges.head
+      val gotApply = GraftFunctions.bpeApply(arr(toks),
+        UTF8String.fromString(l0), UTF8String.fromString(r0))
+      assert((0 until gotApply.numElements())
+        .map(gotApply.getUTF8String(_).toString) === refApply(toks, l0, r0))
+      // full table via bpeEncode
+      val want = merges.foldLeft(toks) { case (t, (l, r)) => refApply(t, l, r) }
+      val gotEnc = GraftFunctions.bpeEncode(arr(toks),
+        arr(merges.flatMap(m => Vector(m._1, m._2))))
+      assert((0 until gotEnc.numElements())
+        .map(gotEnc.getUTF8String(_).toString) === want)
+    }
+    // bpeStats vs reference over random word-soup texts
+    (0 until 100).foreach { _ =>
+      val words = Vector.fill(rnd.nextInt(12))(
+        Vector.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = words.mkString(" ".repeat(1 + rnd.nextInt(2)))
+      val merges = Vector.fill(1 + rnd.nextInt(4))(
+        (('a' + rnd.nextInt(3)).toChar.toString, ('a' + rnd.nextInt(3)).toChar.toString))
+      val syms = words.filter(_.nonEmpty)
+        .map(w => w.map(_.toString).toVector :+ "</w>")
+      val pre = syms.map(_.length.toLong).sum
+      val post = syms.map(s => merges.foldLeft(s) {
+        case (t, (l, r)) => refApply(t, l, r)
+      }.length.toLong).sum
+      val got = GraftFunctions.bpeStats(UTF8String.fromString(text),
+        new GenericArrayData(
+          merges.flatMap(m => Vector(m._1, m._2)).map(UTF8String.fromString).toArray[Any]))
+      assert((got.getLong(0), got.getLong(1)) === ((pre, post)), s"text='$text' $merges")
+    }
+  }
+
   test("graft_bpe_stats equals the explicit symbol-array + chained-apply form") {
     import spark.implicits._
     val merges = Seq(("e", "r"), ("e", "</w>"), ("er", "</w>"), ("a", "a"))
