@@ -122,6 +122,111 @@ object Corpus {
        |FROM hits GROUP BY train_id ORDER BY train_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- P61
+  // DSIR-style importance scoring (Xie et al. NeurIPS'23 "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // every document by how target-like its hashed-unigram profile is —
+  // Σ_tokens log(p_target(bucket) / p_raw(bucket)) under Laplace-
+  // smoothed bag-of-hashed-ngrams models, the importance weight DSIR
+  // resamples by.  The target set reuses the P20/P54 eval convention
+  // (graft_hash32(text) % 20 = 0).  Engine exactness: the per-bucket
+  // log-ratio is fixed to integer MICRO-UNITS first (one ln over a
+  // ratio of exact-integer products — exact doubles while per-bucket
+  // counts × corpus tokens < 2⁵³, i.e. far past gate scale; beyond
+  // that split into per-term rounded lns), so per-doc scores are
+  // order-free BIGINT sums.  Scale shape: one token scan feeds the
+  // 4096-row bucket stats AND the per-doc sum (checkpoint barrier);
+  // the model is a broadcast — scoring is scan-local + one doc agg.
+  private val DsirBuckets = 4096
+
+  def qDsirScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_hash32(text) % 20 = 0").as("is_target"),
+        explode(expr(Pipeline.tok)).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), col("is_target"),
+        expr(s"graft_hash32(t) % $DsirBuckets").as("b"))
+      // one tokenize+hash pass feeds the bucket stats and the per-doc
+      // score join; without the barrier both consumers re-scan
+      .localCheckpoint()
+    val stats = toks.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lr = stats.crossJoin(broadcast(totals))
+      .withColumn("lr_u", expr(
+        s"CAST(FLOOR(1000000.0 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)" +
+          s" / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .select("b", "lr_u")
+    val scored = toks.join(broadcast(lr), "b")
+      .groupBy("doc_id", "is_target")
+      .agg(count(lit(1)).as("n_tok"), sum("lr_u").as("score_u"))
+    // DSIR resamples by RELATIVE weight — the absolute sign carries
+    // the smoothing asymmetry (V >> N_target drags every log-ratio
+    // down), so the keep gate is rank-based: top 20% of raw docs by
+    // score (nearest-rank, deterministic doc_id tie-break).  The
+    // ranking window is over DOC rows, not tokens; at 100 TB the
+    // threshold would come from a P21-style quantile (or the keyless
+    // RankedPrefixSum) instead of a single-task sort.
+    val raws = scored.filter(!col("is_target"))
+    val k = raws.agg(expr("count(1) DIV 5").as("k"))
+    val rw = Window.orderBy(desc("score_u"), col("doc_id"))
+    val kept = raws
+      .withColumn("rk", row_number().over(rw).cast("bigint"))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), lit(true).as("keep"))
+    scored.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"), col("n_tok"), col("score_u"),
+        coalesce(col("keep"), lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qDsirScoreSql: String = {
+    val hashText = Pipeline.duckHash32("text")
+    val hashTok = Pipeline.duckHash32("w")
+    s"""WITH base AS (
+       |  SELECT doc_id, $hashText % 20 = 0 AS is_target, lower(text) AS lt
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, is_target, $hashTok % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, is_target, unnest(string_split(lt, ' ')) AS w
+       |        FROM base)
+       |  WHERE w <> ''
+       |), st AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM tk GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+       |  FROM st
+       |), lr AS (
+       |  SELECT b, CAST(FLOOR(1000000.0 *
+       |    ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
+       |       / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) + 0.5) AS BIGINT)
+       |    AS lr_u
+       |  FROM st CROSS JOIN tot
+       |)
+       |, scored AS (
+       |  SELECT tk.doc_id, tk.is_target,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    CAST(SUM(lr_u) AS BIGINT) AS score_u
+       |  FROM tk JOIN lr USING (b)
+       |  GROUP BY tk.doc_id, tk.is_target
+       |), kept AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rk
+       |    FROM scored WHERE NOT is_target)
+       |  WHERE rk <= (SELECT COUNT(*) // 5 FROM scored WHERE NOT is_target)
+       |)
+       |SELECT s.doc_id, s.is_target, s.n_tok, s.score_u,
+       |  kept.doc_id IS NOT NULL AS keep
+       |FROM scored s LEFT JOIN kept ON s.doc_id = kept.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------- exact multi-quantile
   // Exact p25/p50/p75/p95 of document length per language in ONE
   // window pass (nearest-rank definition, pure integer arithmetic —
@@ -358,6 +463,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_dsir_score" -> (qDsirScore _),
     "q_quantiles" -> (qQuantiles _),
     "q_pivot_events" -> (qPivotEvents _),
     "q_repetition" -> (qRepetition _),
@@ -369,6 +475,7 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_dsir_score" -> qDsirScoreSql,
     "q_quantiles" -> qQuantilesSql,
     "q_pivot_events" -> qPivotEventsSql,
     "q_repetition" -> qRepetitionSql,
