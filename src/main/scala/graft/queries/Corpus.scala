@@ -227,6 +227,106 @@ object Corpus {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- P62
+  // CCNet-style LM perplexity filtering (Wenzek et al. LREC'20): score
+  // every document's mean negative log-likelihood under a Laplace-
+  // smoothed BIGRAM model trained on the target subset (the P20/P54
+  // eval-hash convention), keep the lowest-perplexity 20% of raw docs
+  // — the head/middle/tail split CCNet makes with its wiki LM.
+  // Exactness: per-bigram NLL is one ln over a ratio of exact-integer
+  // counts, fixed to integer MICRO-NATS before the per-doc sum
+  // (order-free BIGINT); mean = truncating integer division (both
+  // operands non-negative, so Spark DIV ≡ DuckDB //).  Scale shape:
+  // the model is trained on the FIXED-SIZE target set (the P54
+  // bounded-broadcast argument — a benchmark-suite-sized corpus), so
+  // both model tables broadcast regardless of raw-corpus scale and
+  // scoring is scan-local + one doc aggregate.  Bigrams ride the
+  // fused graft_word_ngrams kernel (shared with P17).
+  def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      expr("graft_hash32(text) % 20 = 0").as("is_target"))
+    val uni = docs.filter(col("is_target"))
+      .select(explode(expr(Pipeline.tok)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ca"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docs.filter(col("is_target"))
+      .select(explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+    val scored = docs
+      .select(col("doc_id"), col("is_target"),
+        explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))
+      .withColumn("ctx", expr("substring_index(bigram, ' ', 1)"))
+      .join(broadcast(big), Seq("bigram"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "ctx")), Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("b_nll_u", expr(
+        "CAST(FLOOR(-1000000.0 * ln(CAST(coalesce(cab, 0) + 1 AS DOUBLE) " +
+          "/ CAST(coalesce(ca, 0) + v AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .groupBy("doc_id", "is_target")
+      .agg(count(lit(1)).as("n_big"), sum("b_nll_u").as("nll_u"))
+      .withColumn("mnll_u", expr("nll_u DIV n_big"))
+    val raws = scored.filter(!col("is_target"))
+    val k = raws.agg(expr("count(1) DIV 5").as("k"))
+    val rw = Window.orderBy(col("mnll_u"), col("doc_id"))
+    val kept = raws
+      .withColumn("rk", row_number().over(rw).cast("bigint"))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), lit(true).as("keep"))
+    scored.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"), col("n_big"), col("nll_u"),
+        col("mnll_u"), coalesce(col("keep"), lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qLmPerplexitySql: String = {
+    val hash = Pipeline.duckHash32("text")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $hash % 20 = 0 AS is_target,
+       |    string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ca
+       |  FROM (SELECT unnest(t) AS w FROM docs WHERE is_target) GROUP BY w
+       |), voc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+       |), big AS (
+       |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1])) AS bigram
+       |    FROM docs WHERE is_target AND len(t) >= 2)
+       |  GROUP BY bigram
+       |), db AS (
+       |  SELECT doc_id, is_target,
+       |    unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1])) AS bigram
+       |  FROM docs WHERE len(t) >= 2
+       |), sb AS (
+       |  SELECT db.doc_id, db.is_target,
+       |    CAST(FLOOR(-1000000.0 * ln(CAST(COALESCE(big.cab, 0) + 1 AS DOUBLE)
+       |      / CAST(COALESCE(uni.ca, 0) + (SELECT v FROM voc) AS DOUBLE)) + 0.5)
+       |      AS BIGINT) AS b_nll_u
+       |  FROM db LEFT JOIN big USING (bigram)
+       |    LEFT JOIN uni ON uni.w = split_part(db.bigram, ' ', 1)
+       |), scored AS (
+       |  SELECT doc_id, is_target, CAST(COUNT(*) AS BIGINT) AS n_big,
+       |    CAST(SUM(b_nll_u) AS BIGINT) AS nll_u
+       |  FROM sb GROUP BY doc_id, is_target
+       |), sc2 AS (
+       |  SELECT doc_id, is_target, n_big, nll_u, nll_u // n_big AS mnll_u
+       |  FROM scored
+       |), kept AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY mnll_u, doc_id) AS rk
+       |    FROM sc2 WHERE NOT is_target)
+       |  WHERE rk <= (SELECT COUNT(*) // 5 FROM sc2 WHERE NOT is_target)
+       |)
+       |SELECT s.doc_id, s.is_target, s.n_big, s.nll_u, s.mnll_u,
+       |  kept.doc_id IS NOT NULL AS keep
+       |FROM sc2 s LEFT JOIN kept ON s.doc_id = kept.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------- exact multi-quantile
   // Exact p25/p50/p75/p95 of document length per language in ONE
   // window pass (nearest-rank definition, pure integer arithmetic —
@@ -464,6 +564,7 @@ object Corpus {
     "q_tfidf" -> (qTfidf _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dsir_score" -> (qDsirScore _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
     "q_quantiles" -> (qQuantiles _),
     "q_pivot_events" -> (qPivotEvents _),
     "q_repetition" -> (qRepetition _),
@@ -476,6 +577,7 @@ object Corpus {
     "q_tfidf" -> qTfidfSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_dsir_score" -> qDsirScoreSql,
+    "q_lm_perplexity" -> qLmPerplexitySql,
     "q_quantiles" -> qQuantilesSql,
     "q_pivot_events" -> qPivotEventsSql,
     "q_repetition" -> qRepetitionSql,
