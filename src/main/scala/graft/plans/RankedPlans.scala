@@ -50,6 +50,11 @@ object RankedKind {
   /** `rank()`: the global position of the current peer-run's first
     * row.  Exact under ties, including runs spanning partitions. */
   case object RRank extends RankedKind
+  /** `dense_rank()`: 1 + the number of distinct order keys strictly
+    * before the current run.  Exact across partitions: pass 1 counts
+    * per-partition distinct keys, the driver merges boundary-spanning
+    * runs so a key straddling an exchange boundary counts once. */
+  case object RDenseRank extends RankedKind
 }
 
 /** One logical node per Window spec; `kinds(i)`/`deltas(i)`/
@@ -75,8 +80,8 @@ case class RankedPrefixSum(partCols: Seq[Expression],
   *   - `sum(<bigint>)` (nullable or not) over `ROWS UNBOUNDED
   *     PRECEDING .. CURRENT ROW`,
   *   - `row_number()` (same frame),
-  *   - `rank()` (resolved to the same ROWS running frame by
-  *     Spark's ResolveWindowFrame — rank is frame-insensitive),
+  *   - `rank()` / `dense_rank()` (resolved to the same ROWS running
+  *     frame by Spark's ResolveWindowFrame — both frame-insensitive),
   * all sharing the node's partition/order spec, with a non-empty
   * ORDER BY. */
 object RankedWindowRule extends Rule[LogicalPlan] {
@@ -110,6 +115,8 @@ object RankedWindowRule extends Rule[LogicalPlan] {
                   Some((RankedKind.RRowNumber, Literal(1L), a.toAttribute))
                 case _: Rank if frame == RunningRows =>
                   Some((RankedKind.RRank, Literal(1L), a.toAttribute))
+                case _: DenseRank if frame == RunningRows =>
+                  Some((RankedKind.RDenseRank, Literal(1L), a.toAttribute))
                 case _ => None
               }
             case _ => None
@@ -195,6 +202,8 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     val ks = kinds.toArray
     val nFuncs = ks.length
     val needRank = ks.contains(RankedKind.RRank)
+    val needDense = ks.contains(RankedKind.RDenseRank)
+    val needKeys = needRank || needDense
     val intOut = outAttrs.map(_.dataType == IntegerType).toArray
     // order-key comparator over the PROJECTED key row — peers for
     // rank() are rows comparing equal under the full ORDER BY; built
@@ -219,13 +228,20 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     }.toArray
 
     // pass 1: per-(partition, group) totals — a few longs per task
-    // regardless of input size
-    val pass1Rdd = preSortInput.map(_.execute()).getOrElse(childRdd)
+    // regardless of input size.  dense_rank needs per-partition
+    // DISTINCT order-key counts: on unsorted input that would mean a
+    // key SET per task (input-sized driver state), so with dense_rank
+    // present pass 1 reads the SORTED child instead of the pre-sort
+    // exchange and counts key CHANGES — the sort runs twice (both
+    // passes, fully parallel, same reused shuffle files), the state
+    // stays a few longs.
+    val pass1Rdd =
+      if (needDense) childRdd else preSortInput.map(_.execute()).getOrElse(childRdd)
     val totals: Array[(Int, Array[(InternalRow, GroupStat)])] =
       pass1Rdd.mapPartitionsWithIndex { (pid, it) =>
         val proj = UnsafeProjection.create(boundPart)
-        val oProj = if (needRank) UnsafeProjection.create(orderExprs) else null
-        val ord = if (needRank) keyOrdering else null
+        val oProj = if (needKeys) UnsafeProjection.create(orderExprs) else null
+        val ord = if (needKeys) keyOrdering else null
         val m = scala.collection.mutable.LinkedHashMap[InternalRow, GroupStat]()
         it.foreach { row =>
           val k = proj(row)
@@ -245,18 +261,21 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
             i += 1
           }
           st.count += 1
-          if (needRank) {
+          if (needKeys) {
             val ok = oProj(row)
             if (st.minKey == null) {
               st.minKey = ok.copy(); st.minCnt = 1
               st.maxKey = st.minKey; st.maxCnt = 1
+              st.nDistinct = 1
             } else {
               val cMin = ord.compare(ok, st.minKey)
               if (cMin < 0) { st.minKey = ok.copy(); st.minCnt = 1 }
               else {
                 if (cMin == 0) st.minCnt += 1
                 val cMax = ord.compare(ok, st.maxKey)
-                if (cMax > 0) { st.maxKey = ok.copy(); st.maxCnt = 1 }
+                // on the sorted pass-1 input dense_rank requires,
+                // cMax > 0 ⇔ a key CHANGE — one new distinct key
+                if (cMax > 0) { st.maxKey = ok.copy(); st.maxCnt = 1; st.nDistinct += 1 }
                 else if (cMax == 0) st.maxCnt += 1
               }
             }
@@ -271,11 +290,12 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     // trailing peer runs across partitions (single-key partitions
     // extend the chain).
     val offsets: Map[(Int, InternalRow), GroupOffsets] = {
-      val ord = if (needRank) keyOrdering else null
+      val ord = if (needKeys) keyOrdering else null
       final class Running {
         val sums = new Array[Long](nFuncs)
         val any = new Array[Boolean](nFuncs)
         var rows = 0L
+        var dense = 0L
         var trailKey: UnsafeRow = null
         var trailCnt = 0L
       }
@@ -284,21 +304,25 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
       totals.sortBy(_._1).foreach { case (pid, groups) =>
         groups.foreach { case (k, st) =>
           val r = runningMap.getOrElseUpdate(k, new Running)
-          val lead =
-            if (needRank && r.trailKey != null &&
-              ord.compare(st.minKey, r.trailKey) == 0) r.trailCnt
-            else 0L
+          // does this partition's first key continue the previous
+          // partition's trailing peer run?
+          val contFirst = needKeys && r.trailKey != null &&
+            ord.compare(st.minKey, r.trailKey) == 0
+          val lead = if (needRank && contFirst) r.trailCnt else 0L
           out += ((pid, k) -> new GroupOffsets(r.sums.clone(), r.any.clone(),
-            r.rows, lead))
+            r.rows, lead, r.dense, contFirst))
           var i = 0
           while (i < nFuncs) {
             r.sums(i) += st.sums(i); r.any(i) |= st.any(i); i += 1
           }
           r.rows += st.count
-          if (needRank) {
+          if (needKeys) {
             val singleKey = ord.compare(st.minKey, st.maxKey) == 0
             r.trailCnt = st.maxCnt + (if (singleKey) lead else 0L)
             r.trailKey = st.maxKey
+            // a boundary-spanning key counted in BOTH partitions'
+            // nDistinct counts once globally
+            r.dense += st.nDistinct - (if (contFirst) 1L else 0L)
           }
         }
       }
@@ -320,8 +344,8 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     // once per (partition, group), not per row
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(boundPart)
-      val oProj = if (needRank) UnsafeProjection.create(orderExprs) else null
-      val ord = if (needRank) keyOrdering else null
+      val oProj = if (needKeys) UnsafeProjection.create(orderExprs) else null
+      val ord = if (needKeys) keyOrdering else null
       val joined = new JoinedRow
       val outRow = new GenericInternalRow(nFuncs)
       var curKey: UnsafeRow = null
@@ -331,26 +355,29 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
       var localCount = 0L
       var runKey: UnsafeRow = null
       var curRank = 0L
+      var curDense = 0L
       it.map { row =>
         val k = proj(row)
         if (curKey == null || k != curKey) {
           curKey = k.copy()
           off = bcOff.value.getOrElse((pid, curKey: InternalRow),
             new GroupOffsets(new Array[Long](nFuncs),
-              new Array[Boolean](nFuncs), 0L, 0L))
+              new Array[Boolean](nFuncs), 0L, 0L, 0L, false))
           java.util.Arrays.fill(runSums, 0L)
           java.util.Arrays.fill(localAny, false)
           localCount = 0L
           runKey = null
         }
         localCount += 1
-        if (needRank) {
+        if (needKeys) {
           val ok = oProj(row)
           if (runKey == null) {
             curRank = off.rows - off.lead + 1
+            curDense = off.denseBefore + (if (off.contFirst) 0L else 1L)
             runKey = ok.copy()
           } else if (ord.compare(ok, runKey) != 0) {
             curRank = off.rows + localCount
+            curDense += 1L
             runKey = ok.copy()
           }
         }
@@ -369,6 +396,9 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
             case RankedKind.RRank =>
               if (intOut(i)) outRow.update(i, curRank.toInt)
               else outRow.update(i, curRank)
+            case RankedKind.RDenseRank =>
+              if (intOut(i)) outRow.update(i, curDense.toInt)
+              else outRow.update(i, curDense)
           }
           i += 1
         }
@@ -392,9 +422,14 @@ object RankedPrefixSumExec {
     var minCnt = 0L
     var maxKey: UnsafeRow = null
     var maxCnt = 0L
+    /** distinct order keys in this partition's group segment — valid
+      * only when pass 1 ran on the SORTED child (dense_rank mode). */
+    var nDistinct = 0L
   }
   private[plans] final class GroupOffsets(val sums: Array[Long],
                                           val anyPrior: Array[Boolean],
-                                          val rows: Long, val lead: Long)
+                                          val rows: Long, val lead: Long,
+                                          val denseBefore: Long,
+                                          val contFirst: Boolean)
       extends Serializable
 }

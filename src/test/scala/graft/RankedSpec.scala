@@ -216,6 +216,41 @@ class RankedSpec extends SparkSpec {
     assert(got2.forall(_._2 === 1))
   }
 
+  test("autoRewrite handles dense_rank() exactly across partition boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // 7 distinct order values over 30000 rows: every range boundary
+    // splits a key run, so the once-per-key boundary merge in the
+    // driver chain is load-bearing
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(2)}", rnd.nextInt(7).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "row_id")
+    val spec = Window.partitionBy("k").orderBy("pos")
+    def q = df.select(col("row_id"),
+      dense_rank().over(spec).as("drk"), rank().over(spec).as("rk"),
+      row_number().over(spec).as("rn"))
+    val (planned, got) = withRule(on = true) {
+      (hasRankedExec(q), q.as[(Long, Int, Int, Int)].collect().sortBy(_._1))
+    }
+    assert(planned, "expected RankedPrefixSumExec for dense_rank")
+    val want = withRule(on = false)(
+      q.as[(Long, Int, Int, Int)].collect().sortBy(_._1))
+    assert(got.toSeq === want.toSeq)
+    // single-key group: dense_rank 1 everywhere regardless of boundaries
+    val flat = (0 until 5000).map(i => ("only", 42L, i.toLong))
+      .toDF("k", "pos", "row_id")
+    def q2 = flat.select(col("row_id"), dense_rank().over(spec).as("drk"))
+    val got2 = withRule(on = true)(q2.as[(Long, Int)].collect())
+    assert(got2.forall(_._2 === 1))
+    // keyless dense_rank: a global distinct-value ranking
+    val kspec = Window.orderBy("pos")
+    def q3 = df.select(col("row_id"), dense_rank().over(kspec).as("drk"))
+    val got3 = withRule(on = true)(q3.as[(Long, Int)].collect().sortBy(_._1))
+    val want3 = withRule(on = false)(q3.as[(Long, Int)].collect().sortBy(_._1))
+    assert(got3.toSeq === want3.toSeq)
+  }
+
   test("autoRewrite handles rank + row_number + sum in one window node") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
