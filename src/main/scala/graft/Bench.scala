@@ -239,7 +239,13 @@ object Bench {
     }
     val suspectQueries = results.filter(r =>
       probeMedian > 0 && r.probe > 1.5 * probeMedian)
-    if (suspectQueries.nonEmpty)
+    // localized flags stay per-query (suspect_queries below names them
+    // and their numbers are individually untrustworthy); the RUN-level
+    // flag fires only when the contention is widespread — ambient
+    // micro-bursts hit 1-2 random sub-second probes on an otherwise
+    // healthy machine, and flipping the whole artifact on those buries
+    // the signal the per-query probes exist to localize
+    if (suspectQueries.length > math.max(2, results.size / 10))
       reasons += s"${suspectQueries.length} queries probed >1.5x the median " +
         f"probe ($probeMedian%.3fs): " +
         suspectQueries.map(r => f"${r.name} (${r.probe / probeMedian}%.1fx)")
