@@ -333,6 +333,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(plan).nonEmpty, plan)
   }
 
+  test("selection operators broadcast their models — the corpus never shuffles for scoring") {
+    // DSIR: the 4096-bucket log-ratio model joins onto the token
+    // stream as a broadcast; the only exchanges are the bucket-stat
+    // aggregation and the per-doc aggregation
+    // (the doc-granular keep join may legitimately shuffle — the kept
+    // list is ~20% of docs, not broadcastable at scale — but no
+    // TOKEN-level key may reach a shuffle join)
+    def noTokenShuffleJoin(plan: String, keys: Seq[String]): Unit =
+      keys.foreach { k =>
+        assert(s"SortMergeJoin \\[$k".r.findFirstIn(plan).isEmpty &&
+          s"ShuffledHashJoin \\[$k".r.findFirstIn(plan).isEmpty,
+          s"token-level key $k reached a shuffle join:\n$plan")
+      }
+    val dsir = planOf(graft.queries.Corpus.qDsirScore(spark, sf))
+    assert(!dsir.contains("CartesianProduct"), dsir)
+    assert("BroadcastHashJoin \\[b".r.findFirstIn(dsir).isDefined,
+      s"DSIR model join must broadcast:\n$dsir")
+    noTokenShuffleJoin(dsir, Seq("b"))
+    // LM perplexity: bigram + unigram model tables broadcast (the
+    // target set is fixed-size — the P54 bounded-broadcast argument)
+    val ppl = planOf(graft.queries.Corpus.qLmPerplexity(spark, sf))
+    assert(!ppl.contains("CartesianProduct"), ppl)
+    assert("BroadcastHashJoin \\[bigram".r.findFirstIn(ppl).isDefined,
+      s"bigram model join must broadcast:\n$ppl")
+    assert("BroadcastHashJoin \\[ctx".r.findFirstIn(ppl).isDefined,
+      s"unigram model join must broadcast:\n$ppl")
+    noTokenShuffleJoin(ppl, Seq("bigram", "ctx"))
+  }
+
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
     val plan = planOf(graft.queries.CorpusStats.qCharTrigrams(spark, sf))
     // the 1-row-per-char stream must carry packed longs (kernel), not
