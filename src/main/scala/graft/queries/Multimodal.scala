@@ -232,11 +232,55 @@ object Multimodal {
        |ORDER BY doc_id, frame_no""".stripMargin
   }
 
+  // -------------------------------------------------- P11c thumbnails
+  /** Gated resize planning: aspect-fit every image into a 64×64 box —
+    * the geometry a thumbnailing pass computes, in PURE INTEGER
+    * arithmetic off the REAL header parse (the oracle only matches if
+    * the built containers parse back), with the pixel resample itself
+    * the documented stub (thumb_sig = the shared md5-walk hash of the
+    * planned geometry).  Scale shape: scalar scan-stage math — the
+    * payload is projected away right after the header parse, exactly
+    * where a real resizer would hand off to its pixel kernel. */
+  def qThumbnail(s: SparkSession, d: String): DataFrame =
+    decodeMeta(s, mediaPayloads(s, d))
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"))
+      .withColumn("thumb_w",
+        expr("greatest(1L, (width * 64) DIV greatest(width, height))"))
+      .withColumn("thumb_h",
+        expr("greatest(1L, (height * 64) DIV greatest(width, height))"))
+      .withColumn("thumb_sig", expr(
+        "graft_hash32(concat(CAST(doc_id AS STRING), 'x', " +
+          "CAST(thumb_w AS STRING), 'x', CAST(thumb_h AS STRING)))"))
+      .select("doc_id", "fmt", "width", "height", "thumb_w", "thumb_h", "thumb_sig")
+      .orderBy("doc_id")
+
+  val qThumbnailSql: String = {
+    val sig = Pipeline.duckHash32(
+      "CAST(doc_id AS VARCHAR) || 'x' || CAST(thumb_w AS VARCHAR) || 'x' || CAST(thumb_h AS VARCHAR)")
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+       |         ELSE 'webp' END AS fmt,
+       |    CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       |    CAST(doc_id % 480 + 1 AS BIGINT) AS height
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, fmt, width, height,
+       |    GREATEST(1, (width * 64) // GREATEST(width, height)) AS thumb_w,
+       |    GREATEST(1, (height * 64) // GREATEST(width, height)) AS thumb_h
+       |  FROM dims
+       |)
+       |SELECT doc_id, fmt, width, height, thumb_w, thumb_h, $sig AS thumb_sig
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_frame_sample" -> (qFrameSample _))
+    "q_frame_sample" -> (qFrameSample _),
+    "q_thumbnail" -> (qThumbnail _))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_frame_sample" -> qFrameSampleSql)
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_thumbnail" -> qThumbnailSql)
 }
