@@ -1212,12 +1212,21 @@ object GraftFunctions {
       var j = i
       while (j < n && s.charAt(j) != ' ') j += 1
       if (j > i) {
-        val wlen = j - i
-        if (wlen + 1 > buf.length) buf = new Array[String](wlen + 1)
-        var k = 0
-        while (k < wlen) { buf(k) = String.valueOf(s.charAt(i + k)); k += 1 }
-        buf(wlen) = "</w>"
-        var cnt = wlen + 1
+        // split by CODE POINT, not UTF-16 unit: Spark's length()/
+        // substring() count code points, so the HOF form this kernel
+        // replaces yields one symbol per code point (an astral char is
+        // ONE symbol, not a surrogate pair)
+        if (j - i + 1 > buf.length) buf = new Array[String](j - i + 1)
+        var k = i
+        var cnt = 0
+        while (k < j) {
+          val cp = s.codePointAt(k)
+          buf(cnt) = new String(Character.toChars(cp))
+          cnt += 1
+          k += Character.charCount(cp)
+        }
+        buf(cnt) = "</w>"
+        cnt += 1
         pre += cnt
         m = 0
         while (m < nm) {

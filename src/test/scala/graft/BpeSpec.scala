@@ -110,7 +110,11 @@ class BpeSpec extends SparkSpec {
     val merges = Seq(("e", "r"), ("e", "</w>"), ("er", "</w>"), ("a", "a"))
     val flat = merges.flatMap(m => Seq(m._1, m._2))
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-      .union(Seq((90001L, ""), (90002L, "  aaa  x  "), (90003L, "er er")
+      .union(Seq((90001L, ""), (90002L, "  aaa  x  "), (90003L, "er er"),
+        // astral code points: Spark length()/substring() count CODE
+        // POINTS, so the fused kernel must yield one symbol per 😀,
+        // never a surrogate half
+        (90004L, "a😀b 😀😀")
         ).toDF("doc_id", "text"))
     val explicitBase = docs
       .select(col("doc_id"), expr(
