@@ -80,6 +80,33 @@ class StreamTokenBudgetSpec extends SparkSpec {
     assert(want.values.map(_._2).max > 0, "budget too large — single shard")
   }
 
+  test("property: arbitrary micro-batch splits cannot move a shard boundary") {
+    val sq = spark
+    import sq.implicits._
+    val rows = Tables.documents(spark, "/root/testdata/sf0.01")
+      .orderBy("doc_id").limit(60)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val docs = rows.zipWithIndex.map { case ((id, lang, t), i) =>
+      Doc(id, lang, t, base + i * min_)
+    }
+    val n = tokCounts(docs.toSeq)
+    val budget = 800L
+    val want = oracle(docs.map(d => (d.doc_id, d.lang, n(d.doc_id))).toSeq, budget)
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random partition into 3 batches, each internally shuffled —
+      // any doc may arrive in any batch (disorder bounded only by the
+      // generous watermark delay)
+      val assigned = docs.map(d => (d, rnd.nextInt(3)))
+      val batches = (0 until 3).map(b =>
+        rnd.shuffle(assigned.filter(_._2 == b).map(_._1).toSeq)) :+
+        Seq(Doc(9999999L, "zz", "mover", base + 9000 * min_))
+      val got = runStream(s"stb_prop_$seed", batches, budget, "3000 minutes")
+        .view.filterKeys(_ < 9999999L).toMap
+      assert(got === want, s"seed $seed diverged from the batch packing")
+    }
+  }
+
   test("per-lang running totals persist across quiet batches") {
     val docs = Seq(
       Doc(1, "en", "a b c d", base),
