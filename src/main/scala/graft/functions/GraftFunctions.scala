@@ -1190,7 +1190,10 @@ object GraftFunctions {
   }
 
   def bpeStats(text: UTF8String, merges: ArrayData): ArrayData = {
-    val s = text.toString.toLowerCase
+    // identical to SQL lower() regardless of JVM default locale:
+    // UTF8String.toLowerCase (ADVICE r10 — toString.toLowerCase would
+    // take the Turkish dotless-ı path under tr_TR)
+    val s = text.toLowerCase.toString
     val nm = merges.numElements() / 2
     val ls = new Array[String](nm)
     val rs = new Array[String](nm)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Coalesce, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Coalesce, Descending, Literal, SortOrder}
 import org.apache.spark.sql.types.LongType
 
 import graft.plans.{RankedKind, RankedPrefixSum}
@@ -58,6 +58,31 @@ object Ranked {
       orderCols.map(c => SortOrder(attr(c), Ascending)),
       Seq(RankedKind.RSum),
       Seq(if (delta.nullable) Coalesce(Seq(delta, Literal(0L))) else delta),
+      Seq(AttributeReference(outCol, LongType, nullable = false)()),
+      plan)
+    org.apache.spark.sql.classic.GraftDatasetAccess.ofRows(df.sparkSession, node)
+  }
+
+  /** Append `outCol` = `row_number() OVER (PARTITION BY part ORDER BY
+    * order)` as BIGINT, parallel in cores rather than groups — the
+    * keyless (empty `partCols`) form is the only distributed shape of
+    * a GLOBAL ranking: `Window.orderBy(...)` serializes every row
+    * onto one task.  `orderCols` carries per-column direction
+    * (`(name, desc)`); ties take the window's arbitrary order, so
+    * pass a tie-breaking unique column for determinism. */
+  def rowNumber(df: DataFrame, partCols: Seq[String],
+                orderCols: Seq[(String, Boolean)], outCol: String): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val node = RankedPrefixSum(
+      partCols.map(attr),
+      orderCols.map { case (c, desc) =>
+        SortOrder(attr(c), if (desc) Descending else Ascending)
+      },
+      Seq(RankedKind.RRowNumber),
+      Seq(Literal(1L)),
       Seq(AttributeReference(outCol, LongType, nullable = false)()),
       plan)
     org.apache.spark.sql.classic.GraftDatasetAccess.ofRows(df.sparkSession, node)

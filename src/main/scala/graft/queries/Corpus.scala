@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Ranked
 
 /** Corpus-level statistics and hygiene operators that round out the
   * training-data pipeline surface (SURVEY §2.3): TF-IDF term scoring,
@@ -23,6 +24,51 @@ object Corpus {
     "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
   private[queries] val duckTokCount =
     "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+
+  // ------------------------------------------------ shared exact ln tree
+  // ADVICE r10: JVM and libm ln() differ in the last ulp, so any gate
+  // of the form FLOOR(1e6·ln(x) + 0.5) can flip by one micro-unit
+  // nondeterministically across platforms/libm versions.  P61/P62
+  // therefore evaluate ln through ONE shared expression tree instead
+  // of each engine's libm: e = floor(log2 n) is the EXACT binary
+  // digit count (`length(bin(n)) - 1` — no leading zeros in either
+  // engine), and the mantissa contribution rides the artanh series
+  //   ln(n) = e·ln2 + 2(t + t³/3 + t⁵/5 + t⁷/7 + t⁹/9 + t¹¹/11),
+  //   t = (n − 2^e)/(n + 2^e) ∈ [0, 1/3),
+  // in which EVERY operation is an exactly-rounded IEEE add/sub/mul/
+  // div over identical operands — Spark and DuckDB produce
+  // bit-identical doubles by the IEEE-754 correctly-rounded-ops
+  // guarantee, with no transcendental anywhere.  ln2 and the series
+  // coefficients are ≤17-significant-digit literals, which parse to
+  // the same double in both engines (correctly rounded decimal→binary
+  // conversion).  Truncation error ≤ 2·(1/3)¹³/13 ≈ 1.2e-7, i.e. the
+  // micro-unit results are within ~0.2 of the true rounded ln —
+  // deterministically, on both sides.
+
+  /** The shared ln(n) tree over a POSITIVE BIGINT SQL expression.
+    * `duck` switches the one spelling difference (DuckDB `<<` vs
+    * Spark `shiftleft`) — the VALUE trees are identical. */
+  private def lnTree(n: String, duck: Boolean): String = {
+    val e = s"(length(bin($n)) - 1)"
+    val p = if (duck) s"(CAST(1 AS BIGINT) << $e)"
+            else s"shiftleft(CAST(1 AS BIGINT), $e)"
+    val a = s"CAST($n AS DOUBLE)"
+    val pd = s"CAST($p AS DOUBLE)"
+    val t = s"(($a - $pd) / ($a + $pd))"
+    val t2 = s"($t * $t)"
+    s"(CAST($e AS DOUBLE) * 0.6931471805599453 + $t * (2.0 + $t2 * " +
+      s"(0.6666666666666666 + $t2 * (0.4 + $t2 * (0.2857142857142857 + $t2 * " +
+      s"(0.2222222222222222 + $t2 * 0.18181818181818182))))))"
+  }
+
+  /** round(1e6·ln(num/den)) in integer micro-units (num, den positive
+    * BIGINT expressions), deterministic across engines. */
+  private[queries] def microLnRatio(num: String, den: String, duck: Boolean): String =
+    s"CAST(FLOOR(1000000.0 * (${lnTree(num, duck)} - ${lnTree(den, duck)}) + 0.5) AS BIGINT)"
+
+  /** round(1e6·ln(n)) for a single positive BIGINT expression. */
+  private[queries] def microLn(n: String, duck: Boolean): String =
+    s"CAST(FLOOR(1000000.0 * ${lnTree(n, duck)} + 0.5) AS BIGINT)"
 
   // ------------------------------------------------------------ tf-idf
   // Top-3 TF-IDF terms per document — the keyword-extraction /
@@ -130,13 +176,14 @@ object Corpus {
   // smoothed bag-of-hashed-ngrams models, the importance weight DSIR
   // resamples by.  The target set reuses the P20/P54 eval convention
   // (graft_hash32(text) % 20 = 0).  Engine exactness: the per-bucket
-  // log-ratio is fixed to integer MICRO-UNITS first (one ln over a
-  // ratio of exact-integer products — exact doubles while per-bucket
-  // counts × corpus tokens < 2⁵³, i.e. far past gate scale; beyond
-  // that split into per-term rounded lns), so per-doc scores are
-  // order-free BIGINT sums.  Scale shape: one token scan feeds the
-  // 4096-row bucket stats AND the per-doc sum (checkpoint barrier);
-  // the model is a broadcast — scoring is scan-local + one doc agg.
+  // log-ratio is fixed to integer MICRO-UNITS through the shared
+  // exact ln tree above (r11 — no libm ln anywhere; the BIGINT
+  // products stay exact while per-bucket counts × corpus tokens
+  // < 2⁶³, far past gate scale; beyond that split into per-term
+  // rounded lns as P62 does), so per-doc scores are order-free BIGINT
+  // sums.  Scale shape: one token scan feeds the 4096-row bucket
+  // stats AND the per-doc sum (checkpoint barrier); the model is a
+  // broadcast — scoring is scan-local + one doc agg.
   private val DsirBuckets = 4096
 
   def qDsirScore(s: SparkSession, d: String): DataFrame = {
@@ -155,9 +202,9 @@ object Corpus {
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = stats.crossJoin(broadcast(totals))
-      .withColumn("lr_u", expr(
-        s"CAST(FLOOR(1000000.0 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)" +
-          s" / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .withColumn("lr_u", expr(microLnRatio(
+        s"(ct + 1) * (nr + $DsirBuckets)",
+        s"(cr + 1) * (nt + $DsirBuckets)", duck = false)))
       .select("b", "lr_u")
     val scored = toks.join(broadcast(lr), "b")
       .groupBy("doc_id", "is_target")
@@ -165,15 +212,16 @@ object Corpus {
     // DSIR resamples by RELATIVE weight — the absolute sign carries
     // the smoothing asymmetry (V >> N_target drags every log-ratio
     // down), so the keep gate is rank-based: top 20% of raw docs by
-    // score (nearest-rank, deterministic doc_id tie-break).  The
-    // ranking window is over DOC rows, not tokens; at 100 TB the
-    // threshold would come from a P21-style quantile (or the keyless
-    // RankedPrefixSum) instead of a single-task sort.
+    // score (nearest-rank, deterministic doc_id tie-break).  r11: the
+    // ranking runs on the keyless RankedPrefixSum (VERDICT r10 item
+    // 1) — a partition-less row_number() window serializes every doc
+    // row onto ONE task, while the ranked operator range-partitions
+    // the sort across every core and stitches with a one-long-per-
+    // task offset table.
     val raws = scored.filter(!col("is_target"))
     val k = raws.agg(expr("count(1) DIV 5").as("k"))
-    val rw = Window.orderBy(desc("score_u"), col("doc_id"))
-    val kept = raws
-      .withColumn("rk", row_number().over(rw).cast("bigint"))
+    val kept = Ranked
+      .rowNumber(raws, Seq(), Seq(("score_u", true), ("doc_id", false)), "rk")
       .crossJoin(broadcast(k))
       .filter(col("rk") <= col("k"))
       .select(col("doc_id"), lit(true).as("keep"))
@@ -203,9 +251,8 @@ object Corpus {
        |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
        |  FROM st
        |), lr AS (
-       |  SELECT b, CAST(FLOOR(1000000.0 *
-       |    ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
-       |       / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) + 0.5) AS BIGINT)
+       |  SELECT b, ${microLnRatio(s"(ct + 1) * (nr + $DsirBuckets)",
+                                   s"(cr + 1) * (nt + $DsirBuckets)", duck = true)}
        |    AS lr_u
        |  FROM st CROSS JOIN tot
        |)
@@ -233,9 +280,12 @@ object Corpus {
   // smoothed BIGRAM model trained on the target subset (the P20/P54
   // eval-hash convention), keep the lowest-perplexity 20% of raw docs
   // — the head/middle/tail split CCNet makes with its wiki LM.
-  // Exactness: per-bigram NLL is one ln over a ratio of exact-integer
-  // counts, fixed to integer MICRO-NATS before the per-doc sum
-  // (order-free BIGINT); mean = truncating integer division (both
+  // Exactness (r11): the per-bigram NLL is the difference of two
+  // PER-TERM rounded micro-nat lns — round(1e6·ln(ca+v)) −
+  // round(1e6·ln(cab+1)), each through the shared exact ln tree (no
+  // libm) and each attached to its BROADCAST MODEL row, so the token
+  // stream itself does pure integer subtraction; per-doc sums are
+  // order-free BIGINT; mean = truncating integer division (both
   // operands non-negative, so Spark DIV ≡ DuckDB //).  Scale shape:
   // the model is trained on the FIXED-SIZE target set (the P54
   // bounded-broadcast argument — a benchmark-suite-sized corpus), so
@@ -252,24 +302,33 @@ object Corpus {
     val big = docs.filter(col("is_target"))
       .select(explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cab"))
+    // the ln work lives on the model frames (|vocab| + |bigrams|
+    // rows, fixed-size), never on the exploded token stream
+    val uniLn = uni.crossJoin(broadcast(vocab))
+      .select(col("w").as("ctx"),
+        expr(microLn("ca + v", duck = false)).as("lnden_u"))
+    val lnv = vocab.select(expr(microLn("v", duck = false)).as("lnv_u"))
+    val bigLn = big.select(col("bigram"),
+      expr(microLn("cab + 1", duck = false)).as("lnnum_u"))
     val scored = docs
       .select(col("doc_id"), col("is_target"),
         explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))
       .withColumn("ctx", expr("substring_index(bigram, ' ', 1)"))
-      .join(broadcast(big), Seq("bigram"), "left")
-      .join(broadcast(uni.withColumnRenamed("w", "ctx")), Seq("ctx"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(broadcast(bigLn), Seq("bigram"), "left")
+      .join(broadcast(uniLn), Seq("ctx"), "left")
+      .crossJoin(broadcast(lnv))
+      // unseen ctx → den = v (Laplace base); unseen bigram → num = 1,
+      // ln 1 = 0 — pure BIGINT arithmetic on the stream
       .withColumn("b_nll_u", expr(
-        "CAST(FLOOR(-1000000.0 * ln(CAST(coalesce(cab, 0) + 1 AS DOUBLE) " +
-          "/ CAST(coalesce(ca, 0) + v AS DOUBLE)) + 0.5) AS BIGINT)"))
+        "coalesce(lnden_u, lnv_u) - coalesce(lnnum_u, CAST(0 AS BIGINT))"))
       .groupBy("doc_id", "is_target")
       .agg(count(lit(1)).as("n_big"), sum("b_nll_u").as("nll_u"))
       .withColumn("mnll_u", expr("nll_u DIV n_big"))
+    // r11: keyless RankedPrefixSum gate (see qDsirScore)
     val raws = scored.filter(!col("is_target"))
     val k = raws.agg(expr("count(1) DIV 5").as("k"))
-    val rw = Window.orderBy(col("mnll_u"), col("doc_id"))
-    val kept = raws
-      .withColumn("rk", row_number().over(rw).cast("bigint"))
+    val kept = Ranked
+      .rowNumber(raws, Seq(), Seq(("mnll_u", false), ("doc_id", false)), "rk")
       .crossJoin(broadcast(k))
       .filter(col("rk") <= col("k"))
       .select(col("doc_id"), lit(true).as("keep"))
@@ -296,6 +355,14 @@ object Corpus {
        |      i -> t[i] || ' ' || t[i + 1])) AS bigram
        |    FROM docs WHERE is_target AND len(t) >= 2)
        |  GROUP BY bigram
+       |), unil AS (
+       |  SELECT w, ${microLn("ca + v", duck = true)} AS lnden_u
+       |  FROM uni CROSS JOIN voc
+       |), bigl AS (
+       |  SELECT bigram, ${microLn("cab + 1", duck = true)} AS lnnum_u
+       |  FROM big
+       |), lnv AS (
+       |  SELECT ${microLn("v", duck = true)} AS lnv_u FROM voc
        |), db AS (
        |  SELECT doc_id, is_target,
        |    unnest(list_transform(generate_series(1, len(t) - 1),
@@ -303,11 +370,10 @@ object Corpus {
        |  FROM docs WHERE len(t) >= 2
        |), sb AS (
        |  SELECT db.doc_id, db.is_target,
-       |    CAST(FLOOR(-1000000.0 * ln(CAST(COALESCE(big.cab, 0) + 1 AS DOUBLE)
-       |      / CAST(COALESCE(uni.ca, 0) + (SELECT v FROM voc) AS DOUBLE)) + 0.5)
-       |      AS BIGINT) AS b_nll_u
-       |  FROM db LEFT JOIN big USING (bigram)
-       |    LEFT JOIN uni ON uni.w = split_part(db.bigram, ' ', 1)
+       |    COALESCE(unil.lnden_u, (SELECT lnv_u FROM lnv))
+       |      - COALESCE(bigl.lnnum_u, CAST(0 AS BIGINT)) AS b_nll_u
+       |  FROM db LEFT JOIN bigl USING (bigram)
+       |    LEFT JOIN unil ON unil.w = split_part(db.bigram, ' ', 1)
        |), scored AS (
        |  SELECT doc_id, is_target, CAST(COUNT(*) AS BIGINT) AS n_big,
        |    CAST(SUM(b_nll_u) AS BIGINT) AS nll_u

@@ -134,8 +134,13 @@ object Packing {
         "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), " +
           "array('</w>'))"))
 
-  /** Frequency-weighted adjacent-pair counts of a vocab frame. */
+  /** Frequency-weighted adjacent-pair counts of a vocab frame.
+    * Words collapsed to a single symbol carry no pairs — and must be
+    * filtered BEFORE the transform: sequence(1, 0) is a DESCENDING
+    * [1, 0] in Spark, so the unguarded expression faults on
+    * element_at(syms, 0) (caught by the r11 dry-corpus spec). */
   private def pairCounts(v: DataFrame): DataFrame = v
+    .filter(size(col("syms")) >= 2)
     .select(col("freq"), explode(expr(
       "transform(sequence(1, size(syms) - 1), i -> " +
         "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
@@ -169,14 +174,17 @@ object Packing {
   // -------------------------------------------------------------- P59b
   // Distributed BPE merge learning (Sennrich et al. ACL'16): k rounds
   // of [count pairs over the vocab → take the top pair → apply the
-  // merge].  The driver collects ONE row per round (the argmax — a
-  // few bytes); the merge application is the codegen
-  // `graft_bpe_apply` kernel over the vocab frame, localCheckpoint'd
-  // per round so round r's plan does not re-run rounds 1..r-1.
-  // Deterministic: top pair ties break on (tok_l, tok_r).  Not
-  // SQL-expressible (each round's merge is a data-dependent global
-  // argmax feeding a greedy sequential rewrite) → gated by BpeSpec's
-  // reference-implementation parity instead of a DuckDB oracle.
+  // merge].  The driver collects ONE tiny argmax frame per round (≤
+  // `batch` rows — a few bytes); the merge application is the fused
+  // codegen `graft_bpe_encode` kernel over the vocab frame,
+  // localCheckpoint'd per round so round r's plan does not re-run
+  // rounds 1..r-1.  Deterministic: top-pair ties break on
+  // (tok_l, tok_r).  r11: SQL-expressible after all — the oracle
+  // below unrolls the 6 rounds as materialized DuckDB CTEs (argmax
+  // via ORDER BY … LIMIT 1; the greedy left-to-right non-overlapping
+  // merge via a gaps-and-islands parity over match runs), so
+  // q_bpe_train is hash-gated like every other key, on top of the
+  // BpeSpec reference parity.
   private val BpeRounds = 6
 
   def qBpeTrain(s: SparkSession, d: String): DataFrame = {
@@ -184,27 +192,107 @@ object Packing {
     learnMerges(s, d).toDF("step", "tok_l", "tok_r", "freq")
   }
 
-  /** The k-round driver loop shared by train/encode: per round ONE
-    * pair-count aggregate over the vocab frame, a 1-row argmax
-    * collect, and a codegen merge pass, localCheckpoint'd so round r
-    * never re-runs rounds 1..r-1. */
-  private def learnMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+  /** The driver loop shared by train/encode: per round ONE pair-count
+    * aggregate over the vocab frame, a ≤`batch`-row arg-top-N
+    * collect, and one fused codegen merge pass over the vocab,
+    * localCheckpoint'd so round r never re-runs rounds 1..r-1.
+    *
+    * `batch` > 1 is the standard distributed approximation a
+    * production 32k-merge train uses (k/N driver rounds): the top N
+    * pairs are picked from the PRE-batch counts and applied
+    * sequentially in picked order — a later pick whose symbols were
+    * partly consumed by an earlier pick in the same batch still
+    * applies literally, so the learned sequence can deviate from
+    * strict Sennrich order (batch=1 reproduces it exactly —
+    * spec-pinned).  If no pair remains (empty corpus, or every word
+    * collapsed to a single symbol — ADVICE r10), the loop stops and
+    * returns the merges learned so far. */
+  private[graft] def learnMerges(s: SparkSession, d: String, batch: Int = 1,
+                                 rounds: Int = BpeRounds): Seq[(Long, String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var v = vocab(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to BpeRounds) {
+    var step = 0
+    var dry = false
+    while (step < rounds && !dry) {
       val top = pairCounts(v)
-        .orderBy(desc("cnt"), col("tok_l"), col("tok_r")).limit(1)
-        .collect()(0)
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step.toLong, l, r, c))
-      val next = v.withColumn("syms",
-        call_function("graft_bpe_apply", col("syms"), lit(l), lit(r)))
-        .localCheckpoint()
-      v.unpersist()
-      v = next
+        .orderBy(desc("cnt"), col("tok_l"), col("tok_r"))
+        .limit(math.min(batch, rounds - step))
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        top.foreach { row =>
+          step += 1
+          merges += ((step.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        }
+        val flat = top.toSeq.flatMap(r => Seq(r.getString(0), r.getString(1)))
+        val next = v.withColumn("syms",
+          call_function("graft_bpe_encode", col("syms"), array(flat.map(lit): _*)))
+          .localCheckpoint()
+        v.unpersist()
+        v = next
+      }
     }
     v.unpersist()
     merges.result()
+  }
+
+  /** DuckDB oracle for q_bpe_train: the 6 rounds unrolled as
+    * MATERIALIZED CTEs (without materialization the v→t→v chain
+    * re-inlines exponentially).  Round r: `t{r}` is the (cnt DESC,
+    * tok_l, tok_r) argmax of weighted adjacent-pair counts over
+    * `v{r-1}`; `v{r}` applies the merge greedily left-to-right
+    * non-overlapping — match runs are grouped gaps-and-islands style
+    * and positions at EVEN offset within their run merge (leftmost
+    * wins), consumed right halves drop via LAG. */
+  val qBpeTrainSql: String = {
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT word, freq, list_append(list_transform(range(length(word)),
+         |    i -> substr(word, CAST(i + 1 AS INT), 1)), '</w>') AS syms
+         |  FROM (
+         |    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |      SELECT unnest(${Pipeline.duckTok}) AS word FROM documents)
+         |    WHERE word <> '' GROUP BY word)
+         |)""".stripMargin
+    val roundCtes = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""t$r AS MATERIALIZED (
+         |  SELECT pr.l AS tok_l, pr.r AS tok_r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(range(len(syms) - 1),
+         |    i -> {'l': syms[CAST(i + 1 AS INT)], 'r': syms[CAST(i + 2 AS INT)]})) AS pr
+         |    FROM v$p)
+         |  GROUP BY pr.l, pr.r
+         |  ORDER BY cnt DESC, tok_l, tok_r LIMIT 1
+         |),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list(CASE WHEN do_merge THEN s || (SELECT tok_r FROM t$r) ELSE s END
+         |         ORDER BY i) AS syms
+         |  FROM (
+         |    SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i),
+         |                       FALSE) AS consumed
+         |    FROM (
+         |      SELECT word, freq, i, s, m,
+         |        CASE WHEN m THEN (i - MIN(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
+         |             ELSE FALSE END AS do_merge
+         |      FROM (
+         |        SELECT word, freq, i, s, m,
+         |          i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS grp
+         |        FROM (
+         |          SELECT word, freq, i, syms[CAST(i AS INT)] AS s,
+         |            (i < len(syms) AND syms[CAST(i AS INT)] = (SELECT tok_l FROM t$r)
+         |               AND syms[CAST(i + 1 AS INT)] = (SELECT tok_r FROM t$r)) AS m
+         |          FROM (SELECT word, freq, syms,
+         |                  unnest(range(1, len(syms) + 1)) AS i FROM v$p)))))
+         |  WHERE NOT consumed
+         |  GROUP BY word, freq
+         |)""".stripMargin
+    }
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, tok_l, tok_r, cnt AS freq FROM t$r")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (v0 +: roundCtes).mkString(",\n") + "\n" + sel + "\nORDER BY step"
   }
 
   // -------------------------------------------------------------- P59c
@@ -246,5 +334,6 @@ object Packing {
   val oracle: Map[String, String] = Map(
     "q_pack_sequences" -> qPackSequencesSql,
     "q_pack_windows" -> qPackWindowsSql,
-    "q_bpe_pairs" -> qBpePairsSql)
+    "q_bpe_pairs" -> qBpePairsSql,
+    "q_bpe_train" -> qBpeTrainSql)
 }

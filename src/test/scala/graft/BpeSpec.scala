@@ -137,19 +137,17 @@ class BpeSpec extends SparkSpec {
   /** Straightforward in-memory BPE (Sennrich ACL'16 §3 as published):
     * word-freq table, symbols = chars + '</w>', per round count
     * weighted adjacent pairs, merge the (count desc, pair asc) argmax
-    * greedily left-to-right. */
-  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    * greedily left-to-right.  `batch` > 1 mirrors learnMerges'
+    * batched contract: top-N picks from the PRE-batch counts, applied
+    * sequentially in picked order; stops early when no pair remains. */
+  private def referenceBpe(texts: Seq[String], rounds: Int,
+                           batch: Int = 1): Seq[(Long, String, String, Long)] = {
     val freq = scala.collection.mutable.Map[String, Long]()
     texts.foreach(_.toLowerCase.split(" ", -1).filter(_.nonEmpty)
       .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
     var vocab: Map[Vector[String], Long] =
       freq.toMap.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
-    (1 to rounds).map { step =>
-      val pairs = scala.collection.mutable.Map[(String, String), Long]()
-      vocab.foreach { case (syms, f) =>
-        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
-      }
-      val ((l, r), c) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+    def applyMerge(l: String, r: String): Unit =
       vocab = vocab.groupMapReduce { case (syms, _) =>
         val out = Vector.newBuilder[String]
         var i = 0
@@ -160,8 +158,27 @@ class BpeSpec extends SparkSpec {
         }
         out.result()
       }(_._2)(_ + _)
-      (step.toLong, l, r, c)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 0
+    var dry = false
+    while (step < rounds && !dry) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      if (pairs.isEmpty) dry = true
+      else {
+        val picks = pairs.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }
+          .take(math.min(batch, rounds - step))
+        picks.foreach { case ((l, r), c) =>
+          step += 1
+          merges += ((step.toLong, l, r, c))
+          applyMerge(l, r)
+        }
+      }
     }
+    merges.result()
   }
 
   test("q_bpe_train matches the in-memory reference on the sf0.001 corpus") {
@@ -206,6 +223,43 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
     // and the merges genuinely compress the corpus
     assert(got.map(_._4).sum > 0, "BPE merges saved zero symbols")
+  }
+
+  test("batched learnMerges matches the batched reference for every N; N=1 is strict Sennrich") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("text").as[String].collect().toSeq
+    for (batch <- Seq(1, 2, 3, 6)) {
+      val got = Packing.learnMerges(spark, sf, batch = batch)
+      assert(got === referenceBpe(texts, 6, batch), s"batch=$batch")
+    }
+    // N=1 must reproduce the strict sequential order exactly
+    assert(Packing.learnMerges(spark, sf, batch = 1) === referenceBpe(texts, 6))
+  }
+
+  test("a batched merge table applies cleanly and compresses the corpus") {
+    import spark.implicits._
+    val merges = Packing.learnMerges(spark, sf, batch = 3)
+    assert(merges.nonEmpty)
+    val flat = merges.flatMap(m => Seq(m._2, m._3))
+    val stats = Tables.documents(spark, sf)
+      .select(call_function("graft_bpe_stats", col("text"),
+        array(flat.map(lit): _*)).as("st"))
+      .select(col("st")(0).as("pre"), col("st")(1).as("post"))
+      .as[(Long, Long)].collect()
+    assert(stats.forall { case (pre, post) => post <= pre })
+    assert(stats.map(s => s._1 - s._2).sum > 0, "batched merges saved zero symbols")
+  }
+
+  test("learnMerges stops gracefully when no pair remains (ADVICE r10)") {
+    // every word collapses to ONE symbol after the first merge — the
+    // loop must emit the merges learned so far, never throw
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_dry").toString
+    Tables.documents(spark, sf).limit(3)
+      .withColumn("text", lit("a a a"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Packing.learnMerges(spark, tmp, batch = 2, rounds = 6)
+    assert(got.map(m => (m._1, m._2, m._3)) === Seq((1L, "a", "</w>")))
   }
 
   test("q_pack_sequences plans through the keyless RankedPrefixSum operator") {

@@ -351,6 +351,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin \\[b".r.findFirstIn(dsir).isDefined,
       s"DSIR model join must broadcast:\n$dsir")
     noTokenShuffleJoin(dsir, Seq("b"))
+    // r11: the top-20% keep gate runs on the keyless RankedPrefixSum
+    // — a partition-less row_number() window would serialize every
+    // doc row onto one task (VERDICT r10 item 1)
+    assert(dsir.contains("RankedPrefixSum"), dsir)
+    assert(!dsir.contains("Window "),
+      s"partition-less window would serialize the keep gate:\n$dsir")
     // LM perplexity: bigram + unigram model tables broadcast (the
     // target set is fixed-size — the P54 bounded-broadcast argument)
     val ppl = planOf(graft.queries.Corpus.qLmPerplexity(spark, sf))
@@ -360,6 +366,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin \\[ctx".r.findFirstIn(ppl).isDefined,
       s"unigram model join must broadcast:\n$ppl")
     noTokenShuffleJoin(ppl, Seq("bigram", "ctx"))
+    assert(ppl.contains("RankedPrefixSum"), ppl)
+    assert(!ppl.contains("Window "),
+      s"partition-less window would serialize the keep gate:\n$ppl")
+  }
+
+  test("no query plans a partition-less window — the class, not the instance") {
+    // a `Window.orderBy(...)` with empty PARTITION BY funnels the
+    // whole input through ONE task — the shape §6.r10 calls out and
+    // the keyless RankedPrefixSum exists to replace.  Sweep every
+    // query's OPTIMIZED plan so a future operator can't reintroduce
+    // the class (VERDICT r10 item 1: pin the class, not the instance).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val keyless = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(keyless.isEmpty,
+        s"$name plans a partition-less window (single-task global sort " +
+          s"at scale): ${keyless.mkString("; ")}")
+    }
   }
 
   test("q_char_trigrams aggregates packed longs and group-limits the window") {
