@@ -40,7 +40,7 @@ object Bench {
     * probes straddle without seeing (BENCH_r08: q_cooccur reported
     * 7.2s vs 1.25s idle with suspect:false) — is localized to the
     * queries it actually touched. */
-  private def calibrate(steps: Int = 200000000): Double = {
+  private[graft] def calibrate(steps: Int = 200000000): Double = {
     val t0 = System.nanoTime()
     var x = 0x9e3779b97f4a7c15L
     var i = 0
@@ -60,7 +60,7 @@ object Bench {
     * 32-way query inflated ~1.3x while the single-thread probes sat
     * at 1.01x of the prior round; this probe is the artifact-side
     * witness for exactly that case. */
-  private def calibratePar(threads: Int, steps: Int = 50000000): Double = {
+  private[graft] def calibratePar(threads: Int, steps: Int = 50000000): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { _ =>
       val t = new Thread(() => {
@@ -78,17 +78,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def loadavg(): String =
+  private[graft] def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       s.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "" }
 
-  private def load1(s: String): Double =
+  private[graft] def load1(s: String): Double =
     try s.split("\\s+")(0).toDouble catch { case _: Throwable => -1.0 }
 
-  private def gcTotals(): (Long, Long) = {
+  private[graft] def gcTotals(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
@@ -278,6 +278,12 @@ object Bench {
       }
     }
     val suspect = reasons.nonEmpty
+    // ADVICE r10: localized contention must stay visible at the
+    // ARTIFACT level too — a consumer reading only "suspect" would
+    // otherwise trust per-query numbers the probe itself flagged.
+    // partially_suspect = any per-query probe flag at all; the names
+    // and ratios are in "suspect_queries".
+    val partiallySuspect = suspectQueries.nonEmpty
 
     def jmap(f: QR => Double): String =
       results.map(r => s""""${esc(r.name)}":${f(r)}""").mkString("{", ",", "}")
@@ -317,7 +323,8 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""min":$mins,"min_total":$minTotal,"cold":$cs,"cold_total":$coldTotal,""" +
       s""""probe":$probes,"suspect_queries":$sq,""" +
-      s""""suspect":$suspect,"suspect_reasons":$rs,"env":$env,""" +
+      s""""suspect":$suspect,"partially_suspect":$partiallySuspect,""" +
+      s""""suspect_reasons":$rs,"env":$env,""" +
       s""""errors":$es,"sf":"${esc(sfDir)}"}"""
     println(json)
     // Also persist to a file: the driver captures only a truncated

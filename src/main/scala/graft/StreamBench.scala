@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming._
+
+/** Streaming benchmark main (VERDICT r10 item 6): per-operator
+  * throughput and state-size evidence for the streaming layer, with
+  * the same self-diagnosis discipline as [[Bench]]/FormatBench.
+  *
+  * Method: each operator replays a corpus/event slice from
+  * SPARK_GRAFT_SF_DIR through a MemoryStream in event-time order,
+  * split into fixed micro-batches with `processAllAvailable()` after
+  * each (so watermark advancement and state eviction happen
+  * mid-stream, as in production, not in one giant batch), then one
+  * far-future watermark mover flushes the finalization tail.  The
+  * sink is the streaming noop sink — rows are materialized, nothing
+  * is buffered driver-side.  Reported per operator:
+  *   - in_rows / sec / rows_per_sec (mover excluded from in_rows),
+  *   - out_rows (sink-reported across all progress events),
+  *   - state_rows_max / state_bytes_max: the PEAK of the state-store
+  *     totals across micro-batches — the number that bounds executor
+  *     memory at scale (watermark-finalized operators drop state at
+  *     emission, so the END state understates the requirement),
+  *   - batches, and the per-operator 25M-step CPU probe.
+  * Run-level trust: start/end 200M-step probes, per-operator probes
+  * vs run median (suspect_queries / partially_suspect), loadavg, GC
+  * totals — the graft bench protocol.
+  */
+object StreamBench {
+
+  private final case class Res(name: String, inRows: Long, sec: Double,
+                               outRows: Long, stateRows: Long, stateBytes: Long,
+                               batches: Int, probe: Double, err: Option[String])
+
+  /** Feed `data` in `nBatches` event-time-ordered micro-batches, then
+    * `movers`, through `build`, into the streaming noop sink. */
+  private def drive[A](spark: SparkSession, name: String, data: Seq[A],
+                       movers: Seq[A], nBatches: Int,
+                       build: Dataset[A] => DataFrame)(
+                       implicit enc: Encoder[A]): Res = {
+    val probe = Bench.calibrate(25000000)
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory(s"sb_$name").toString
+    try {
+      val mem = MemoryStream[A]
+      val out = build(mem.toDS())
+      val query = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").queryName(s"sb_$name").start()
+      try {
+        val slice = math.max(1, (data.size + nBatches - 1) / nBatches)
+        val t0 = System.nanoTime()
+        data.grouped(slice).foreach { b =>
+          mem.addData(b: _*)
+          query.processAllAvailable()
+        }
+        if (movers.nonEmpty) {
+          mem.addData(movers: _*)
+          query.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = query.recentProgress
+        val outRows = progs.map(p => math.max(0L, p.sink.numOutputRows)).sum
+        val stateRows = progs
+          .map(_.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max)
+        val stateBytes = progs
+          .map(_.stateOperators.map(_.memoryUsedBytes).sum).foldLeft(0L)(math.max)
+        Res(name, data.size.toLong, sec, outRows, stateRows, stateBytes,
+          progs.length, probe, None)
+      } finally query.stop()
+    } catch {
+      case e: Throwable =>
+        Res(name, data.size.toLong, -1.0, -1L, -1L, -1L, 0, probe,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "16").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    val loadStart = Bench.loadavg()
+    val probeStart = Bench.calibrate()
+
+    // ---- inputs, all in event-time order ------------------------------
+    val min_ = 60L * 1000000L
+    val base = 1700000000000000L // µs
+    // documents: one doc per second of synthetic event time (the
+    // tables carry no timestamp; 1 doc/s makes a 10-min window ≈ 600
+    // docs and a 10-min horizon a meaningful state bound)
+    val docRows = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select("doc_id", "lang", "text")
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getString(1), r.getString(2),
+        base + i * 1000000L) }
+    val docMaxTs = if (docRows.isEmpty) base else docRows.last._4
+    val farDoc = docMaxTs + 1000L * min_
+    val horizonUs = 10L * min_
+
+    val fEvents = StreamFunnel.funnelInput(spark, sfDir)
+      .orderBy("ts_us", "user_id").collect().toSeq
+    val dayEvents = StreamRetention.dayInput(spark, sfDir)
+      .orderBy("ts", "user_id").collect().toSeq
+    val sessEvents = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("value").cast("double").as("value"))
+      .orderBy("ts_us", "user_id").as[Sessionize.Event].collect().toSeq
+    val tagged = Sessionize
+      .purchasesAndClicks(Sessionize.eventsAsStreamInput(spark, sfDir))
+      .orderBy("ts_us", "event_id").collect().toSeq
+    val evMaxUs = if (sessEvents.isEmpty) base else sessEvents.last.ts_us
+    val farEv = evMaxUs + 10000L * min_
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000L)
+
+    val cases = Seq[(String, () => Res)](
+      "stream_dedup" -> (() => drive[StreamDedup.Doc](spark, "stream_dedup",
+        docRows.toSeq.map(d => StreamDedup.Doc(d._1, d._3, d._4)),
+        Seq(StreamDedup.Doc(999999901L, "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamDedup.Doc]) =>
+          StreamDedup.firstSeen(ds, horizonUs / 1000L).toDF())),
+      "stream_near_dedup" -> (() => drive[StreamNearDedup.Doc](spark, "stream_near_dedup",
+        docRows.toSeq.map(d => StreamNearDedup.Doc(d._1, d._3, d._4)),
+        Seq(StreamNearDedup.Doc(999999902L, "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamNearDedup.Doc]) =>
+          StreamNearDedup.bandMatches(ds, horizonUs).toDF())),
+      "stream_quality_gate" -> (() => drive[StreamQualityGate.DocEvent](spark, "stream_quality_gate",
+        docRows.toSeq.map(d => StreamQualityGate.DocEvent(d._1, d._2, d._3, d._4)),
+        Seq(StreamQualityGate.DocEvent(999999903L, "zz", "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamQualityGate.DocEvent]) =>
+          StreamQualityGate.keepReport(ds, "10 minutes"))),
+      "stream_pii_scan" -> (() => drive[StreamPiiScan.DocEvent](spark, "stream_pii_scan",
+        docRows.toSeq.map(d => StreamPiiScan.DocEvent(d._1, d._2, d._3, d._4)),
+        Seq(StreamPiiScan.DocEvent(999999904L, "zz", "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamPiiScan.DocEvent]) =>
+          StreamPiiScan.counts(ds, "10 minutes"))),
+      "stream_quality_hist" -> (() => drive[StreamPiiScan.DocEvent](spark, "stream_quality_hist",
+        docRows.toSeq.map(d => StreamPiiScan.DocEvent(d._1, d._2, d._3, d._4)),
+        Seq(StreamPiiScan.DocEvent(999999905L, "zz", "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamPiiScan.DocEvent]) =>
+          StreamPiiScan.qualityHist(ds, "10 minutes"))),
+      "stream_release_filter" -> (() => drive[StreamReleaseFilter.DocEvent](spark, "stream_release_filter",
+        docRows.toSeq.map(d => StreamReleaseFilter.DocEvent(d._1, d._3, d._4)),
+        Seq(StreamReleaseFilter.DocEvent(999999906L, "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamReleaseFilter.DocEvent]) =>
+          StreamReleaseFilter.decisions(ds, horizonUs / 1000L).toDF())),
+      "stream_token_budget" -> (() => drive[StreamTokenBudget.Doc](spark, "stream_token_budget",
+        docRows.toSeq.map(d => StreamTokenBudget.Doc(d._1, d._2, d._3, d._4)),
+        Seq(StreamTokenBudget.Doc(999999907L, "zz", "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamTokenBudget.Doc]) =>
+          StreamTokenBudget.assignments(ds, 20000L).toDF())),
+      "stream_funnel" -> (() => drive[StreamFunnel.FEvent](spark, "stream_funnel",
+        fEvents,
+        Seq(StreamFunnel.FEvent(999999908L, farEv, 1, tsOf(farEv))), nBatches,
+        (ds: Dataset[StreamFunnel.FEvent]) =>
+          StreamFunnel.completedFunnels(ds).toDF())),
+      "stream_retention" -> (() => drive[StreamRetention.DayEvent](spark, "stream_retention",
+        dayEvents,
+        Seq(StreamRetention.DayEvent(999999909L, farEv / 86400000000L,
+          tsOf(farEv))), nBatches,
+        (ds: Dataset[StreamRetention.DayEvent]) =>
+          StreamRetention.activity(ds).toDF())),
+      // the DAU/WAU fan-out (activeUsers) is the stateless BATCH tail
+      // over the emitted history — the streaming operator is the
+      // exactly-once (user, day) finalization itself
+      "stream_active_users" -> (() => drive[StreamRetention.DayEvent](spark, "stream_active_users",
+        dayEvents,
+        Seq(StreamRetention.DayEvent(999999910L, farEv / 86400000000L,
+          tsOf(farEv))), nBatches,
+        (ds: Dataset[StreamRetention.DayEvent]) =>
+          StreamActiveUsers.userDays(ds).toDF())),
+      "stream_sessionize" -> (() => drive[Sessionize.Event](spark, "stream_sessionize",
+        sessEvents,
+        Seq(Sessionize.Event(999999911L, farEv, 0.0)), nBatches,
+        (ds: Dataset[Sessionize.Event]) =>
+          Sessionize.sessions(ds, 1800L).toDF())),
+      "stream_windowed_counts" -> (() => drive[Sessionize.Event](spark, "stream_windowed_counts",
+        sessEvents,
+        Seq(Sessionize.Event(999999912L, farEv, 0.0)), nBatches,
+        (ds: Dataset[Sessionize.Event]) =>
+          Sessionize.windowedCounts(ds.toDF()
+            .withColumn("event_type", lit("all"))))),
+      "stream_asof_enrich" -> (() => drive[Sessionize.Tagged](spark, "stream_asof_enrich",
+        tagged,
+        Seq(Sessionize.Tagged(999999913L, farEv, 999999913L, false,
+          tsOf(farEv))), nBatches,
+        (ds: Dataset[Sessionize.Tagged]) =>
+          Sessionize.enrichAsOf(ds).toDF())))
+
+    val selected =
+      if (args.isEmpty) cases
+      else cases.filter { case (n, _) => args.contains(n) }
+    val results = selected.map(_._2())
+
+    val probeEnd = Bench.calibrate()
+    val loadEnd = Bench.loadavg()
+    val (gcCount, gcMs) = Bench.gcTotals()
+
+    val probeMedian = {
+      val ps = results.map(_.probe).sorted
+      if (ps.isEmpty) 0.0 else ps(ps.length / 2)
+    }
+    val suspectQueries = results.filter(r =>
+      probeMedian > 0 && r.probe > 1.5 * probeMedian)
+    val probeDrift = math.abs(probeEnd - probeStart) / math.max(probeStart, 1e-9)
+    val reasons = scala.collection.mutable.ArrayBuffer[String]()
+    if (probeDrift > 0.25)
+      reasons += f"CPU calibration probe drifted ${probeDrift * 100}%.0f%% ($probeStart%.2fs -> $probeEnd%.2fs)"
+    if (Bench.load1(loadStart) > cpus)
+      reasons += s"loadavg already ${Bench.load1(loadStart)} at start with $cpus cores"
+    if (suspectQueries.length > math.max(2, results.size / 10))
+      reasons += s"${suspectQueries.length} operators probed >1.5x the median " +
+        f"probe ($probeMedian%.3fs)"
+    val suspect = reasons.nonEmpty
+    val partiallySuspect = suspectQueries.nonEmpty
+
+    val ops = results.map { r =>
+      val rps = if (r.sec > 0) r.inRows / r.sec else -1.0
+      s""""${esc(r.name)}":{"in_rows":${r.inRows},"sec":${r.sec},""" +
+        s""""rows_per_sec":$rps,"out_rows":${r.outRows},""" +
+        s""""state_rows_max":${r.stateRows},"state_bytes_max":${r.stateBytes},""" +
+        s""""batches":${r.batches},"probe":${r.probe}}"""
+    }.mkString("{", ",", "}")
+    val es = results.flatMap(r => r.err.map(e =>
+      s""""${esc(r.name)}":"${esc(e)}"""")).mkString("{", ",", "}")
+    val sq = suspectQueries
+      .map(r => s""""${esc(r.name)}":${r.probe / probeMedian}""")
+      .mkString("{", ",", "}")
+    val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
+    val total = results.map(_.sec).filter(_ >= 0).sum
+    val env = s"""{"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}",""" +
+      s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
+      s""""probe_median_sec":$probeMedian,""" +
+      s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
+      s""""micro_batches":$nBatches}"""
+    val json = s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +
+      s""""operators":$ops,"suspect":$suspect,""" +
+      s""""partially_suspect":$partiallySuspect,"suspect_queries":$sq,""" +
+      s""""suspect_reasons":$rs,"env":$env,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "streambench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"streambench_out write failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}
