@@ -74,29 +74,51 @@ case class RankedPrefixSum(partCols: Seq[Expression],
     copy(child = newChild)
 }
 
-/** Rewrites eligible Window nodes into [[RankedPrefixSum]] when
-  * `spark.graft.ranked.autoRewrite` is on.  Eligible: EVERY window
-  * expression of the node is one of
+/** Rewrites eligible Window nodes into [[RankedPrefixSum]].
+  * Eligible: EVERY window expression of the node is one of
   *   - `sum(<bigint>)` (nullable or not) over `ROWS UNBOUNDED
   *     PRECEDING .. CURRENT ROW`,
   *   - `row_number()` (same frame),
   *   - `rank()` / `dense_rank()` (resolved to the same ROWS running
   *     frame by Spark's ResolveWindowFrame — both frame-insensitive),
   * all sharing the node's partition/order spec, with a non-empty
-  * ORDER BY. */
+  * ORDER BY.
+  *
+  * Two gates with different defaults, because the tradeoffs differ:
+  *   - KEYED windows rewrite only under the opt-in
+  *     `spark.graft.ranked.autoRewrite` (default false): cardinality
+  *     is a property of the data — high-|k| keys make the offset
+  *     table the bottleneck (measured 3-5× regressions, see the
+  *     operator scaladoc), so the user asserts the low-|k| regime.
+  *   - KEYLESS windows (empty PARTITION BY) rewrite under
+  *     `spark.graft.ranked.keylessRewrite`, DEFAULT TRUE (r11): a
+  *     partition-less window unconditionally serializes the whole
+  *     input onto ONE task, while the keyless ranked form is exact,
+  *     parallel in cores, and its offset table is one entry per
+  *     range partition — there is no cardinality regime in which the
+  *     window form wins at scale.  Streaming plans are left alone
+  *     (Spark already rejects non-time windows on streams). */
 object RankedWindowRule extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.ranked.autoRewrite", "false")
       .equalsIgnoreCase("true")
 
+  private def keylessEnabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.ranked.keylessRewrite", "true")
+      .equalsIgnoreCase("true")
+
   private val RunningRows =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    val keyed = enabled
+    val keyless = keylessEnabled
+    if (!keyed && !keyless) return plan
     plan.transformUp {
       case w: Window if w.windowExpressions.nonEmpty && w.orderSpec.nonEmpty &&
+        (if (w.partitionSpec.isEmpty) keyless else keyed) &&
+        !w.isStreaming &&
         w.windowExpressions.forall(_.deterministic) =>
         val parsed: Seq[Option[(RankedKind, Expression, Attribute)]] =
           w.windowExpressions.map {
@@ -342,11 +364,16 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
     // pass 2: same exchange; group changes are detected by key
     // comparison on the SORTED stream, so the offset lookup happens
     // once per (partition, group), not per row
+    val outputAttrs = output
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(boundPart)
       val oProj = if (needKeys) UnsafeProjection.create(orderExprs) else null
       val ord = if (needKeys) keyOrdering else null
       val joined = new JoinedRow
+      // downstream exchanges serialize UnsafeRows — a chained ranked
+      // node (or any consumer whose first operator is a shuffle) must
+      // not see the raw JoinedRow
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val outRow = new GenericInternalRow(nFuncs)
       var curKey: UnsafeRow = null
       var off: GroupOffsets = null
@@ -402,7 +429,7 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
           }
           i += 1
         }
-        joined(row, outRow)
+        toUnsafe(joined(row, outRow))
       }
     }
   }

@@ -135,12 +135,18 @@ object Packing {
           "array('</w>'))"))
 
   /** Frequency-weighted adjacent-pair counts of a vocab frame.
-    * Words collapsed to a single symbol carry no pairs — and must be
-    * filtered BEFORE the transform: sequence(1, 0) is a DESCENDING
-    * [1, 0] in Spark, so the unguarded expression faults on
-    * element_at(syms, 0) (caught by the r11 dry-corpus spec). */
+    * PRECONDITION: every row has size(syms) >= 2 — sequence(1, 0) is
+    * a DESCENDING [1, 0] in Spark, so a single-symbol row faults on
+    * element_at(syms, 0) (caught by the r11 dry-corpus spec).  Fresh
+    * [[vocab]] output satisfies it by construction (chars + '</w>' of
+    * a non-empty word); MERGED frames can collapse words to one
+    * symbol and are guarded in [[learnMerges]] — on the materialized
+    * (checkpointed) column, where the size() probe is free.  Guarding
+    * HERE instead would inline the char-split transform into both the
+    * filter and the explode of q_bpe_pairs' unmaterialized frame
+    * (CollapseProject), doubling the kernel work (measured 3.2× at
+    * sf1). */
   private def pairCounts(v: DataFrame): DataFrame = v
-    .filter(size(col("syms")) >= 2)
     .select(col("freq"), explode(expr(
       "transform(sequence(1, size(syms) - 1), i -> " +
         "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
@@ -215,7 +221,9 @@ object Packing {
     var step = 0
     var dry = false
     while (step < rounds && !dry) {
-      val top = pairCounts(v)
+      // the size guard runs on the CHECKPOINTED frame — a free probe
+      // of a materialized column (see the pairCounts precondition)
+      val top = pairCounts(v.filter(size(col("syms")) >= 2))
         .orderBy(desc("cnt"), col("tok_l"), col("tok_r"))
         .limit(math.min(batch, rounds - step))
         .collect()

@@ -795,7 +795,7 @@ object Pipeline {
     * consumer (MLlib's Lloyd caches its vectors for the same reason);
     * c1 is persisted because the profile consumes it twice (broadcast
     * + the a2 subtree). */
-  private def kmeansState(s: SparkSession, d: String)
+  private def kmeansState(s: SparkSession, d: String, k: Int = KmeansK)
       : (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
@@ -824,7 +824,7 @@ object Pipeline {
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(d, v))), e -> e.v)").as("c"))
 
-    val c0 = q.filter(col("vec_id") < KmeansK)
+    val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("qv").as("c"))
     val c1 = update(assign(c0)).persist()
     (q, c1, assign(c1))
@@ -957,8 +957,14 @@ object Pipeline {
   // correctly-rounded IEEE expressions identical on both engines).
   private val SemTau = "0.45"
 
-  def qSemDedup(s: SparkSession, d: String): DataFrame = {
-    val (q, _, a2) = kmeansState(s, d)
+  def qSemDedup(s: SparkSession, d: String): DataFrame = semDedupAt(s, d, KmeansK)
+
+  /** qSemDedup with a parameterized cell count — the k ∝ n scale knob
+    * (SemDeDup §3: clusters grow with the corpus so Σ|cell|² pair
+    * work stays near-linear).  The gated query pins k = 8 for the
+    * fixed-k oracle; [[graft.SemDedupProbe]] measures this form. */
+  private[graft] def semDedupAt(s: SparkSession, d: String, k: Int): DataFrame = {
+    val (q, _, a2) = kmeansState(s, d, k)
     // one small (vec_id, cell, qv) frame feeds BOTH self-join sides:
     // without the checkpoint each side re-runs the full two-iteration
     // Lloyd assignment subtree

@@ -377,15 +377,19 @@ class PlanAuditSpec extends SparkSpec {
     // the keyless RankedPrefixSum exists to replace.  Sweep every
     // query's OPTIMIZED plan so a future operator can't reintroduce
     // the class (VERDICT r10 item 1: pin the class, not the instance).
+    // The r11 default-on keylessRewrite would silently FIX the shape
+    // at runtime — disable it here so the sweep pins the SOURCE-level
+    // discipline, not the safety net.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    spark.conf.set("spark.graft.ranked.keylessRewrite", "false")
+    try SparkEntry.queries.foreach { case (name, fn) =>
       val keyless = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       assert(keyless.isEmpty,
         s"$name plans a partition-less window (single-task global sort " +
           s"at scale): ${keyless.mkString("; ")}")
-    }
+    } finally spark.conf.unset("spark.graft.ranked.keylessRewrite")
   }
 
   test("q_char_trigrams aggregates packed longs and group-limits the window") {

@@ -118,7 +118,44 @@ class RankedSpec extends SparkSpec {
     }
     assert(planned, "keyless running sum must rewrite — the window form " +
       "serializes the whole table onto one task")
-    val want = withRule(on = false)(q.as[(Long, Long)].collect().sortBy(_._1))
+    // true window-form oracle needs BOTH gates off (keylessRewrite is
+    // default-on since r11)
+    val want = withKeyless(on = false) {
+      withRule(on = false)(q.as[(Long, Long)].collect().sortBy(_._1))
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
+  private def withKeyless[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.ranked.keylessRewrite", on.toString)
+    try f finally spark.conf.unset("spark.graft.ranked.keylessRewrite")
+  }
+
+  test("keyless windows rewrite BY DEFAULT (r11); keyed still need the opt-in") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 15000).map(i => (s"g${i % 5}", i.toLong, rnd.nextInt(7).toLong))
+    val df = rows.toDF("k", "row_id", "delta").repartition(8)
+    val wg = Window.orderBy("row_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.withColumn("cum", sum("delta").over(wg))
+      .withColumn("rn", row_number().over(Window.orderBy(desc("delta"), col("row_id"))))
+      .select("row_id", "cum", "rn")
+    // no conf set at all: the partition-less shape rewrites — it is
+    // ALWAYS a single-task serialization, no cardinality regime
+    // favors the window form
+    assert(hasRankedExec(q), "keyless window must rewrite by default")
+    // keyed windows keep the opt-in (cardinality is a data property)
+    val wk = Window.partitionBy("k").orderBy("row_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def qk = df.withColumn("cum", sum("delta").over(wk)).select("row_id", "cum")
+    assert(!hasRankedExec(qk), "keyed windows must not rewrite by default")
+    // explicit off restores the window exec; values identical
+    val got = q.as[(Long, Long, Int)].collect().sortBy(_._1)
+    val (off, want) = withKeyless(on = false) {
+      (hasRankedExec(q), q.as[(Long, Long, Int)].collect().sortBy(_._1))
+    }
+    assert(!off, "keylessRewrite=false must restore the window exec")
     assert(got.toSeq === want.toSeq)
   }
 

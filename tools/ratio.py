@@ -46,17 +46,21 @@ def main() -> None:
     for art in (a, b):
         if art.get("suspect"):
             print("SUSPECT %s: %s" % (art.get("sf"), art.get("suspect_reasons")))
+        elif art.get("partially_suspect"):
+            print("PARTIALLY SUSPECT %s (localized contention; distrust "
+                  "the named rows only)" % art.get("sf"))
         sq = art.get("suspect_queries") or {}
         if sq:
             print("  suspect queries: %s" % sq)
         env = art.get("env") or {}
         pvp = env.get("probe_vs_prev")
         if pvp:
-            print("probe anchor %s: %.4fs vs %.4fs (%s%s) = %.2fx" % (
+            par = (" par=%.2fx" % pvp["par_ratio"]) if "par_ratio" in pvp else ""
+            print("probe anchor %s: %.4fs vs %.4fs (%s%s) = %.2fx%s" % (
                 art.get("sf"), env.get("probe_median_sec", -1),
                 pvp["prev_probe_median_sec"], pvp["prev_file"],
                 ", prev suspect" if pvp.get("prev_suspect") else "",
-                pvp["ratio"]))
+                pvp["ratio"], par))
     if missing:
         print("only in one artifact (guards differ?): %s" % ", ".join(missing))
 
