@@ -688,6 +688,122 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // ------------------------------------------------------ exact micro-ln
+  /** The shared exactly-determined ln tree (see queries/Corpus.scala
+    * "shared exact ln tree"): e = floor(log2 n) from the leading-zero
+    * count (≡ `length(bin(n)) − 1`), mantissa via the artanh series
+    * over t = (n − 2^e)/(n + 2^e) ∈ [0, 1/3) — every operation an
+    * exactly-rounded IEEE double add/sub/mul/div in the IDENTICAL
+    * order the SQL spelling uses, so kernel and SQL tree produce
+    * bit-identical doubles (Java floating-point is strict IEEE-754
+    * since JEP 306) and therefore identical rounded micro-units.
+    * The kernel exists because the SQL spelling inlines `bin(n)`
+    * string construction ~12× per value on the model frames;
+    * MicroLnSpec pins kernel ≡ SQL tree over an exhaustive +
+    * randomized sweep.  Precondition n ≥ 1 (fails loudly). */
+  private def lnTreeD(n: Long): Double = {
+    require(n >= 1, s"graft_micro_ln expects a positive BIGINT, got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val a = n.toDouble
+    val p = (1L << e).toDouble
+    val t = (a - p) / (a + p)
+    val t2 = t * t
+    e.toDouble * 0.6931471805599453 + t * (2.0 + t2 * (0.6666666666666666 +
+      t2 * (0.4 + t2 * (0.2857142857142857 + t2 * (0.2222222222222222 +
+        t2 * 0.18181818181818182)))))
+  }
+
+  /** round(1e6·ln(n)) — identical to Corpus' per-term SQL spelling. */
+  def microLn(n: Long): Long =
+    math.floor(1000000.0 * lnTreeD(n) + 0.5).toLong
+
+  /** round(1e6·ln(num/den)) — identical to the ratio SQL spelling
+    * (ONE floor over the difference of the two ln doubles). */
+  def microLnRatio(num: Long, den: Long): Long =
+    math.floor(1000000.0 * (lnTreeD(num) - lnTreeD(den)) + 0.5).toLong
+
+  case class MicroLn(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == LongType, s"$prettyName expects BIGINT")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_micro_ln"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.microLn(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.microLn($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MicroLnRatio(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == LongType && right.dataType == LongType,
+        s"$prettyName expects (BIGINT, BIGINT)")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_micro_ln_ratio"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GraftFunctions.microLnRatio(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $fn.microLnRatio($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ----------------------------------------------------------- z-order
+  /** Morton (Z-order) interleave of two NON-NEGATIVE dimension values
+    * (low 31 bits each → a 62-bit non-negative code): bit i of `a`
+    * lands at 2i, bit i of `b` at 2i+1, via the classic magic-number
+    * spreads.  Sorting a table by this code makes parquet row-group
+    * min/max statistics selective on BOTH dimensions at once — the
+    * layout-optimization pass (Delta/Iceberg Z-ORDER) that turns a
+    * 2-D range predicate into file-level pruning at 100 TB, where a
+    * lexicographic sort only prunes on its lead column.  Pure integer
+    * ops — the DuckDB oracle spells the identical spreads, so the
+    * gate is exact with no float anywhere.  Fails loudly on negative
+    * inputs (a silent mask would silently interleave garbage). */
+  def zorder64(a: Long, b: Long): Long = {
+    require(a >= 0 && b >= 0, s"graft_zorder64 expects non-negative dims, got ($a, $b)")
+    spread31(a) | (spread31(b) << 1)
+  }
+
+  private def spread31(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  case class Zorder64(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == LongType && right.dataType == LongType,
+        s"$prettyName expects (BIGINT, BIGINT)")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_zorder64"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GraftFunctions.zorder64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $fn.zorder64($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def entropyMb(s: UTF8String): Long = {
     val str = s.toString
     val counts = new java.util.TreeMap[Integer, Long]()
@@ -1307,6 +1423,12 @@ object GraftFunctions {
       es => BloomContains(es(0), es(1))),
     ("graft_entropy_mb", "codepoint Shannon entropy in integer millibits",
       es => EntropyMb(es(0))),
+    ("graft_micro_ln", "round(1e6*ln(n)) by the shared exact IEEE tree",
+      es => MicroLn(es(0))),
+    ("graft_micro_ln_ratio", "round(1e6*ln(a/b)) by the shared exact IEEE tree",
+      es => MicroLnRatio(es(0), es(1))),
+    ("graft_zorder64", "Morton interleave of two 31-bit dims (Z-order layout key)",
+      es => Zorder64(es(0), es(1))),
     ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
       es => CharClass(es(0))),
     ("graft_media_dims", "[fmt, width, height] from image container headers",

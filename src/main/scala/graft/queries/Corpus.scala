@@ -63,11 +63,11 @@ object Corpus {
 
   /** round(1e6·ln(num/den)) in integer micro-units (num, den positive
     * BIGINT expressions), deterministic across engines. */
-  private[queries] def microLnRatio(num: String, den: String, duck: Boolean): String =
+  private[graft] def microLnRatio(num: String, den: String, duck: Boolean): String =
     s"CAST(FLOOR(1000000.0 * (${lnTree(num, duck)} - ${lnTree(den, duck)}) + 0.5) AS BIGINT)"
 
   /** round(1e6·ln(n)) for a single positive BIGINT expression. */
-  private[queries] def microLn(n: String, duck: Boolean): String =
+  private[graft] def microLn(n: String, duck: Boolean): String =
     s"CAST(FLOOR(1000000.0 * ${lnTree(n, duck)} + 0.5) AS BIGINT)"
 
   // ------------------------------------------------------------ tf-idf
@@ -202,9 +202,12 @@ object Corpus {
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = stats.crossJoin(broadcast(totals))
-      .withColumn("lr_u", expr(microLnRatio(
-        s"(ct + 1) * (nr + $DsirBuckets)",
-        s"(cr + 1) * (nt + $DsirBuckets)", duck = false)))
+      // the codegen kernel implements the IDENTICAL IEEE tree as the
+      // oracle's SQL spelling (bit-equal, MicroLnSpec) without the
+      // ~12x-inlined bin() string work
+      .withColumn("lr_u", expr(
+        s"graft_micro_ln_ratio((ct + 1) * (nr + $DsirBuckets), " +
+          s"(cr + 1) * (nt + $DsirBuckets))"))
       .select("b", "lr_u")
     val scored = toks.join(broadcast(lr), "b")
       .groupBy("doc_id", "is_target")
@@ -306,10 +309,10 @@ object Corpus {
     // rows, fixed-size), never on the exploded token stream
     val uniLn = uni.crossJoin(broadcast(vocab))
       .select(col("w").as("ctx"),
-        expr(microLn("ca + v", duck = false)).as("lnden_u"))
-    val lnv = vocab.select(expr(microLn("v", duck = false)).as("lnv_u"))
+        expr("graft_micro_ln(ca + v)").as("lnden_u"))
+    val lnv = vocab.select(expr("graft_micro_ln(v)").as("lnv_u"))
     val bigLn = big.select(col("bigram"),
-      expr(microLn("cab + 1", duck = false)).as("lnnum_u"))
+      expr("graft_micro_ln(cab + 1)").as("lnnum_u"))
     val scored = docs
       .select(col("doc_id"), col("is_target"),
         explode(expr("graft_word_ngrams(text, 2)")).as("bigram"))

@@ -332,16 +332,70 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- P63
+  // Z-order (Morton) layout assignment — the data-layout optimization
+  // pass (Delta/Iceberg Z-ORDER): interleave two dimension keys so
+  // that sorting by the code makes parquet row-group min/max stats
+  // selective on BOTH dimensions, turning 2-D range predicates into
+  // file-level pruning.  A lexicographic (doc_id or single-column)
+  // sort only ever prunes on its lead column — at 100 TB the layout
+  // IS the index.  Here: dims = (n_chars, whitespace token count),
+  // code = `graft_zorder64` (low 31 bits each, 62-bit non-negative
+  // key, pure integer ops — the oracle spells the identical spreads),
+  // file assignment = contiguous 100-row slices of the z-sorted
+  // order, ranked on the KEYLESS RankedPrefixSum (the only
+  // distributed shape of a global ranking).  ZorderSpec measures the
+  // point: fixed 2-D probe rectangles touch strictly fewer z-files
+  // than doc_id-layout files on the same data.
+  def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), expr(Corpus.tokCount).as("n_tok"))
+      .withColumn("z", expr("graft_zorder64(n_chars, n_tok)"))
+    Ranked.rowNumber(docs, Seq(), Seq(("z", false), ("doc_id", false)), "rk")
+      .withColumn("file_id", expr("(rk - 1) DIV 100"))
+      .select("doc_id", "n_chars", "n_tok", "z", "file_id")
+      .orderBy("doc_id")
+  }
+
+  val qZorderLayoutSql: String = {
+    // the spread steps via DuckDB lateral column aliases; masks are
+    // the classic Morton magic numbers in decimal
+    def spread(in: String, p: String) =
+      s"""($in & 2147483647) AS ${p}0,
+         |  ((${p}0 | (${p}0 << 16)) & 281470681808895) AS ${p}1,
+         |  ((${p}1 | (${p}1 << 8)) & 71777214294589695) AS ${p}2,
+         |  ((${p}2 | (${p}2 << 4)) & 1085102592571150095) AS ${p}3,
+         |  ((${p}3 | (${p}3 << 2)) & 3689348814741910323) AS ${p}4,
+         |  ((${p}4 | (${p}4 << 1)) & 6148914691236517205) AS ${p}5""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, ${Corpus.duckTokCount} AS n_tok FROM documents
+       |), z AS (
+       |  SELECT doc_id, n_chars, n_tok,
+       |  ${spread("n_chars", "a")},
+       |  ${spread("n_tok", "b")},
+       |  (a5 | (b5 << 1)) AS z
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id, n_chars, n_tok, z,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY z, doc_id) AS BIGINT) AS rk
+       |  FROM z
+       |)
+       |SELECT doc_id, n_chars, n_tok, z, (rk - 1) // 100 AS file_id
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_windows" -> (qPackWindows _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_zorder_layout" -> (qZorderLayout _))
 
   val oracle: Map[String, String] = Map(
     "q_pack_sequences" -> qPackSequencesSql,
     "q_pack_windows" -> qPackWindowsSql,
     "q_bpe_pairs" -> qBpePairsSql,
-    "q_bpe_train" -> qBpeTrainSql)
+    "q_bpe_train" -> qBpeTrainSql,
+    "q_zorder_layout" -> qZorderLayoutSql)
 }

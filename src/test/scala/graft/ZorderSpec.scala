@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.queries.Packing
+
+/** P63 Z-order layout: kernel bit semantics (interleave/deinterleave
+  * round-trip vs a plain per-bit reference) and the capability claim
+  * itself — on the real corpus, 2-D range probes must touch strictly
+  * fewer z-ordered files than doc_id-ordered files. */
+class ZorderSpec extends SparkSpec {
+
+  private def refMorton(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  private def deinterleave(z: Long): (Long, Long) = {
+    var a = 0L; var b = 0L
+    var i = 0
+    while (i < 31) {
+      a |= ((z >> (2 * i)) & 1L) << i
+      b |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (a, b)
+  }
+
+  test("graft_zorder64 matches the per-bit reference and round-trips") {
+    val rnd = new scala.util.Random(61)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL)) ++
+      Seq.fill(3000)((rnd.nextLong() & 0x7FFFFFFFL, rnd.nextLong() & 0x7FFFFFFFL))
+    cases.foreach { case (a, b) =>
+      val z = GraftFunctions.zorder64(a, b)
+      assert(z === refMorton(a, b), s"($a, $b)")
+      assert(z >= 0, s"code must stay non-negative: ($a, $b) -> $z")
+      assert(deinterleave(z) === ((a, b)), s"round-trip ($a, $b)")
+    }
+    intercept[Exception](GraftFunctions.zorder64(-1L, 0L))
+  }
+
+  test("z-order layout prunes 2-D range probes better than doc_id layout") {
+    import spark.implicits._
+    val rows = Packing.qZorderLayout(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "n_chars", "n_tok", "file_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length >= 400)
+    // doc_id layout: contiguous 100-row slices of doc_id order
+    val byId = rows.sortBy(_._1).grouped(100).toSeq
+    val byZ = rows.groupBy(_._4).values.toSeq
+    def boxes(files: Seq[Array[(Long, Long, Long, Long)]]) =
+      files.map { f =>
+        (f.map(_._2).min, f.map(_._2).max, f.map(_._3).min, f.map(_._3).max)
+      }
+    val idBoxes = boxes(byId.map(_.toArray))
+    val zBoxes = boxes(byZ.map(_.toArray))
+    // fixed probe rectangles over (n_chars, n_tok); count files whose
+    // min/max box intersects — the parquet row-group pruning model
+    val probes = Seq((0L, 400L, 0L, 60L), (800L, 1200L, 120L, 200L),
+      (300L, 600L, 40L, 90L), (1500L, 3000L, 250L, 600L))
+    def touched(bs: Seq[(Long, Long, Long, Long)], p: (Long, Long, Long, Long)) =
+      bs.count { case (cLo, cHi, tLo, tHi) =>
+        cHi >= p._1 && cLo <= p._2 && tHi >= p._3 && tLo <= p._4
+      }
+    val (idTouch, zTouch) = probes.map(p =>
+      (touched(idBoxes, p), touched(zBoxes, p))).unzip
+    assert(zTouch.sum < idTouch.sum,
+      s"z-layout must prune better: z=$zTouch vs id=$idTouch")
+    // and every probe individually must never be WORSE under z
+    probes.indices.foreach { i =>
+      assert(zTouch(i) <= idTouch(i), s"probe $i: z=${zTouch(i)} id=${idTouch(i)}")
+    }
+  }
+}
