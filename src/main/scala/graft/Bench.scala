@@ -104,7 +104,9 @@ object Bench {
     * were themselves suspect:false) and return
     * (file, prev probe_median_sec, prev was suspect).
     */
-  private def prevProbeAnchor(): Option[(String, Double, Boolean, Option[Double])] = {
+  private[graft] def prevProbeAnchor(
+      pattern: String = """BENCH.*_r(\d+)\.json""",
+      envKey: String = "SPARK_GRAFT_PREV_BENCH"): Option[(String, Double, Boolean, Option[Double])] = {
     def parse(p: java.nio.file.Path): Option[(String, Double, Boolean, Option[Double])] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -116,11 +118,11 @@ object Bench {
           .findFirstMatchIn(s).exists(_.group(1) == "true")
         pm.filter(_ > 0).map(v => (p.getFileName.toString, v, susp, par))
       } catch { case _: Throwable => None }
-    sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
+    sys.env.get(envKey) match {
       case Some(path) => parse(java.nio.file.Paths.get(path))
       case None =>
         import scala.jdk.CollectionConverters._
-        val rx = """BENCH.*_r(\d+)\.json""".r
+        val rx = pattern.r
         val cands = try {
           java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
             .flatMap { p =>

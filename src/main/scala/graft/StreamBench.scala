@@ -103,6 +103,7 @@ object StreamBench {
 
     val loadStart = Bench.loadavg()
     val probeStart = Bench.calibrate()
+    val probeParStart = Bench.calibratePar(cpus)
 
     // ---- inputs, all in event-time order ------------------------------
     val min_ = 60L * 1000000L
@@ -214,6 +215,8 @@ object StreamBench {
     val results = selected.map(_._2())
 
     val probeEnd = Bench.calibrate()
+    val probeParEnd = Bench.calibratePar(cpus)
+    val probePar = math.min(probeParStart, probeParEnd)
     val loadEnd = Bench.loadavg()
     val (gcCount, gcMs) = Bench.gcTotals()
 
@@ -232,6 +235,28 @@ object StreamBench {
     if (suspectQueries.length > math.max(2, results.size / 10))
       reasons += s"${suspectQueries.length} operators probed >1.5x the median " +
         f"probe ($probeMedian%.3fs)"
+    // cross-round absolute anchor against the prior STREAMBENCH
+    // artifact (single-thread + parallel), same discipline as Bench
+    val prevAnchor = Bench.prevProbeAnchor(
+      """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH")
+    val probeVsPrev = prevAnchor.map { case (_, prevMed, _, _) => probeMedian / prevMed }
+    val probeParVsPrev = prevAnchor.flatMap { case (_, _, _, prevPar) =>
+      prevPar.map(probePar / _)
+    }
+    prevAnchor.foreach { case (file, prevMed, prevSusp, prevPar) =>
+      val suffix = if (prevSusp) ", itself suspect" else ""
+      probeVsPrev.foreach { ratio =>
+        if (math.abs(ratio - 1.0) > 0.25)
+          reasons += f"probe median $probeMedian%.3fs is $ratio%.2fx the prior " +
+            f"round's ($prevMed%.3fs in $file$suffix)"
+      }
+      (probeParVsPrev, prevPar) match {
+        case (Some(ratio), Some(pp)) if math.abs(ratio - 1.0) > 0.25 =>
+          reasons += f"parallel probe $probePar%.3fs is $ratio%.2fx the prior " +
+            f"round's ($pp%.3fs in $file$suffix)"
+        case _ =>
+      }
+    }
     val suspect = reasons.nonEmpty
     val partiallySuspect = suspectQueries.nonEmpty
 
@@ -249,9 +274,23 @@ object StreamBench {
       .mkString("{", ",", "}")
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val total = results.map(_.sec).filter(_ >= 0).sum
+    val pvp = (prevAnchor, probeVsPrev) match {
+      case (Some((file, prevMed, prevSusp, prevPar)), Some(ratio)) =>
+        val par = (prevPar, probeParVsPrev) match {
+          case (Some(pp), Some(pr)) =>
+            s""","prev_probe_par_sec":$pp,"par_ratio":$pr"""
+          case _ => ""
+        }
+        s""""probe_vs_prev":{"prev_file":"${esc(file)}",""" +
+          s""""prev_probe_median_sec":$prevMed,"prev_suspect":$prevSusp,""" +
+          s""""ratio":$ratio$par},"""
+      case _ => s""""probe_vs_prev":null,"""
+    }
     val env = s"""{"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}",""" +
       s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
       s""""probe_median_sec":$probeMedian,""" +
+      s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
+      s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""micro_batches":$nBatches}"""
     val json = s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +

@@ -71,7 +71,24 @@ object Ranked {
     * (`(name, desc)`); ties take the window's arbitrary order, so
     * pass a tie-breaking unique column for determinism. */
   def rowNumber(df: DataFrame, partCols: Seq[String],
-                orderCols: Seq[(String, Boolean)], outCol: String): DataFrame = {
+                orderCols: Seq[(String, Boolean)], outCol: String): DataFrame =
+    ranked(df, partCols, orderCols, outCol, RankedKind.RRowNumber)
+
+  /** `rank()` — tie-exact, including peer runs that straddle range
+    * partitions (chained through the offset table). */
+  def rank(df: DataFrame, partCols: Seq[String],
+           orderCols: Seq[(String, Boolean)], outCol: String): DataFrame =
+    ranked(df, partCols, orderCols, outCol, RankedKind.RRank)
+
+  /** `dense_rank()` — exact across partitions (boundary-spanning
+    * keys merged in the driver pass). */
+  def denseRank(df: DataFrame, partCols: Seq[String],
+                orderCols: Seq[(String, Boolean)], outCol: String): DataFrame =
+    ranked(df, partCols, orderCols, outCol, RankedKind.RDenseRank)
+
+  private def ranked(df: DataFrame, partCols: Seq[String],
+                     orderCols: Seq[(String, Boolean)], outCol: String,
+                     kind: RankedKind): DataFrame = {
     val plan = df.queryExecution.analyzed
     def attr(name: String) = plan.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
@@ -81,7 +98,7 @@ object Ranked {
       orderCols.map { case (c, desc) =>
         SortOrder(attr(c), if (desc) Descending else Ascending)
       },
-      Seq(RankedKind.RRowNumber),
+      Seq(kind),
       Seq(Literal(1L)),
       Seq(AttributeReference(outCol, LongType, nullable = false)()),
       plan)

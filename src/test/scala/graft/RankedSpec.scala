@@ -126,6 +126,35 @@ class RankedSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("typed rank/denseRank APIs equal the window forms (keyed + keyless, desc)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 12000).map(i =>
+      (s"g${i % 3}", rnd.nextInt(40).toLong, i.toLong)) // heavy ties
+    val df = rows.toDF("k", "score", "row_id")
+    // keyed, descending score
+    val wk = Window.partitionBy("k").orderBy(desc("score"))
+    val wantK = withKeyless(on = false) {
+      df.withColumn("r", rank().over(wk).cast("bigint"))
+        .withColumn("d", dense_rank().over(wk).cast("bigint"))
+        .select("row_id", "r", "d").as[(Long, Long, Long)].collect().sortBy(_._1)
+    }
+    val gotK = graft.operators.Ranked.denseRank(
+        graft.operators.Ranked.rank(df, Seq("k"), Seq(("score", true)), "r"),
+        Seq("k"), Seq(("score", true)), "d")
+      .select("row_id", "r", "d").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(gotK.toSeq === wantK.toSeq)
+    // keyless, ascending
+    val wg = Window.orderBy("score")
+    val wantG = withKeyless(on = false) {
+      df.withColumn("r", rank().over(wg).cast("bigint"))
+        .select("row_id", "r").as[(Long, Long)].collect().sortBy(_._1)
+    }
+    val gotG = graft.operators.Ranked.rank(df, Seq(), Seq(("score", false)), "r")
+      .select("row_id", "r").as[(Long, Long)].collect().sortBy(_._1)
+    assert(gotG.toSeq === wantG.toSeq)
+  }
+
   private def withKeyless[T](on: Boolean)(f: => T): T = {
     spark.conf.set("spark.graft.ranked.keylessRewrite", on.toString)
     try f finally spark.conf.unset("spark.graft.ranked.keylessRewrite")
