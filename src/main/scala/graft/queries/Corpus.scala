@@ -530,6 +530,46 @@ object Corpus {
       |  CAST(total_docs AS DOUBLE) / (CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS uniform_weight
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------------- mix resampling
+  // P64: APPLY the domain-mixing knob qDomainMix computes — rebalance
+  // the corpus to a uniform per-source mix by deterministic
+  // downsampling: every source keeps exactly t = min(|source|) docs,
+  // chosen in content-hash order (an unbiased, reproducible sample —
+  // the same doc set on every run and every cluster size, no RNG
+  // state).  Shape at scale: ranking is per-source with a handful of
+  // sources — exactly the LOW-CARDINALITY regime the keyed
+  // RankedPrefixSum exists for (a keyed window would collapse 100 TB
+  // onto |sources| tasks); t rides a broadcast.
+  def qMixResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("graft_hash32(text)").as("h"))
+    val t = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("t"))
+    Ranked.rowNumber(docs, Seq("source"), Seq(("h", false), ("doc_id", false)), "rk")
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"), col("source"), col("rk"),
+        (col("rk") <= col("t")).as("keep"), col("t"))
+      .orderBy("doc_id")
+  }
+
+  val qMixResampleSql: String = {
+    val hash = Pipeline.duckHash32("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $hash AS h FROM documents
+       |), t AS (
+       |  SELECT CAST(MIN(n) AS BIGINT) AS t FROM (
+       |    SELECT COUNT(*) AS n FROM d GROUP BY source)
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM d
+       |)
+       |SELECT r.doc_id, r.source, r.rk, r.rk <= t.t AS keep, t.t AS t
+       |FROM r CROSS JOIN t ORDER BY r.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------- token-budget shards
   // Assign documents to fixed-token-budget training shards: within
   // each language, docs are packed in doc_id order and a new shard
@@ -638,6 +678,7 @@ object Corpus {
     "q_pivot_events" -> (qPivotEvents _),
     "q_repetition" -> (qRepetition _),
     "q_domain_mix" -> (qDomainMix _),
+    "q_mix_resample" -> (qMixResample _),
     "q_token_shard" -> (qTokenShard _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_rarity_score" -> (qRarityScore _))
@@ -651,6 +692,7 @@ object Corpus {
     "q_pivot_events" -> qPivotEventsSql,
     "q_repetition" -> qRepetitionSql,
     "q_domain_mix" -> qDomainMixSql,
+    "q_mix_resample" -> qMixResampleSql,
     "q_token_shard" -> qTokenShardSql,
     "q_label_centroid" -> qLabelCentroidSql,
     "q_rarity_score" -> qRarityScoreSql)

@@ -371,6 +371,21 @@ class PlanAuditSpec extends SparkSpec {
       s"partition-less window would serialize the keep gate:\n$ppl")
   }
 
+  test("q_mix_resample ranks per-source on the keyed RankedPrefixSum and keeps exactly t per source") {
+    // the LOW-CARDINALITY keyed case the operator exists for: ranking
+    // partitions by source (a handful of values), which a keyed
+    // window would collapse onto |sources| tasks at 100 TB
+    val df = graft.queries.Corpus.qMixResample(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("RankedPrefixSum"), plan)
+    assert(!plan.contains("Window "), plan)
+    val kept = df.filter("keep").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = df.select("t").head().getLong(0)
+    assert(kept.values.toSet === Set(t),
+      s"every source must keep exactly t=$t docs: $kept")
+  }
+
   test("no query plans a partition-less window — the class, not the instance") {
     // a `Window.orderBy(...)` with empty PARTITION BY funnels the
     // whole input through ONE task — the shape §6.r10 calls out and
