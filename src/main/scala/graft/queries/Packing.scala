@@ -245,15 +245,42 @@ object Packing {
     merges.result()
   }
 
-  /** DuckDB oracle for q_bpe_train: the 6 rounds unrolled as
-    * MATERIALIZED CTEs (without materialization the v→t→v chain
-    * re-inlines exponentially).  Round r: `t{r}` is the (cnt DESC,
-    * tok_l, tok_r) argmax of weighted adjacent-pair counts over
-    * `v{r-1}`; `v{r}` applies the merge greedily left-to-right
-    * non-overlapping — match runs are grouped gaps-and-islands style
-    * and positions at EVEN offset within their run merge (leftmost
-    * wins), consumed right halves drop via LAG. */
-  val qBpeTrainSql: String = {
+  /** One round of greedy left-to-right non-overlapping merge
+    * application as a MATERIALIZED DuckDB CTE (shared by the train
+    * and encode oracles so the two cannot drift): match runs are
+    * grouped gaps-and-islands style and positions at EVEN offset
+    * within their run merge (leftmost wins), consumed right halves
+    * drop via LAG; the merge pair is round r's `t{r}` argmax. */
+  private def duckMergeCte(inCte: String, outCte: String,
+                           keyCols: String, key: String, r: Int): String =
+    s"""$outCte AS MATERIALIZED (
+       |  SELECT $keyCols,
+       |    list(CASE WHEN do_merge THEN s || (SELECT tok_r FROM t$r) ELSE s END
+       |         ORDER BY i) AS syms
+       |  FROM (
+       |    SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY $key ORDER BY i),
+       |                       FALSE) AS consumed
+       |    FROM (
+       |      SELECT $keyCols, i, s, m,
+       |        CASE WHEN m THEN (i - MIN(i) OVER (PARTITION BY $key, m, grp)) % 2 = 0
+       |             ELSE FALSE END AS do_merge
+       |      FROM (
+       |        SELECT $keyCols, i, s, m,
+       |          i - ROW_NUMBER() OVER (PARTITION BY $key, m ORDER BY i) AS grp
+       |        FROM (
+       |          SELECT $keyCols, i, syms[CAST(i AS INT)] AS s,
+       |            (i < len(syms) AND syms[CAST(i AS INT)] = (SELECT tok_l FROM t$r)
+       |               AND syms[CAST(i + 1 AS INT)] = (SELECT tok_r FROM t$r)) AS m
+       |          FROM (SELECT $keyCols, syms,
+       |                  unnest(range(1, len(syms) + 1)) AS i FROM $inCte)))))
+       |  WHERE NOT consumed
+       |  GROUP BY $keyCols
+       |)""".stripMargin
+
+  /** The vocab + per-round argmax CTE chain (v0, t1, v1, … t_k, v_k)
+    * both BPE oracles open with.  MATERIALIZED throughout — without
+    * it the v→t→v chain re-inlines exponentially. */
+  private def duckTrainCtes: Seq[String] = {
     val v0 =
       s"""v0 AS MATERIALIZED (
          |  SELECT word, freq, list_append(list_transform(range(length(word)),
@@ -263,44 +290,53 @@ object Packing {
          |      SELECT unnest(${Pipeline.duckTok}) AS word FROM documents)
          |    WHERE word <> '' GROUP BY word)
          |)""".stripMargin
-    val roundCtes = (1 to BpeRounds).map { r =>
+    v0 +: (1 to BpeRounds).flatMap { r =>
       val p = r - 1
-      s"""t$r AS MATERIALIZED (
-         |  SELECT pr.l AS tok_l, pr.r AS tok_r, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest(list_transform(range(len(syms) - 1),
-         |    i -> {'l': syms[CAST(i + 1 AS INT)], 'r': syms[CAST(i + 2 AS INT)]})) AS pr
-         |    FROM v$p)
-         |  GROUP BY pr.l, pr.r
-         |  ORDER BY cnt DESC, tok_l, tok_r LIMIT 1
-         |),
-         |v$r AS MATERIALIZED (
-         |  SELECT word, freq,
-         |    list(CASE WHEN do_merge THEN s || (SELECT tok_r FROM t$r) ELSE s END
-         |         ORDER BY i) AS syms
-         |  FROM (
-         |    SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i),
-         |                       FALSE) AS consumed
-         |    FROM (
-         |      SELECT word, freq, i, s, m,
-         |        CASE WHEN m THEN (i - MIN(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
-         |             ELSE FALSE END AS do_merge
-         |      FROM (
-         |        SELECT word, freq, i, s, m,
-         |          i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS grp
-         |        FROM (
-         |          SELECT word, freq, i, syms[CAST(i AS INT)] AS s,
-         |            (i < len(syms) AND syms[CAST(i AS INT)] = (SELECT tok_l FROM t$r)
-         |               AND syms[CAST(i + 1 AS INT)] = (SELECT tok_r FROM t$r)) AS m
-         |          FROM (SELECT word, freq, syms,
-         |                  unnest(range(1, len(syms) + 1)) AS i FROM v$p)))))
-         |  WHERE NOT consumed
-         |  GROUP BY word, freq
-         |)""".stripMargin
+      Seq(
+        s"""t$r AS MATERIALIZED (
+           |  SELECT pr.l AS tok_l, pr.r AS tok_r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(len(syms) - 1),
+           |    i -> {'l': syms[CAST(i + 1 AS INT)], 'r': syms[CAST(i + 2 AS INT)]})) AS pr
+           |    FROM v$p)
+           |  GROUP BY pr.l, pr.r
+           |  ORDER BY cnt DESC, tok_l, tok_r LIMIT 1
+           |)""".stripMargin,
+        duckMergeCte(s"v$p", s"v$r", "word, freq", "word", r))
     }
+  }
+
+  /** DuckDB oracle for q_bpe_train: the learned 6-row merge table. */
+  val qBpeTrainSql: String = {
     val sel = (1 to BpeRounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS step, tok_l, tok_r, cnt AS freq FROM t$r")
       .mkString("\nUNION ALL\n")
-    "WITH " + (v0 +: roundCtes).mkString(",\n") + "\n" + sel + "\nORDER BY step"
+    "WITH " + duckTrainCtes.mkString(",\n") + "\n" + sel + "\nORDER BY step"
+  }
+
+  /** DuckDB oracle for q_bpe_encode (r11 — the last no_oracle key
+    * closed): re-learn the merges with the train CTEs, then apply
+    * them to each document's FLAT symbol stream (words' chars +
+    * '</w>' terminals, matching the fused kernel's flat-stream
+    * semantics — proven ≡ per-word by BpeSpec) via the SAME shared
+    * merge CTE, keyed by doc_id.  Zero-symbol docs drop out of the
+    * explode and come back with COALESCE(len, 0) = 0. */
+  val qBpeEncodeSql: String = {
+    val d0 =
+      s"""d0 AS MATERIALIZED (
+         |  SELECT doc_id, flatten(list_transform(
+         |      list_filter(${Pipeline.duckTok}, w -> w <> ''),
+         |    w -> list_append(list_transform(range(length(w)),
+         |      i -> substr(w, CAST(i + 1 AS INT), 1)), '</w>'))) AS syms
+         |  FROM documents
+         |)""".stripMargin
+    val docRounds = (1 to BpeRounds).map(r =>
+      duckMergeCte(s"d${r - 1}", s"d$r", "doc_id", "doc_id", r))
+    val sel =
+      s"""SELECT d0.doc_id, CAST(len(d0.syms) AS BIGINT) AS n_char_syms,
+         |  CAST(COALESCE(len(d$BpeRounds.syms), 0) AS BIGINT) AS n_bpe_syms,
+         |  CAST(len(d0.syms) - COALESCE(len(d$BpeRounds.syms), 0) AS BIGINT) AS saved
+         |FROM d0 LEFT JOIN d$BpeRounds USING (doc_id) ORDER BY d0.doc_id""".stripMargin
+    "WITH " + (duckTrainCtes ++ (d0 +: docRounds)).mkString(",\n") + "\n" + sel
   }
 
   // -------------------------------------------------------------- P59c
@@ -397,5 +433,6 @@ object Packing {
     "q_pack_windows" -> qPackWindowsSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_zorder_layout" -> qZorderLayoutSql)
 }
