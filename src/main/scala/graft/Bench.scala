@@ -106,7 +106,8 @@ object Bench {
     */
   private[graft] def prevProbeAnchor(
       pattern: String = """BENCH.*_r(\d+)\.json""",
-      envKey: String = "SPARK_GRAFT_PREV_BENCH"): Option[(String, Double, Boolean, Option[Double])] = {
+      envKey: String = "SPARK_GRAFT_PREV_BENCH",
+      preferPrefix: Option[String] = None): Option[(String, Double, Boolean, Option[Double])] = {
     def parse(p: java.nio.file.Path): Option[(String, Double, Boolean, Option[Double])] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -133,9 +134,15 @@ object Bench {
             }.toSeq
         } catch { case _: Throwable => Seq.empty }
         // a clean (suspect:false) anchor from any round beats a
-        // contended one from the latest round
+        // contended one from the latest round; within a round, prefer
+        // the artifact whose name shares this run's sf prefix, then
+        // break remaining ties by name — directory-listing order must
+        // never pick the anchor (ADVICE r11)
         val clean = cands.filter(!_._2._3)
-        (if (clean.nonEmpty) clean else cands).sortBy(-_._1).headOption.map(_._2)
+        (if (clean.nonEmpty) clean else cands)
+          .sortBy { case (round, (name, _, _, _)) =>
+            (-round, if (preferPrefix.exists(name.startsWith)) 0 else 1, name)
+          }.headOption.map(_._2)
     }
   }
 
@@ -258,7 +265,12 @@ object Bench {
     // anchors are compared: r10 measured a round where 32-way
     // throughput dropped ~1.3x while single-thread speed held at
     // 1.01x — only the parallel anchor can witness that.
-    val prevAnchor = prevProbeAnchor()
+    // sf-matching prefix of this run's own artifact name (e.g.
+    // "BENCH_SF1_" from BENCH_SF1_r12.json) steers same-round ties
+    val selfPrefix = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      .map(_.replaceAll("""_?r?\d+\.json$""", "_"))
+    val prevAnchor = prevProbeAnchor(preferPrefix = selfPrefix)
     val probeVsPrev = prevAnchor.map { case (_, prevMed, _, _) => probeMedian / prevMed }
     val probeParVsPrev = prevAnchor.flatMap { case (_, _, _, prevPar) =>
       prevPar.map(probePar / _)

@@ -30,10 +30,9 @@ object BpeProbe {
     batches.foreach { b =>
       val probe = Bench.calibrate(25000000)
       val t0 = System.nanoTime()
-      val merges = graft.queries.Packing.learnMerges(spark, dir, batch = b,
-        rounds = rounds)
+      val (merges, driverRounds) = graft.queries.Packing.learnMergesCounted(
+        spark, dir, batch = b, rounds = rounds)
       val learnSec = (System.nanoTime() - t0) / 1e9
-      val driverRounds = math.ceil(merges.size.toDouble / b).toInt
       val flat = merges.flatMap(m => Seq(m._2, m._3))
       val saved = Tables.documents(spark, dir)
         .select(call_function("graft_bpe_stats", col("text"),

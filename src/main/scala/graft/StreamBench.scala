@@ -92,6 +92,12 @@ object StreamBench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // out_rows / state peaks are read from query.recentProgress, which
+    // Spark caps (default 100 entries) — raise the retention above the
+    // batch count (+ movers batch + slack) so no early batch silently
+    // drops from the totals (ADVICE r11)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(100, nBatches + 8).toString)
     import spark.implicits._
 
     def esc(s: String): String = s.flatMap {

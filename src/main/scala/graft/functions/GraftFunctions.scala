@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -785,6 +787,78 @@ object GraftFunctions {
     x
   }
 
+  /** d-dimensional Morton interleave (the Delta/Iceberg Z-ORDER
+    * form): each of the d ∈ [2, 8] dims contributes its low ⌊62/d⌋
+    * bits; bit j of dim i lands at position j·d + i, so the code
+    * stays a non-negative BIGINT and a range predicate on ANY dim
+    * maps to runs of the sorted code.  d = 2 is bit-identical to
+    * [[zorder64]] for dims < 2³¹ (spec-pinned).  Same contract as
+    * the 2-D kernel: negative dims fail loudly, bits above the
+    * per-dim width truncate silently (documented). */
+  def zorderN(dims: Array[Long]): Long = {
+    val d = dims.length
+    require(d >= 2 && d <= 8, s"graft_zorder expects 2-8 dims, got $d")
+    val w = 62 / d
+    var z = 0L
+    var i = 0
+    while (i < d) {
+      val v = dims(i)
+      require(v >= 0, s"graft_zorder expects non-negative dims, got ${dims.mkString(", ")}")
+      val x = v & ((1L << w) - 1L)
+      var j = 0
+      while (j < w) {
+        z |= ((x >>> j) & 1L) << (j * d + i)
+        j += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  case class ZorderN(children: Seq[Expression]) extends Expression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(children.length >= 2 && children.length <= 8 &&
+        children.forall(_.dataType == LongType),
+        s"$prettyName expects 2-8 BIGINT dims")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def prettyName: String = "graft_zorder"
+
+    override def eval(input: InternalRow): Any = {
+      val vs = new Array[Long](children.length)
+      var i = 0
+      while (i < children.length) {
+        val v = children(i).eval(input)
+        if (v == null) return null
+        vs(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      GraftFunctions.zorderN(vs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val evals = children.map(_.genCode(ctx))
+      val arr = ctx.freshName("dims")
+      val nullCheck =
+        if (nullable) evals.map(e => s"${e.isNull}").mkString(" || ") else "false"
+      val fill = evals.zipWithIndex
+        .map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+      ev.copy(code = code"""
+        ${evals.map(_.code).mkString("\n")}
+        boolean ${ev.isNull} = $nullCheck;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          long[] $arr = new long[${children.length}];
+          $fill
+          ${ev.value} = $fn.zorderN($arr);
+        }""")
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   case class Zorder64(left: Expression, right: Expression) extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(left.dataType == LongType && right.dataType == LongType,
@@ -1429,6 +1503,8 @@ object GraftFunctions {
       es => MicroLnRatio(es(0), es(1))),
     ("graft_zorder64", "Morton interleave of two 31-bit dims (Z-order layout key)",
       es => Zorder64(es(0), es(1))),
+    ("graft_zorder", "d-dim Morton interleave, 62/d bits per dim (Z-order layout key)",
+      es => ZorderN(es)),
     ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
       es => CharClass(es(0))),
     ("graft_media_dims", "[fmt, width, height] from image container headers",

@@ -137,14 +137,21 @@ object Analytics {
       "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
 
   def qZscore(s: SparkSession, d: String): DataFrame = {
-    val grp = Window.partitionBy("lang")
-    Tables.documents(s, d)
-      .select("doc_id", "lang", "n_chars")
-      .withColumn("s1", sum("n_chars").over(grp))
+    // The per-language moments are a GROUP BY, not a window: `SUM(x)
+    // OVER (PARTITION BY lang)` hash-partitions the whole corpus onto
+    // |lang| ≈ 5 tasks (the low-cardinality keyed-window scale
+    // killer — at 100 TB those five tasks ARE the job).  groupBy
+    // keeps map-side partial aggregation (every core combines), the
+    // |lang|-row moment frame broadcasts back, and the z expression
+    // stays a pure per-row map — no corpus shuffle at all.
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val stats = docs.groupBy("lang").agg(
+      sum("n_chars").as("s1"),
       // widen BEFORE multiplying: an INT-width product wraps silently
       // in Spark for n_chars >= 46341 (DuckDB would error instead)
-      .withColumn("s2", sum(expr("CAST(n_chars AS BIGINT) * n_chars")).over(grp))
-      .withColumn("n", count(lit(1)).over(grp))
+      sum(expr("CAST(n_chars AS BIGINT) * n_chars")).as("s2"),
+      count(lit(1)).as("n"))
+    docs.join(broadcast(stats), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_chars"), expr(zExpr).as("z"))
       .orderBy("doc_id")
   }

@@ -397,21 +397,31 @@ object Corpus {
   }
 
   // ---------------------------------------------- exact multi-quantile
-  // Exact p25/p50/p75/p95 of document length per language in ONE
-  // window pass (nearest-rank definition, pure integer arithmetic —
-  // no float quantile interpolation to disagree across engines).
-  // Same single shuffle as one median; the conditional aggregate
-  // picks all four ranks in one reduction.
+  // Exact p25/p50/p75/p95 of document length per language
+  // (nearest-rank definition, pure integer arithmetic — no float
+  // quantile interpolation to disagree across engines).
+  //
+  // Shape at scale (r12): a ROW-level `row_number()/COUNT(*) OVER
+  // (PARTITION BY lang)` hash-partitions the whole corpus onto
+  // |lang| ≈ 5 tasks.  Exact quantiles never need per-row ranks —
+  // only the value-frequency histogram: groupBy (lang, n_chars)
+  // collapses the corpus map-side to ≤ |lang|·|distinct lengths|
+  // rows, the keyed RankedPrefixSum turns frequencies into cumulative
+  // counts (range-partitioned by (lang, n_chars) — parallel in cores,
+  // not groups, even if the histogram itself is huge), and the value
+  // at rank r is MIN(n_chars | cum ≥ r).  The |lang|-row totals frame
+  // broadcasts; nothing corpus-sized crosses a keyed exchange.
   def qQuantiles(s: SparkSession, d: String): DataFrame = {
-    val ord = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    val grp = Window.partitionBy("lang")
-    val base = Tables.documents(s, d)
-      .select("lang", "n_chars", "doc_id")
-      .withColumn("rn", row_number().over(ord).cast("bigint"))
-      .withColumn("cnt", count(lit(1)).over(grp))
+    val hist = Tables.documents(s, d)
+      .select("lang", "n_chars")
+      .groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("freq"))
+    val cum = Ranked.prefixSum(hist, Seq("lang"), Seq("n_chars"), "freq", "cum")
+    val totals = hist.groupBy("lang").agg(sum("freq").as("cnt"))
     def pick(pct: Int) =
-      max(when(expr(s"rn = (cnt * $pct + 99) DIV 100"), col("n_chars")))
-    base.groupBy("lang")
+      min(when(expr(s"cum >= (cnt * $pct + 99) DIV 100"), col("n_chars")))
+    cum.join(broadcast(totals), Seq("lang"))
+      .groupBy("lang")
       .agg(pick(25).as("p25"), pick(50).as("p50"),
         pick(75).as("p75"), pick(95).as("p95"),
         max("cnt").as("n_docs"))
@@ -578,11 +588,18 @@ object Corpus {
   // integer arithmetic (exact on both engines); at 100 TB the window
   // is per-lang range-partitioned, never global.
   def qTokenShard(s: SparkSession, d: String): DataFrame = {
+    // INCLUSIVE running frame minus the current row (≡ the exclusive
+    // `ROWS .. 1 PRECEDING` sum, since every group has ≥ 1 row) —
+    // spelled this way because the inclusive ROWS-running shape is
+    // the one RankedWindowRule can swap to the distributed
+    // RankedPrefixSum under `spark.graft.ranked.autoRewrite`; the
+    // exclusive frame has no rewrite path and would pin the per-lang
+    // sort onto |lang| tasks at scale.
     val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), expr(tokCount).as("n_tok"))
-      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("cum_before", sum("n_tok").over(w) - col("n_tok"))
       .withColumn("shard", expr("CAST(cum_before DIV 20000 AS BIGINT)"))
       .select("doc_id", "lang", "n_tok", "shard")
       .orderBy("doc_id")

@@ -576,17 +576,25 @@ object CorpusStats {
   // Per-language length outliers: documents longer than their
   // language's nearest-rank p99 — the "cut the monster documents"
   // filter step.  The percentile is pure integer arithmetic (value at
-  // sorted position ceil(99n/100) = (99n+99) DIV 100), computed in the
-  // same two windows that rank the rows; at scale each language is one
-  // range-partitionable sort, no collect, no approximation.
+  // sorted position ceil(99n/100) = (99n+99) DIV 100).
+  //
+  // Shape at scale (r12): per-row `row_number()/COUNT(*) OVER
+  // (PARTITION BY lang)` collapses the corpus onto |lang| ≈ 5 tasks.
+  // The percentile only needs the value-frequency histogram:
+  // groupBy (lang, n_chars) + keyed RankedPrefixSum cumulative count
+  // (range-partitioned — parallel in cores, not languages), p99 =
+  // MIN(n_chars | cum ≥ rank); the |lang|-row threshold frame
+  // broadcasts back onto the corpus scan as a pure per-row filter.
   def qLengthOutliers(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang")
-    val ws = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(ws))
-      .withColumn("p99",
-        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("n_chars"))).over(w))
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("freq"))
+    val cum = graft.operators.Ranked
+      .prefixSum(hist, Seq("lang"), Seq("n_chars"), "freq", "cum")
+    val totals = hist.groupBy("lang").agg(sum("freq").as("n"))
+    val p99 = cum.join(broadcast(totals), Seq("lang"))
+      .groupBy("lang")
+      .agg(min(when(expr("cum >= (99 * n + 99) DIV 100"), col("n_chars"))).as("p99"))
+    docs.join(broadcast(p99), Seq("lang"))
       .filter(col("n_chars") > col("p99"))
       .select(col("lang"), col("doc_id"), col("n_chars"), col("p99"))
       .orderBy("lang", "doc_id")

@@ -214,13 +214,23 @@ object Packing {
     * collapsed to a single symbol — ADVICE r10), the loop stops and
     * returns the merges learned so far. */
   private[graft] def learnMerges(s: SparkSession, d: String, batch: Int = 1,
-                                 rounds: Int = BpeRounds): Seq[(Long, String, String, Long)] = {
+                                 rounds: Int = BpeRounds): Seq[(Long, String, String, Long)] =
+    learnMergesCounted(s, d, batch, rounds)._1
+
+  /** [[learnMerges]] plus the COUNTED number of driver collect rounds
+    * actually executed — including a final round that came back empty
+    * (pair supply ran dry), which ceil(n_merges/batch) would miss
+    * (ADVICE r11: count the loop, don't derive it). */
+  private[graft] def learnMergesCounted(s: SparkSession, d: String, batch: Int = 1,
+                                        rounds: Int = BpeRounds): (Seq[(Long, String, String, Long)], Int) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     var v = vocab(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var step = 0
+    var collects = 0
     var dry = false
     while (step < rounds && !dry) {
+      collects += 1
       // the size guard runs on the CHECKPOINTED frame — a free probe
       // of a materialized column (see the pairCounts precondition)
       val top = pairCounts(v.filter(size(col("syms")) >= 2))
@@ -242,7 +252,7 @@ object Packing {
       }
     }
     v.unpersist()
-    merges.result()
+    (merges.result(), collects)
   }
 
   /** One round of greedy left-to-right non-overlapping merge
@@ -384,18 +394,30 @@ object Packing {
   // point: fixed 2-D probe rectangles touch strictly fewer z-files
   // than doc_id-layout files on the same data.
   def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    // slice size (rows per target file) is the real-world file-count
+    // knob — Delta/Iceberg expose the same as target file size; the
+    // oracle-gated default stays 100
+    val slice = s.conf.get("spark.graft.zorder.sliceRows", "100").toLong
+    require(slice >= 1, s"spark.graft.zorder.sliceRows must be >= 1, got $slice")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), expr(Corpus.tokCount).as("n_tok"))
       .withColumn("z", expr("graft_zorder64(n_chars, n_tok)"))
     Ranked.rowNumber(docs, Seq(), Seq(("z", false), ("doc_id", false)), "rk")
-      .withColumn("file_id", expr("(rk - 1) DIV 100"))
+      .withColumn("file_id", expr(s"(rk - 1) DIV $slice"))
       .select("doc_id", "n_chars", "n_tok", "z", "file_id")
       .orderBy("doc_id")
   }
 
   val qZorderLayoutSql: String = {
     // the spread steps via DuckDB lateral column aliases; masks are
-    // the classic Morton magic numbers in decimal
+    // the classic Morton magic numbers in decimal.  Negative dims
+    // fail LOUDLY via error() in the MATERIALIZED input CTE (lateral
+    // aliases cannot reference side-effecting expressions, so the
+    // guard runs where the dims are produced), matching the Spark
+    // kernel's require — a silent mask would interleave garbage on
+    // one engine while the other throws (ADVICE r11).  Dims >= 2^31
+    // still truncate on both sides identically (the kernel's
+    // documented 31-bit contract).
     def spread(in: String, p: String) =
       s"""($in & 2147483647) AS ${p}0,
          |  ((${p}0 | (${p}0 << 16)) & 281470681808895) AS ${p}1,
@@ -403,8 +425,11 @@ object Packing {
          |  ((${p}2 | (${p}2 << 4)) & 1085102592571150095) AS ${p}3,
          |  ((${p}3 | (${p}3 << 2)) & 3689348814741910323) AS ${p}4,
          |  ((${p}4 | (${p}4 << 1)) & 6148914691236517205) AS ${p}5""".stripMargin
-    s"""WITH t AS (
-       |  SELECT doc_id, n_chars, ${Corpus.duckTokCount} AS n_tok FROM documents
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars < 0 THEN CAST(error('graft_zorder64 expects non-negative dims') AS INT)
+       |         ELSE n_chars END AS n_chars,
+       |    ${Corpus.duckTokCount} AS n_tok FROM documents
        |), z AS (
        |  SELECT doc_id, n_chars, n_tok,
        |  ${spread("n_chars", "a")},

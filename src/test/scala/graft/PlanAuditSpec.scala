@@ -169,9 +169,14 @@ class PlanAuditSpec extends SparkSpec {
     val p1 = planOf(graft.queries.Corpus.qPivotEvents(spark, sf))
     assert("HashAggregate".r.findAllIn(p1).length >= 2, p1)
     val p2 = planOf(graft.queries.Corpus.qQuantiles(spark, sf))
-    // one window partitioning feeds both rn and cnt — a single exchange
-    // before the final orderBy range partitioner
-    assert("Exchange hashpartitioning".r.findAllIn(p2).length === 1, p2)
+    // r12: the corpus collapses map-side into the (lang, n_chars)
+    // value histogram; ranks come from the keyed RankedPrefixSum over
+    // that compressed frame and the |lang|-row totals broadcast — no
+    // lang-keyed window over corpus rows anywhere
+    assert(p2.contains("RankedPrefixSum"), p2)
+    assert(!p2.contains("Window "), p2)
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert("HashAggregate".r.findAllIn(p2).length >= 2, p2)
   }
 
   test("q_sample_hash predicate evaluates at the scan stage (no shuffle before sampling)") {
@@ -213,11 +218,14 @@ class PlanAuditSpec extends SparkSpec {
       .toSeq
     assert(inlined.isEmpty, s"pipeline inlined into the threshold explode:\n$tlog")
     assert(tlog.contains("explode([80,85,90,95]"), tlog)
-    // length outliers: pure window plan over one scan, no join at all
+    // length outliers (r12): histogram + keyed RankedPrefixSum for the
+    // percentile, |lang|-row threshold broadcast back — every join is
+    // a broadcast, no lang-keyed window over corpus rows
     val lp = planOf(graft.queries.CorpusStats.qLengthOutliers(spark, sf))
-    assert("Scan parquet".r.findAllIn(lp).length === 1, lp)
-    assert(!lp.contains("Join"), lp)
-    assert(lp.contains("Window"), lp)
+    assert(lp.contains("RankedPrefixSum"), lp)
+    assert(!lp.contains("Window "), lp)
+    assert(lp.contains("BroadcastHashJoin"), lp)
+    assert(!lp.contains("SortMergeJoin"), lp)
     // token-length histogram: explode → hash agg with partials
     val hp = planOf(graft.queries.CorpusStats.qTokLenHist(spark, sf))
     assert("HashAggregate".r.findAllIn(hp).length >= 2, hp)
@@ -405,6 +413,47 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a partition-less window (single-task global sort " +
           s"at scale): ${keyless.mkString("; ")}")
     } finally spark.conf.unset("spark.graft.ranked.keylessRewrite")
+  }
+
+  test("no query plans a low-cardinality keyed window over a corpus-scale frame — the class") {
+    // The rung below the partition-less class (VERDICT r11): a window
+    // keyed SOLELY on a ~5-cardinality corpus column (lang / source /
+    // contig / l_returnflag / ...) hash-partitions 100 TB onto |k|
+    // tasks.  Production posture: `spark.graft.ranked.autoRewrite`
+    // swaps every ORDERED low-|k| running shape to the distributed
+    // RankedPrefixSum; UNORDERED per-group aggregates (`SUM/COUNT/MAX
+    // OVER (PARTITION BY lang)`) have NO rewrite path and must not
+    // exist at source — the scale shape is groupBy + broadcast
+    // join-back (q_zscore) or the value-histogram construction
+    // (q_quantiles / q_length_outliers).  Sweep: with the flag ON, no
+    // Window keyed solely on low-cardinality columns may survive in
+    // any optimized plan UNLESS its input frame is already
+    // aggregate-compressed (child subtree contains an Aggregate, so
+    // frame size is bounded by group count, not corpus rows — e.g.
+    // q_char_trigrams' per-lang top-20 over the vocabulary frame).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    val lowCard = Set("lang", "source", "contig", "l_returnflag",
+      "event_type", "label", "is_target")
+    def offenders(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(_.references.nonEmpty) &&
+          w.partitionSpec.forall(_.references.forall(a => lowCard.contains(a.name))) &&
+          w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+      }
+    // detector witness: with the rewrite OFF, the ordered keyed shapes
+    // (q_topk_per_group rides Window.partitionBy(lang, source)) MUST
+    // trip the collector — otherwise a green sweep proves nothing
+    assert(offenders(graft.queries.Analytics.qTopkPerGroup(spark, sf)).nonEmpty,
+      "detector lost its witness: q_topk_per_group no longer plans a " +
+        "low-card keyed window with autoRewrite off — update the witness")
+    spark.conf.set("spark.graft.ranked.autoRewrite", "true")
+    try SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = offenders(fn(spark, sf))
+      assert(bad.isEmpty,
+        s"$name plans a low-cardinality keyed window over a corpus-scale " +
+          s"frame (|k| tasks at 100 TB): ${bad.mkString("; ")}")
+    } finally spark.conf.unset("spark.graft.ranked.autoRewrite")
   }
 
   test("q_char_trigrams aggregates packed longs and group-limits the window") {

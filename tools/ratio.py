@@ -29,14 +29,27 @@ def main() -> None:
     ratios_sorted = sorted(ratios)
     med = ratios_sorted[len(ratios_sorted) // 2] if ratios_sorted else 0.0
 
+    # inline trust labels: a query probe-flagged in either artifact is
+    # marked on its own row so the reader never has to cross-reference
+    # the suspect_queries footer by hand (VERDICT r11 item 7)
+    sqa = a.get("suspect_queries") or {}
+    sqb = b.get("suspect_queries") or {}
+
+    def flag(k: str) -> str:
+        tags = (["A!"] if k in sqa else []) + (["B!"] if k in sqb else [])
+        return " [%s]" % ",".join(tags) if tags else ""
+
     if md:
         print("| query | %s s | %s s | ratio |" % (a.get("sf", "a"), b.get("sf", "b")))
         print("|---|---|---|---|")
         for k in shared:
-            print("| %s | %.2f | %.2f | %.1fx |" % (k, qa[k], qb[k], qb[k] / qa[k]))
+            print("| %s%s | %.2f | %.2f | %.1fx |" % (k, flag(k), qa[k], qb[k], qb[k] / qa[k]))
     else:
         for k in shared:
-            print("%-24s %8.2fs %8.2fs %6.1fx" % (k, qa[k], qb[k], qb[k] / qa[k]))
+            print("%-24s %8.2fs %8.2fs %6.1fx%s" % (k, qa[k], qb[k], qb[k] / qa[k], flag(k)))
+    if sqa or sqb:
+        print("\n[A!]/[B!] = probe-flagged in that artifact (localized "
+              "contention; distrust that row's side)")
     print()
     print("queries=%d median_ratio=%.2fx max_ratio=%.1fx above_10x=%d" % (
         len(shared), med, max(ratios) if ratios else 0,
