@@ -268,6 +268,41 @@ object Analytics {
       .orderBy("s_nationkey")
   }
 
+  // ------------------------------------------- tie-aware leaderboard
+  // Top quality BANDS per (lang, source) with competition semantics:
+  // documents scoring in a top-3 band all surface, `rank()` leaves
+  // gaps after ties, `dense_rank()` numbers the bands — the tie-aware
+  // variant of q_topk_per_group (row_number would pick arbitrary
+  // winners inside a band).  Both rankings run on the KEYED
+  // RankedPrefixSum typed APIs (Ranked.rank / Ranked.denseRank):
+  // chained over the same (part, order) spec they share ONE range
+  // exchange (parallel in cores, not |lang×source| groups), and the
+  // cross-partition peer-run chaining — a tie run straddling a range
+  // boundary — is exactly what the oracle gate pins here.
+  def qLeaderboard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        expr("CAST(n_chars DIV 100 AS BIGINT)").as("band"))
+    val r1 = graft.operators.Ranked.rank(
+      docs, Seq("lang", "source"), Seq(("band", true)), "rk")
+    val r2 = graft.operators.Ranked.denseRank(
+      r1, Seq("lang", "source"), Seq(("band", true)), "band_rk")
+    r2.filter(col("rk") <= 3)
+      .select("lang", "source", "doc_id", "n_chars", "band", "rk", "band_rk")
+      .orderBy("lang", "source", "rk", "doc_id")
+  }
+
+  val qLeaderboardSql: String =
+    """SELECT lang, source, doc_id, n_chars, band, rk, band_rk FROM (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    CAST(n_chars // 100 AS BIGINT) AS band,
+      |    CAST(RANK() OVER (PARTITION BY lang, source
+      |         ORDER BY n_chars // 100 DESC) AS BIGINT) AS rk,
+      |    CAST(DENSE_RANK() OVER (PARTITION BY lang, source
+      |         ORDER BY n_chars // 100 DESC) AS BIGINT) AS band_rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, source, rk, doc_id""".stripMargin
+
   val qSkewJoinSql: String =
     s"""SELECT s_nationkey,
       |  ${Relational.dsumSql("l_quantity")} AS sum_qty,
@@ -278,6 +313,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_leaderboard" -> (qLeaderboard _),
     "q_median_group" -> (qMedianGroup _),
     "q_zscore" -> (qZscore _),
     "q_sample_hash" -> (qSampleHash _),
@@ -289,6 +325,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_leaderboard" -> qLeaderboardSql,
     "q_median_group" -> qMedianGroupSql,
     "q_zscore" -> qZscoreSql,
     "q_sample_hash" -> qSampleHashSql,

@@ -415,6 +415,21 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ranked.keylessRewrite")
   }
 
+  test("q_leaderboard chains rank + dense_rank on ONE range exchange, no window") {
+    // the two keyed RankedPrefixSum nodes share (part, order), so the
+    // second must ride the first's ordering — one range exchange total
+    // before the final orderBy; a Window would collapse onto
+    // |lang×source| tasks
+    val df = graft.queries.Analytics.qLeaderboard(spark, sf)
+    val plan = planOf(df)
+    assert("RankedPrefixSum".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Window "), plan)
+    // exchanges: exactly one rangepartitioning for the ranked pair +
+    // the final presentation orderBy's range exchange
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("no query plans a low-cardinality keyed window over a corpus-scale frame — the class") {
     // The rung below the partition-less class (VERDICT r11): a window
     // keyed SOLELY on a ~5-cardinality corpus column (lang / source /
