@@ -299,7 +299,13 @@ object StreamBench {
       s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""micro_batches":$nBatches}"""
+    // regime label: "micro16"-style fixed-round-dominated runs vs
+    // "bulk"-batch throughput runs (VERDICT r11 item 4 — the
+    // STREAMBENCH artifact carries BOTH, one JSON line each)
+    val regime = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
+      s"batches$nBatches")
     val json = s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +
+      s""""regime":"${esc(regime)}",""" +
       s""""operators":$ops,"suspect":$suspect,""" +
       s""""partially_suspect":$partiallySuspect,"suspect_queries":$sq,""" +
       s""""suspect_reasons":$rs,"env":$env,"errors":$es,"sf":"${esc(sfDir)}"}"""

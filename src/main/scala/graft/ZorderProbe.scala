@@ -37,9 +37,16 @@ import org.apache.spark.sql.functions._
 object ZorderProbe {
 
   /** (rowGroups, candidates, fileCandidates, filesTotal) of `dir`'s
-    * parquet files against a [cLo..cHi]×[tLo..tHi] rectangle, read
-    * straight from the footers' column statistics. */
+    * parquet files against a [cLo..cHi]×[tLo..tHi] rectangle on
+    * (n_chars, n_tok), read straight from the footers' statistics. */
   def footerAudit(dir: String, cLo: Long, cHi: Long, tLo: Long, tHi: Long):
+      (Int, Int, Int, Int) =
+    footerAuditDims(dir, Seq(("n_chars", cLo, cHi), ("n_tok", tLo, tHi)))
+
+  /** General d-dim footer audit: a row group is a candidate when its
+    * min/max box intersects EVERY (col, lo, hi) range — exactly the
+    * statistics test the parquet reader prunes on. */
+  def footerAuditDims(dir: String, ranges: Seq[(String, Long, Long)]):
       (Int, Int, Int, Int) = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -71,13 +78,14 @@ object ZorderProbe {
                     throw new IllegalStateException(s"unexpected stats $other")
                 })
               }
-          (range("n_chars"), range("n_tok")) match {
-            case (Some((cMin, cMax)), Some((tMin, tMax))) =>
-              if (cMax >= cLo && cMin <= cHi && tMax >= tLo && tMin <= tHi) {
-                rgCand += 1; fileHit = true
-              }
-            case _ => rgCand += 1; fileHit = true // no stats → cannot prune
+          // no stats on some dim → cannot prune, stays a candidate
+          val hit = ranges.forall { case (colName, lo, hi) =>
+            range(colName) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true
+            }
           }
+          if (hit) { rgCand += 1; fileHit = true }
         }
         if (fileHit) fCand += 1
       } finally reader.close()

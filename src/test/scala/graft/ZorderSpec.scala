@@ -130,6 +130,45 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("Zorder.writeZOrdered (3-D) prunes real row groups and keeps the schema") {
+    val base = java.nio.file.Files.createTempDirectory("zspec3").toString
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .selectExpr("doc_id", "n_chars",
+          "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok",
+          "(doc_id * 37) % 1000 AS bucket", "text")
+      graft.operators.Zorder.writeZOrdered(df,
+        Seq("n_chars", "n_tok", "bucket"), s"$base/z3", files = 10, blockKiB = 16)
+      df.repartitionByRange(10, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.option("parquet.block.size", (16 * 1024).toString)
+        .mode("overwrite").parquet(s"$base/byid")
+      // written schema is exactly the input's (no internal z column)
+      assert(spark.read.parquet(s"$base/z3").columns.toSeq === df.columns.toSeq)
+      val probes = Seq(
+        Seq(("n_chars", 0L, 200L), ("n_tok", 0L, 40L), ("bucket", 0L, 300L)),
+        Seq(("n_chars", 200L, 500L), ("n_tok", 30L, 90L), ("bucket", 300L, 700L)))
+      var zC = 0; var idC = 0
+      probes.foreach { p =>
+        val (_, z, _, _) = ZorderProbe.footerAuditDims(s"$base/z3", p)
+        val (_, id, _, _) = ZorderProbe.footerAuditDims(s"$base/byid", p)
+        assert(z <= id, s"$p: z=$z id=$id")
+        zC += z; idC += id
+        def rows(dir: String) = {
+          val preds = p.map { case (c, lo, hi) => col(c).between(lo, hi) }
+            .reduce(_ && _)
+          spark.read.parquet(dir).filter(preds)
+            .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        }
+        assert(rows(s"$base/z3") === rows(s"$base/byid"))
+      }
+      assert(zC < idC, s"3-D z layout must prune strictly: z=$zC id=$idC")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("z-order layout prunes 2-D range probes better than doc_id layout") {
     import spark.implicits._
     val rows = Packing.qZorderLayout(spark, "/root/testdata/sf0.01")
