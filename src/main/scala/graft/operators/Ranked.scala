@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Coalesce, Descending, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Coalesce, Descending, Expression, Literal, SortOrder}
 import org.apache.spark.sql.types.LongType
 
 import graft.plans.{RankedKind, RankedPrefixSum}
@@ -73,6 +73,42 @@ object Ranked {
   def rowNumber(df: DataFrame, partCols: Seq[String],
                 orderCols: Seq[(String, Boolean)], outCol: String): DataFrame =
     ranked(df, partCols, orderCols, outCol, RankedKind.RRowNumber)
+
+  /** [[prefixSum]] plus the WHOLE-GROUP total as a second output
+    * column — `sum(delta) OVER (PARTITION BY part ORDER BY order
+    * ROWS UNBOUNDED PRECEDING)` and `sum(delta) OVER (PARTITION BY
+    * part)` from ONE operator, one range exchange: pass 1's
+    * per-(partition, group) sums are added across-partitions (total)
+    * as well as before-only (running offset), so the totals pass
+    * costs no extra job, no second aggregate, no broadcast join.
+    * The cumulative-distribution workhorse (histogram → cum + n in
+    * one pass).  NULL deltas contribute 0 through this API, as in
+    * [[prefixSum]]. */
+  def prefixSumWithTotal(df: DataFrame, partCols: Seq[String],
+                         orderCols: Seq[String], deltaCol: String,
+                         cumCol: String, totalCol: String): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    require(orderCols.nonEmpty,
+      "prefixSumWithTotal needs a non-empty order: the order columns are " +
+        "what spread each group across range partitions — for a bare " +
+        "per-group total use groupBy + a broadcast join instead")
+    val delta = attr(deltaCol)
+    require(delta.dataType == LongType, s"$deltaCol must be BIGINT")
+    val d: Expression =
+      if (delta.nullable) Coalesce(Seq(delta, Literal(0L))) else delta
+    val node = RankedPrefixSum(
+      partCols.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      Seq(RankedKind.RSum, RankedKind.RTotal),
+      Seq(d, d),
+      Seq(AttributeReference(cumCol, LongType, nullable = false)(),
+        AttributeReference(totalCol, LongType, nullable = false)()),
+      plan)
+    org.apache.spark.sql.classic.GraftDatasetAccess.ofRows(df.sparkSession, node)
+  }
 
   /** `rank()` — tie-exact, including peer runs that straddle range
     * partitions (chained through the offset table). */

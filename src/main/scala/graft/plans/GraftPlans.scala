@@ -16,6 +16,7 @@ object GraftPlans {
     e.injectOptimizerRule(_ => RangeJoinCountRule)
     e.injectOptimizerRule(_ => RangeJoinRule)
     e.injectOptimizerRule(_ => RankedWindowRule)
+    e.injectOptimizerRule(_ => RankedLimitRule)
     e.injectPlannerStrategy(_ => RankedStrategy)
   }
 }

@@ -55,6 +55,20 @@ object RankedKind {
     * per-partition distinct keys, the driver merges boundary-spanning
     * runs so a key straddling an exchange boundary counts once. */
   case object RDenseRank extends RankedKind
+  /** The whole-group total of a BIGINT delta on every row —
+    * `sum(delta) OVER (PARTITION BY k)` with NO order, null iff the
+    * group's deltas are all null.  Pass 1 already collects the
+    * per-(partition, group) sums; the driver just adds them ACROSS
+    * partitions instead of before-only, so the total rides the same
+    * offset table for free (VERDICT r11 item 1a's "teach
+    * RankedPrefixSum a per-group-total output column" — one operator
+    * serves the running pass AND the totals pass, no second
+    * aggregate + broadcast join).  Only meaningful combined with a
+    * non-empty ORDER BY on the node: the order columns are what
+    * spread each low-|k| group across range partitions — a
+    * stand-alone unordered keyed window still has no distributed
+    * rewrite (use groupBy + broadcast join-back). */
+  case object RTotal extends RankedKind
 }
 
 /** One logical node per Window spec; `kinds(i)`/`deltas(i)`/
@@ -66,12 +80,72 @@ case class RankedPrefixSum(partCols: Seq[Expression],
                            kinds: Seq[RankedKind],
                            deltas: Seq[Expression],
                            outAttrs: Seq[Attribute],
-                           child: LogicalPlan) extends UnaryNode {
+                           child: LogicalPlan,
+                           limit: Option[Long] = None) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): RankedPrefixSum =
     copy(child = newChild)
+}
+
+/** The ranked analog of Spark's InferWindowGroupLimit: a `rn <= k`
+  * filter directly above an all-row_number [[RankedPrefixSum]] bounds
+  * how many rows per group can survive, so each MAP task keeps only
+  * its local k first-by-order rows per group BEFORE the range
+  * exchange — the shuffle then carries ≤ |groups|·k rows per task
+  * instead of the whole table.  Correct for the same reason Spark's
+  * WindowGroupLimit is: if any of a row's order-predecessors was
+  * locally pruned, that partition held ≥ k earlier rows of the group,
+  * all of which survive, so the row's computed global row_number is
+  * ≥ k+1 and the retained Filter drops it; rows with true rn ≤ k
+  * keep every predecessor and their numbers are exact.  (Sum/rank/
+  * dense_rank outputs would be corrupted by pruning — the rule only
+  * fires when EVERY output is a row_number.)  Closes the measured
+  * q_topk_per_group gap from the r12 A/B: the window form kept
+  * WindowGroupLimit's pushdown, the ranked form had none. */
+object RankedLimitRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private val MaxPushedLimit = 1000000L // beyond this the map-side state
+                                        // (k rows per group) stops being small
+
+  private def bound(cond: Expression, outs: Seq[Attribute]): Option[Long] = {
+    // a bare output attribute, or one behind a WIDENING int→long cast
+    // (the `row_number().cast("bigint")` spelling — order-preserving,
+    // so the bound transfers unchanged)
+    def isOut(e: Expression): Boolean = e match {
+      case a: Attribute => outs.exists(_.exprId == a.exprId)
+      case c: Cast if c.dataType == LongType => isOut(c.child)
+      case _ => false
+    }
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case LessThanOrEqual(a, l) if isOut(a) => lit(l)
+      case LessThan(a, l) if isOut(a) => lit(l).map(_ - 1)
+      case EqualTo(a, l) if isOut(a) => lit(l)
+      case EqualTo(l, a) if isOut(a) => lit(l)
+      case GreaterThanOrEqual(l, a) if isOut(a) => lit(l)
+      case GreaterThan(l, a) if isOut(a) => lit(l).map(_ - 1)
+      case _ => None
+    }.reduceOption(_ min _)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, r: RankedPrefixSum)
+        if r.limit.isEmpty && r.kinds.nonEmpty &&
+          r.kinds.forall(_ == RankedKind.RRowNumber) =>
+      bound(cond, r.outAttrs) match {
+        case Some(k) if k <= MaxPushedLimit =>
+          f.copy(child = r.copy(limit = Some(math.max(k, 0L))))
+        case _ => f
+      }
+  }
 }
 
 /** Rewrites eligible Window nodes into [[RankedPrefixSum]].
@@ -154,10 +228,83 @@ object RankedWindowRule extends Rule[LogicalPlan] {
 
 object RankedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RankedPrefixSum(part, order, kinds, deltas, out, child) =>
-      RankedPrefixSumExec(part, order, kinds, deltas, out, planLater(child)) :: Nil
+    case RankedPrefixSum(part, order, kinds, deltas, out, child, limit) =>
+      val planned = planLater(child)
+      // the map-side top-k sits BELOW the exec, so EnsureRequirements
+      // places the range exchange between them — pruning runs before
+      // any byte shuffles
+      val input = limit match {
+        case Some(k) => RankedLocalTopKExec(part, order, k, planned)
+        case None => planned
+      }
+      RankedPrefixSumExec(part, order, kinds, deltas, out, input) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side per-group top-k: each input partition keeps only its k
+  * first rows per group under the node's ORDER BY (bounded max-heap —
+  * O(n log k), no partition sort, state = k rows × |local groups|).
+  * Pure pruning: emitting a superset would also be correct, so ties
+  * at the boundary need no special casing (row_number ties are
+  * arbitrary in the window form too). */
+case class RankedLocalTopKExec(partCols: Seq[Expression],
+                               orderSpec: Seq[SortOrder],
+                               k: Long,
+                               child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val boundPart = partCols.map(BindReferences.bindReference(_, childOutput))
+    val orderExprs = orderSpec.map(so =>
+      BindReferences.bindReference(so.child, childOutput))
+    val reboundOrders = orderSpec.zipWithIndex.map { case (so, i) =>
+      so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
+    }
+    val kInt = math.min(k, Int.MaxValue.toLong).toInt
+    child.execute().mapPartitions { it =>
+      if (kInt <= 0) Iterator.empty
+      else {
+        val proj = UnsafeProjection.create(boundPart)
+        val oProj = UnsafeProjection.create(orderExprs)
+        val keyOrd = new InterpretedOrdering(reboundOrders)
+        // max-heap on the ORDER key: the root is the worst kept row
+        val heapOrd = new java.util.Comparator[(UnsafeRow, InternalRow)] {
+          override def compare(a: (UnsafeRow, InternalRow),
+                               b: (UnsafeRow, InternalRow)): Int =
+            keyOrd.compare(b._1, a._1)
+        }
+        val heaps = scala.collection.mutable.LinkedHashMap[
+          InternalRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
+        it.foreach { row =>
+          val g = proj(row)
+          val heap = heaps.get(g) match {
+            case Some(h) => h
+            case None =>
+              val h = new java.util.PriorityQueue[(UnsafeRow, InternalRow)](
+                math.min(kInt, 16), heapOrd)
+              heaps(g.copy()) = h
+              h
+          }
+          val key = oProj(row)
+          if (heap.size < kInt) heap.add((key.copy(), row.copy()))
+          else if (keyOrd.compare(key, heap.peek()._1) < 0) {
+            heap.poll()
+            heap.add((key.copy(), row.copy()))
+          }
+        }
+        heaps.valuesIterator.flatMap { h =>
+          import scala.jdk.CollectionConverters._
+          h.iterator().asScala.map(_._2)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): RankedLocalTopKExec =
+    copy(child = newChild)
 }
 
 /** Physical two-pass prefix computation.  EnsureRequirements satisfies
@@ -276,7 +423,7 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
           }
           var i = 0
           while (i < nFuncs) {
-            if (ks(i) == RankedKind.RSum) {
+            if (ks(i) == RankedKind.RSum || ks(i) == RankedKind.RTotal) {
               val v = deltaFns(i)(row)
               if (v != null) { st.sums(i) += v.longValue(); st.any(i) = true }
             }
@@ -306,6 +453,31 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
         Iterator.single((pid, m.toArray))
       }.collect()
 
+    // whole-group totals for RTotal outputs: the SAME pass-1 stats,
+    // summed across ALL of a group's partitions (before-only sums are
+    // what the offsets below hold) — still a few longs per group
+    val needTotal = ks.contains(RankedKind.RTotal)
+    val fullTotals: Map[InternalRow, (Array[Long], Array[Boolean])] =
+      if (!needTotal) Map.empty
+      else {
+        val m = scala.collection.mutable.Map[InternalRow, (Array[Long], Array[Boolean])]()
+        totals.foreach { case (_, groups) =>
+          groups.foreach { case (k, st) =>
+            val e = m.getOrElseUpdate(k,
+              (new Array[Long](nFuncs), new Array[Boolean](nFuncs)))
+            var i = 0
+            while (i < nFuncs) {
+              if (ks(i) == RankedKind.RTotal) {
+                e._1(i) += st.sums(i); e._2(i) |= st.any(i)
+              }
+              i += 1
+            }
+          }
+        }
+        m.toMap
+      }
+    val emptyTotals = (new Array[Long](nFuncs), new Array[Boolean](nFuncs))
+
     // driver: earlier-partition offsets per (partition, group); rows
     // sorted by (part, order) with range partitioning => earlier
     // partitions hold earlier rows of each group.  For rank, chain
@@ -331,8 +503,10 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
           val contFirst = needKeys && r.trailKey != null &&
             ord.compare(st.minKey, r.trailKey) == 0
           val lead = if (needRank && contFirst) r.trailCnt else 0L
+          val (tSums, tAny) =
+            if (needTotal) fullTotals.getOrElse(k, emptyTotals) else emptyTotals
           out += ((pid, k) -> new GroupOffsets(r.sums.clone(), r.any.clone(),
-            r.rows, lead, r.dense, contFirst))
+            r.rows, lead, r.dense, contFirst, tSums, tAny))
           var i = 0
           while (i < nFuncs) {
             r.sums(i) += st.sums(i); r.any(i) |= st.any(i); i += 1
@@ -389,7 +563,8 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
           curKey = k.copy()
           off = bcOff.value.getOrElse((pid, curKey: InternalRow),
             new GroupOffsets(new Array[Long](nFuncs),
-              new Array[Boolean](nFuncs), 0L, 0L, 0L, false))
+              new Array[Boolean](nFuncs), 0L, 0L, 0L, false,
+              new Array[Long](nFuncs), new Array[Boolean](nFuncs)))
           java.util.Arrays.fill(runSums, 0L)
           java.util.Arrays.fill(localAny, false)
           localCount = 0L
@@ -426,6 +601,9 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
             case RankedKind.RDenseRank =>
               if (intOut(i)) outRow.update(i, curDense.toInt)
               else outRow.update(i, curDense)
+            case RankedKind.RTotal =>
+              if (off.totalAny(i)) outRow.update(i, off.totalSums(i))
+              else outRow.update(i, null)
           }
           i += 1
         }
@@ -457,6 +635,8 @@ object RankedPrefixSumExec {
                                           val anyPrior: Array[Boolean],
                                           val rows: Long, val lead: Long,
                                           val denseBefore: Long,
-                                          val contFirst: Boolean)
+                                          val contFirst: Boolean,
+                                          val totalSums: Array[Long],
+                                          val totalAny: Array[Boolean])
       extends Serializable
 }

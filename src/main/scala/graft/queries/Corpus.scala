@@ -416,12 +416,13 @@ object Corpus {
       .select("lang", "n_chars")
       .groupBy("lang", "n_chars")
       .agg(count(lit(1)).as("freq"))
-    val cum = Ranked.prefixSum(hist, Seq("lang"), Seq("n_chars"), "freq", "cum")
-    val totals = hist.groupBy("lang").agg(sum("freq").as("cnt"))
+    // cum AND the per-lang total ride ONE ranked pass (RTotal output
+    // column — no second aggregate, no broadcast join)
+    val ct = Ranked.prefixSumWithTotal(
+      hist, Seq("lang"), Seq("n_chars"), "freq", "cum", "cnt")
     def pick(pct: Int) =
       min(when(expr(s"cum >= (cnt * $pct + 99) DIV 100"), col("n_chars")))
-    cum.join(broadcast(totals), Seq("lang"))
-      .groupBy("lang")
+    ct.groupBy("lang")
       .agg(pick(25).as("p25"), pick(50).as("p50"),
         pick(75).as("p75"), pick(95).as("p95"),
         max("cnt").as("n_docs"))

@@ -588,11 +588,10 @@ object CorpusStats {
   def qLengthOutliers(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
     val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("freq"))
-    val cum = graft.operators.Ranked
-      .prefixSum(hist, Seq("lang"), Seq("n_chars"), "freq", "cum")
-    val totals = hist.groupBy("lang").agg(sum("freq").as("n"))
-    val p99 = cum.join(broadcast(totals), Seq("lang"))
-      .groupBy("lang")
+    // cum + per-lang total from ONE ranked pass (RTotal column)
+    val ct = graft.operators.Ranked
+      .prefixSumWithTotal(hist, Seq("lang"), Seq("n_chars"), "freq", "cum", "n")
+    val p99 = ct.groupBy("lang")
       .agg(min(when(expr("cum >= (99 * n + 99) DIV 100"), col("n_chars"))).as("p99"))
     docs.join(broadcast(p99), Seq("lang"))
       .filter(col("n_chars") > col("p99"))

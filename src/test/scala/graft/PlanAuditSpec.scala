@@ -170,12 +170,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p1).length >= 2, p1)
     val p2 = planOf(graft.queries.Corpus.qQuantiles(spark, sf))
     // r12: the corpus collapses map-side into the (lang, n_chars)
-    // value histogram; ranks come from the keyed RankedPrefixSum over
-    // that compressed frame and the |lang|-row totals broadcast — no
-    // lang-keyed window over corpus rows anywhere
+    // value histogram; cum AND the per-lang total come from ONE keyed
+    // RankedPrefixSum pass (RTotal column) — no window over corpus
+    // rows, no second aggregate, no join at all
     assert(p2.contains("RankedPrefixSum"), p2)
     assert(!p2.contains("Window "), p2)
-    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(!p2.contains("Join"), p2)
     assert("HashAggregate".r.findAllIn(p2).length >= 2, p2)
   }
 
@@ -428,6 +428,22 @@ class PlanAuditSpec extends SparkSpec {
     // the final presentation orderBy's range exchange
     assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 2, plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("under autoRewrite the topk shapes keep a group-limit: RankedLocalTopK below the exchange") {
+    // the r12 A/B gap closed: the window form prunes via
+    // WindowGroupLimit, and the ranked form now prunes via the
+    // RankedLimitRule map-side top-k — the rk<=k bound must reach the
+    // physical plan under the production flag for both topk queries
+    spark.conf.set("spark.graft.ranked.autoRewrite", "true")
+    try Seq(
+      "q_topk_per_group" -> graft.queries.Analytics.qTopkPerGroup(spark, sf),
+      "q_sample_stratified" -> graft.queries.Analytics.qSampleStratified(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RankedPrefixSum"), s"$name:\n$plan")
+      assert(plan.contains("RankedLocalTopK"), s"$name lost the limit pushdown:\n$plan")
+    } finally spark.conf.unset("spark.graft.ranked.autoRewrite")
   }
 
   test("no query plans a low-cardinality keyed window over a corpus-scale frame — the class") {

@@ -50,6 +50,80 @@ class RankedSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("prefixSumWithTotal equals the running-sum AND unordered-total window pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = (0 until 20000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, rnd.nextInt(5).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "delta", "row_id")
+    val got = Ranked.prefixSumWithTotal(df, Seq("k"), Seq("pos", "row_id"),
+        "delta", "cum", "tot")
+      .select("row_id", "cum", "tot").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val wo = Window.partitionBy("k").orderBy("pos", "row_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("k")
+    val want = df.withColumn("cum", sum("delta").over(wo))
+      .withColumn("tot", sum("delta").over(wg))
+      .select("row_id", "cum", "tot").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // one group spanning every partition boundary: the total must be
+    // the FULL group sum on every row, not the before-only offset
+    val one = (0 until 5000).map(i => ("only", i.toLong, 1L, i.toLong))
+      .toDF("k", "pos", "delta", "row_id")
+    val g2 = Ranked.prefixSumWithTotal(one, Seq("k"), Seq("pos"),
+        "delta", "cum", "tot")
+      .select("row_id", "cum", "tot").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    g2.foreach { case (rid, cum, tot) =>
+      assert(cum === rid + 1); assert(tot === 5000L)
+    }
+    // and the plan is ONE ranked node, no window, no join
+    val plan = Ranked.prefixSumWithTotal(df, Seq("k"), Seq("pos", "row_id"),
+      "delta", "cum", "tot").queryExecution.executedPlan.toString
+    assert(plan.contains("RankedPrefixSum"), plan)
+    assert(!plan.contains("Window "), plan)
+    assert(!plan.contains("Join"), plan)
+    // bare totals without an order are refused — that shape belongs to
+    // groupBy + broadcast join, not this operator
+    intercept[IllegalArgumentException](
+      Ranked.prefixSumWithTotal(df, Seq("k"), Seq(), "delta", "cum", "tot"))
+  }
+
+  test("rn<=k filter pushes a map-side top-k below the exchange and stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(100000).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "row_id").repartition(16)
+    def ranked = Ranked.rowNumber(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
+      .filter(col("rk") <= 5)
+      .select("k", "row_id", "rk")
+    // the limit lands in the physical plan below the exec
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("RankedLocalTopK"), plan)
+    // and the answer matches the un-pruned window form exactly
+    val w = Window.partitionBy("k").orderBy(desc("score"), col("row_id"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5).select("k", "row_id", "rk")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    val got = ranked.as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq === want.toSeq)
+    // rank()/dense_rank()/sum outputs must NOT be pruned (ties and
+    // running values would corrupt) — the rule leaves them alone
+    val rplan = Ranked.rank(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
+      .filter(col("rk") <= 5).queryExecution.executedPlan.toString
+    assert(!rplan.contains("RankedLocalTopK"), rplan)
+    // rk = 1 (the per-group argmax shape) also prunes
+    val eq = Ranked.rowNumber(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
+      .filter(col("rk") === 1)
+    assert(eq.queryExecution.executedPlan.toString.contains("RankedLocalTopK"))
+    assert(eq.count() === 4L)
+  }
+
   test("prefixSum is exact when one group dominates a partition boundary") {
     import spark.implicits._
     // all rows in ONE group: every partition boundary splits the group
