@@ -397,6 +397,35 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // ----------------------------------------------------- md5 hot path
+  // The per-gram / per-shingle kernels below call a digest once per
+  // TEXT POSITION of every document.  The JDK's MD5 block compression
+  // is a HotSpot intrinsic (measured here: a hand-rolled RFC 1321
+  // scalar loop ran the gram kernels ~1.3× SLOWER than MessageDigest,
+  // so the compression itself is not the win) — what costs is the
+  // per-gram substring + getBytes + fresh 16-byte digest array.  The
+  // hot path therefore keeps MessageDigest but feeds it byte RANGES of
+  // the row's lowered buffer (`update(b, off, len)`) and collects into
+  // a row-reused 16-byte output (`digest(out, 0, 16)` resets the
+  // engine, so no reset() call either) — zero allocation per gram,
+  // intrinsic compression.  First-8-bytes big-endian read shared by
+  // the 32/64-bit consumers; bit-parity with the original spelling is
+  // pinned in Md5KernelSpec.
+
+  /** First 8 digest bytes of md5(b[off..off+len)) read big-endian —
+    * exactly `hash64`'s value; `>>> 32` of it is `hash32`'s.  `md`
+    * and `out16` (length 16) are caller-owned so a kernel hashing many
+    * grams of one row allocates nothing per gram. */
+  def md5First8(b: Array[Byte], off: Int, len: Int,
+      md: java.security.MessageDigest, out16: Array[Byte]): Long = {
+    md.update(b, off, len)
+    md.digest(out16, 0, 16)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out16(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** hash32(s): value of the first 8 hex digits of md5(s) — i.e. the
     * first 4 md5 bytes as an unsigned big-endian int, widened to long.
     * Equals the SQL `aggregate(sequence(1,8), …substring(md5(s))…)`
@@ -1050,6 +1079,53 @@ object GraftFunctions {
   }
 
   def shingleHashes(text: UTF8String, n: Int, wide: Boolean): ArrayData = {
+    // ASCII fast path: tokens come from splitting on EVERY space with
+    // empties kept, and shingles rejoin n consecutive tokens with
+    // single spaces — so a shingle is exactly the CONTIGUOUS byte
+    // range of the lowered buffer from its first token's start to its
+    // last token's end.  No per-shingle string build, no per-shingle
+    // digest allocation: record token starts once, md5First8 each
+    // range with row-reused scratch.
+    val lowered = text.toLowerCase.getBytes
+    var asciiOk = true
+    var q = 0
+    while (asciiOk && q < lowered.length) { if (lowered(q) < 0) asciiOk = false; q += 1 }
+    if (asciiOk) {
+      var spaces = 0
+      q = 0
+      while (q < lowered.length) { if (lowered(q) == ' ') spaces += 1; q += 1 }
+      val nTok = spaces + 1
+      val starts = new Array[Int](nTok)
+      var t = 1
+      q = 0
+      while (q < lowered.length) {
+        if (lowered(q) == ' ') { starts(t) = q + 1; t += 1 }
+        q += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out16 = new Array[Byte](16)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      @inline def add(off: Int, len: Int): Unit = {
+        val sig = md5First8(lowered, off, len, md, out16)
+        seen.add(if (wide) sig else sig >>> 32)
+      }
+      if (nTok < n) add(0, 0)
+      else {
+        var i = 0
+        while (i <= nTok - n) {
+          val from = starts(i)
+          val until = if (i + n < nTok) starts(i + n) - 1 else lowered.length
+          add(from, until - from)
+          i += 1
+        }
+      }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      if (wide) java.util.Arrays.sort(arr)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
     // identical to SQL lower(): UTF8String.toLowerCase
     val s = text.toLowerCase.toString
     // identical to SQL split(s, ' ') with default limit: empties kept
@@ -1227,6 +1303,28 @@ object GraftFunctions {
   }
 
   def grams32(text: UTF8String, k: Int): ArrayData = {
+    // ASCII fast path: after lowercasing, chars == bytes, so every
+    // k-char gram is a k-byte SLICE of the lowered buffer — hash the
+    // range in place (md5First8, scratch reused across all grams of
+    // the row; the per-gram substring/getBytes/digest allocations of
+    // the generic path were the fingerprint family's dominant cost).
+    val lowered = text.toLowerCase.getBytes
+    var ascii = true
+    var j = 0
+    while (ascii && j < lowered.length) { if (lowered(j) < 0) ascii = false; j += 1 }
+    if (ascii) {
+      val n = lowered.length - k + 1
+      if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out16 = new Array[Byte](16)
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = md5First8(lowered, i, k, md, out16) >>> 32
+        i += 1
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
     val s = text.toLowerCase.toString
     val n = s.length - k + 1
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
