@@ -15,6 +15,18 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("PlanAudit.shapeOf counts the artifact's shape fields correctly") {
+    // the per-round PLANAUDIT artifact derives from these regex
+    // counts — pin them against a real plan whose shape the suite
+    // already asserts (q5_join: 4 broadcast joins, no cartesian)
+    val s = PlanAudit.shapeOf(planOf(Relational.q5Join(spark, sf)))
+    assert(s.bhj === 4, s)
+    assert(s.broadcast === 4, s)
+    assert(s.cartesian === 0 && s.bnlj === 0, s)
+    assert(s.scans === 5 && s.pushed === 5, s)
+    assert(s.exchangeRange >= 1, s) // presentation orderBy
+  }
+
   test("q_interval_filter pushes both predicates into the parquet scan") {
     val plan = planOf(Genomic.qIntervalFilter(spark, sf))
     assert(plan.contains("PushedFilters:"), plan)
