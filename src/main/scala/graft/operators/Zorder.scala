@@ -83,18 +83,26 @@ object Zorder {
     * globally z-clustered files: read, re-cluster, write beside,
     * swap.  At 100 TB this runs per z-range slice (compact the slices
     * whose file count drifted, not the table) — the whole-table form
-    * here is the local/testing shape; the swap is
-    * delete-then-rename, NOT atomic (a table format's snapshot commit
-    * is the production answer, same caveat as the sink's delivery). */
+    * here is the local/testing shape; the swap is two renames, NOT
+    * atomic (a table format's snapshot commit is the production
+    * answer, same caveat as the sink's delivery) — but at no point is
+    * the ONLY copy deleted: the old table moves aside first and is
+    * removed only after the new one is in place, so a failure between
+    * renames leaves the data at `path + "__compact_old"`. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               dims: Seq[String], targetFiles: Int, blockKiB: Int = 1024): Unit = {
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val base = path.stripSuffix("/")
+    val tmp = base + "__compact_tmp"
     writeZOrdered(spark.read.parquet(path), dims, tmp, targetFiles, blockKiB)
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(base + "__compact_old")
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"compact: rename $tmp -> $path failed")
+    fs.delete(old, true) // leftover from an interrupted earlier run
+    require(fs.rename(dst, old), s"compact: move-aside $path -> $old failed")
+    require(fs.rename(src, dst),
+      s"compact: rename $tmp -> $path failed; original preserved at $old")
+    fs.delete(old, true)
   }
 }
