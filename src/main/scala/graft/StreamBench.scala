@@ -85,6 +85,55 @@ object StreamBench {
     }
   }
 
+  /** Input row for the z-order ingest case (top-level in the object so
+    * Spark can derive its encoder). */
+  final case class ZRow(doc_id: Long, n_chars: Long, n_tok: Long)
+
+  /** The z-order sink writes parquet per micro-batch (foreachBatch),
+    * not the noop sink, so it gets its own drive: same batch feeding
+    * and probe, out_rows = rows actually readable back from the
+    * written table, no streaming state by construction. */
+  private def driveZorder(spark: SparkSession, name: String,
+                          data: Seq[ZRow], nBatches: Int): Res = {
+    val probe = Bench.calibrate(25000000)
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(s"sb_$name")
+    val path = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      val mem = MemoryStream[ZRow]
+      val query = graft.operators.Zorder
+        .zOrderedSink(mem.toDS().toDF(), Seq("n_chars", "n_tok"), path,
+          filesPerBatch = 2, blockKiB = 128)
+        .option("checkpointLocation", ckpt)
+        .queryName(s"sb_$name").start()
+      try {
+        val slice = math.max(1, (data.size + nBatches - 1) / nBatches)
+        val t0 = System.nanoTime()
+        data.grouped(slice).foreach { b =>
+          mem.addData(b: _*)
+          query.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val outRows = spark.read.parquet(path).count()
+        Res(name, data.size.toLong, sec, outRows, 0L, 0L,
+          query.recentProgress.length, probe, None)
+      } finally query.stop()
+    } catch {
+      case e: Throwable =>
+        Res(name, data.size.toLong, -1.0, -1L, -1L, -1L, 0, probe,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -213,7 +262,10 @@ object StreamBench {
         Seq(Sessionize.Tagged(999999913L, farEv, 999999913L, false,
           tsOf(farEv))), nBatches,
         (ds: Dataset[Sessionize.Tagged]) =>
-          Sessionize.enrichAsOf(ds).toDF())))
+          Sessionize.enrichAsOf(ds).toDF())),
+      "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
+        docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
+          d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))
 
     val selected =
       if (args.isEmpty) cases
