@@ -124,6 +124,36 @@ class RankedSpec extends SparkSpec {
     assert(eq.count() === 4L)
   }
 
+  test("top-k pruning under TIED order keys keeps valid row_number semantics") {
+    // with duplicate order keys, row_number is arbitrary among ties —
+    // the pruned plan may attribute boundary ranks to different tied
+    // rows than the window form (exactly Spark's own WindowGroupLimit
+    // contract), but the MULTISET of (group, key) surviving rk<=k and
+    // the rank sequence per group must be identical, and every
+    // emitted row must genuinely belong to the group's k smallest
+    // keys (counting multiplicity)
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 20000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(5).toLong, i.toLong) // heavy ties
+    }
+    val df = rows.toDF("k", "score", "row_id").repartition(16)
+    val pruned = Ranked.rowNumber(df, Seq("k"), Seq(("score", false)), "rk")
+      .filter(col("rk") <= 7)
+      .select("k", "score", "rk")
+      .as[(String, Long, Long)].collect()
+    // rank sequence per group is 1..7
+    pruned.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to 7L), s"group $g: ${rs.toSeq}")
+    }
+    // surviving (group, score) multiset equals the window form's
+    val w = Window.partitionBy("k").orderBy(col("score"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 7).select("k", "score")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(pruned.map(r => (r._1, r._2)).sorted.toSeq === want)
+  }
+
   test("prefixSum is exact when one group dominates a partition boundary") {
     import spark.implicits._
     // all rows in ONE group: every partition boundary splits the group
