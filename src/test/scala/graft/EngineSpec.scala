@@ -467,6 +467,22 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("packed salted join equals the plain join, negative keys included") {
+    import spark.implicits._
+    // integral keys incl. negatives (within the |key| < 2^63/nSalts
+    // packing contract); 80% of rows on one hot key
+    val big = (0 until 20000).map(i =>
+      (if (i % 5 == 0) (i % 9).toLong - 4L else 17L, i.toLong)).toDF("k", "v")
+    val small = Seq((17L, 1), (-4L, 2), (0L, 3), (3L, 5)).toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum($"v" * $"w")).head().getLong(0)
+    val packed = Skew.saltedJoinPacked(big, small, "k", $"v", nSalts = 8)
+      .agg(sum($"v" * $"w")).head().getLong(0)
+    assert(packed === plain)
+    // column set preserved (salt machinery internal)
+    assert(Skew.saltedJoinPacked(big, small, "k", $"v", 8).columns.sorted
+      === big.join(small, "k").columns.sorted)
+  }
+
   test("salted two-phase aggregation equals plain groupBy") {
     import spark.implicits._
     val df = (0 until 10000).map(i => ("hot", i.toLong)).toDF("k", "v")
