@@ -250,17 +250,21 @@ object Analytics {
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   // ------------------------------------------------- salted skew join
-  // The explicit hot-key mitigation ([[Skew.saltedJoin]]) gated
-  // against the PLAIN join oracle: spreading each supplier key over 8
-  // deterministic salts (and replicating the small side per salt)
-  // must change nothing but the shuffle layout.  This is the tool for
-  // the pathological key AQE's skew split can't rebalance.
+  // The explicit hot-key mitigation gated against the PLAIN join
+  // oracle: spreading each supplier key over 8 deterministic salts
+  // (and replicating the small side per salt) must change nothing but
+  // the shuffle layout.  This is the tool for the pathological key
+  // AQE's skew split can't rebalance.  r12: the PACKED single-key
+  // form — SkewProbe measured the (key, salt) pair join paying a
+  // record-comparator fallback on the 100%-tied key radix prefix
+  // (slowest task 2.19s vs 0.99s packed at identical balance);
+  // suppkey is integral so the packing contract holds trivially.
   def qSkewJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
-    Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), nSalts = 8)
+    Skew.saltedJoinPacked(li, sup, "suppkey", col("l_orderkey"), nSalts = 8)
       .groupBy("s_nationkey")
       .agg(
         Relational.dsum("l_quantity").as("sum_qty"),
