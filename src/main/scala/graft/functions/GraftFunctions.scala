@@ -1624,7 +1624,9 @@ object GraftFunctions {
     ("graft_bpe_encode", "a full BPE merge table applied in order, one call",
       es => BpeEncode(es(0), es(1))),
     ("graft_bpe_stats", "fused text -> BPE [pre, post] symbol counts",
-      es => BpeStats(es(0), es(1))))
+      es => BpeStats(es(0), es(1))),
+    ("graft_misra_gries", "capacity-k Misra-Gries heavy-hitter summary (mergeable)",
+      es => Sketches.MisraGries(es(0), es(1))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable frequency-sketch aggregates (I2).
+  *
+  * [[MisraGries]] is the candidate-generation half of the two-pass
+  * exact heavy-hitters pattern a 100 TB corpus needs: the full
+  * vocabulary of a token stream is far too wide to shuffle (`GROUP BY
+  * token` moves |V| keys), but any token with frequency above 1/(k+1)
+  * of the stream provably SURVIVES a capacity-k Misra-Gries summary
+  * (Misra & Gries 1982), and the summary is mergeable with the same
+  * guarantee (Agarwal et al., "Mergeable Summaries", PODS 2012: add
+  * counters, then subtract the (k+1)-largest count and drop non-
+  * positives).  So pass 1 is a standard partial-then-final Spark
+  * aggregate whose per-task state is ≤ k entries — no vocabulary
+  * shuffle, map-side combine does all the work — and pass 2 recounts
+  * ONLY the ≤ k surviving candidates exactly (broadcast semi-join),
+  * turning an approximate sketch into an exact answer.  The counts
+  * the sketch itself reports are lower bounds (true − N/(k+1) ≤
+  * reported ≤ true) and are exposed for diagnostics, not truth —
+  * final counts must come from the recount.
+  */
+object Sketches {
+
+  /** `graft_misra_gries(token, k)`: capacity-k Misra-Gries summary of
+    * a string column.  Returns `array<struct<tok: string, lb: bigint>>`
+    * sorted by token — `lb` is the surviving counter (a lower bound on
+    * the true count).  Guarantee: every token with true count
+    * > N/(k+1) (N = non-null input rows) appears in the result; at
+    * most k tokens are returned.  k must be a foldable positive
+    * integer literal ≤ 65536 (the summary is driver/exchange state).
+    */
+  case class MisraGries(child: Expression, kExpr: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Array[Long]]] {
+
+    private lazy val k: Int = kExpr match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case e if e.foldable =>
+        e.eval(InternalRow.empty) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_misra_gries: k must be an integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft_misra_gries: k must be a foldable integer literal")
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure("graft_misra_gries expects a STRING column")
+      else if (!kExpr.foldable)
+        TypeCheckResult.TypeCheckFailure("graft_misra_gries: k must be foldable")
+      else if (k < 1 || k > 65536)
+        TypeCheckResult.TypeCheckFailure(s"graft_misra_gries: k must be in [1, 65536], got $k")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def children: Seq[Expression] = Seq(child, kExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("tok", StringType, nullable = false),
+      StructField("lb", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_misra_gries"
+
+    type Buf = java.util.HashMap[UTF8String, Array[Long]]
+
+    override def createAggregationBuffer(): Buf = new Buf()
+
+    override def update(buf: Buf, input: InternalRow): Buf = {
+      val v = child.eval(input)
+      if (v == null) return buf
+      val tok = v.asInstanceOf[UTF8String]
+      val cur = buf.get(tok)
+      if (cur != null) { cur(0) += 1; return buf }
+      if (buf.size < k) {
+        // the input UTF8String may point into a reused row buffer
+        buf.put(tok.clone(), Array(1L))
+        return buf
+      }
+      // full and unseen: the classic decrement — every live counter
+      // (and, implicitly, the new token's 1) drops by one.  Each
+      // decrement retires an increment, so total work is amortized
+      // O(1) per input row.
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        e.getValue()(0) -= 1
+        if (e.getValue()(0) == 0L) it.remove()
+      }
+      buf
+    }
+
+    override def merge(buf: Buf, other: Buf): Buf = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = buf.get(e.getKey)
+        if (cur != null) cur(0) += e.getValue()(0)
+        else buf.put(e.getKey, e.getValue)
+      }
+      if (buf.size > k) {
+        // Mergeable-summaries combine: subtract the (k+1)-th largest
+        // counter from every counter, drop non-positives — at most k
+        // survive and the N/(k+1) retention guarantee is preserved.
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val vs = buf.values().iterator()
+        while (vs.hasNext) { counts(i) = vs.next()(0); i += 1 }
+        java.util.Arrays.sort(counts)
+        val m = counts(counts.length - (k + 1)) // (k+1)-th largest
+        val es = buf.entrySet().iterator()
+        while (es.hasNext) {
+          val e = es.next()
+          e.getValue()(0) -= m
+          if (e.getValue()(0) <= 0L) es.remove()
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: Buf): Any = {
+      val entries = new Array[(UTF8String, Long)](buf.size)
+      var i = 0
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey, e.getValue()(0))
+        i += 1
+      }
+      // binary token order — deterministic output independent of hash
+      // iteration order
+      scala.util.Sorting.stableSort(entries,
+        (a: (UTF8String, Long), b: (UTF8String, Long)) => a._1.compareTo(b._1) < 0)
+      new GenericArrayData(entries.map { case (t, c) =>
+        new GenericInternalRow(Array[Any](t, c))
+      })
+    }
+
+    override def serialize(buf: Buf): Array[Byte] = {
+      var size = 4
+      val it0 = buf.keySet().iterator()
+      while (it0.hasNext) size += 4 + it0.next().numBytes() + 8
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val bytes = e.getKey.getBytes
+        bb.putInt(bytes.length)
+        bb.put(bytes)
+        bb.putLong(e.getValue()(0))
+      }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val n = bb.getInt
+      val buf = new Buf()
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val bytes = new Array[Byte](len)
+        bb.get(bytes)
+        val cnt = bb.getLong
+        buf.put(UTF8String.fromBytes(bytes), Array(cnt))
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
+      copy(child = newChildren(0), kExpr = newChildren(1))
+  }
+}

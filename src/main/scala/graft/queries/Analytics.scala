@@ -307,6 +307,82 @@ object Analytics {
       |  FROM documents)
       |WHERE rk <= 3 ORDER BY lang, source, rk, doc_id""".stripMargin
 
+  // ------------------------------------- sketch-exact heavy hitters
+  // Tokens covering ≥ 1% of the corpus token stream, EXACTLY — via the
+  // two-pass sketch pattern that scales where `GROUP BY token` does
+  // not: pass 1 aggregates a capacity-127 Misra-Gries summary
+  // (mergeable, ≤ 127 entries of state per task — map-side combine
+  // does all the work, NO vocabulary-wide shuffle; every token with
+  // frequency > N/128 provably survives, and 1/100 > 1/128, so the
+  // survivors are a guaranteed superset of the answer), pass 2
+  // recounts ONLY the ≤ 127 candidates exactly behind a broadcast
+  // semi-join and applies the 1% threshold to true counts.  The
+  // oracle is the plain exact GROUP BY — the gate proves the sketch
+  // path loses nothing.  At 100 TB pass 1's shuffle is ≤ 127 rows per
+  // map task and pass 2's is |candidates| keys, vs |V| for the naive
+  // form.
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val k = 127 // superset guarantee needs pct > 1/(k+1): 1/100 > 1/128
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("tok"))
+    val sketch = toks.agg(
+      expr(s"graft_misra_gries(tok, $k)").as("cand"),
+      count(lit(1)).as("n_total"))
+    val cand = sketch
+      .select(explode(col("cand")).as("c"), col("n_total"))
+      .select(col("c.tok").as("tok"), col("n_total"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy("tok", "n_total")
+      .agg(count(lit(1)).as("n_tok"))
+      .filter(col("n_tok") * 100 >= col("n_total"))
+      .select("tok", "n_tok", "n_total")
+      .orderBy(desc("n_tok"), col("tok"))
+  }
+
+  val qHeavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), tot AS (SELECT COUNT(*) AS n_total FROM t)
+      |SELECT tok, COUNT(*) AS n_tok, (SELECT n_total FROM tot) AS n_total
+      |FROM t GROUP BY tok
+      |HAVING COUNT(*) * 100 >= (SELECT n_total FROM tot)
+      |ORDER BY n_tok DESC, tok""".stripMargin
+
+  // --------------------------------- deterministic weighted sampling
+  // 100 documents sampled WITHOUT replacement with probability
+  // proportional to length — the Efraimidis-Spirakis scheme (each row
+  // draws key = ln(u)/w for uniform u, the k largest keys are the
+  // sample), made deterministic and cross-engine exact: u comes from
+  // the content hash (reproducible across runs/engines/cluster
+  // sizes), ln goes through the shared exact IEEE micro-ln tree, and
+  // the remaining ops (integer subtract, one double divide) are
+  // exactly-rounded IEEE on identical operands, so both engines
+  // compute bit-identical keys.  (micro-ln discretizes ln u to 1e-6 —
+  // a deterministic, engine-identical perturbation of the E-S key.)
+  // Scale shape: a pure per-row map + distributed top-k
+  // (TakeOrdered — per-partition heaps, no global sort, no shuffle of
+  // non-winners).
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      // h ∈ [1, 2^31]; 21487563 = ⌈1e6·31·ln2⌉ ⇒ es_key = 1e6·ln(u)/w ≤ 0
+      .withColumn("h", expr("(CAST(graft_hash32(text) AS BIGINT) & 2147483647) + 1"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("CAST(graft_micro_ln(h) - 21487563 AS DOUBLE) / CAST(n_chars AS DOUBLE)")
+          .as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(100)
+
+  val qWeightedSampleSql: String = {
+    val h = s"(CAST(${Pipeline.duckHash32("text")} AS BIGINT) & 2147483647) + 1"
+    s"""SELECT doc_id, lang, n_chars,
+      |  CAST(${Corpus.microLn(s"($h)", duck = true)} - 21487563 AS DOUBLE)
+      |    / CAST(n_chars AS DOUBLE) AS es_key
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val qSkewJoinSql: String =
     s"""SELECT s_nationkey,
       |  ${Relational.dsumSql("l_quantity")} AS sum_qty,
@@ -324,6 +400,8 @@ object Analytics {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_ngram_counts" -> (qNgramCounts _),
     "q_normalize_text" -> (qNormalizeText _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracle: Map[String, String] = Map(
@@ -336,5 +414,7 @@ object Analytics {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_ngram_counts" -> qNgramCountsSql,
     "q_normalize_text" -> qNormalizeTextSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_skew_join" -> qSkewJoinSql)
 }
