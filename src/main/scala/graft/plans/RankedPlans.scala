@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistri
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** The distributed-ranking construction as a first-class operator
   * (I7 scale path, made automatic — VERDICT r8 item 3; broadened
@@ -87,6 +87,174 @@ case class RankedPrefixSum(partCols: Seq[Expression],
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): RankedPrefixSum =
     copy(child = newChild)
+}
+
+/** Monotone packed sort-prefix for the ranked range sort (the
+  * SKEWPROBE r12 class finding, closed): sorting by `(group, order)`
+  * with a LOW-CARDINALITY leading string gives SortExec a prefix that
+  * ties on ~every within-group comparison — each one then falls into
+  * the row comparator, measured ~2× on the sort stage.  This
+  * expression packs `group`'s first bytes AND a coarse 32-bit image
+  * of the leading order key into ONE long that is prepended as an
+  * extra leading sort column, so the prefix resolves within-group
+  * comparisons too.
+  *
+  * Safety by construction — the packed key may only COARSEN the true
+  * key `(group, order)`, never reorder it: a packed tie falls back to
+  * the true columns (which follow in the sort order), while a strict
+  * packed inequality always agrees with the true order.  Concretely:
+  *
+  *   - `group` ≤ 4 bytes with no NUL byte ("en", "chr1"): the 4
+  *     zero-padded bytes are injective and order-preserving, so the
+  *     low 32 bits can carry the order image, clamped to ≤ 0xFFFFFFFE;
+  *   - `group` > 4 bytes or NUL-containing: the first 4 bytes are
+  *     order-CONSISTENT but not injective, so the low bits are pinned
+  *     to 0xFFFFFFFF — above every exact-mode image of the same
+  *     prefix (a longer string sorts after any ≤4-byte string sharing
+  *     its prefix), and equal for any two such strings (tie →
+  *     fallback);
+  *   - NULL group pins the whole key to the minimum (nulls-first);
+  *   - the order image is the unsigned-monotone top 32 bits of the
+  *     key (sign-flip for longs, zero-extend for ints, IEEE sortable
+  *     bits for doubles — `doubleToLongBits` canonicalizes NaN to the
+  *     greatest image), flipped for DESC, with explicit NULLS
+  *     FIRST/LAST placement.
+  *
+  * The final XOR with Long.MinValue makes the unsigned packing
+  * signed-comparable (the type SortExec's long prefix comparator
+  * uses).  The key is never materialized into rows — it is evaluated
+  * as a sort/partitioning expression only, so exchanges carry no
+  * extra bytes. */
+case class PackedSortKey(group: Expression, order: Expression,
+                         descOrder: Boolean, nullsFirstOrder: Boolean)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(group, order)
+  override def nullable: Boolean = false
+  override def dataType: org.apache.spark.sql.types.DataType = LongType
+  override lazy val deterministic: Boolean = group.deterministic && order.deterministic
+  override def prettyName: String = "graft_packed_sort_key"
+
+  private def coarse(o: Any): Long = order.dataType match {
+    case LongType =>
+      // saturating ±2^31 window: FULL fidelity where real order keys
+      // live (ids, counts, positions); values outside saturate to the
+      // window edge — a tie, resolved by the true column.  The
+      // alternative (top 32 bits) would instead tie on every
+      // small-valued key, which is exactly the common case.
+      val v = o.asInstanceOf[Long]
+      if (v < -2147483648L) 0L
+      else if (v > 2147483646L) 0xFFFFFFFEL
+      else v + 2147483648L
+    case IntegerType => (o.asInstanceOf[Int] ^ Int.MinValue).toLong & 0xFFFFFFFFL
+    case _ => // DoubleType, gated by the planner: IEEE sortable bits —
+      // the exponent rides the top bits, so the image discriminates
+      // across magnitudes (doubleToLongBits canonicalizes NaN to the
+      // greatest image, matching Spark's NaN-greatest ordering)
+      val b = java.lang.Double.doubleToLongBits(o.asInstanceOf[Double])
+      (b ^ ((b >> 63) | Long.MinValue)) >>> 32
+  }
+
+  /** Shared by eval and codegen: `u` is the type-coarsened unsigned
+    * order image (ignored when `oNull`). */
+  def packEval(g: org.apache.spark.unsafe.types.UTF8String,
+               oNull: Boolean, u: Long): Long = {
+    if (g == null) return Long.MinValue // == pack(0, 0): the global minimum
+    val nb = g.numBytes()
+    val n = if (nb < 4) nb else 4
+    var g4 = 0L
+    var tie = nb > 4
+    var i = 0
+    while (i < n) {
+      val b = g.getByte(i) & 0xff
+      if (b == 0) tie = true
+      g4 = (g4 << 8) | b
+      i += 1
+    }
+    g4 <<= 8 * (4 - n)
+    val oPart =
+      if (tie) 0xFFFFFFFFL
+      else if (oNull) { if (nullsFirstOrder) 0L else 0xFFFFFFFEL }
+      else {
+        val c = if (u > 0xFFFFFFFEL) 0xFFFFFFFEL else u
+        if (descOrder) 0xFFFFFFFEL - c else c
+      }
+    ((g4 << 32) | oPart) ^ Long.MinValue
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val g = group.eval(input)
+    val o = order.eval(input)
+    packEval(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      o == null, if (o == null) 0L else coarse(o))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val gEv = group.genCode(ctx)
+    val oEv = order.genCode(ctx)
+    // fully inlined (no virtual call): the generated ordering
+    // evaluates this expression once per COMPARISON on the fallback
+    // path, so constant cost here is what the saturated regime pays
+    val u = ctx.freshName("u")
+    val g4 = ctx.freshName("g4")
+    val tie = ctx.freshName("tie")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val oPart = ctx.freshName("oPart")
+    val coarseCode = order.dataType match {
+      case LongType =>
+        s"$u = ${oEv.value} < -2147483648L ? 0L : " +
+          s"(${oEv.value} > 2147483646L ? 0xFFFFFFFEL : ${oEv.value} + 2147483648L);"
+      case IntegerType => s"$u = ((long) (${oEv.value} ^ Integer.MIN_VALUE)) & 0xFFFFFFFFL;"
+      case _ =>
+        s"""long ${u}b = Double.doubleToLongBits(${oEv.value});
+           |$u = (${u}b ^ ((${u}b >> 63) | Long.MIN_VALUE)) >>> 32;""".stripMargin
+    }
+    val nullsFirstJ = if (nullsFirstOrder) "true" else "false"
+    val descJ = if (descOrder) "true" else "false"
+    val code =
+      code"""
+        ${gEv.code}
+        ${oEv.code}
+        long ${ev.value};
+        if (${gEv.isNull}) {
+          ${ev.value} = Long.MIN_VALUE;
+        } else {
+          final int $nb = ${gEv.value}.numBytes();
+          final int ${nb}n = $nb < 4 ? $nb : 4;
+          long $g4 = 0L;
+          boolean $tie = $nb > 4;
+          for (int $i = 0; $i < ${nb}n; $i++) {
+            final int $b = ${gEv.value}.getByte($i) & 0xff;
+            if ($b == 0) $tie = true;
+            $g4 = ($g4 << 8) | $b;
+          }
+          $g4 <<= 8 * (4 - ${nb}n);
+          long $oPart;
+          if ($tie) {
+            $oPart = 0xFFFFFFFFL;
+          } else if (${oEv.isNull}) {
+            $oPart = $nullsFirstJ ? 0L : 0xFFFFFFFEL;
+          } else {
+            long $u = 0L;
+            $coarseCode
+            if ($u > 0xFFFFFFFEL) $u = 0xFFFFFFFEL;
+            $oPart = $descJ ? 0xFFFFFFFEL - $u : $u;
+          }
+          ${ev.value} = (($g4 << 32) | $oPart) ^ Long.MIN_VALUE;
+        }
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PackedSortKey =
+    copy(group = newChildren(0), order = newChildren(1))
 }
 
 /** The ranked analog of Spark's InferWindowGroupLimit: a `rn <= k`
@@ -334,8 +502,30 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
   override def output: Seq[Attribute] = child.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
+  /** The packed-prefix eligibility gate: one string partition column
+    * and a leading integral/double order key.  On by default — the
+    * packing is semantics-preserving for ANY data (monotone
+    * coarsening, see [[PackedSortKey]]); the conf is a kill switch,
+    * not a regime assertion. */
+  private val packedPrefix: Option[SortOrder] = {
+    val on = SQLConf.get
+      .getConfString("spark.graft.ranked.packedSortPrefix", "true")
+      .equalsIgnoreCase("true")
+    (partCols, orderSpec) match {
+      case (Seq(g), os) if on && g.dataType == StringType && os.nonEmpty &&
+          (os.head.child.dataType == LongType ||
+            os.head.child.dataType == IntegerType ||
+            os.head.child.dataType == DoubleType) =>
+        val o = os.head
+        Some(SortOrder(
+          PackedSortKey(g, o.child, o.direction == Descending,
+            o.nullOrdering == NullsFirst), Ascending))
+      case _ => None
+    }
+  }
+
   private def sortOrders: Seq[SortOrder] =
-    partCols.map(e => SortOrder(e, Ascending)) ++ orderSpec
+    packedPrefix.toSeq ++ partCols.map(e => SortOrder(e, Ascending)) ++ orderSpec
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(OrderedDistribution(sortOrders))

@@ -321,10 +321,15 @@ object Analytics {
   // path loses nothing.  At 100 TB pass 1's shuffle is ≤ 127 rows per
   // map task and pass 2's is |candidates| keys, vs |V| for the naive
   // form.
+  /** The heavy-hitter token stream, spelled once — the streaming face
+    * (streaming/StreamHeavyHitters) uses it VERBATIM so the two
+    * cannot drift on tokenization. */
+  private[graft] val hhTokens = "filter(split(lower(text), ' '), t -> t <> '')"
+
   def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val k = 127 // superset guarantee needs pct > 1/(k+1): 1/100 > 1/128
     val toks = Tables.documents(s, d)
-      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("tok"))
+      .select(explode(expr(hhTokens)).as("tok"))
     val sketch = toks.agg(
       expr(s"graft_misra_gries(tok, $k)").as("cand"),
       count(lit(1)).as("n_total"))
