@@ -263,6 +263,11 @@ object StreamBench {
           tsOf(farEv))), nBatches,
         (ds: Dataset[Sessionize.Tagged]) =>
           Sessionize.enrichAsOf(ds).toDF())),
+      "stream_heavy_hitters" -> (() => drive[StreamHeavyHitters.DocEvent](spark, "stream_heavy_hitters",
+        docRows.toSeq.map(d => StreamHeavyHitters.DocEvent(d._1, d._2, d._3, d._4)),
+        Seq(StreamHeavyHitters.DocEvent(999999914L, "zz", "mover", farDoc)), nBatches,
+        (ds: Dataset[StreamHeavyHitters.DocEvent]) =>
+          StreamHeavyHitters.candidates(ds, "10 minutes"))),
       "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
         docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
           d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))

@@ -508,4 +508,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("q_heavy_hitters: sketch pass is map-side partial, recount joins a broadcast") {
+    val plan = planOf(graft.queries.Analytics.qHeavyHitters(spark, sf))
+    // pass 1 must be a partial-then-final ObjectHashAggregate (the
+    // imperative sketch combines map-side — per-task state <= k, no
+    // vocabulary-wide shuffle of raw tokens for the sketch)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_misra_gries") ||
+      "partial.*graft_misra_gries".r.findFirstIn(plan).isDefined, plan)
+    // pass 2 recounts candidates behind a BROADCAST join — the token
+    // stream must never shuffle on the token for candidate matching
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q_weighted_sample is one scan into TakeOrdered — no exchange, no window") {
+    val plan = planOf(graft.queries.Analytics.qWeightedSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // per-partition heaps need no pre-shuffle: the only exchange is
+    // none at all (TakeOrdered reduces driver-side over partitions)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
