@@ -135,6 +135,19 @@ case class PackedSortKey(group: Expression, order: Expression,
   override def prettyName: String = "graft_packed_sort_key"
 
   private def coarse(o: Any): Long = order.dataType match {
+    case StringType =>
+      // second GROUP column (always ASC NULLS FIRST): its first-4-byte
+      // zero-padded image is order-CONSISTENT (never inverts byte-lex
+      // order) and that is all monotonicity needs here — nothing
+      // follows it inside the packed key, so non-injectivity (shared
+      // prefixes, trailing NULs) only produces safe ties
+      val s = o.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val nb = s.numBytes()
+      val n = if (nb < 4) nb else 4
+      var u = 0L
+      var i = 0
+      while (i < n) { u = (u << 8) | (s.getByte(i) & 0xffL); i += 1 }
+      u << (8 * (4 - n))
     case LongType =>
       // saturating ±2^31 window: FULL fidelity where real order keys
       // live (ids, counts, positions); values outside saturate to the
@@ -207,6 +220,12 @@ case class PackedSortKey(group: Expression, order: Expression,
     val b = ctx.freshName("b")
     val oPart = ctx.freshName("oPart")
     val coarseCode = order.dataType match {
+      case StringType =>
+        s"""int ${u}nb = ${oEv.value}.numBytes(); int ${u}n = ${u}nb < 4 ? ${u}nb : 4;
+           |for (int ${u}i = 0; ${u}i < ${u}n; ${u}i++) {
+           |  $u = ($u << 8) | (${oEv.value}.getByte(${u}i) & 0xffL);
+           |}
+           |$u <<= 8 * (4 - ${u}n);""".stripMargin
       case LongType =>
         s"$u = ${oEv.value} < -2147483648L ? 0L : " +
           s"(${oEv.value} > 2147483646L ? 0xFFFFFFFEL : ${oEv.value} + 2147483648L);"
@@ -520,6 +539,17 @@ case class RankedPrefixSumExec(partCols: Seq[Expression],
         Some(SortOrder(
           PackedSortKey(g, o.child, o.direction == Descending,
             o.nullOrdering == NullsFirst), Ascending))
+      case (Seq(g1, g2), _) if on && g1.dataType == StringType &&
+          (g2.dataType == StringType || g2.dataType == LongType ||
+            g2.dataType == IntegerType || g2.dataType == DoubleType) =>
+        // two partition columns (the q_leaderboard shape): fold the
+        // SECOND group key's image into the low bits instead of the
+        // order key — group columns sort ASC NULLS FIRST by
+        // construction, and a string second key only needs an
+        // order-consistent prefix image (nothing follows it inside
+        // the packed long, so shared prefixes tie safely)
+        Some(SortOrder(PackedSortKey(g1, g2, descOrder = false,
+          nullsFirstOrder = true), Ascending))
       case _ => None
     }
   }
