@@ -122,28 +122,40 @@ object RankedSortProbe {
       ab("synthetic_window", 3)(winShape),
       ab("synthetic_saturated", 3)(fullShape))
 
-    // the real gated query (double-order sortable-bits image): run the
-    // whole query, checksum the medians
-    def medianGroup(): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val rs = graft.queries.Analytics.qMedianGroup(spark, dir).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, rs.map(r => math.round(r.getDouble(1) * 100) + r.getLong(2)).sum)
-    }
-    withFlag(true)(medianGroup()); withFlag(false)(medianGroup())
-    val qPairs = (1 to 3).map { _ =>
-      (withFlag(true)(medianGroup()), withFlag(false)(medianGroup()))
-    }
-    val qOn = qPairs.map(_._1)
-    val qOff = qPairs.map(_._2)
-    require(qOn.map(_._2).distinct.size == 1 &&
-      qOn.head._2 == qOff.head._2, "q_median_group ON/OFF results disagree")
+    // two real gated queries: q_median_group (double-order
+    // sortable-bits image, typed ranked) and q_range_count under
+    // autoRewrite (1-char contig group + numeric order — the dual
+    // running sums both rewrite to ranked nodes)
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-    val qPart = s""""q_median_group":{"packed_sec":${med(qOn.map(_._1))},""" +
-      s""""plain_sec":${med(qOff.map(_._1))},"results_agree":true}"""
+    def realAb(name: String, confs: Map[String, String])(
+        run: () => Seq[org.apache.spark.sql.Row], chk: org.apache.spark.sql.Row => Long): String = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        def one(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rs = run()
+          ((System.nanoTime() - t0) / 1e9, rs.map(chk).sum)
+        }
+        withFlag(true)(one()); withFlag(false)(one())
+        val pairs = (1 to 3).map(_ => (withFlag(true)(one()), withFlag(false)(one())))
+        val on = pairs.map(_._1)
+        val off = pairs.map(_._2)
+        require(on.map(_._2).distinct.size == 1 && on.head._2 == off.head._2,
+          s"$name ON/OFF results disagree")
+        s""""$name":{"packed_sec":${med(on.map(_._1))},""" +
+          s""""plain_sec":${med(off.map(_._1))},"results_agree":true}"""
+      } finally confs.keys.foreach(spark.conf.unset)
+    }
+    val qPart = realAb("q_median_group", Map.empty)(
+      () => graft.queries.Analytics.qMedianGroup(spark, dir).collect().toSeq,
+      r => math.round(r.getDouble(1) * 100) + r.getLong(2))
+    val qPart2 = realAb("q_range_count_ranked",
+        Map("spark.graft.ranked.autoRewrite" -> "true"))(
+      () => graft.queries.Genomic.qRangeCount(spark, dir).collect().toSeq,
+      r => r.getLong(1) * (r.getLong(0) % 97 + 1))
 
     val line = s"""{"metric":"ranked_sort_prefix","sf":"$dir","rows":$rows,""" +
-      (parts :+ qPart).mkString(",") +
+      (parts :+ qPart :+ qPart2).mkString(",") +
       s""","probe":$probe,"load":"${Bench.loadavg()}","cpus":$cpus}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>

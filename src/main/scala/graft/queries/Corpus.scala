@@ -581,6 +581,58 @@ object Corpus {
        |FROM r CROSS JOIN t ORDER BY r.doc_id""".stripMargin
   }
 
+  // ------------------------------------------ weighted mix resampling
+  // P68: the general form of the P64 knob — downsample every source to
+  // an ARBITRARY target mix (the "20% code, 40% web" production
+  // recipe), not just uniform.  All-integer targets so both engines
+  // agree exactly: with per-source weight w_s (derived here from the
+  // source name; in production, the P26 frame), the largest feasible
+  // scale is T = min_s(n_s DIV w_s) and each source keeps its first
+  // t_s = w_s·T docs in content-hash order (deterministic, unbiased,
+  // cluster-size-independent).  Shape at scale: the |sources|-row
+  // size/target frames broadcast; ranking is the keyed
+  // RankedPrefixSum (parallel in cores, not |sources| tasks); the
+  // corpus itself never shuffles except the one range exchange.
+  def qMixToWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("graft_hash32(text)").as("h"),
+        expr("CAST(substring(source, 4) AS INT) % 4 + 1").cast("long").as("w"))
+    val sizes = docs.groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val tScale = sizes.agg(min(expr("n DIV w")).as("T"))
+    val targets = sizes.crossJoin(broadcast(tScale))
+      .select(col("source"), col("w"), (col("w") * col("T")).as("t_s"))
+    Ranked.rowNumber(docs.drop("w"), Seq("source"),
+        Seq(("h", false), ("doc_id", false)), "rk")
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("rk") <= col("t_s"))
+      .select(col("source"), col("doc_id"), col("rk"), col("w"), col("t_s"))
+      .orderBy("source", "rk")
+  }
+
+  val qMixToWeightsSql: String = {
+    val hash = Pipeline.duckHash32("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $hash AS h,
+       |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM documents
+       |), sz AS (
+       |  SELECT source, w, COUNT(*) AS n FROM d GROUP BY source, w
+       |), t AS (
+       |  SELECT MIN(n // w) AS T FROM sz
+       |), tg AS (
+       |  SELECT source, w, w * (SELECT T FROM t) AS t_s FROM sz
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM d
+       |)
+       |SELECT r.source, r.doc_id, r.rk, tg.w, tg.t_s
+       |FROM r JOIN tg ON r.source = tg.source
+       |WHERE r.rk <= tg.t_s ORDER BY r.source, rk""".stripMargin
+  }
+
   // ----------------------------------------------- token-budget shards
   // Assign documents to fixed-token-budget training shards: within
   // each language, docs are packed in doc_id order and a new shard
@@ -697,6 +749,7 @@ object Corpus {
     "q_repetition" -> (qRepetition _),
     "q_domain_mix" -> (qDomainMix _),
     "q_mix_resample" -> (qMixResample _),
+    "q_mix_to_weights" -> (qMixToWeights _),
     "q_token_shard" -> (qTokenShard _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_rarity_score" -> (qRarityScore _))
@@ -711,6 +764,7 @@ object Corpus {
     "q_repetition" -> qRepetitionSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_mix_resample" -> qMixResampleSql,
+    "q_mix_to_weights" -> qMixToWeightsSql,
     "q_token_shard" -> qTokenShardSql,
     "q_label_centroid" -> qLabelCentroidSql,
     "q_rarity_score" -> qRarityScoreSql)

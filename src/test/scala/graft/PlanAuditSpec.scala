@@ -406,6 +406,33 @@ class PlanAuditSpec extends SparkSpec {
       s"every source must keep exactly t=$t docs: $kept")
   }
 
+  test("q_mix_to_weights hits every weighted target exactly, ranked + broadcast shaped") {
+    // the general mix knob (P68): per-source keep counts t_s = w_s·T
+    // with T = min(n_s DIV w_s) — the largest feasible integer scale —
+    // ranked per source on the keyed RankedPrefixSum with the
+    // |sources|-row target frame broadcast (never a corpus shuffle on
+    // the join)
+    val df = graft.queries.Corpus.qMixToWeights(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("RankedPrefixSum"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window "), plan)
+    val kept = df.groupBy("source", "w", "t_s").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, w, ts, n) =>
+      assert(n == ts, s"$src kept $n, target $ts")
+    }
+    // the weights actually vary — otherwise this is P64 again
+    assert(kept.map(_._2).distinct.length > 1)
+    // feasibility: no source's target exceeds its size
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (src, _, ts, _) =>
+      assert(ts <= sizes(src), s"$src target $ts exceeds size ${sizes(src)}")
+    }
+  }
+
   test("no query plans a partition-less window — the class, not the instance") {
     // a `Window.orderBy(...)` with empty PARTITION BY funnels the
     // whole input through ONE task — the shape §6.r10 calls out and
