@@ -268,6 +268,12 @@ object StreamBench {
         Seq(StreamHeavyHitters.DocEvent(999999914L, "zz", "mover", farDoc)), nBatches,
         (ds: Dataset[StreamHeavyHitters.DocEvent]) =>
           StreamHeavyHitters.candidates(ds, "10 minutes"))),
+      "stream_weighted_sample" -> (() => drive[StreamWeightedSample.DocEvent](spark, "stream_weighted_sample",
+        docRows.toSeq.map(d => StreamWeightedSample.DocEvent(d._1, d._2, d._3,
+          d._3.length.toLong, d._4)),
+        Seq(StreamWeightedSample.DocEvent(999999915L, "zz", "mover", 5L, farDoc)), nBatches,
+        (ds: Dataset[StreamWeightedSample.DocEvent]) =>
+          StreamWeightedSample.sample(ds, "10 minutes"))),
       "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
         docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
           d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))

@@ -1626,7 +1626,9 @@ object GraftFunctions {
     ("graft_bpe_stats", "fused text -> BPE [pre, post] symbol counts",
       es => BpeStats(es(0), es(1))),
     ("graft_misra_gries", "capacity-k Misra-Gries heavy-hitter summary (mergeable)",
-      es => Sketches.MisraGries(es(0), es(1))))
+      es => Sketches.MisraGries(es(0), es(1))),
+    ("graft_topk_by", "k largest (key, payload) rows per group via bounded map-side heaps",
+      es => Sketches.TopKBy(es(0), es(1), es(2))))
 
   def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -187,4 +187,151 @@ object Sketches {
     override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
       copy(child = newChildren(0), kExpr = newChildren(1))
   }
+
+  /** `graft_topk_by(key, payload, k)`: the k LARGEST rows per group
+    * under the deterministic total order (key DESC, payload ASC),
+    * returned as `array<struct<key, payload>>` in that order.
+    *
+    * This is the AGGREGATE-shaped top-k — the third shape next to the
+    * window (`row_number` + filter: full shuffle + per-group sort) and
+    * the ranked operator (range exchange + two passes): a bounded
+    * heap per group that combines MAP-SIDE, so the exchange carries at
+    * most k rows per (task, group) and nothing is ever sorted beyond
+    * the k-element state.  For per-group sampling/leaderboard shapes
+    * with small k it is the cheapest distributed form, and in
+    * Structured Streaming it is a legal stateful aggregate whose
+    * per-window state is the k-entry heap (arrival-rate-independent).
+    *
+    * key: BIGINT or DOUBLE (doubles ordered like Spark: NaN greatest,
+    * ties exact); payload: BIGINT; k: foldable int in [1, 65536].
+    * Null keys/payloads are skipped (SQL aggregate convention). */
+  case class TopKBy(keyExpr: Expression, payloadExpr: Expression, kExpr: Expression,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+
+    private lazy val k: Int = kExpr match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case e if e.foldable => e.eval(InternalRow.empty) match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_by: k must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_topk_by: k must be a foldable integer literal")
+    }
+
+    private def isKeyDouble = keyExpr.dataType == DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (keyExpr.dataType != DoubleType && keyExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure("graft_topk_by: key must be DOUBLE or BIGINT")
+      else if (payloadExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure("graft_topk_by: payload must be BIGINT")
+      else if (!kExpr.foldable)
+        TypeCheckResult.TypeCheckFailure("graft_topk_by: k must be foldable")
+      else if (k < 1 || k > 65536)
+        TypeCheckResult.TypeCheckFailure(s"graft_topk_by: k must be in [1, 65536], got $k")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def children: Seq[Expression] = Seq(keyExpr, payloadExpr, kExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("key", keyExpr.dataType, nullable = false),
+      StructField("payload", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_topk_by"
+
+    type Buf = java.util.PriorityQueue[(Double, Long)]
+
+    /** keep order: the heap ROOT is the WORST kept element under
+      * (key DESC, payload ASC) — i.e. smallest key, then largest
+      * payload.  Double.compare gives the Spark double order (NaN
+      * greatest, -0.0 < 0.0); longs ride exactly in doubles only to
+      * 2^53, so long keys are compared from their own bits, carried
+      * losslessly via doubleToRawLongBits. */
+    private def keyOf(e: (Double, Long)): Double = e._1
+    private val worstFirst = new java.util.Comparator[(Double, Long)] with Serializable {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c =
+          if (isKeyDouble) java.lang.Double.compare(a._1, b._1)
+          else java.lang.Long.compare(
+            java.lang.Double.doubleToRawLongBits(a._1),
+            java.lang.Double.doubleToRawLongBits(b._1))
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+
+    private def longKey(v: Long): Double = java.lang.Double.longBitsToDouble(v)
+    private def rawLong(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+    override def createAggregationBuffer(): Buf =
+      new java.util.PriorityQueue[(Double, Long)](math.min(k, 16), worstFirst)
+
+    private def offer(buf: Buf, e: (Double, Long)): Unit = {
+      if (buf.size < k) buf.add(e)
+      else if (worstFirst.compare(e, buf.peek()) > 0) { buf.poll(); buf.add(e) }
+    }
+
+    override def update(buf: Buf, input: InternalRow): Buf = {
+      val kv = keyExpr.eval(input)
+      val pv = payloadExpr.eval(input)
+      if (kv == null || pv == null) return buf
+      val key = if (isKeyDouble) kv.asInstanceOf[Double]
+                else longKey(kv.asInstanceOf[Long])
+      offer(buf, (key, pv.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(buf: Buf, other: Buf): Buf = {
+      val it = other.iterator()
+      while (it.hasNext) offer(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: Buf): Any = {
+      val arr = new Array[(Double, Long)](buf.size)
+      var i = 0
+      val it = buf.iterator()
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      // output best-first: reverse of the heap's worst-first order
+      java.util.Arrays.sort(arr, worstFirst.reversed())
+      new GenericArrayData(arr.map { case (key, p) =>
+        new GenericInternalRow(Array[Any](
+          if (isKeyDouble) key else rawLong(key), p))
+      })
+    }
+
+    override def serialize(buf: Buf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) {
+        val (key, p) = it.next()
+        bb.putLong(rawLong(key))
+        bb.putLong(p)
+      }
+      bb.array()
+    }
+
+    override def deserialize(storage: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        buf.add((longKey(bb.getLong), bb.getLong))
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKBy =
+      copy(keyExpr = newChildren(0), payloadExpr = newChildren(1), kExpr = newChildren(2))
+  }
 }

@@ -368,25 +368,62 @@ object Analytics {
   // Scale shape: a pure per-row map + distributed top-k
   // (TakeOrdered — per-partition heaps, no global sort, no shuffle of
   // non-winners).
+  /** The E-S key, spelled once per engine (q_weighted_sample and the
+    * per-group q_sample_weighted_group share it verbatim).
+    * h ∈ [1, 2^31]; 21487563 = ⌈1e6·31·ln2⌉ ⇒ es_key = 1e6·ln(u)/w ≤ 0. */
+  private[graft] val esKey =
+    "CAST(graft_micro_ln((CAST(graft_hash32(text) AS BIGINT) & 2147483647) + 1) " +
+      "- 21487563 AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+  private[queries] def esKeyDuck: String = {
+    val h = s"((CAST(${Pipeline.duckHash32("text")} AS BIGINT) & 2147483647) + 1)"
+    s"CAST(${Corpus.microLn(h, duck = true)} - 21487563 AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+  }
+
   def qWeightedSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("n_chars") > 0)
-      // h ∈ [1, 2^31]; 21487563 = ⌈1e6·31·ln2⌉ ⇒ es_key = 1e6·ln(u)/w ≤ 0
-      .withColumn("h", expr("(CAST(graft_hash32(text) AS BIGINT) & 2147483647) + 1"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr("CAST(graft_micro_ln(h) - 21487563 AS DOUBLE) / CAST(n_chars AS DOUBLE)")
-          .as("es_key"))
+        expr(esKey).as("es_key"))
       .orderBy(desc("es_key"), col("doc_id"))
       .limit(100)
 
-  val qWeightedSampleSql: String = {
-    val h = s"(CAST(${Pipeline.duckHash32("text")} AS BIGINT) & 2147483647) + 1"
-    s"""SELECT doc_id, lang, n_chars,
-      |  CAST(${Corpus.microLn(s"($h)", duck = true)} - 21487563 AS DOUBLE)
-      |    / CAST(n_chars AS DOUBLE) AS es_key
+  val qWeightedSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars, $esKeyDuck AS es_key
       |FROM documents WHERE n_chars > 0
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
-  }
+
+  // -------------------------------- per-stratum weighted sampling
+  // 20 docs per language, weighted by length — the per-group form of
+  // q_weighted_sample, run as the AGGREGATE-shaped top-k
+  // (`graft_topk_by`): a bounded heap per (task, lang) combines
+  // MAP-SIDE, so the one exchange carries ≤ 20 rows per task per lang
+  // and nothing is sorted beyond the 20-element state.  Compare the
+  // window form (full corpus shuffle + per-lang sort + rank filter)
+  // and the ranked form (range exchange + two passes): for small-k
+  // per-group selection this is the cheapest distributed shape — and
+  // the same aggregate is streaming-legal with k-entry per-window
+  // state.  The E-S key is shared VERBATIM with q_weighted_sample;
+  // ties (impossible here — doc_id breaks them) are pinned by the
+  // aggregate's (key DESC, payload ASC) total order.
+  def qSampleWeightedGroup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), expr(esKey).as("es_key"))
+      .groupBy("lang")
+      .agg(expr("graft_topk_by(es_key, doc_id, 20)").as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.payload").as("doc_id"),
+        col("col.key").as("es_key"), (col("pos") + 1).cast("bigint").as("rk"))
+      .orderBy("lang", "rk")
+
+  val qSampleWeightedGroupSql: String =
+    s"""SELECT lang, doc_id, es_key, rk FROM (
+      |  SELECT lang, doc_id, es_key,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM (SELECT lang, doc_id, $esKeyDuck AS es_key
+      |        FROM documents WHERE n_chars > 0))
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
   val qSkewJoinSql: String =
     s"""SELECT s_nationkey,
@@ -407,6 +444,7 @@ object Analytics {
     "q_normalize_text" -> (qNormalizeText _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_sample_weighted_group" -> (qSampleWeightedGroup _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracle: Map[String, String] = Map(
@@ -421,5 +459,6 @@ object Analytics {
     "q_normalize_text" -> qNormalizeTextSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_weighted_sample" -> qWeightedSampleSql,
+    "q_sample_weighted_group" -> qSampleWeightedGroupSql,
     "q_skew_join" -> qSkewJoinSql)
 }

@@ -433,6 +433,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_sample_weighted_group is aggregate-shaped: heaps combine map-side, no window/sort") {
+    // the third top-k shape (next to window and ranked): bounded
+    // per-group heaps in a partial-then-final ObjectHashAggregate —
+    // the exchange carries <= k rows per (task, group), nothing sorts
+    // beyond the k-element state
+    val plan = planOf(graft.queries.Analytics.qSampleWeightedGroup(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("partial.*graft_topk_by".r.findFirstIn(plan).isDefined ||
+      plan.contains("partial_topk"), plan)
+    assert(!plan.contains("Window "), plan)
+    assert(!plan.contains("RankedPrefixSum"), plan)
+  }
+
   test("no query plans a partition-less window — the class, not the instance") {
     // a `Window.orderBy(...)` with empty PARTITION BY funnels the
     // whole input through ONE task — the shape §6.r10 calls out and

@@ -94,6 +94,57 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk_by equals the window top-k on random data across layouts") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 7}", rnd.nextDouble() * 100 - 50, i.toLong)
+    }
+    def viaAgg(parts: Int): Seq[(String, Long)] =
+      rows.toDF("g", "key", "p").repartition(parts)
+        .groupBy("g").agg(expr("graft_topk_by(key, p, 9)").as("t"))
+        .select($"g", explode($"t.payload").as("p"))
+        .as[(String, Long)].collect().sortBy(identity).toSeq
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy(desc("key"), $"p")
+      rows.toDF("g", "key", "p")
+        .select($"g", $"p", row_number().over(w).as("rk"))
+        .filter($"rk" <= 9).select($"g", $"p")
+        .as[(String, Long)].collect().sortBy(identity).toSeq
+    }
+    Seq(1, 8, 32).foreach { parts =>
+      assert(viaAgg(parts) == viaWindow, s"layout $parts diverged")
+    }
+  }
+
+  test("graft_topk_by long keys are lossless beyond 2^53 and order correctly") {
+    // doubles lose integer fidelity above 2^53 — the aggregate must
+    // carry BIGINT keys by their own bits, not a double cast
+    val big = Seq(
+      (9007199254740993L, 1L), (9007199254740992L, 2L), // distinct, d-equal
+      (Long.MaxValue, 3L), (Long.MinValue, 4L), (-1L, 5L), (0L, 6L))
+    val out = big.toDF("key", "p")
+      .agg(expr("graft_topk_by(key, p, 3)").as("t"))
+      .select(explode($"t").as("e")).select($"e.key", $"e.payload")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((Long.MaxValue, 3L), (9007199254740993L, 1L),
+      (9007199254740992L, 2L)), out.toString)
+  }
+
+  test("graft_topk_by skips nulls, ties break by smaller payload, k bounds enforced") {
+    val out = Seq((Some(5.0), Some(10L)), (Some(5.0), Some(3L)), (None, Some(1L)),
+      (Some(4.0), None), (Some(1.0), Some(7L)))
+      .toDF("key", "p")
+      .agg(expr("graft_topk_by(key, p, 2)").as("t"))
+      .select(explode($"t").as("e")).select($"e.payload")
+      .as[Long].collect().toSeq
+    assert(out == Seq(3L, 10L), out.toString) // 5.0-tie: payload 3 first
+    intercept[Exception] {
+      Seq((1.0, 1L)).toDF("key", "p")
+        .agg(expr("graft_topk_by(key, p, 0)")).collect()
+    }
+  }
+
   test("q_heavy_hitters two-pass result equals the naive exact form at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.Analytics.qHeavyHitters(spark, d)
