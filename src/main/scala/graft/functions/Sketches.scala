@@ -251,7 +251,6 @@ object Sketches {
       * greatest, -0.0 < 0.0); longs ride exactly in doubles only to
       * 2^53, so long keys are compared from their own bits, carried
       * losslessly via doubleToRawLongBits. */
-    private def keyOf(e: (Double, Long)): Double = e._1
     private val worstFirst = new java.util.Comparator[(Double, Long)] with Serializable {
       override def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c =
