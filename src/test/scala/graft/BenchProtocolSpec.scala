@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The burst-retry protocol pieces (r12): the prior-artifact per-query
+  * parser and the burst decision rule — pure functions, pinned here so
+  * the bench's self-diagnosis layer has build-time coverage like the
+  * rest of the suite. */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("parseQueryMedians extracts the queries map and nothing else") {
+    val json =
+      """{"metric":"total","value":12.5,"unit":"sec",""" +
+        """"queries":{"q1_agg":1.25,"q_sort":0.5,"q_err":-1.0},""" +
+        """"min":{"q1_agg":1.0},"suspect":false}"""
+    val m = Bench.parseQueryMedians(json).toMap
+    assert(m == Map("q1_agg" -> 1.25, "q_sort" -> 0.5, "q_err" -> -1.0))
+  }
+
+  test("parseQueryMedians is safe on malformed or missing input") {
+    assert(Bench.parseQueryMedians("") == Seq.empty)
+    assert(Bench.parseQueryMedians("""{"value":1}""") == Seq.empty)
+    assert(Bench.parseQueryMedians("""{"queries":{}}""") == Seq.empty)
+  }
+
+  test("burstSuspect needs BOTH the relative and absolute margins") {
+    // relative margin alone is not enough on sub-second rows
+    assert(!Bench.burstSuspect(prev = 0.10, med = 0.35)) // 3.5x but +0.25s only
+    assert(Bench.burstSuspect(prev = 0.10, med = 0.45))  // 4.5x and +0.35s
+    // absolute margin alone is not enough on multi-second rows
+    assert(!Bench.burstSuspect(prev = 5.0, med = 5.5))   // +0.5s but 1.1x
+    assert(Bench.burstSuspect(prev = 5.0, med = 9.5))    // 1.9x
+    assert(!Bench.burstSuspect(prev = 5.0, med = 8.9))   // 1.78x
+    // failed or absent measurements never trigger
+    assert(!Bench.burstSuspect(prev = 0.0, med = 10.0))
+    assert(!Bench.burstSuspect(prev = -1.0, med = 10.0))
+    assert(!Bench.burstSuspect(prev = 1.0, med = -1.0))
+  }
+}
