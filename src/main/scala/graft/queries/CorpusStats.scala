@@ -832,7 +832,96 @@ object CorpusStats {
       |    AS docs_with_pii
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- P69
+  // Exact duplicated-substring SPANS (the ExactSubstr primitive of
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better"): for every document, the maximal token ranges
+  // every W-token window of which occurs at least twice anywhere in
+  // the corpus (other documents OR a second time in the same one —
+  // the paper's self-repetition case).  P41 (q_dup_span) SCORES docs
+  // by approximate fingerprint overlap; this emits the exact spans a
+  // cut step would remove, in token coordinates (the paper's unit).
+  //
+  // Shape at scale — the distributed re-expression of the paper's
+  // single-node suffix array: (1) explode to positioned W-shingles
+  // (exact strings, injective per token tuple — no hash, no collision
+  // risk); (2) df per shingle via hash agg with map-side partials
+  // (high-cardinality key: scale-safe); (3) left-semi join marks
+  // duplicated positions (big-big SMJ on the shingle — at 100 TB this
+  // is THE shuffle, and it is the unavoidable one: cross-corpus
+  // equality has to co-locate equal shingles once); (4) interval
+  // merge per doc is gaps-and-islands over (doc_id, pos) — doc_id is
+  // corpus-cardinality, so the window parallelizes in cores (the
+  // PlanAudit low-|k| ban does not apply).  Two W-windows [p1,p1+W)
+  // [p2,p2+W) overlap or touch iff p2-p1 <= W, hence the break
+  // condition; a span's every token is covered by some duplicated
+  // window (the paper's span semantics), even where an interior
+  // single window is itself unique.
+  private val dupW = 5
+
+  def qDupSubstring(s: SparkSession, d: String): DataFrame = {
+    // The shingle stream is deliberately computed TWICE (df aggregate
+    // + join probe side): column pruning gives the two consumers
+    // different exchange subtrees (s vs doc_id/pos/s), so no
+    // ReusedExchange exists to share, and the alternatives are worse
+    // at scale — persist materializes corpus×W bytes of executor
+    // storage, and the one-pass `COUNT OVER (PARTITION BY s)` form
+    // buffers every occurrence of a hot shingle in one task (exactly
+    // the boilerplate-text key a 100 TB corpus is full of).  The
+    // recompute is scan+explode CPU only — embarrassingly parallel,
+    // zero extra shuffle — and the semi-join stays skew-immune
+    // because its right side carries at most ONE row per shingle.
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= dupW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $dupW), i -> " +
+          s"concat_ws(' ', slice(toks, i + 1, $dupW)))")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("s"))
+    val dup = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(dup.select("s"), Seq("s"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > dupW, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("tok_start"),
+        (max("pos") + dupW).as("tok_end"))
+      .select(col("doc_id"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("span_toks"))
+      .orderBy("doc_id", "tok_start")
+  }
+
+  val qDupSubstringSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(range(len(toks) - ${dupW - 1})) AS pos,
+       |    unnest(list_transform(range(len(toks) - ${dupW - 1}),
+       |      i -> array_to_string(
+       |        toks[CAST(i + 1 AS INT):CAST(i + $dupW AS INT)], ' '))) AS s
+       |  FROM t WHERE len(toks) >= $dupW
+       |), m AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+       |  WHERE df >= 2
+       |), b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           > $dupW THEN 1 ELSE 0 END AS brk
+       |  FROM m
+       |), i AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM b
+       |)
+       |SELECT doc_id, MIN(pos) AS tok_start, MAX(pos) + $dupW AS tok_end,
+       |  MAX(pos) + $dupW - MIN(pos) AS span_toks
+       |FROM i GROUP BY doc_id, island
+       |ORDER BY doc_id, tok_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_substring" -> (qDupSubstring _),
     "q_pii_scan" -> (qPiiScan _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -852,6 +941,7 @@ object CorpusStats {
     "q_char_classes" -> (qCharClasses _))
 
   val oracle: Map[String, String] = Map(
+    "q_dup_substring" -> qDupSubstringSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_winnow_overlap" -> qWinnowOverlapSql,
     "q_source_overlap" -> qSourceOverlapSql,

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusStats
+
+/** P69 q_dup_substring — exact duplicated-token-span semantics
+  * (ExactSubstr, Lee et al. 2022), pinned on constructed corpora where
+  * every span boundary is known by hand.  W = 5 tokens throughout. */
+class DupSubstringSpec extends SparkSpec {
+
+  /** Write docs as a documents.parquet the query can read. */
+  private def corpus(texts: String*): String = {
+    val dir = tmpDir("dupsub")
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def spans(dir: String): Seq[(Long, Long, Long, Long)] =
+    CorpusStats.qDupSubstring(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  // Unique filler tokens (never repeated anywhere).
+  private def u(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("a 5-token run shared by two docs yields one exact span in each") {
+    val shared = "a b c d e"
+    val dir = corpus(s"${u(6, "x")} $shared ${u(6, "y")}",
+                     s"${u(6, "p")} $shared ${u(6, "q")}")
+    // tokens 0-5 unique, 6-10 shared, 11-16 unique -> span [6, 11)
+    assert(spans(dir) === Seq((0L, 6L, 11L, 5L), (1L, 6L, 11L, 5L)))
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    val shared = "a b c d e f g h" // 4 overlapping 5-windows
+    val dir = corpus(s"$shared ${u(8, "x")}", s"${u(8, "y")} $shared")
+    assert(spans(dir) === Seq((0L, 0L, 8L, 8L), (1L, 8L, 16L, 8L)))
+  }
+
+  test("two duplicated regions split by a long unique gap stay two spans") {
+    val s1 = "a b c d e"
+    val s2 = "f g h i j"
+    // gap of 7 unique tokens > W, so the island merge must break
+    val dir = corpus(s"$s1 ${u(7, "g")} $s2",
+                     s"${u(3, "x")} $s1 ${u(9, "z")} $s2 ${u(2, "w")}")
+    assert(spans(dir) === Seq(
+      (0L, 0L, 5L, 5L), (0L, 12L, 17L, 5L),
+      (1L, 3L, 8L, 5L), (1L, 17L, 22L, 5L)))
+  }
+
+  test("adjacent duplicated runs fuse across the shared boundary") {
+    val s1 = "a b c d e"
+    val s2 = "f g h i j"
+    // Both docs carry s1 immediately followed by s2, so the windows
+    // STRADDLING the boundary are duplicated too and the ten tokens
+    // merge into one maximal span — [0, 10) in doc 0, [6, 16) in doc 1.
+    val dir = corpus(s"$s1 $s2 ${u(6, "x")}", s"${u(6, "y")} $s1 $s2")
+    assert(spans(dir) === Seq((0L, 0L, 10L, 10L), (1L, 6L, 16L, 10L)))
+  }
+
+  test("within-doc self-repetition counts as duplication (df >= 2)") {
+    val rep = "a b c d e"
+    val dir = corpus(s"$rep ${u(7, "x")} $rep", u(20, "z"))
+    assert(spans(dir) === Seq((0L, 0L, 5L, 5L), (0L, 12L, 17L, 5L)))
+  }
+
+  test("docs with no duplicated window emit nothing; short docs are skipped") {
+    val dir = corpus(u(20, "a"), u(20, "b"), "t0 t1 t2") // 3-token doc < W
+    assert(spans(dir).isEmpty)
+  }
+
+  test("matches the DuckDB oracle construction on real corpus data") {
+    // Structural cross-check at sf0.001 without DuckDB: re-spell the
+    // oracle's window-count construction in Spark and compare.
+    val d = "/root/testdata/sf0.001"
+    val got = CorpusStats.qDupSubstring(spark, d)
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 5), i -> " +
+          "concat_ws(' ', slice(toks, i + 1, 5)))")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("s"))
+    val byWindow = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") >= 2)
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val expect = byWindow
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(w) > 5, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("tok_start"), (max("pos") + 5).as("tok_end"))
+      .select(col("doc_id"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("span_toks"))
+    assert(got.count() > 0) // non-vacuous on the real corpus
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+}
