@@ -859,7 +859,9 @@ object CorpusStats {
   // single window is itself unique.
   private val dupW = 5
 
-  def qDupSubstring(s: SparkSession, d: String): DataFrame = {
+  /** Span construction shared by P69 (emission) and P70 (cut) —
+    * identical frames, no ORDER BY (each consumer adds its own). */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
     // The shingle stream is deliberately computed TWICE (df aggregate
     // + join probe side): column pruning gives the two consumers
     // different exchange subtrees (s vs doc_id/pos/s), so no
@@ -889,8 +891,62 @@ object CorpusStats {
         (max("pos") + dupW).as("tok_end"))
       .select(col("doc_id"), col("tok_start"), col("tok_end"),
         (col("tok_end") - col("tok_start")).as("span_toks"))
-      .orderBy("doc_id", "tok_start")
   }
+
+  def qDupSubstring(s: SparkSession, d: String): DataFrame =
+    dupSpans(s, d).orderBy("doc_id", "tok_start")
+
+  // --------------------------------------------------------------- P70
+  // The CUT step that consumes P69's spans: emit each document with
+  // every duplicated span's tokens removed (Lee et al. drop ALL
+  // occurrences — the canonical copy included — which is what the
+  // span set denotes).  Shape at scale: spans collapse to a per-doc
+  // list (≤ |doc|/W entries — bounded by doc length, not corpus),
+  // one high-cardinality equi-join back to documents, then the token
+  // filter runs scan-local as a higher-order expression — no explode,
+  // no second shuffle, the reassembled text never moves.  Docs with
+  // no duplicated span (join miss) pass through verbatim.
+  def qDupCut(s: SparkSession, d: String): DataFrame = {
+    val perDoc = dupSpans(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("tok_start").as("a"), col("tok_end").as("b")))
+        .as("spans"),
+        sum("span_toks").as("cut"))
+    Tables.documents(s, d)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(concat_ws(" ",
+          // Spark HOF index i is 0-based = the span coordinates' base
+          expr("filter(split(text, ' '), (t, i) -> " +
+            "NOT exists(spans, sp -> i >= sp.a AND i < sp.b))")))
+          .as("clean_text"),
+        coalesce(col("cut"), lit(0L)).as("toks_cut"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: embeds qDupSubstringSql, which is declared just below —
+  // eager init would capture null (evaluation happens at oracle-map
+  // build, after every plain val is ready).  DuckDB index lambdas are
+  // 1-based where Spark's are 0-based, hence the i - 1.
+  lazy val qDupCutSql: String =
+    s"""WITH spans AS (
+       |$qDupSubstringSql
+       |), sp AS (
+       |  SELECT doc_id, list(struct_pack(a := tok_start, b := tok_end)) AS spans,
+       |    CAST(SUM(span_toks) AS BIGINT) AS cut
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN sp.spans IS NULL THEN d.text
+       |       -- COALESCE: DuckDB 1.0 renders the empty list as NULL
+       |       -- where Spark's concat_ws gives '' (fully-cut doc)
+       |       ELSE COALESCE(array_to_string(list_filter(string_split(d.text, ' '),
+       |         (t, i) -> len(list_filter(sp.spans,
+       |           s -> i - 1 >= s.a AND i - 1 < s.b)) = 0), ' '), '')
+       |  END AS clean_text,
+       |  COALESCE(sp.cut, 0) AS toks_cut
+       |FROM documents d LEFT JOIN sp USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val qDupSubstringSql: String =
     s"""WITH t AS (
@@ -922,6 +978,7 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_substring" -> (qDupSubstring _),
+    "q_dup_cut" -> (qDupCut _),
     "q_pii_scan" -> (qPiiScan _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -942,6 +999,7 @@ object CorpusStats {
 
   val oracle: Map[String, String] = Map(
     "q_dup_substring" -> qDupSubstringSql,
+    "q_dup_cut" -> qDupCutSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_winnow_overlap" -> qWinnowOverlapSql,
     "q_source_overlap" -> qSourceOverlapSql,

@@ -75,6 +75,32 @@ class DupSubstringSpec extends SparkSpec {
     assert(spans(dir).isEmpty)
   }
 
+  private def cuts(dir: String): Seq[(Long, String, Long)] =
+    CorpusStats.qDupCut(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  test("cut removes exactly the span tokens and keeps the rest in order") {
+    val shared = "a b c d e"
+    val x = u(6, "x"); val y = u(6, "y"); val p = u(6, "p"); val q = u(6, "q")
+    val dir = corpus(s"$x $shared $y", s"$p $shared $q")
+    assert(cuts(dir) === Seq((0L, s"$x $y", 5L), (1L, s"$p $q", 5L)))
+  }
+
+  test("cut passes untouched docs through verbatim, including short ones") {
+    val clean = u(20, "a")
+    val short = "t0 t1 t2"
+    val dir = corpus(clean, short)
+    assert(cuts(dir) === Seq((0L, clean, 0L), (1L, short, 0L)))
+  }
+
+  test("a fully duplicated doc cuts to the empty string") {
+    val t = "a b c d e f"
+    val dir = corpus(t, t)
+    assert(cuts(dir) === Seq((0L, "", 6L), (1L, "", 6L)))
+  }
+
   test("matches the DuckDB oracle construction on real corpus data") {
     // Structural cross-check at sf0.001 without DuckDB: re-spell the
     // oracle's window-count construction in Spark and compare.
