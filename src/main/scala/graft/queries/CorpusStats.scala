@@ -859,6 +859,17 @@ object CorpusStats {
   // single window is itself unique.
   private val dupW = 5
 
+  /** The positioned exact-shingle stream (doc_id, pos, s) — shared by
+    * the span construction and by DupSubstrProbe's strategy A/B. */
+  private[graft] def shingleStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= dupW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $dupW), i -> " +
+          s"concat_ws(' ', slice(toks, i + 1, $dupW)))")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("s"))
+
   /** Span construction shared by P69 (emission) and P70 (cut) —
     * identical frames, no ORDER BY (each consumer adds its own). */
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
@@ -869,20 +880,24 @@ object CorpusStats {
     // at scale — persist materializes corpus×W bytes of executor
     // storage, and the one-pass `COUNT OVER (PARTITION BY s)` form
     // buffers every occurrence of a hot shingle in one task (exactly
-    // the boilerplate-text key a 100 TB corpus is full of).  The
-    // recompute is scan+explode CPU only — embarrassingly parallel,
-    // zero extra shuffle — and the semi-join stays skew-immune
-    // because its right side carries at most ONE row per shingle.
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= dupW)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $dupW), i -> " +
-          s"concat_ws(' ', slice(toks, i + 1, $dupW)))")).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("s"))
+    // the boilerplate-text key a 100 TB corpus is full of; measured
+    // by DupSubstrProbe — see §6.r12).  The recompute is scan+explode
+    // CPU only — embarrassingly parallel, zero extra shuffle — and
+    // the semi-join stays skew-immune because its right side carries
+    // at most ONE row per shingle.
+    //
+    // The SHJ hint is measured, not stylistic (DUPSUBSTRPROBE_r12):
+    // default SMJ SORTS the shingle stream, and on a hot boilerplate
+    // key that sort is 24M tied strings in one task — 25.0s max task
+    // + 2.5 GB spill vs SHJ's 8.3s + zero spill (the window form
+    // pays the same sort AND the group buffer: 18.9s + 2.7 GB).  The
+    // hash build is only the DISTINCT df≥2 shingle set, hash-spread
+    // across tasks.  At gate scale AQE still upgrades small builds
+    // to broadcast; either way the stream is never sorted.
+    val sh = shingleStream(s, d)
     val dup = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    sh.join(dup.select("s"), Seq("s"), "left_semi")
+    sh.join(dup.select("s").hint("shuffle_hash"), Seq("s"), "left_semi")
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) > dupW, 1L).otherwise(0L))
       .withColumn("island", sum("brk").over(w))
