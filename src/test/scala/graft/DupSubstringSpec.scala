@@ -101,6 +101,35 @@ class DupSubstringSpec extends SparkSpec {
     assert(cuts(dir) === Seq((0L, "", 6L), (1L, "", 6L)))
   }
 
+  test("random small-vocab corpora match a brute-force reference (5 seeds)") {
+    // Brute force in plain Scala: count every 5-shingle across the
+    // corpus, mark positions, merge [p, p+5) intervals per doc.
+    def reference(texts: Seq[String]): Seq[(Long, Long, Long, Long)] = {
+      val toks = texts.map(_.split(" ", -1).toSeq)
+      val counts = scala.collection.mutable.Map[Seq[String], Int]()
+      for (t <- toks if t.length >= 5; i <- 0 to t.length - 5)
+        counts.updateWith(t.slice(i, i + 5))(c => Some(c.getOrElse(0) + 1))
+      toks.zipWithIndex.flatMap { case (t, doc) =>
+        val marked = (0 to t.length - 5).filter(i => counts(t.slice(i, i + 5)) >= 2)
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        for (p <- marked) spans.lastOption match {
+          case Some((a, b)) if p <= b => spans(spans.length - 1) = (a, p + 5)
+          case _ => spans += ((p, p + 5))
+        }
+        spans.map { case (a, b) => (doc.toLong, a.toLong, b.toLong, (b - a).toLong) }
+      }
+    }
+    val vocab = Array("w0", "w1", "w2", "w3", "w4")
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab => organic cross-doc and within-doc duplication
+      val texts = Seq.fill(30)(
+        Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val dir = corpus(texts: _*)
+      assert(spans(dir) === reference(texts), s"seed=$seed")
+    }
+  }
+
   test("matches the DuckDB oracle construction on real corpus data") {
     // Structural cross-check at sf0.001 without DuckDB: re-spell the
     // oracle's window-count construction in Spark and compare.
