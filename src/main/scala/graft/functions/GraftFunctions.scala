@@ -1201,6 +1201,66 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  /** word_shingles(text, n): positional word n-gram STRINGS of the
+    * RAW text — `transform(sequence(0, size(t)-n), i -> concat_ws(' ',
+    * slice(t, i+1, n)))` with t = split(text, ' '), fused and
+    * zero-copy: splitting on single spaces and rejoining with single
+    * spaces reproduces the original bytes, so every shingle is a
+    * BYTE-RANGE SLICE of the input buffer (UTF8String.fromBytes — no
+    * StringBuilder, no per-shingle copy).  Byte-level 0x20 scanning
+    * is exact for any UTF-8 input (a space byte never occurs inside
+    * a multibyte sequence); empty tokens from doubled/leading/
+    * trailing spaces are preserved exactly as split() keeps them.
+    * Case-PRESERVING — unlike [[WordNgrams]], which lowercases (the
+    * P69/P70 dup spans must quote and cut the original text
+    * verbatim).  Fewer than n tokens → empty array. */
+  case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left.dataType == StringType && right.dataType == IntegerType,
+        s"$prettyName expects (STRING, INT)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_shingles"
+
+    override def nullSafeEval(t: Any, n: Any): Any =
+      GraftFunctions.wordShingles(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $fn.wordShingles($t, $n);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var spaces = 0
+    var q = 0
+    while (q < bytes.length) { if (bytes(q) == ' ') spaces += 1; q += 1 }
+    val nTok = spaces + 1
+    val m = nTok - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[UTF8String])
+    val starts = new Array[Int](nTok)
+    var t = 1
+    q = 0
+    while (q < bytes.length) {
+      if (bytes(q) == ' ') { starts(t) = q + 1; t += 1 }
+      q += 1
+    }
+    val arr = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      val from = starts(i)
+      val until = if (i + n < nTok) starts(i + n) - 1 else bytes.length
+      arr(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
     val s = text.toLowerCase.toString
     val tokens = {
@@ -1619,6 +1679,8 @@ object GraftFunctions {
       es => PackGrams(es(0), es(1))),
     ("graft_word_ngrams", "positional word n-gram strings",
       es => WordNgrams(es(0), es(1))),
+    ("graft_word_shingles", "positional case-preserving word n-gram slices",
+      es => WordShingles(es(0), es(1))),
     ("graft_bpe_apply", "one greedy left-to-right BPE merge over a token array",
       es => BpeApply(es(0), es(1), es(2))),
     ("graft_bpe_encode", "a full BPE merge table applied in order, one call",

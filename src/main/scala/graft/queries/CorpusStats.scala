@@ -860,14 +860,16 @@ object CorpusStats {
   private val dupW = 5
 
   /** The positioned exact-shingle stream (doc_id, pos, s) — shared by
-    * the span construction and by DupSubstrProbe's strategy A/B. */
+    * the span construction and by DupSubstrProbe's strategy A/B.
+    * graft_word_shingles is the fused zero-copy kernel for the SQL
+    * spelling `transform(sequence(0, size(toks) - W), i ->
+    * concat_ws(' ', slice(toks, i + 1, W)))` (parity spec-pinned on
+    * adversarial inputs); short docs yield the empty array, so no
+    * size filter is needed. */
   private[graft] def shingleStream(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= dupW)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $dupW), i -> " +
-          s"concat_ws(' ', slice(toks, i + 1, $dupW)))")).as(Seq("pos", "s")))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_word_shingles(text, $dupW)")).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("s"))
 
   /** Span construction shared by P69 (emission) and P70 (cut) —

@@ -101,6 +101,31 @@ class DupSubstringSpec extends SparkSpec {
     assert(cuts(dir) === Seq((0L, "", 6L), (1L, "", 6L)))
   }
 
+  test("graft_word_shingles equals the SQL spelling on adversarial inputs") {
+    import spark.implicits._
+    val cases = Seq(
+      "",                      // 1 empty token
+      "one",                   // single token < W
+      "a b c d",               // W-1 tokens
+      "a b c d e",             // exactly W
+      "a b c d e f g",         // W+2
+      " a b c d e",            // leading space -> empty first token
+      "a b c d e ",            // trailing space -> empty last token
+      "a  b c d e f",          // doubled space -> interior empty token
+      "A b C d E f",           // case must be PRESERVED (raw, not lower)
+      "é ü 漢 字 x y",          // multibyte UTF-8 around the 0x20 scan
+      "a b c d e f g h i j k l m n o p q r s t")
+    val df = cases.toDF("text")
+    val sql = df.selectExpr(
+      "CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+        "transform(sequence(0, size(split(text, ' ')) - 5), i -> " +
+        "concat_ws(' ', slice(split(text, ' '), i + 1, 5))) " +
+        "ELSE array() END AS sh")
+    val kernel = df.selectExpr("graft_word_shingles(text, 5) AS sh")
+    assert(kernel.collect().map(_.getSeq[String](0)).toSeq ===
+      sql.collect().map(_.getSeq[String](0)).toSeq)
+  }
+
   test("random small-vocab corpora match a brute-force reference (5 seeds)") {
     // Brute force in plain Scala: count every 5-shingle across the
     // corpus, mark positions, merge [p, p+5) intervals per doc.
