@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   * signal; checksums asserted identical across strategies):
   *
   *   - `corpus`: the real sf documents — balanced dfs, no hot key.
-  *     The window's one-exchange/one-scan wall advantage over SMJ
-  *     shows here; the hinted SHJ closes it while keeping the best
-  *     critical path (max task) of all three.
+  *     Before the graft_word_shingles kernel the window's one-scan
+  *     advantage showed here (the HOF shingle spelling made the
+  *     second scan expensive); with the kernel the hinted SHJ wins
+  *     this regime too, on wall and critical path both.
   *   - `hot`:    a synthetic stream (nRows, hotPct% of positions
   *     carrying ONE shingle value) modeling the boilerplate regime
   *     the probe exists for.
