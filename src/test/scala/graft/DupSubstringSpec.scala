@@ -144,6 +144,19 @@ class DupSubstringSpec extends SparkSpec {
         spans.map { case (a, b) => (doc.toLong, a.toLong, b.toLong, (b - a).toLong) }
       }
     }
+    // The cut is the spans' denotation applied: drop token i of doc d
+    // iff some span [a, b) of d covers it, rejoin with single spaces.
+    def referenceCut(texts: Seq[String]): Seq[(Long, String, Long)] = {
+      val sp = reference(texts).groupBy(_._1)
+      texts.zipWithIndex.map { case (t, doc) =>
+        val spans = sp.getOrElse(doc.toLong, Seq())
+        val toks = t.split(" ", -1)
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !spans.exists(s => i >= s._2 && i < s._3) => tok
+        }
+        (doc.toLong, kept.mkString(" "), spans.map(_._4).sum)
+      }
+    }
     val vocab = Array("w0", "w1", "w2", "w3", "w4")
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(seed)
@@ -151,7 +164,28 @@ class DupSubstringSpec extends SparkSpec {
       val texts = Seq.fill(30)(
         Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
       val dir = corpus(texts: _*)
-      assert(spans(dir) === reference(texts), s"seed=$seed")
+      assert(spans(dir) === reference(texts), s"spans seed=$seed")
+      assert(cuts(dir) === referenceCut(texts), s"cut seed=$seed")
+    }
+  }
+
+  test("graft_word_shingles randomized parity with the SQL spelling (300 strings)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab é漢"  // includes space (doubled runs) and multibyte
+    val cases = Seq.fill(300)(
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("text")
+    def arrs(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(_.getSeq[String](0)).toSeq
+    for (n <- Seq(1, 2, 5)) {
+      val sql = df.selectExpr(
+        s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+          s"transform(sequence(0, size(split(text, ' ')) - $n), i -> " +
+          s"concat_ws(' ', slice(split(text, ' '), i + 1, $n))) " +
+          "ELSE array() END AS sh")
+      val kernel = df.selectExpr(s"graft_word_shingles(text, $n) AS sh")
+      assert(arrs(kernel) === arrs(sql), s"n=$n")
     }
   }
 
