@@ -248,9 +248,14 @@ object Bench {
     // well above the prior round's same-key value that a clean
     // back-to-back re-measurement does not reproduce.  Each flagged
     // query gets ONE fresh 3-run re-measurement inside this same
-    // anchored window; the artifact keeps BOTH values (burst_retries)
-    // and the headline uses the smaller median (each is itself a
-    // 3-run median; contention only ever inflates).
+    // anchored window; the artifact keeps BOTH values (burst_retries).
+    // The headline is replaced ONLY when the retry median beats the
+    // first pass's WARM-ONLY statistic (min of w1,w2): the retry runs
+    // fully warm after the whole suite, so comparing it against the
+    // cold-inclusive median would let flagged queries drop for
+    // cache-warmth reasons and bias their headlines low relative to
+    // unflagged ones (r12 ADVICE item 2).  Beating even the best warm
+    // first-pass run is evidence of genuine contention, not warmth.
     val selfPrefixEarly = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(p => java.nio.file.Paths.get(p).getFileName.toString)
       .map(_.replaceAll("""_?r?\d+\.json$""", "_"))
@@ -265,7 +270,7 @@ object Bench {
         try {
           val runs = Seq(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
           burstRetries(r.name) = (r.med, runs(1))
-          if (runs(1) < r.med)
+          if (runs(1) < r.warmMin)
             r.copy(med = runs(1), min = math.min(r.min, runs(0)))
           else r
         } catch { case _: Throwable => spark.catalog.clearCache(); r }

@@ -1215,9 +1215,15 @@ object GraftFunctions {
     * P69/P70 dup spans must quote and cut the original text
     * verbatim).  Fewer than n tokens → empty array. */
   case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      check(left.dataType == StringType && right.dataType == IntegerType,
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val typesOk = check(left.dataType == StringType && right.dataType == IntegerType,
         s"$prettyName expects (STRING, INT)")
+      if (typesOk != TypeCheckResult.TypeCheckSuccess) typesOk
+      else if (right.foldable && {
+        val v = right.eval(null); v != null && v.asInstanceOf[Int] < 1
+      }) TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_word_shingles"
 
@@ -1234,6 +1240,12 @@ object GraftFunctions {
   }
 
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // n < 1 is rejected at analysis for foldable n (checkInputDataTypes);
+    // a non-foldable n that evaluates < 1 degrades to empty, matching
+    // wordNgrams, instead of reading past the starts table.
+    if (n < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[UTF8String])
     val bytes = text.getBytes
     var spaces = 0
     var q = 0

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -30,6 +30,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Sketches {
 
+  /** Extract a foldable integer literal's value without throwing:
+    * `None` for non-foldable, null-evaluating (e.g. `CAST(NULL AS
+    * INT)`), or non-integer k expressions — so `checkInputDataTypes`
+    * can return a clean `TypeCheckFailure` instead of leaking an
+    * exception from analysis. */
+  private def foldableInt(e: Expression): Option[Int] =
+    if (!e.foldable) None
+    else e.eval(InternalRow.empty) match {
+      case i: java.lang.Integer => Some(i.intValue())
+      case l: java.lang.Long => Some(l.intValue())
+      case _ => None
+    }
+
   /** `graft_misra_gries(token, k)`: capacity-k Misra-Gries summary of
     * a string column.  Returns `array<struct<tok: string, lb: bigint>>`
     * sorted by token — `lb` is the surviving counter (a lower bound on
@@ -43,28 +56,20 @@ object Sketches {
                         inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Array[Long]]] {
 
-    private lazy val k: Int = kExpr match {
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
-      case e if e.foldable =>
-        e.eval(InternalRow.empty) match {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.intValue()
-          case other => throw new IllegalArgumentException(
-            s"graft_misra_gries: k must be an integer literal, got $other")
-        }
-      case _ => throw new IllegalArgumentException(
-        "graft_misra_gries: k must be a foldable integer literal")
-    }
+    private lazy val k: Int = Sketches.foldableInt(kExpr).getOrElse(
+      throw new IllegalArgumentException(
+        "graft_misra_gries: k must be a non-null foldable integer literal"))
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType != StringType)
         TypeCheckResult.TypeCheckFailure("graft_misra_gries expects a STRING column")
-      else if (!kExpr.foldable)
-        TypeCheckResult.TypeCheckFailure("graft_misra_gries: k must be foldable")
-      else if (k < 1 || k > 65536)
-        TypeCheckResult.TypeCheckFailure(s"graft_misra_gries: k must be in [1, 65536], got $k")
-      else TypeCheckResult.TypeCheckSuccess
+      else Sketches.foldableInt(kExpr) match {
+        case None => TypeCheckResult.TypeCheckFailure(
+          "graft_misra_gries: k must be a non-null foldable integer literal")
+        case Some(kv) if kv < 1 || kv > 65536 => TypeCheckResult.TypeCheckFailure(
+          s"graft_misra_gries: k must be in [1, 65536], got $kv")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
 
     override def children: Seq[Expression] = Seq(child, kExpr)
     override def nullable: Boolean = false
@@ -210,18 +215,9 @@ object Sketches {
                     inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
 
-    private lazy val k: Int = kExpr match {
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
-      case e if e.foldable => e.eval(InternalRow.empty) match {
-        case i: java.lang.Integer => i.intValue()
-        case l: java.lang.Long => l.intValue()
-        case other => throw new IllegalArgumentException(
-          s"graft_topk_by: k must be an integer literal, got $other")
-      }
-      case _ => throw new IllegalArgumentException(
-        "graft_topk_by: k must be a foldable integer literal")
-    }
+    private lazy val k: Int = Sketches.foldableInt(kExpr).getOrElse(
+      throw new IllegalArgumentException(
+        "graft_topk_by: k must be a non-null foldable integer literal"))
 
     private def isKeyDouble = keyExpr.dataType == DoubleType
 
@@ -230,11 +226,13 @@ object Sketches {
         TypeCheckResult.TypeCheckFailure("graft_topk_by: key must be DOUBLE or BIGINT")
       else if (payloadExpr.dataType != LongType)
         TypeCheckResult.TypeCheckFailure("graft_topk_by: payload must be BIGINT")
-      else if (!kExpr.foldable)
-        TypeCheckResult.TypeCheckFailure("graft_topk_by: k must be foldable")
-      else if (k < 1 || k > 65536)
-        TypeCheckResult.TypeCheckFailure(s"graft_topk_by: k must be in [1, 65536], got $k")
-      else TypeCheckResult.TypeCheckSuccess
+      else Sketches.foldableInt(kExpr) match {
+        case None => TypeCheckResult.TypeCheckFailure(
+          "graft_topk_by: k must be a non-null foldable integer literal")
+        case Some(kv) if kv < 1 || kv > 65536 => TypeCheckResult.TypeCheckFailure(
+          s"graft_topk_by: k must be in [1, 65536], got $kv")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
 
     override def children: Seq[Expression] = Seq(keyExpr, payloadExpr, kExpr)
     override def nullable: Boolean = false

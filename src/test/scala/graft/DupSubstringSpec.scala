@@ -126,6 +126,25 @@ class DupSubstringSpec extends SparkSpec {
       sql.collect().map(_.getSeq[String](0)).toSeq)
   }
 
+  test("graft_word_shingles rejects n < 1 at analysis; non-foldable n < 1 yields empty (r12 ADVICE)") {
+    import spark.implicits._
+    val df = Seq("a b c").toDF("text")
+    // foldable n=0 / n=-1: clean analysis failure (used to read past
+    // the starts table and build negative-length slices)
+    Seq(0, -1).foreach { n =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(s"graft_word_shingles(text, $n)").collect()
+      }
+      assert(e.getMessage.contains("graft_word_shingles"), e.getMessage)
+    }
+    // non-foldable n evaluating < 1 degrades to empty, like wordNgrams
+    val out = Seq(("a b c", 0), ("a b c", -3), ("a b c", 2))
+      .toDF("text", "n")
+      .selectExpr("graft_word_shingles(text, n) AS sh")
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(out === Seq(Seq.empty, Seq.empty, Seq("a b", "b c")))
+  }
+
   test("random small-vocab corpora match a brute-force reference (5 seeds)") {
     // Brute force in plain Scala: count every 5-shingle across the
     // corpus, mark positions, merge [p, p+5) intervals per doc.

@@ -94,6 +94,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("null-literal k is a clean analysis failure, not a thrown extractor (r12 ADVICE)") {
+    // CAST(NULL AS INT) is foldable but evaluates to null — must come
+    // back as AnalysisException from checkInputDataTypes, not an
+    // IllegalArgumentException leaking out of the lazy k extractor
+    val df = Seq("a").toDF("tok")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr("graft_misra_gries(tok, CAST(NULL AS INT))")).collect()
+    }
+    assert(e1.getMessage.contains("graft_misra_gries"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1.0, 1L)).toDF("key", "p")
+        .agg(expr("graft_topk_by(key, p, CAST(NULL AS INT))")).collect()
+    }
+    assert(e2.getMessage.contains("graft_topk_by"), e2.getMessage)
+  }
+
   test("graft_topk_by equals the window top-k on random data across layouts") {
     val rnd = new scala.util.Random(9)
     val rows = (1 to 5000).map { i =>
