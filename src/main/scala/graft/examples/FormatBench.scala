@@ -243,6 +243,52 @@ object FormatBench {
     println(f"FORMATBENCH bcf_site_speedup ${bFull / bSite}%.2fx")
     metrics("bcf_site_speedup") = bFull / bSite
 
+    // ---- pixel layer (P11, r13): real PNG decode + integer average
+    // pool, the q_thumbnail kernel at format-bench scale.  Encode once
+    // to parquet (real bytes through a real scan), then decode+pool
+    // three times — the Mpx/s number SURVEY quotes for the pixel path.
+    {
+      import graft.queries.Multimodal
+      val nImg = math.max(2000, n / 100)
+      val (iw, ih) = (256, 192)
+      val totalPx = nImg.toLong * iw * ih
+      val imgFile = s"$dir/bench_imgs.parquet"
+      System.gc()
+      metrics("img_encode_probe_sec") = probe()
+      var g0 = gcMs()
+      var t0 = System.nanoTime()
+      spark.range(0, nImg.toLong, 1, cpus * 4)
+        .map(id => Multimodal.MediaIn(id, Multimodal.encodePngGray(iw, ih,
+          Array.tabulate(iw * ih)(i => Multimodal.pixFormula(i % iw, i / iw, id, 0)))))
+        .write.mode("overwrite").parquet(imgFile)
+      val tEnc = (System.nanoTime() - t0) / 1e9
+      metrics("img_encode_gc_ms") = (gcMs() - g0).toDouble
+      metrics("img_encode_sec") = tEnc
+      metrics("img_encode_mpx_per_sec") = totalPx / tEnc / 1e6
+      println(f"FORMATBENCH img_encode       $tEnc%7.2fs  ${totalPx / tEnc / 1e6}%6.2f Mpx/s ($nImg imgs)")
+      System.gc()
+      metrics("img_decode_pool_probe_sec") = probe()
+      g0 = gcMs()
+      val ts = (0 until 3).map { _ =>
+        t0 = System.nanoTime()
+        val sig = spark.read.parquet(imgFile).as[Multimodal.MediaIn]
+          .mapPartitions(_.map { m =>
+            val (w, h, pix) = Multimodal.decodeGray(m.payload)
+            val pooled = Multimodal.poolGray(w, h, pix, 16, 12)
+            var s = 0L; var i = 0
+            while (i < pooled.length) { s += pooled(i).toLong * (i + 1); i += 1 }
+            s
+          }).reduce(_ + _)
+        require(sig != 0, "pixel checksum degenerate")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      metrics("img_decode_pool_gc_ms") = (gcMs() - g0).toDouble
+      metrics("img_decode_pool_min_sec") = ts.head
+      metrics("img_decode_pool_sec") = ts(1)
+      metrics("img_decode_pool_mpx_per_sec") = totalPx / ts(1) / 1e6
+      println(f"FORMATBENCH img_decode_pool  ${ts(1)}%7.2fs  ${totalPx / ts(1) / 1e6}%6.2f Mpx/s (median of 3)")
+    }
+
     // one machine-readable artifact per run (BENCH-style), so the
     // format-layer numbers quoted in SURVEY are checkable round over
     // round instead of living only in prose

@@ -427,27 +427,91 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
-  test("resize and frame-sample stubs keep the partition-local pipeline shape") {
-    val resized = Multimodal.resizeStub(spark, payloads, 224, 224)
-    assert(resized.collect().forall(r => r.getLong(1) == 224 && r.getLong(2) == 224))
-    val frames = Multimodal.frameSampleStub(spark, payloads, nFrames = 10, stride = 3)
-    assert(frames.count() === 2 * 4) // frames 0,3,6,9 per doc
-    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  test("PNG encode round-trips through the JVM's foreign ImageIO decoder") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (3, 1), (1, 5), (17, 23), (111, 83))) {
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val (dw, dh, got) = Multimodal.decodeGray(Multimodal.encodePngGray(w, h, pix))
+      assert((dw, dh) === ((w, h)))
+      assert(got.toSeq === pix.toSeq, s"${w}x$h pixel mismatch")
+    }
+    // non-image bytes must throw, not silently zero
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGray("not an image".getBytes("UTF-8"))
+    }
   }
 
-  test("q_frame_sample: stride-2 fan-out with header-parsed dims riding along") {
+  test("integer average pool matches a brute-force window sum, real resize round-trips") {
+    val rnd = new scala.util.Random(11)
+    val (w, h, tw, th) = (37, 29, 9, 7)
+    val pix = Array.fill(w * h)(rnd.nextInt(256))
+    val pooled = Multimodal.poolGray(w, h, pix, tw, th)
+    // brute force: bucket by the same floor mapping
+    val sums = Array.fill(tw * th)(0L); val cnts = Array.fill(tw * th)(0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * th / h) * tw + (x * tw / w)
+      sums(i) += pix(y * w + x); cnts(i) += 1
+    }
+    assert(pooled.toSeq === (0 until tw * th).map(i => (sums(i) / cnts(i)).toInt))
+    // resizePooled: decode the emitted PNG, expect exactly the pooled pixels
+    import spark.implicits._
+    val in = Seq((1L, Multimodal.encodePngGray(w, h, pix))).toDF("doc_id", "payload")
+    val out = Multimodal.resizePooled(spark, in, tw, th).collect()
+    assert(out.length === 1 && out(0).getLong(1) === tw && out(0).getLong(2) === th)
+    val (rw, rh, rpix) = Multimodal.decodeGray(out(0).getAs[Array[Byte]](3))
+    assert((rw, rh) === ((tw, th)) && rpix.toSeq === pooled.toSeq)
+    assert(!Multimodal.resizePooled(spark, in, tw, th)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("frame sampler seeks by length prefix and decodes only sampled frames") {
+    val video = Multimodal.buildVideo(5L, nFrames = 7, w = 12, h = 9)
+    val sampled = Multimodal.sampleFrames(video, stride = 2).toSeq
+    assert(sampled.map(_._1) === Seq(0, 2, 4, 6))
+    sampled.foreach { case (f, png) =>
+      val (w, h, pix) = Multimodal.decodeGray(png)
+      assert((w, h) === ((12, 9)))
+      assert(pix.toSeq === (0 until w * h).map(i =>
+        Multimodal.pixFormula(i % w, i / w, 5L, f)))
+    }
+    // stride that leaves a trailing unsampled frame: hasNext stays exact
+    assert(Multimodal.sampleFrames(video, stride = 3).map(_._1).toSeq === Seq(0, 3, 6))
+  }
+
+  test("q_frame_sample: real per-frame decode, stride-2, sig = positional pixel checksum") {
     val sf = "/root/testdata/sf0.001"
     val rows = Multimodal.qFrameSample(spark, sf).collect()
-    val metas = Multimodal.qMultimodalMeta(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    // per-doc frame count = ceil(((id % 9) + 1) / 2); dims match the
-    // real header parse; even frame numbers only
     val byDoc = rows.groupBy(_.getLong(0))
-    assert(byDoc.keySet == metas.keySet)
     byDoc.foreach { case (id, fr) =>
       assert(fr.length == ((id % 9 + 1) + 1) / 2, s"doc $id")
       assert(fr.forall(_.getLong(1) % 2 == 0))
-      assert(fr.forall(r => (r.getLong(2), r.getLong(3)) == metas(id)))
+      val (w, h) = (id % 24 + 8, id % 18 + 8)
+      assert(fr.forall(r => (r.getLong(2), r.getLong(3)) == ((w, h))))
+      fr.foreach { r =>
+        val f = r.getLong(1).toInt
+        val expect = (0 until (w * h).toInt).map(i =>
+          Multimodal.pixFormula((i % w).toInt, (i / w).toInt, id, f).toLong * (i + 1)).sum
+        assert(r.getLong(4) === expect, s"doc $id frame $f")
+      }
+    }
+  }
+
+  test("q_thumbnail: decoded dims drive the geometry; checksums match brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Multimodal.qThumbnail(spark, sf).collect()
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 96 + 16).toInt, (id % 72 + 12).toInt)
+      assert((r.getLong(1), r.getLong(2)) === ((w.toLong, h.toLong)))
+      val mx = math.max(w, h)
+      val (tw, th) = (math.max(1, w * Multimodal.ThumbBox / mx),
+        math.max(1, h * Multimodal.ThumbBox / mx))
+      assert((r.getLong(3), r.getLong(4)) === ((tw.toLong, th.toLong)))
+      val pix = Array.tabulate(w * h)(i => Multimodal.pixFormula(i % w, i / w, id, 0))
+      val pooled = Multimodal.poolGray(w, h, pix, tw, th)
+      assert(r.getLong(5) === pooled.map(_.toLong).sum, s"doc $id pix_sum")
+      assert(r.getLong(6) === pooled.zipWithIndex.map {
+        case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash")
     }
   }
 }
