@@ -71,6 +71,25 @@ object RankedKind {
   case object RTotal extends RankedKind
 }
 
+/** How [[RankedLocalTopKExec]] may prune below the range exchange —
+  * the strength depends on which ranking the `<= k` bound came from
+  * (see [[RankedLimitRule]] for the safety proofs):
+  *  - [[RankedLimitMode.ExactK]]: keep exactly the k order-first rows
+  *    per (task, group); safe when the bound is a `row_number`.
+  *  - [[RankedLimitMode.KeepTies]]: keep every row with at most k-1
+  *    local rows strictly before it — boundary ties survive; needed
+  *    when the bound is a `rank()` (competition ranking keeps whole
+  *    tie bands).
+  *  - [[RankedLimitMode.KeepDistinctTies]]: keep every row whose key
+  *    is among the k smallest DISTINCT local keys; needed when the
+  *    bound is a `dense_rank()` (a band's size never counts). */
+sealed trait RankedLimitMode extends Serializable
+object RankedLimitMode {
+  case object ExactK extends RankedLimitMode
+  case object KeepTies extends RankedLimitMode
+  case object KeepDistinctTies extends RankedLimitMode
+}
+
 /** One logical node per Window spec; `kinds(i)`/`deltas(i)`/
   * `outAttrs(i)` describe the i-th window expression (deltas carries
   * Literal(1L) placeholders for row_number/rank so column pruning
@@ -81,7 +100,9 @@ case class RankedPrefixSum(partCols: Seq[Expression],
                            deltas: Seq[Expression],
                            outAttrs: Seq[Attribute],
                            child: LogicalPlan,
-                           limit: Option[Long] = None) extends UnaryNode {
+                           limit: Option[Long] = None,
+                           limitMode: RankedLimitMode = RankedLimitMode.ExactK)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -293,43 +314,103 @@ case class PackedSortKey(group: Expression, order: Expression,
   * WindowGroupLimit's pushdown, the ranked form had none. */
 object RankedLimitRule extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   private val MaxPushedLimit = 1000000L // beyond this the map-side state
                                         // (k rows per group) stops being small
 
-  private def bound(cond: Expression, outs: Seq[Attribute]): Option[Long] = {
+  private def sameSpec(a: RankedPrefixSum, b: RankedPrefixSum): Boolean =
+    a.partCols.length == b.partCols.length &&
+      a.partCols.zip(b.partCols).forall { case (x, y) => x.semanticEquals(y) } &&
+      a.orderSpec.length == b.orderSpec.length &&
+      a.orderSpec.zip(b.orderSpec).forall { case (x, y) =>
+        x.child.semanticEquals(y.child) && x.direction == y.direction &&
+          x.nullOrdering == y.nullOrdering
+      }
+
+  /** `r` plus every same-(part, order) RankedPrefixSum chained
+    * directly below it (attribute-only Projects pass through): the
+    * whole chain rides ONE range exchange, so the pruner belongs
+    * below the BOTTOM node. */
+  private def chainOf(r: RankedPrefixSum): Seq[RankedPrefixSum] = {
+    val out = scala.collection.mutable.ArrayBuffer(r)
+    var go = true
+    while (go) {
+      val below = out.last.child match {
+        case c: RankedPrefixSum => Some(c)
+        case Project(pl, c: RankedPrefixSum)
+            if pl.forall(_.isInstanceOf[Attribute]) => Some(c)
+        case _ => None
+      }
+      below match {
+        case Some(c) if c.limit.isEmpty && sameSpec(out.last, c) => out += c
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** The tightest `<= k` bound the predicate puts on any ranking
+    * output of the chain, with the pruning mode that ranking's
+    * semantics require (see [[RankedLimitMode]]). */
+  private def bound(cond: Expression,
+                    outs: Seq[(Attribute, RankedKind)]): Option[(Long, RankedLimitMode)] = {
     // a bare output attribute, or one behind a WIDENING int→long cast
     // (the `row_number().cast("bigint")` spelling — order-preserving,
     // so the bound transfers unchanged)
-    def isOut(e: Expression): Boolean = e match {
-      case a: Attribute => outs.exists(_.exprId == a.exprId)
-      case c: Cast if c.dataType == LongType => isOut(c.child)
-      case _ => false
+    def kindOf(e: Expression): Option[RankedKind] = e match {
+      case a: Attribute => outs.collectFirst { case (o, k) if o.exprId == a.exprId => k }
+      case c: Cast if c.dataType == LongType => kindOf(c.child)
+      case _ => None
     }
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case _ => None
     }
+    def mode(k: RankedKind): Option[RankedLimitMode] = k match {
+      case RankedKind.RRowNumber => Some(RankedLimitMode.ExactK)
+      case RankedKind.RRank => Some(RankedLimitMode.KeepTies)
+      case RankedKind.RDenseRank => Some(RankedLimitMode.KeepDistinctTies)
+      case _ => None // a sum/total bound says nothing about row position
+    }
+    def cand(a: Expression, k: Option[Long]): Option[(Long, RankedLimitMode)] =
+      for { kk <- k; kind <- kindOf(a); m <- mode(kind) } yield (kk, m)
     splitConjunctivePredicates(cond).flatMap {
-      case LessThanOrEqual(a, l) if isOut(a) => lit(l)
-      case LessThan(a, l) if isOut(a) => lit(l).map(_ - 1)
-      case EqualTo(a, l) if isOut(a) => lit(l)
-      case EqualTo(l, a) if isOut(a) => lit(l)
-      case GreaterThanOrEqual(l, a) if isOut(a) => lit(l)
-      case GreaterThan(l, a) if isOut(a) => lit(l).map(_ - 1)
+      case LessThanOrEqual(a, l) => cand(a, lit(l))
+      case LessThan(a, l) => cand(a, lit(l).map(_ - 1))
+      case EqualTo(a, l) => cand(a, lit(l)).orElse(cand(l, lit(a)))
+      case GreaterThanOrEqual(l, a) => cand(a, lit(l))
+      case GreaterThan(l, a) => cand(a, lit(l).map(_ - 1))
       case _ => None
-    }.reduceOption(_ min _)
+    }.sortBy(_._1).headOption
+  }
+
+  /** Pruning kinds: pruned rows provably fail the bound conjunct, and
+    * survivors' outputs stay exact — a row whose ranking is within
+    * the bound has every strictly-earlier row (and, under the tie
+    * modes, every tied row) locally retained, so its computed value
+    * is unchanged; a row beyond the bound retains ≥ k earlier rows
+    * and computes a value the Filter still rejects.  Sums/totals have
+    * no such invariance — ANY node in the chain carrying one blocks
+    * the rewrite. */
+  private def prunable(k: RankedKind): Boolean = k match {
+    case RankedKind.RRowNumber | RankedKind.RRank | RankedKind.RDenseRank => true
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, r: RankedPrefixSum)
-        if r.limit.isEmpty && r.kinds.nonEmpty &&
-          r.kinds.forall(_ == RankedKind.RRowNumber) =>
-      bound(cond, r.outAttrs) match {
-        case Some(k) if k <= MaxPushedLimit =>
-          f.copy(child = r.copy(limit = Some(math.max(k, 0L))))
+    case f @ Filter(cond, r: RankedPrefixSum) if r.limit.isEmpty =>
+      val chain = chainOf(r)
+      if (!chain.forall(n => n.kinds.nonEmpty && n.kinds.forall(prunable))) f
+      else bound(cond, chain.flatMap(n => n.outAttrs.zip(n.kinds))) match {
+        case Some((k, m)) if k <= MaxPushedLimit =>
+          val bottom = chain.last
+          val limited = bottom.copy(limit = Some(math.max(k, 0L)), limitMode = m)
+          if (bottom eq r) f.copy(child = limited)
+          else f.copy(child = r.transformUp {
+            case n: RankedPrefixSum if n eq bottom => limited
+          })
         case _ => f
       }
   }
@@ -415,13 +496,13 @@ object RankedWindowRule extends Rule[LogicalPlan] {
 
 object RankedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RankedPrefixSum(part, order, kinds, deltas, out, child, limit) =>
+    case RankedPrefixSum(part, order, kinds, deltas, out, child, limit, mode) =>
       val planned = planLater(child)
       // the map-side top-k sits BELOW the exec, so EnsureRequirements
       // places the range exchange between them — pruning runs before
       // any byte shuffles
       val input = limit match {
-        case Some(k) => RankedLocalTopKExec(part, order, k, planned)
+        case Some(k) => RankedLocalTopKExec(part, order, k, mode, planned)
         case None => planned
       }
       RankedPrefixSumExec(part, order, kinds, deltas, out, input) :: Nil
@@ -429,15 +510,29 @@ object RankedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
-/** Map-side per-group top-k: each input partition keeps only its k
-  * first rows per group under the node's ORDER BY (bounded max-heap —
-  * O(n log k), no partition sort, state = k rows × |local groups|).
-  * Pure pruning: emitting a superset would also be correct, so ties
-  * at the boundary need no special casing (row_number ties are
-  * arbitrary in the window form too). */
+/** Map-side per-group top-k: each input partition keeps only the rows
+  * that can still satisfy a `ranking <= k` bound under the node's
+  * ORDER BY, BEFORE the range exchange.
+  *
+  *  - [[RankedLimitMode.ExactK]] (row_number bound): bounded max-heap,
+  *    exactly k rows per (task, group) — O(n log k), state = k rows ×
+  *    |local groups|.  Ties at the boundary are dropped arbitrarily,
+  *    matching row_number's arbitrary tie order.
+  *  - [[RankedLimitMode.KeepTies]] (rank bound): a k-entry key heap
+  *    tracks the k-th smallest local ORDER KEY; every row whose key
+  *    is ≤ that threshold is kept — whole tie bands survive, as
+  *    competition ranking requires.  Kept rows are buffered and
+  *    re-filtered when the buffer outgrows 4k (the threshold only
+  *    tightens, so late compaction is safe); final state = the true
+  *    local survivor set + O(k).
+  *  - [[RankedLimitMode.KeepDistinctTies]] (dense_rank bound): same,
+  *    with the threshold = the k-th smallest DISTINCT key (a k-entry
+  *    tree of keys).
+  */
 case class RankedLocalTopKExec(partCols: Seq[Expression],
                                orderSpec: Seq[SortOrder],
                                k: Long,
+                               mode: RankedLimitMode,
                                child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -451,40 +546,109 @@ case class RankedLocalTopKExec(partCols: Seq[Expression],
       so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
     }
     val kInt = math.min(k, Int.MaxValue.toLong).toInt
+    val theMode = mode
     child.execute().mapPartitions { it =>
       if (kInt <= 0) Iterator.empty
       else {
         val proj = UnsafeProjection.create(boundPart)
         val oProj = UnsafeProjection.create(orderExprs)
         val keyOrd = new InterpretedOrdering(reboundOrders)
-        // max-heap on the ORDER key: the root is the worst kept row
-        val heapOrd = new java.util.Comparator[(UnsafeRow, InternalRow)] {
-          override def compare(a: (UnsafeRow, InternalRow),
-                               b: (UnsafeRow, InternalRow)): Int =
-            keyOrd.compare(b._1, a._1)
-        }
-        val heaps = scala.collection.mutable.LinkedHashMap[
-          InternalRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
-        it.foreach { row =>
-          val g = proj(row)
-          val heap = heaps.get(g) match {
-            case Some(h) => h
-            case None =>
-              val h = new java.util.PriorityQueue[(UnsafeRow, InternalRow)](
-                math.min(kInt, 16), heapOrd)
-              heaps(g.copy()) = h
-              h
-          }
-          val key = oProj(row)
-          if (heap.size < kInt) heap.add((key.copy(), row.copy()))
-          else if (keyOrd.compare(key, heap.peek()._1) < 0) {
-            heap.poll()
-            heap.add((key.copy(), row.copy()))
-          }
-        }
-        heaps.valuesIterator.flatMap { h =>
-          import scala.jdk.CollectionConverters._
-          h.iterator().asScala.map(_._2)
+        theMode match {
+          case RankedLimitMode.ExactK =>
+            // max-heap on the ORDER key: the root is the worst kept row
+            val heapOrd = new java.util.Comparator[(UnsafeRow, InternalRow)] {
+              override def compare(a: (UnsafeRow, InternalRow),
+                                   b: (UnsafeRow, InternalRow)): Int =
+                keyOrd.compare(b._1, a._1)
+            }
+            val heaps = scala.collection.mutable.LinkedHashMap[
+              InternalRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
+            it.foreach { row =>
+              val g = proj(row)
+              val heap = heaps.get(g) match {
+                case Some(h) => h
+                case None =>
+                  val h = new java.util.PriorityQueue[(UnsafeRow, InternalRow)](
+                    math.min(kInt, 16), heapOrd)
+                  heaps(g.copy()) = h
+                  h
+              }
+              val key = oProj(row)
+              if (heap.size < kInt) heap.add((key.copy(), row.copy()))
+              else if (keyOrd.compare(key, heap.peek()._1) < 0) {
+                heap.poll()
+                heap.add((key.copy(), row.copy()))
+              }
+            }
+            heaps.valuesIterator.flatMap { h =>
+              import scala.jdk.CollectionConverters._
+              h.iterator().asScala.map(_._2)
+            }
+
+          case tieMode =>
+            val distinct = tieMode == RankedLimitMode.KeepDistinctTies
+            // per group: a threshold tracker (k smallest keys — rows
+            // or distinct) + a buffer of rows currently ≤ threshold
+            final class TieState {
+              private val revOrd = new java.util.Comparator[UnsafeRow] {
+                override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+                  keyOrd.compare(b, a)
+              }
+              private val fwdOrd = new java.util.Comparator[UnsafeRow] {
+                override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+                  keyOrd.compare(a, b)
+              }
+              private val heap: java.util.PriorityQueue[UnsafeRow] =
+                if (distinct) null
+                else new java.util.PriorityQueue[UnsafeRow](math.min(kInt, 16), revOrd)
+              private val tree: java.util.TreeSet[UnsafeRow] =
+                if (distinct) new java.util.TreeSet[UnsafeRow](fwdOrd) else null
+              private val buf =
+                scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]()
+              private val compactAt = math.max(64, 4L * math.min(kInt, 1 << 20)).toInt
+
+              private def full: Boolean =
+                (if (distinct) tree.size else heap.size) >= kInt
+              private def threshold: UnsafeRow =
+                if (distinct) tree.last() else heap.peek()
+
+              def offer(key: UnsafeRow, row: InternalRow): Unit = {
+                val cmp = if (!full) -1 else keyOrd.compare(key, threshold)
+                if (cmp > 0) return // ≥ k (distinct) keys strictly smaller
+                val kc = key.copy()
+                buf += ((kc, row.copy()))
+                if (distinct) {
+                  if (tree.add(kc) && tree.size > kInt) tree.pollLast()
+                } else if (!full) heap.add(kc)
+                else if (cmp < 0) { heap.poll(); heap.add(kc) }
+                if (buf.length >= compactAt) compact()
+              }
+
+              private def compact(): Unit = if (full) {
+                val t = threshold
+                val kept = buf.filter(e => keyOrd.compare(e._1, t) <= 0)
+                buf.clear(); buf ++= kept
+              }
+
+              def result: Iterator[InternalRow] = {
+                compact()
+                buf.iterator.map(_._2)
+              }
+            }
+            val states =
+              scala.collection.mutable.LinkedHashMap[InternalRow, TieState]()
+            it.foreach { row =>
+              val g = proj(row)
+              val st = states.get(g) match {
+                case Some(s) => s
+                case None =>
+                  val s = new TieState
+                  states(g.copy()) = s
+                  s
+              }
+              st.offer(oProj(row), row)
+            }
+            states.valuesIterator.flatMap(_.result)
         }
       }
     }

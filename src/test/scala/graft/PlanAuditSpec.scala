@@ -480,6 +480,14 @@ class PlanAuditSpec extends SparkSpec {
     // the final presentation orderBy's range exchange
     assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 2, plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // r13: the rk<=3 bound prunes tie-aware BELOW the shared exchange
+    // (below BOTH ranked nodes) — without this the whole corpus ships
+    // through the range exchange just to be filtered above it
+    assert(plan.contains("RankedLocalTopK"), plan)
+    assert(plan.contains("KeepTies"), plan)
+    val topkIdx = plan.indexOf("RankedLocalTopK")
+    assert("RankedPrefixSum".r.findAllIn(plan.take(topkIdx)).length == 2,
+      s"pruner must sit below both ranked nodes:\n$plan")
   }
 
   test("under autoRewrite the topk shapes keep a group-limit: RankedLocalTopK below the exchange") {

@@ -112,11 +112,12 @@ class RankedSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3))
     val got = ranked.as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3))
     assert(got.toSeq === want.toSeq)
-    // rank()/dense_rank()/sum outputs must NOT be pruned (ties and
-    // running values would corrupt) — the rule leaves them alone
-    val rplan = Ranked.rank(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
-      .filter(col("rk") <= 5).queryExecution.executedPlan.toString
-    assert(!rplan.contains("RankedLocalTopK"), rplan)
+    // running-sum outputs must NOT be pruned (partial sums would
+    // corrupt) — the rule leaves them alone
+    val splan = Ranked.prefixSum(df.withColumn("d", lit(1L)), Seq("k"),
+        Seq("score", "row_id"), "d", "cum")
+      .filter(col("cum") <= 5).queryExecution.executedPlan.toString
+    assert(!splan.contains("RankedLocalTopK"), splan)
     // rk = 1 (the per-group argmax shape) also prunes
     val eq = Ranked.rowNumber(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
       .filter(col("rk") === 1)
@@ -152,6 +153,83 @@ class RankedSpec extends SparkSpec {
       .filter(col("rk") <= 7).select("k", "score")
       .as[(String, Long)].collect().sorted.toSeq
     assert(pruned.map(r => (r._1, r._2)).sorted.toSeq === want)
+  }
+
+  test("rank<=k bound pushes a TIE-AWARE pruner; boundary ties across partitions stay exact") {
+    // competition ranking keeps whole tie bands: with heavy ties the
+    // pruner must keep EVERY row tied with the k-th local row, across
+    // every partition layout — the r12 watch item (RankedLimitRule was
+    // row_number-only, so q_leaderboard shipped the full corpus)
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(7).toLong, i.toLong) // huge bands
+    }
+    val w = Window.partitionBy("k").orderBy(desc("score"), col("row_id"))
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("k", "score", "row_id").repartition(parts)
+      val pruned = Ranked.rank(df, Seq("k"), Seq(("score", true), ("row_id", false)), "rk")
+        .filter(col("rk") <= 5).select("k", "score", "row_id", "rk")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("RankedLocalTopK"), plan)
+      assert(plan.contains("KeepTies"), plan)
+      val want = df.withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 5).select("k", "score", "row_id", "rk")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val got = pruned.as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
+  test("dense_rank<=k bound prunes by the k-th DISTINCT key and stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // many rows per band, many bands: the distinct threshold must keep
+    // every row of the k best bands and nothing else
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "row_id").repartition(16)
+    val pruned = Ranked.denseRank(df, Seq("k"), Seq(("score", true), ("row_id", false)), "dr")
+      .filter(col("dr") <= 4).select("k", "score", "row_id", "dr")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("RankedLocalTopK"), plan)
+    assert(plan.contains("KeepDistinctTies"), plan)
+    val w = Window.partitionBy("k").orderBy(desc("score"), col("row_id"))
+    val want = df.withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("dr") <= 4).select("k", "score", "row_id", "dr")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(pruned.as[(String, Long, Long, Long)].collect().sorted.toSeq === want)
+  }
+
+  test("a chained rank + dense_rank (leaderboard shape) pushes the limit to the BOTTOM node") {
+    // two same-spec RankedPrefixSum nodes ride one range exchange; the
+    // rk<=k filter above the outer node must prune below the exchange
+    // (i.e. below the INNER node), and the outer dense_rank stays
+    // exact because tie-aware pruning keeps all bands it can see
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 30000).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(9).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "row_id").repartition(16)
+    val r1 = Ranked.rank(df, Seq("k"), Seq(("score", true)), "rk")
+    val r2 = Ranked.denseRank(r1, Seq("k"), Seq(("score", true)), "dr")
+    val pruned = r2.filter(col("rk") <= 3).select("k", "score", "rk", "dr")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("RankedLocalTopK"), plan)
+    assert(plan.contains("KeepTies"), plan)
+    // the pruner sits BELOW both ranked nodes (bottom of the chain)
+    val topkIdx = plan.indexOf("RankedLocalTopK")
+    assert(plan.lastIndexOf("RankedPrefixSum", topkIdx) >= 0 &&
+      "RankedPrefixSum".r.findAllIn(plan.take(topkIdx)).length == 2, plan)
+    val w = Window.partitionBy("k").orderBy(desc("score"))
+    val want = df
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("rk") <= 3).select("k", "score", "rk", "dr")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(pruned.as[(String, Long, Long, Long)].collect().sorted.toSeq === want)
   }
 
   test("prefixSum is exact when one group dominates a partition boundary") {
