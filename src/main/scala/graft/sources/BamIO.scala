@@ -434,7 +434,19 @@ object BamIO {
 
   /** Coordinate-sort (range partition on (refIdx, pos) — balanced
     * writers, no single-task sort) and write with an SO:coordinate
-    * header (ref: util/GetSortedBAMHeader.java + sorted write path). */
+    * header (ref: util/GetSortedBAMHeader.java + sorted write path).
+    *
+    * The sort key is ONE packed long, `refIdx·2^32 + (pos + 2^31)` —
+    * unlike the ranked packed PREFIX this is an injective,
+    * order-EXACT image of (refIdx ASC, pos ASC): both components are
+    * 32-bit, so nothing coarsens and no fallback comparison ever
+    * runs.  The two-column spelling instead gives SortExec only the
+    * leading refIdx as its sort prefix, which TIES on ~every
+    * comparison of a single-contig shard (the SKEWPROBE r12 class:
+    * each tie falls back to the row comparator) — the packed single
+    * long keeps the whole sort in the radix/prefix path and the
+    * range exchange samples one word per row.  Kill switch shared
+    * with the ranked packing: `spark.graft.ranked.packedSortPrefix`. */
   def writeSorted(ds: Dataset[SamRecord], header: SamHeader, file: String,
                   granularity: Int = 1000): Unit = {
     import org.apache.spark.sql.functions._
@@ -442,12 +454,24 @@ object BamIO {
     import spark.implicits._
     val refOrder = header.refs.map(_.name).zipWithIndex.toMap
     val orderMap = typedLit(refOrder)
-    val sorted = ds.toDF()
-      .withColumn("_refIdx", coalesce(orderMap(col("rname")), lit(Int.MaxValue)))
-      .repartitionByRange(col("_refIdx"), col("pos"))
-      .sortWithinPartitions(col("_refIdx"), col("pos"))
-      .drop("_refIdx")
-      .as[SamRecord]
+    val refIdx = coalesce(orderMap(col("rname")), lit(Int.MaxValue))
+    val packed = spark.conf
+      .getOption("spark.graft.ranked.packedSortPrefix").forall(_.equalsIgnoreCase("true"))
+    val sorted = (if (packed) {
+      ds.toDF()
+        .withColumn("_pk",
+          refIdx.cast("long") * lit(4294967296L) +
+            (col("pos").cast("long") + lit(2147483648L)))
+        .repartitionByRange(col("_pk"))
+        .sortWithinPartitions(col("_pk"))
+        .drop("_pk")
+    } else {
+      ds.toDF()
+        .withColumn("_refIdx", refIdx)
+        .repartitionByRange(col("_refIdx"), col("pos"))
+        .sortWithinPartitions(col("_refIdx"), col("pos"))
+        .drop("_refIdx")
+    }).as[SamRecord]
     write(sorted, header.asCoordinateSorted, file, granularity)
   }
 

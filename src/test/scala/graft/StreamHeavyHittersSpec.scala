@@ -19,7 +19,11 @@ class StreamHeavyHittersSpec extends SparkSpec {
   private val winUs = 60L * 1000000
   private val K = 20
 
-  test("per-window candidates: superset + size + lower bounds vs batch exact") {
+  /** One stream run shared by both tests: returns the ARCHIVE dir
+    * (the raw input rows — what a production pipeline lands next to
+    * the live path) and materializes per-window candidates in the
+    * `hh_out` memory table. */
+  private lazy val archiveDir: String = {
     import spark.implicits._
     // corpus rows spread over 3 windows, plus an injected hot token
     // per window so the superset guarantee is NON-vacuous at k=20
@@ -57,7 +61,17 @@ class StreamHeavyHittersSpec extends SparkSpec {
       .writeStream.format("memory").queryName("hh_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    dir
+  }
 
+  private def archivedInput = {
+    import spark.implicits._
+    spark.read.parquet(archiveDir).as[DocEvent].filter(col("doc_id") >= 0)
+  }
+
+  test("per-window candidates: superset + size + lower bounds vs batch exact") {
+    import spark.implicits._
+    val input = archivedInput
     val streamed = spark.table("hh_out")
       .filter(col("window_start_us") < 3 * winUs)
       .as[(Long, String, Long, Long)].collect()
@@ -92,5 +106,43 @@ class StreamHeavyHittersSpec extends SparkSpec {
           s"window $w: counter $lb out of band for true $tc")
       }
     }
+  }
+
+  test("downstream exact recount: archived candidates + archived window = batch-exact heavy hitters") {
+    // The full production pattern the operator scaladoc promises
+    // (VERDICT r12 item 7): the stream archives per-window CANDIDATE
+    // sets (hh_out) while the raw rows land in the archive dir; a
+    // batch job then recounts ONLY the candidates against the
+    // archived window and applies the true threshold — per window,
+    // exactly q_heavy_hitters' two-pass shape, and the result must
+    // equal the naive exact GROUP BY + threshold on the same rows.
+    // pct = 5% > 1/(K+1) = 1/21, so the sketch superset guarantee
+    // covers the threshold.
+    import spark.implicits._
+    val input = archivedInput
+    val pct = 5L
+    val toks = input.toDF()
+      .select((col("ts_us") / winUs).cast("long").as("w"),
+        explode(expr(graft.queries.Analytics.hhTokens)).as("tok"))
+    val cands = spark.table("hh_out")
+      .select((col("window_start_us") / winUs).cast("long").as("w"), col("tok"))
+    val totals = toks.groupBy("w").agg(count(lit(1)).as("n_total"))
+    // recount pass: candidate-restricted exact counts (broadcast —
+    // ≤ k rows per window), threshold on TRUE counts
+    val recount = toks.join(broadcast(cands), Seq("w", "tok"))
+      .groupBy("w", "tok").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("w"))
+      .filter(col("n") * 100 >= col("n_total") * pct)
+      .select("w", "tok", "n")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    // the oracle: plain exact GROUP BY + the same threshold
+    val exact = toks.groupBy("w", "tok").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("w"))
+      .filter(col("n") * 100 >= col("n_total") * pct)
+      .select("w", "tok", "n")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(exact.nonEmpty, "threshold chose no heavy hitters — vacuous")
+    assert(recount === exact,
+      "candidate-restricted recount diverged from the exact form")
   }
 }

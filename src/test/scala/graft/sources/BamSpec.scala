@@ -91,6 +91,34 @@ class BamSpec extends SparkSpec {
     assert(v2.toSeq === full.map(r => (r.qname, r.pos)).sortBy(_._1).toSeq)
   }
 
+  test("packed single-long sort key writes the same coordinate order as the two-column sort") {
+    // r13: writeSorted orders by refIdx*2^32 + (pos + 2^31) — an
+    // injective image of (refIdx ASC, pos ASC), so the packed and
+    // unpacked paths must agree on the full coordinate SEQUENCE (ties
+    // excepted) and on the record multiset.  Input is unsorted and
+    // tie-heavy (every record duplicated at the same coordinate).
+    import spark.implicits._
+    val dir = tmpDir("bam_packed_sort")
+    val tied = records ++ records.map(r => r.copy(qname = r.qname + "b"))
+    val shuffled = new scala.util.Random(5).shuffle(tied)
+    def writeAndRead(packed: Boolean): Seq[SamRecord] = {
+      val file = s"$dir/${if (packed) "on" else "off"}.bam"
+      spark.conf.set("spark.graft.ranked.packedSortPrefix", packed.toString)
+      try BamIO.writeSorted(spark.createDataset(shuffled).repartition(8), header, file)
+      finally spark.conf.unset("spark.graft.ranked.packedSortPrefix")
+      // single-split read preserves file order
+      BamIO.read(spark, file, splitSize = 1L << 30).collect().toSeq
+    }
+    val on = writeAndRead(packed = true)
+    val off = writeAndRead(packed = false)
+    def coord(r: SamRecord) = (if (r.rname == "chr1") 0 else 1, r.pos)
+    assert(on.map(coord) === off.map(coord))
+    assert(on.map(coord) === on.map(coord).sorted, "packed file not coordinate-sorted")
+    assert(on.map(fields).sortBy(_.toString) === off.map(fields).sortBy(_.toString))
+    assert(on.map(fields).sortBy(_.toString) ===
+      tied.map(fields).sortBy(_.toString), "record loss/corruption")
+  }
+
   test("header round-trips") {
     val bos = new java.io.ByteArrayOutputStream()
     BamCodec.writeHeader(bos, header)

@@ -81,9 +81,87 @@ def gen_sf1(out, sfdir):
     print("generated sf1-equivalent set at", out)
 
 
+def gen_sf10(out, sf1dir):
+    """sf10 subset for the superlinear-risk probe (VERDICT r12 item 5):
+    only the tables the five answer-/density-driven heads read.
+
+      - documents x10: doc_id-offset replicas with per-replica TOKEN
+        SALTING (every non-empty token of replica i>0 gets a "~i"
+        suffix).  Within a replica all pairwise similarities are
+        EXACTLY the base corpus's (one global token renaming); across
+        replicas jaccard/containment drop to ~0 — so dedup answers
+        scale ~linearly in data instead of the x100 identical-replica
+        clique blowup, which would measure output materialization,
+        not the operator.
+      - embeddings x10: vec_id-offset replicas (no probed head reads
+        them; kept for completeness).
+      - lineitem/part x3: key-offset replicas SHARING the 1000-pos
+        interval space, so q_range_join's pair count grows x9 at x3
+        data — the superlinear regime the probe is for, at a wall
+        cost that stays probe-sized (x10 would be x100 pairs).
+
+    Usage: python3 tools/gen_probe.py sf10 [outdir] [sf1dir]
+    """
+    os.makedirs(out, exist_ok=True)
+    t = {n: pd.read_parquet(f"{sf1dir}/{n}.parquet")
+         for n in ["documents", "embeddings", "lineitem", "part"]}
+
+    def salt(text, i):
+        return " ".join(tok + f"~{i}" if tok else tok
+                        for tok in text.split(" "))
+
+    dk = int(t["documents"].doc_id.max()) + 1
+    doc_parts = [t["documents"]]
+    for i in range(1, 10):
+        p = t["documents"].copy()
+        p["doc_id"] = p["doc_id"] + i * dk
+        p["text"] = [salt(s, i) for s in p["text"]]
+        doc_parts.append(p)
+        print(f"documents replica {i} salted", flush=True)
+    vk = int(t["embeddings"].vec_id.max()) + 1
+    emb_parts = [t["embeddings"]]
+    for i in range(1, 10):
+        p = t["embeddings"].copy()
+        p["vec_id"] = p["vec_id"] + i * vk
+        emb_parts.append(p)
+    ok = int(t["lineitem"].l_orderkey.max()) + 1
+    pk = int(t["part"].p_partkey.max()) + 1
+    sk = int(t["lineitem"].l_suppkey.max()) + 1
+    li_parts, pt_parts = [], []
+    for i in range(3):
+        li = t["lineitem"].copy()
+        li["l_orderkey"] = li["l_orderkey"] + i * ok
+        li["l_partkey"] = li["l_partkey"] + i * pk
+        li["l_suppkey"] = li["l_suppkey"] + i * sk
+        li_parts.append(li)
+        pt = t["part"].copy()
+        pt["p_partkey"] = pt["p_partkey"] + i * pk
+        pt_parts.append(pt)
+    plan = {
+        "documents": (doc_parts, 5_000),
+        "embeddings": (emb_parts, 2_000),
+        "lineitem": (li_parts, 500_000),
+        "part": (pt_parts, 25_000),
+    }
+    for name, (parts, rg) in plan.items():
+        big = pd.concat(parts, ignore_index=True)
+        schema = pq.read_schema(f"{sf1dir}/{name}.parquet")
+        table = pa.Table.from_pandas(big, schema=schema, preserve_index=False)
+        pq.write_table(table, f"{out}/{name}.parquet", row_group_size=rg)
+        print(f"{name}: {len(big)} rows, "
+              f"{pq.ParquetFile(f'{out}/{name}.parquet').metadata.num_row_groups}"
+              " row groups", flush=True)
+    print("generated sf10 probe subset at", out)
+
+
 if len(sys.argv) > 1 and sys.argv[1] == "sf1":
     gen_sf1(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1",
             sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
+    sys.exit(0)
+
+if len(sys.argv) > 1 and sys.argv[1] == "sf10":
+    gen_sf10(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10",
+             sys.argv[3] if len(sys.argv) > 3 else "/tmp/graft_sf1")
     sys.exit(0)
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe100x"
