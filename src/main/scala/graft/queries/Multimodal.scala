@@ -398,6 +398,16 @@ object Multimodal {
 
   val ThumbBox = 16
 
+  /** Aspect-fit geometry, NEVER upscaling: an image already inside
+    * the box keeps its own dims (pooling with tw > w would leave
+    * empty buckets).  The gate corpus always has max(w, h) ≥ box so
+    * its oracle never sees the clamp. */
+  def thumbDims(w: Int, h: Int, box: Int): (Int, Int) = {
+    val mx = math.max(w, h)
+    (math.max(1, math.min(w, w * box / mx)),
+      math.max(1, math.min(h, h * box / mx)))
+  }
+
   def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -416,9 +426,7 @@ object Multimodal {
       .as[MediaIn]
       .mapPartitions(_.map { m =>
         val (w, h, pix) = decodeGray(m.payload)
-        val mx = math.max(w, h)
-        val tw = math.max(1, w * ThumbBox / mx)
-        val th = math.max(1, h * ThumbBox / mx)
+        val (tw, th) = thumbDims(w, h, ThumbBox)
         val pooled = poolGray(w, h, pix, tw, th)
         var sum = 0L
         var hash = 0L

@@ -496,6 +496,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnail geometry never upscales: sub-box images keep their own dims") {
+    // pooling with tw > w would leave empty buckets (div-by-zero) —
+    // found by the streaming face's 1x1 sentinel payload
+    assert(Multimodal.thumbDims(1, 1, 16) === ((1, 1)))
+    assert(Multimodal.thumbDims(5, 3, 16) === ((5, 3)))
+    assert(Multimodal.thumbDims(9, 23, 16) === ((6, 16)))
+    assert(Multimodal.thumbDims(64, 48, 16) === ((16, 12)))
+    assert(Multimodal.thumbDims(111, 83, 16) === ((16, 11)))
+    // identity pool on a sub-box image round-trips the pixels
+    val pix = Array.tabulate(5 * 3)(i => i * 7 % 256)
+    assert(Multimodal.poolGray(5, 3, pix, 5, 3).toSeq === pix.toSeq)
+  }
+
   test("q_thumbnail: decoded dims drive the geometry; checksums match brute force") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.Multimodal.qThumbnail(spark, sf).collect()
