@@ -274,6 +274,24 @@ object StreamBench {
         Seq(StreamWeightedSample.DocEvent(999999915L, "zz", "mover", 5L, farDoc)), nBatches,
         (ds: Dataset[StreamWeightedSample.DocEvent]) =>
           StreamWeightedSample.sample(ds, "10 minutes"))),
+      "stream_thumbnail" -> (() => drive[StreamThumbnail.MediaEvent](spark, "stream_thumbnail",
+        docRows.toSeq.map { d =>
+          // real PNG payloads, dims doc_id-derived (≤45×29 keeps the
+          // driver-side fixture build cheap; the DECODE side is the
+          // measured work)
+          val w = (d._1 % 37 + 9).toInt
+          val h = (d._1 % 23 + 7).toInt
+          StreamThumbnail.MediaEvent(d._1,
+            graft.queries.Multimodal.encodePngGray(w, h,
+              Array.tabulate(w * h)(p =>
+                graft.queries.Multimodal.pixFormula(p % w, p / w, d._1, 0))),
+            d._4)
+        },
+        Seq(StreamThumbnail.MediaEvent(999999916L,
+          graft.queries.Multimodal.encodePngGray(1, 1, Array(0)), farDoc)),
+        nBatches,
+        (ds: Dataset[StreamThumbnail.MediaEvent]) =>
+          StreamThumbnail.audit(ds, "10 minutes"))),
       "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
         docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
           d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))
