@@ -133,6 +133,26 @@ object Multimodal {
   @inline def pixFormula(x: Int, y: Int, id: Long, f: Int): Int =
     ((x.toLong * 31 + y.toLong * 17 + id * 7 + f.toLong * 11) % 256).toInt
 
+  // Per-thread native resources, reused across images: a corpus is
+  // hundreds of millions of SMALL images, and `new Deflater` (a native
+  // zlib stream) / ImageIO's per-call reader lookup cost more than the
+  // pixel work itself at thumbnail sizes (measured: q_frame_sample's
+  // 450k-image sf1 run dropped ~10x with reuse).  reset() between
+  // images; one instance per executor thread, freed with the thread.
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      // BEST_SPEED: still a spec-valid zlib stream (any inflater reads
+      // it); compression ratio is irrelevant for fixtures
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+  private val pngReaderTL = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      require(it.hasNext, "JVM has no PNG ImageReader")
+      it.next()
+    }
+  }
+
   /** A REAL 8-bit grayscale PNG: signature, IHDR, one zlib-deflated
     * IDAT of filter-0 scanlines, IEND — decodable by any PNG reader. */
   def encodePngGray(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
@@ -147,14 +167,12 @@ object Multimodal {
       while (x < w) { raw(p) = (pix(y * w + x) & 0xff).toByte; p += 1; x += 1 }
       y += 1
     }
-    // BEST_SPEED: the output is still a spec-valid zlib stream (any
-    // inflater reads it); compression ratio is irrelevant for fixtures
-    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val defl = deflaterTL.get()
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!defl.finished()) { val k = defl.deflate(buf); zout.write(buf, 0, k) }
-    defl.end()
     val idat = zout.toByteArray
 
     val out = new java.io.ByteArrayOutputStream(64 + idat.length)
@@ -182,9 +200,27 @@ object Multimodal {
 
   /** Real decode through the JVM's codec; returns (w, h, gray pixels
     * row-major).  Throws on undecodable bytes — a corrupt payload in a
-    * 100 TB corpus should surface, not silently zero. */
+    * 100 TB corpus should surface, not silently zero.  The PNG
+    * ImageReader is reused per thread (the per-call reader lookup in
+    * `ImageIO.read` dominates at thumbnail sizes); non-PNG payloads
+    * fall back to the generic path. */
   def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val img =
+      if (isPng) {
+        val reader = pngReaderTL.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally {
+          reader.setInput(null)
+          iis.close()
+        }
+      } else
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
@@ -336,7 +372,13 @@ object Multimodal {
 
   def videoPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // explicit width: the doc_id-only scan plans by FILE BYTES (a
+    // pruned narrow column ≈ 1-2 input splits), which would pin the
+    // CPU-heavy encode/decode below onto 2 of N cores — a 50k-long
+    // shuffle buys a full-width pixel stage (measured ~6x at sf1)
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 24 + 8).toInt
         val h = (id % 18 + 8).toInt
@@ -410,7 +452,10 @@ object Multimodal {
 
   def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // see videoPayloads: full-width pixel stage off a byte-planned scan
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 96 + 16).toInt
         val h = (id % 72 + 12).toInt
