@@ -181,6 +181,33 @@ class RankedSpec extends SparkSpec {
     }
   }
 
+  test("rank<=1 with ALL keys tied keeps every row — the whole group is one band") {
+    // worst-case pruner memory is the semantically-required answer:
+    // every row ties with the local minimum, so nothing may be pruned
+    // and the survivor buffer grows to the full partition (exercises
+    // the compaction path with a threshold that never tightens)
+    import spark.implicits._
+    val df = (0 until 8000).map(i => ("g" + i % 2, 7L, i.toLong))
+      .toDF("k", "score", "row_id").repartition(8)
+    val pruned = Ranked.rank(df, Seq("k"), Seq(("score", true)), "rk")
+      .filter(col("rk") <= 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("KeepTies"))
+    assert(pruned.count() === 8000L)
+    assert(pruned.select("rk").distinct().as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("dense_rank bound equal to the distinct-key count keeps everything") {
+    import spark.implicits._
+    val df = (0 until 6000).map(i => ("g", (i % 4).toLong, i.toLong))
+      .toDF("k", "score", "row_id").repartition(8)
+    val pruned = Ranked.denseRank(df, Seq("k"), Seq(("score", false)), "dr")
+      .filter(col("dr") <= 4)
+    assert(pruned.queryExecution.executedPlan.toString.contains("KeepDistinctTies"))
+    assert(pruned.count() === 6000L)
+    val drs = pruned.select("dr").distinct().as[Long].collect().sorted.toSeq
+    assert(drs === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("dense_rank<=k bound prunes by the k-th DISTINCT key and stays exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
