@@ -307,6 +307,36 @@ object Analytics {
       |  FROM documents)
       |WHERE rk <= 3 ORDER BY lang, source, rk, doc_id""".stripMargin
 
+  // ----------------------------------------------- top quality bands
+  // All documents in the k best quality bands per (lang, source) — the
+  // "take the best few quality tiers per domain" selection a curation
+  // pipeline runs.  dense_rank (band_rk) numbers the bands, and the
+  // band_rk <= 4 bound is the KeepDistinctTies pushdown's gated
+  // consumer: the pruner keeps every local row whose band is among
+  // the 4 best DISTINCT local bands, below the range exchange — band
+  // POPULATION never counts, only band identity, so a million-row
+  // band costs the shuffle no more than a singleton (contrast
+  // q_leaderboard's rank() bound, where tied ROWS set the threshold).
+  def qTopBands(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        expr("CAST(n_chars DIV 100 AS BIGINT)").as("band"))
+    graft.operators.Ranked.denseRank(
+        docs, Seq("lang", "source"), Seq(("band", true)), "band_rk")
+      .filter(col("band_rk") <= 4)
+      .select("lang", "source", "doc_id", "band", "band_rk")
+      .orderBy("lang", "source", "band_rk", "doc_id")
+  }
+
+  val qTopBandsSql: String =
+    """SELECT lang, source, doc_id, band, band_rk FROM (
+      |  SELECT lang, source, doc_id,
+      |    CAST(n_chars // 100 AS BIGINT) AS band,
+      |    CAST(DENSE_RANK() OVER (PARTITION BY lang, source
+      |         ORDER BY n_chars // 100 DESC) AS BIGINT) AS band_rk
+      |  FROM documents)
+      |WHERE band_rk <= 4 ORDER BY lang, source, band_rk, doc_id""".stripMargin
+
   // ------------------------------------- sketch-exact heavy hitters
   // Tokens covering ≥ 1% of the corpus token stream, EXACTLY — via the
   // two-pass sketch pattern that scales where `GROUP BY token` does
@@ -436,6 +466,7 @@ object Analytics {
     "q_asof_join" -> (qAsofJoin _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_leaderboard" -> (qLeaderboard _),
+    "q_top_bands" -> (qTopBands _),
     "q_median_group" -> (qMedianGroup _),
     "q_zscore" -> (qZscore _),
     "q_sample_hash" -> (qSampleHash _),
@@ -451,6 +482,7 @@ object Analytics {
     "q_asof_join" -> qAsofJoinSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_leaderboard" -> qLeaderboardSql,
+    "q_top_bands" -> qTopBandsSql,
     "q_median_group" -> qMedianGroupSql,
     "q_zscore" -> qZscoreSql,
     "q_sample_hash" -> qSampleHashSql,

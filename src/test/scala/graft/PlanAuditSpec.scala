@@ -488,6 +488,11 @@ class PlanAuditSpec extends SparkSpec {
     val topkIdx = plan.indexOf("RankedLocalTopK")
     assert("RankedPrefixSum".r.findAllIn(plan.take(topkIdx)).length == 2,
       s"pruner must sit below both ranked nodes:\n$plan")
+    // the dense_rank-bounded consumer prunes by DISTINCT local bands
+    val tb = planOf(graft.queries.Analytics.qTopBands(spark, sf))
+    assert(tb.contains("RankedLocalTopK"), tb)
+    assert(tb.contains("KeepDistinctTies"), tb)
+    assert(!tb.contains("Window "), tb)
   }
 
   test("under autoRewrite the topk shapes keep a group-limit: RankedLocalTopK below the exchange") {
