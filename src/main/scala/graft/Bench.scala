@@ -133,17 +133,35 @@ object Bench {
               }
             }.toSeq
         } catch { case _: Throwable => Seq.empty }
-        // a clean (suspect:false) anchor from any round beats a
-        // contended one from the latest round; within a round, prefer
-        // the artifact whose name shares this run's sf prefix, then
-        // break remaining ties by name — directory-listing order must
-        // never pick the anchor (ADVICE r11)
-        val clean = cands.filter(!_._2._3)
-        (if (clean.nonEmpty) clean else cands)
-          .sortBy { case (round, (name, _, _, _)) =>
-            (-round, if (preferPrefix.exists(name.startsWith)) 0 else 1, name)
-          }.headOption.map(_._2)
+        // the CURRENT round, from this run's own output name: anchors
+        // must be strictly CROSS-round (r13 lesson: a same-round
+        // artifact from one outlier-fast window anchored every later
+        // attempt into permanent false flags — the anchor exists to
+        // compare rounds, not attempts)
+        val selfRound = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+          .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+          .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))
+        pickAnchor(cands, selfRound, preferPrefix)
     }
+  }
+
+  /** Anchor choice over parsed candidates (pure, spec-pinned):
+    * strictly earlier rounds only; a clean (suspect:false) anchor
+    * from any earlier round beats a contended one from the latest;
+    * within a round, prefer the artifact whose name shares this
+    * run's sf prefix, then break remaining ties by name —
+    * directory-listing order must never pick the anchor (ADVICE
+    * r11). */
+  private[graft] def pickAnchor(
+      cands: Seq[(Int, (String, Double, Boolean, Option[Double]))],
+      selfRound: Option[Int],
+      preferPrefix: Option[String]): Option[(String, Double, Boolean, Option[Double])] = {
+    val crossRound = cands.filter { case (r, _) => selfRound.forall(r < _) }
+    val clean = crossRound.filter(!_._2._3)
+    (if (clean.nonEmpty) clean else crossRound)
+      .sortBy { case (round, (name, _, _, _)) =>
+        (-round, if (preferPrefix.exists(name.startsWith)) 0 else 1, name)
+      }.headOption.map(_._2)
   }
 
   /** Per-query medians from the prior round's artifact (the same file

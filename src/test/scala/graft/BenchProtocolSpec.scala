@@ -36,4 +36,29 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.burstSuspect(prev = -1.0, med = 10.0))
     assert(!Bench.burstSuspect(prev = 1.0, med = -1.0))
   }
+
+  test("pickAnchor is strictly cross-round and never self-anchors (r13)") {
+    def c(round: Int, name: String, suspect: Boolean = false) =
+      (round, (name, 0.05, suspect, Some(0.12)))
+    // a same-round artifact from an outlier-fast window must never
+    // anchor a later attempt of the same round
+    val cands = Seq(
+      c(12, "BENCH_SF01_r12.json"),
+      c(12, "BENCH_SF1_r12.json"),
+      c(13, "BENCH_SF01_r13.json")) // same round — excluded
+    val got = Bench.pickAnchor(cands, selfRound = Some(13),
+      preferPrefix = Some("BENCH_SF1_"))
+    assert(got.map(_._1) === Some("BENCH_SF1_r12.json"))
+    // without a parsable self round, the newest round still wins
+    assert(Bench.pickAnchor(cands, None, Some("BENCH_SF01_"))
+      .map(_._1) === Some("BENCH_SF01_r13.json"))
+    // first round: nothing earlier exists -> no anchor, not self
+    assert(Bench.pickAnchor(Seq(c(13, "BENCH_SF01_r13.json")),
+      Some(13), None).isEmpty)
+    // clean beats contended across earlier rounds
+    val mixed = Seq(c(12, "BENCH_SF01_r12.json", suspect = true),
+      c(11, "BENCH_SF01_r11.json"))
+    assert(Bench.pickAnchor(mixed, Some(13), Some("BENCH_SF01_"))
+      .map(_._1) === Some("BENCH_SF01_r11.json"))
+  }
 }
