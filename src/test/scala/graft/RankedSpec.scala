@@ -462,6 +462,32 @@ class RankedSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("SQL rank window + rk<=k filter under autoRewrite composes rewrite AND tie-aware pushdown") {
+    // the full user path: a plain Window rank() query with a bound —
+    // RankedWindowRule swaps the window for RankedPrefixSum, then
+    // RankedLimitRule lands the KeepTies pruner below the exchange;
+    // result identical to the window form with the flag off
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 20000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(6).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "pos", "row_id").repartition(8)
+    val spec = Window.partitionBy("k").orderBy(desc("pos"), col("row_id"))
+    def q = df.select(col("k"), col("pos"), col("row_id"),
+        rank().over(spec).cast("long").as("rk"))
+      .filter(col("rk") <= 4)
+    val (plan, got) = withRule(on = true) {
+      (q.queryExecution.executedPlan.toString,
+        q.as[(String, Long, Long, Long)].collect().sorted.toSeq)
+    }
+    assert(plan.contains("RankedPrefixSum"), plan)
+    assert(plan.contains("RankedLocalTopK") && plan.contains("KeepTies"), plan)
+    val want = withRule(on = false)(
+      q.as[(String, Long, Long, Long)].collect().sorted.toSeq)
+    assert(got === want)
+  }
+
   test("autoRewrite handles rank() exactly, including peer runs spanning partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
