@@ -287,6 +287,49 @@ object FormatBench {
       metrics("img_decode_pool_sec") = ts(1)
       metrics("img_decode_pool_mpx_per_sec") = totalPx / ts(1) / 1e6
       println(f"FORMATBENCH img_decode_pool  ${ts(1)}%7.2fs  ${totalPx / ts(1) / 1e6}%6.2f Mpx/s (median of 3)")
+
+      // color twin (r14): truecolor PNG at 3 bytes/px through the same
+      // arc — encode once to parquet, decode+pool per channel 3 times
+      val rgbFile = s"$dir/bench_imgs_rgb.parquet"
+      System.gc()
+      metrics("img_encode_rgb_probe_sec") = probe()
+      g0 = gcMs()
+      t0 = System.nanoTime()
+      spark.range(0, nImg.toLong, 1, cpus * 4)
+        .map(id => Multimodal.MediaIn(id, Multimodal.encodePngRgb(iw, ih,
+          Array.tabulate(iw * ih) { i =>
+            val (x, y) = (i % iw, i / iw)
+            (Multimodal.pixFormula(x, y, id, 0) << 16) |
+              (Multimodal.pixFormula(x, y, id, 1) << 8) |
+              Multimodal.pixFormula(x, y, id, 2)
+          })))
+        .write.mode("overwrite").parquet(rgbFile)
+      val tEncRgb = (System.nanoTime() - t0) / 1e9
+      metrics("img_encode_rgb_gc_ms") = (gcMs() - g0).toDouble
+      metrics("img_encode_rgb_sec") = tEncRgb
+      metrics("img_encode_rgb_mpx_per_sec") = totalPx / tEncRgb / 1e6
+      println(f"FORMATBENCH img_encode_rgb   $tEncRgb%7.2fs  ${totalPx / tEncRgb / 1e6}%6.2f Mpx/s ($nImg imgs, 3 B/px)")
+      System.gc()
+      metrics("img_decode_pool_rgb_probe_sec") = probe()
+      g0 = gcMs()
+      val tsRgb = (0 until 3).map { _ =>
+        t0 = System.nanoTime()
+        val sig = spark.read.parquet(rgbFile).as[Multimodal.MediaIn]
+          .mapPartitions(_.map { m =>
+            val (w, h, rgb) = Multimodal.decodeRgb(m.payload)
+            val pooled = Multimodal.poolRgb(w, h, rgb, 16, 12)
+            var s = 0L; var i = 0
+            while (i < pooled.length) { s += pooled(i).toLong * (i + 1); i += 1 }
+            s
+          }).reduce(_ + _)
+        require(sig != 0, "rgb pixel checksum degenerate")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      metrics("img_decode_pool_rgb_gc_ms") = (gcMs() - g0).toDouble
+      metrics("img_decode_pool_rgb_min_sec") = tsRgb.head
+      metrics("img_decode_pool_rgb_sec") = tsRgb(1)
+      metrics("img_decode_pool_rgb_mpx_per_sec") = totalPx / tsRgb(1) / 1e6
+      println(f"FORMATBENCH img_decode_pool_rgb ${tsRgb(1)}%7.2fs  ${totalPx / tsRgb(1) / 1e6}%6.2f Mpx/s (median of 3, 3 B/px)")
     }
 
     // one machine-readable artifact per run (BENCH-style), so the

@@ -399,10 +399,24 @@ object RankedLimitRule extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** Re-fire guard (ADVICE r13): once a prior pass lands the pruner on
+    * the bottom node of a chain, a later pass sees the nodes ABOVE it
+    * still limit-free — `chainOf` stops at the limited node and the
+    * rule would insert a second (correct but redundant) local top-k
+    * above the same range exchange.  A same-spec node with a limit
+    * directly below the matched chain means the work is already done. */
+  private def limitedBelow(bottom: RankedPrefixSum): Boolean = bottom.child match {
+    case c: RankedPrefixSum => c.limit.nonEmpty && sameSpec(bottom, c)
+    case Project(pl, c: RankedPrefixSum) if pl.forall(_.isInstanceOf[Attribute]) =>
+      c.limit.nonEmpty && sameSpec(bottom, c)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, r: RankedPrefixSum) if r.limit.isEmpty =>
       val chain = chainOf(r)
-      if (!chain.forall(n => n.kinds.nonEmpty && n.kinds.forall(prunable))) f
+      if (!chain.forall(n => n.kinds.nonEmpty && n.kinds.forall(prunable)) ||
+        limitedBelow(chain.last)) f
       else bound(cond, chain.flatMap(n => n.outAttrs.zip(n.kinds))) match {
         case Some((k, m)) if k <= MaxPushedLimit =>
           val bottom = chain.last

@@ -15,16 +15,19 @@ import graft.Tables
   * reads the actual container headers — PNG IHDR, JPEG SOFn marker
   * scan, GIF logical screen descriptor, WEBP VP8X/VP8L/VP8, BMP DIB.
   *
-  * The PIXEL level is real too (r13): payloads for the gated pixel
-  * keys are honest-to-goodness PNG files (zlib-deflated scanlines,
-  * CRC'd chunks — JDK-only encode), decoded back through
-  * `javax.imageio.ImageIO` (the JVM's real PNG codec, NOT our
-  * encoder), then resampled with a deterministic integer aspect-fit
-  * average pool whose output pixel checksums the DuckDB oracle
-  * reproduces arithmetically.  Video stays a stub only in the sense
-  * that no ffmpeg exists offline: the "video" container is an honest
-  * length-prefixed sequence of real PNG frames, and frame sampling
-  * SEEKS past unsampled frames and really decodes the sampled ones.
+  * The PIXEL level is real too (r13, extended r14): payloads for the
+  * gated pixel keys are honest-to-goodness PNG files — 8-bit gray
+  * (color type 0) and truecolor RGB (color type 2), zlib-deflated
+  * scanlines, CRC'd chunks, JDK-only encode — plus real uncompressed
+  * 24-bpp BMPs on the mixed-codec key; all decoded back through
+  * `javax.imageio` (the JVM's real codecs, NOT our encoders), then
+  * resampled with a deterministic integer aspect-fit average pool
+  * (per-channel for RGB) whose output pixel checksums the DuckDB
+  * oracle reproduces arithmetically.  Video (r14) is a REAL public
+  * container: RIFF AVI with an `idx1` index, one `vids` stream of
+  * losslessly-compressed frames (Motion-PNG, fourcc `MPNG` — the
+  * lossless sibling of MJPEG-in-AVI), and frame sampling seeks via
+  * `idx1` so unsampled frames' bytes are never touched.
   *
   * At 100 TB the payload column dominates: the header parse runs as a
   * scalar inside the scan stage (no shuffle, no typed serde, stays in
@@ -139,17 +142,36 @@ object Multimodal {
   // pixel work itself at thumbnail sizes (measured: q_frame_sample's
   // 450k-image sf1 run dropped ~10x with reuse).  reset() between
   // images; one instance per executor thread, freed with the thread.
+  // Cleanup contract (ADVICE r13): these hold NATIVE zlib state per
+  // thread for the JVM's lifetime — correct for Spark's long-lived
+  // executor thread pools (bounded thread count, freed at JVM exit via
+  // the hook below), but a caller spinning up unbounded short-lived
+  // threads would accumulate native memory; such callers should use
+  // their own Deflater and end() it.
+  private val liveDeflaters =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.zip.Deflater]
+  private val liveReaders =
+    new java.util.concurrent.ConcurrentLinkedQueue[javax.imageio.ImageReader]
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    liveDeflaters.forEach(_.end())
+    liveReaders.forEach(_.dispose())
+  }))
   private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
+    override def initialValue(): java.util.zip.Deflater = {
       // BEST_SPEED: still a spec-valid zlib stream (any inflater reads
       // it); compression ratio is irrelevant for fixtures
-      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      liveDeflaters.add(d)
+      d
+    }
   }
   private val pngReaderTL = new ThreadLocal[javax.imageio.ImageReader] {
     override def initialValue(): javax.imageio.ImageReader = {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
       require(it.hasNext, "JVM has no PNG ImageReader")
-      it.next()
+      val r = it.next()
+      liveReaders.add(r)
+      r
     }
   }
 
@@ -198,13 +220,96 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Real decode through the JVM's codec; returns (w, h, gray pixels
-    * row-major).  Throws on undecodable bytes — a corrupt payload in a
-    * 100 TB corpus should surface, not silently zero.  The PNG
-    * ImageReader is reused per thread (the per-call reader lookup in
-    * `ImageIO.read` dominates at thumbnail sizes); non-PNG payloads
-    * fall back to the generic path. */
-  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+  /** A REAL 8-bit RGB (PNG color type 2) image: 3 bytes per pixel,
+    * packed 0xRRGGBB ints in/out — the color twin of
+    * [[encodePngGray]]. */
+  def encodePngRgb(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"pixel buffer ${rgb.length} != ${w}x$h")
+    val raw = new Array[Byte]((3 * w + 1) * h)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      raw(p) = 0 // filter type None
+      p += 1
+      var x = 0
+      while (x < w) {
+        val v = rgb(y * w + x)
+        raw(p) = ((v >>> 16) & 0xff).toByte
+        raw(p + 1) = ((v >>> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val defl = deflaterTL.get()
+    defl.reset()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) { val k = defl.deflate(buf); zout.write(buf, 0, k) }
+    val idat = zout.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream(64 + idat.length)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(out, data.length)
+      val body = typ.getBytes(UTF_8) ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      be32(out, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(2) // bit depth 8, color type 2 (truecolor)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** A REAL uncompressed 24-bpp Windows BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes) carrying
+    * a grayscale image as r=g=b — built from the public DIB spec, and
+    * decodable by the JVM's BMP ImageReader.  Exists to drive the
+    * GENERIC (non-PNG) branch of [[decodeGray]] with a second real
+    * codec: band 0 of the decoded raster is the gray value whatever
+    * the reader's internal byte order. */
+  def encodeBmpGray(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+    require(pix.length == w * h, s"pixel buffer ${pix.length} != ${w}x$h")
+    val rowSize = (3 * w + 3) & ~3
+    val dataSize = rowSize * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    le32(54 + dataSize); le16(0); le16(0); le32(54)
+    le32(40); le32(w); le32(h) // positive height = bottom-up rows
+    le16(1); le16(24); le32(0) // planes, 24 bpp, BI_RGB
+    le32(dataSize); le32(2835); le32(2835); le32(0); le32(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = pix(y * w + x) & 0xff
+        out.write(g); out.write(g); out.write(g) // B, G, R
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { out.write(0); pad -= 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
     val img =
@@ -222,6 +327,18 @@ object Multimodal {
       } else
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** Real decode through the JVM's codec; returns (w, h, gray pixels
+    * row-major).  Throws on undecodable bytes — a corrupt payload in a
+    * 100 TB corpus should surface, not silently zero.  The PNG
+    * ImageReader is reused per thread (the per-call reader lookup in
+    * `ImageIO.read` dominates at thumbnail sizes); non-PNG payloads
+    * (e.g. the BMP mix in `q_thumbnail_mixed`) go through the generic
+    * `ImageIO.read` path — a genuinely different reader. */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = decodeImage(payload)
     val w = img.getWidth
     val h = img.getHeight
     val r = img.getRaster
@@ -235,11 +352,43 @@ object Multimodal {
     (w, h, pix)
   }
 
+  /** Color decode: (w, h, packed 0xRRGGBB row-major).  Raster band
+    * order is logical (0=R, 1=G, 2=B) for both the PNG and generic
+    * readers regardless of their internal byte layout; single-band
+    * (gray) sources replicate band 0 into all three channels. */
+  def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = decodeImage(payload)
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    val bands = r.getNumBands
+    val pix = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val red = r.getSample(x, y, 0)
+        val grn = if (bands > 1) r.getSample(x, y, 1) else red
+        val blu = if (bands > 2) r.getSample(x, y, 2) else red
+        pix(y * w + x) = (red << 16) | (grn << 8) | blu
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, pix)
+  }
+
   /** Deterministic integer average pool to tw×th: source pixel (x, y)
     * lands in bucket (x·tw div w, y·th div h); pooled value = bucket
     * sum div bucket count.  Pure integer math — no Graphics2D, no
     * float filter kernels — so a SQL engine reproduces it exactly. */
   def poolGray(w: Int, h: Int, pix: Array[Int], tw: Int, th: Int): Array[Int] = {
+    // pooling only shrinks: tw > w (or th > h) leaves buckets no source
+    // pixel lands in and the average below divides by zero.  Callers
+    // clamp via thumbDims/resizePooled; misuse of the public helper
+    // must fail with the geometry, not a raw ArithmeticException.
+    require(tw > 0 && th > 0 && tw <= w && th <= h,
+      s"pool target ${tw}x$th must be within source ${w}x$h and positive")
     val sums = new Array[Long](tw * th)
     val cnts = new Array[Long](tw * th)
     var y = 0
@@ -254,6 +403,38 @@ object Multimodal {
       y += 1
     }
     Array.tabulate(tw * th)(i => (sums(i) / cnts(i)).toInt)
+  }
+
+  /** Per-channel integer average pool over packed 0xRRGGBB pixels —
+    * identical bucket geometry to [[poolGray]], each channel summed
+    * and divided independently, repacked.  Pure integer math, so the
+    * oracle replays it per channel. */
+  def poolRgb(w: Int, h: Int, rgb: Array[Int], tw: Int, th: Int): Array[Int] = {
+    require(tw > 0 && th > 0 && tw <= w && th <= h,
+      s"pool target ${tw}x$th must be within source ${w}x$h and positive")
+    val sr = new Array[Long](tw * th)
+    val sg = new Array[Long](tw * th)
+    val sb = new Array[Long](tw * th)
+    val cnts = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val ty = y * th / h
+      var x = 0
+      while (x < w) {
+        val i = ty * tw + x * tw / w
+        val v = rgb(y * w + x)
+        sr(i) += (v >>> 16) & 0xff
+        sg(i) += (v >>> 8) & 0xff
+        sb(i) += v & 0xff
+        cnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th) { i =>
+      (((sr(i) / cnts(i)).toInt) << 16) |
+        (((sg(i) / cnts(i)).toInt) << 8) | (sb(i) / cnts(i)).toInt
+    }
   }
 
   /** REAL resize: ImageIO decode → integer aspect-preserving average
@@ -274,46 +455,152 @@ object Multimodal {
       .toDF()
   }
 
-  /** The honest offline "video" container: 4-byte big-endian length +
-    * PNG bytes per frame, concatenated — the seekable frame index an
-    * MJPEG-style stream gives a sampler. */
-  def buildVideo(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    var f = 0
-    while (f < nFrames) {
-      val png = encodePngGray(w, h,
-        Array.tabulate(w * h)(i => pixFormula(i % w, i / w, id, f)))
-      out.write((png.length >>> 24) & 0xff); out.write((png.length >>> 16) & 0xff)
-      out.write((png.length >>> 8) & 0xff); out.write(png.length & 0xff)
-      out.write(png)
-      f += 1
+  /** A REAL RIFF AVI container (public spec: the AVI RIFF form,
+    * `RIFF('AVI ' LIST('hdrl' ...) LIST('movi' ...) 'idx1')`) carrying
+    * one `vids` stream of PNG-compressed frames — Motion-PNG, the
+    * lossless sibling of MJPEG-in-AVI, registered fourcc `MPNG`.
+    * `hdrl` holds a 56-byte `avih` main header (AVIF_HASINDEX set) and
+    * the stream's `strl` list (56-byte `strh` + 40-byte
+    * BITMAPINFOHEADER `strf`); each frame is a `00dc` chunk in the
+    * `movi` list, padded to even length per RIFF; `idx1` entries are
+    * 16 bytes — ckid, AVIIF_KEYFRAME, offset (relative to the `movi`
+    * fourcc, first chunk at 4), size.  Frames stay individually
+    * lossless so the oracle replays decoded pixels arithmetically. */
+  def buildAviFrom(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    type BAOS = java.io.ByteArrayOutputStream
+    def le32(o: BAOS, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
     }
+    def le16(o: BAOS, v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    def fcc(o: BAOS, s: String): Unit = o.write(s.getBytes(UTF_8))
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+
+    val movi = new BAOS
+    fcc(movi, "movi")
+    val idx = new BAOS
+    frames.foreach { fr =>
+      val off = movi.size() // offset of this chunk from the movi fourcc
+      fcc(idx, "00dc"); le32(idx, 0x10); le32(idx, off); le32(idx, fr.length)
+      fcc(movi, "00dc"); le32(movi, fr.length); movi.write(fr)
+      if ((fr.length & 1) == 1) movi.write(0) // RIFF chunks are even-aligned
+    }
+
+    val strh = new BAOS
+    fcc(strh, "vids"); fcc(strh, "MPNG")
+    le32(strh, 0); le16(strh, 0); le16(strh, 0) // flags, priority, language
+    le32(strh, 0) // initial frames
+    le32(strh, 1); le32(strh, 30) // scale/rate = 30 fps
+    le32(strh, 0); le32(strh, frames.length) // start, length
+    le32(strh, maxFrame) // suggested buffer size
+    le32(strh, -1); le32(strh, 0) // quality (default), sample size
+    le16(strh, 0); le16(strh, 0); le16(strh, w); le16(strh, h) // rcFrame
+
+    val strf = new BAOS // BITMAPINFOHEADER
+    le32(strf, 40); le32(strf, w); le32(strf, h)
+    le16(strf, 1); le16(strf, 24) // planes, bit count
+    fcc(strf, "MPNG") // biCompression: the codec fourcc
+    le32(strf, w * h * 3); le32(strf, 0); le32(strf, 0); le32(strf, 0); le32(strf, 0)
+
+    val strl = new BAOS
+    fcc(strl, "strl")
+    fcc(strl, "strh"); le32(strl, strh.size()); strl.write(strh.toByteArray)
+    fcc(strl, "strf"); le32(strl, strf.size()); strl.write(strf.toByteArray)
+
+    val avih = new BAOS
+    le32(avih, 33333) // µs per frame (30 fps)
+    le32(avih, 0); le32(avih, 0) // max bytes/sec, padding granularity
+    le32(avih, 0x10) // AVIF_HASINDEX
+    le32(avih, frames.length); le32(avih, 0); le32(avih, 1) // total, initial, streams
+    le32(avih, maxFrame); le32(avih, w); le32(avih, h)
+    (0 until 4).foreach(_ => le32(avih, 0)) // reserved
+
+    val hdrl = new BAOS
+    fcc(hdrl, "hdrl")
+    fcc(hdrl, "avih"); le32(hdrl, avih.size()); hdrl.write(avih.toByteArray)
+    fcc(hdrl, "LIST"); le32(hdrl, strl.size()); hdrl.write(strl.toByteArray)
+
+    val out = new BAOS(12 + 8 + hdrl.size() + 8 + movi.size() + 8 + idx.size())
+    fcc(out, "RIFF")
+    le32(out, 4 + 8 + hdrl.size() + 8 + movi.size() + 8 + idx.size())
+    fcc(out, "AVI ")
+    fcc(out, "LIST"); le32(out, hdrl.size()); out.write(hdrl.toByteArray)
+    fcc(out, "LIST"); le32(out, movi.size()); out.write(movi.toByteArray)
+    fcc(out, "idx1"); le32(out, idx.size()); out.write(idx.toByteArray)
     out.toByteArray
   }
 
-  /** Every `stride`-th frame's bytes, SEEKING past the others by their
-    * length prefix (unsampled frames are never decoded — the point of
-    * a seekable container). */
-  def sampleFrames(payload: Array[Byte], stride: Int): Iterator[(Int, Array[Byte])] =
+  /** The deterministic AVI fixture: `nFrames` real PNG frames of the
+    * shared [[pixFormula]] pattern in a real AVI container. */
+  def buildAvi(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+    buildAviFrom(Array.tabulate(nFrames)(f => encodePngGray(w, h,
+      Array.tabulate(w * h)(i => pixFormula(i % w, i / w, id, f)))).toSeq, w, h)
+
+  /** Every `stride`-th frame's codec bytes, seeking DIRECTLY to the
+    * sampled `00dc` chunks via the AVI `idx1` index — unsampled
+    * frames' bytes are never touched (the point of an indexed
+    * container).  Corrupt containers — and a 100 TB corpus WILL
+    * contain truncated payloads — fail with a `ctx`-carrying message
+    * (pass the doc id) instead of a raw bounds exception deep inside
+    * a task. */
+  def sampleFrames(payload: Array[Byte], stride: Int,
+                   ctx: String = ""): Iterator[(Int, Array[Byte])] = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride $ctx".trim)
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt AVI ($msg) $ctx".trim)
+    def str4(o: Int): String =
+      if (o < 0 || o + 4 > payload.length) fail(s"fourcc at $o past end ${payload.length}")
+      else new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(o: Int): Int =
+      if (o < 0 || o + 4 > payload.length) fail(s"u32 at $o past end ${payload.length}")
+      else (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    if (payload.length < 12 || str4(0) != "RIFF" || str4(8) != "AVI ")
+      fail("not a RIFF/AVI header")
+    val riffSz = le32(4)
+    if (riffSz < 4 || 8L + riffSz > payload.length)
+      fail(s"RIFF size $riffSz vs file ${payload.length}")
+    // top-level chunk walk: locate the movi LIST and the idx1 chunk
+    var off = 12
+    var moviPos = -1 // offset of the movi fourcc (idx1 offsets are relative to it)
+    var idxOff = -1
+    var idxLen = 0
+    while (off + 8 <= 8 + riffSz && (moviPos < 0 || idxOff < 0)) {
+      val ck = str4(off)
+      val sz = le32(off + 4)
+      if (sz < 0 || off + 8L + sz > payload.length)
+        fail(s"chunk $ck size $sz at $off overruns ${payload.length}")
+      if (ck == "LIST" && sz >= 4 && str4(off + 8) == "movi") moviPos = off + 8
+      else if (ck == "idx1") { idxOff = off + 8; idxLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (moviPos < 0) fail("no movi list")
+    if (idxOff < 0) fail("no idx1 index")
+    val n = idxLen / 16
+    val mp = moviPos
+    val io = idxOff
     new Iterator[(Int, Array[Byte])] {
-      private var off = 0
       private var f = 0
-      override def hasNext: Boolean = off + 4 <= payload.length
+      private def skip(): Unit = while (f < n && f % stride != 0) f += 1
+      skip()
+      override def hasNext: Boolean = f < n
       override def next(): (Int, Array[Byte]) = {
-        // skip unsampled frames without touching their pixel bytes
-        while (f % stride != 0) { off += 4 + len(off); f += 1 }
-        val n = len(off)
-        val bytes = java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + n)
+        val e = io + f * 16
+        if (str4(e) != "00dc") fail(s"idx1 entry $f has ckid ${str4(e)}")
+        val rel = le32(e + 8)
+        val sz = le32(e + 12)
+        if (rel < 0 || sz < 0 || mp + rel + 8L + sz > payload.length)
+          fail(s"idx1 entry $f offset $rel size $sz overruns ${payload.length}")
+        val at = mp + rel
+        if (str4(at) != "00dc" || le32(at + 4) != sz)
+          fail(s"frame $f chunk header mismatch at $at")
+        val bytes = java.util.Arrays.copyOfRange(payload, at + 8, at + 8 + sz)
         val id = f
-        off += 4 + n; f += 1
-        // advance past trailing unsampled frames so hasNext is exact
-        while (off + 4 <= payload.length && f % stride != 0) { off += 4 + len(off); f += 1 }
+        f += 1; skip()
         (id, bytes)
       }
-      private def len(o: Int): Int =
-        ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
-          ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
     }
+  }
 
   /** Deterministic binary fixtures: each document's text bytes wrapped
     * in a REAL format container whose dimensions derive from doc_id —
@@ -356,10 +643,11 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ P11b frames
-  /** Gated frame sampling with REAL pixel decode (r13): each doc's
-    * payload is a length-prefixed stream of (doc_id % 9 + 1) genuine
-    * PNG frames; the sampler SEEKS past odd frames by their length
-    * prefix and ImageIO-decodes every 2nd one.  frame_sig is an exact
+  /** Gated frame sampling with REAL pixel decode (r13) in a REAL
+    * container (r14): each doc's payload is an AVI file of
+    * (doc_id % 9 + 1) genuine PNG frames; the sampler seeks to even
+    * frames via the `idx1` index and ImageIO-decodes every 2nd one,
+    * never touching odd frames' bytes.  frame_sig is an exact
     * integer position-weighted checksum of the DECODED pixels —
     * Σ gray(x,y)·(y·w + x + 1) — which the oracle reproduces from the
     * generator formula, so the hash match proves a real decode
@@ -382,7 +670,7 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val w = (id % 24 + 8).toInt
         val h = (id % 18 + 8).toInt
-        MediaIn(id, buildVideo(id, (id % 9 + 1).toInt, w, h))
+        MediaIn(id, buildAvi(id, (id % 9 + 1).toInt, w, h))
       })
       .toDF()
   }
@@ -392,7 +680,7 @@ object Multimodal {
     videoPayloads(s, d)
       .as[MediaIn]
       .mapPartitions(_.flatMap { m =>
-        sampleFrames(m.payload, stride = 2).map { case (f, png) =>
+        sampleFrames(m.payload, stride = 2, ctx = s"doc_id=${m.doc_id}").map { case (f, png) =>
           val (w, h, pix) = decodeGray(png)
           var sig = 0L
           var i = 0
@@ -516,13 +804,184 @@ object Multimodal {
        |GROUP BY doc_id, width, height, thumb_w, thumb_h
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- P11d RGB thumbnails
+  /** Color thumbnailing (r14): payloads are genuine truecolor PNGs
+    * (color type 2), per-channel value c∈{R,G,B} = pixFormula(x, y,
+    * id, c); the query decodes all three bands, aspect-fits, and
+    * average-pools EACH CHANNEL independently with [[poolRgb]].
+    * sum_r/g/b are per-channel pooled sums and pix_hash_rgb packs the
+    * three pooled channel values into one position-weighted checksum
+    * (Σ (pr·2¹⁶ + pg·2⁸ + pb)·(i+1)) — the oracle reproduces all four
+    * arithmetically, so a hash match certifies 3-band decode, channel
+    * order, geometry, and per-channel integer division at once. */
+  final case class ThumbRgbRow(doc_id: Long, width: Long, height: Long,
+                               thumb_w: Long, thumb_h: Long,
+                               sum_r: Long, sum_g: Long, sum_b: Long,
+                               pix_hash_rgb: Long)
+
+  def imagePayloadsRgb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // see videoPayloads: full-width pixel stage off a byte-planned scan
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 96 + 16).toInt
+        val h = (id % 72 + 12).toInt
+        MediaIn(id, encodePngRgb(w, h, Array.tabulate(w * h) { i =>
+          val (x, y) = (i % w, i / w)
+          (pixFormula(x, y, id, 0) << 16) |
+            (pixFormula(x, y, id, 1) << 8) | pixFormula(x, y, id, 2)
+        }))
+      })
+      .toDF()
+  }
+
+  def qThumbnailRgb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagePayloadsRgb(s, d)
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val (w, h, rgb) = decodeRgb(m.payload)
+        val (tw, th) = thumbDims(w, h, ThumbBox)
+        val pooled = poolRgb(w, h, rgb, tw, th)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var hash = 0L
+        var i = 0
+        while (i < pooled.length) {
+          val v = pooled(i)
+          sr += (v >>> 16) & 0xff; sg += (v >>> 8) & 0xff; sb += v & 0xff
+          hash += v.toLong * (i + 1)
+          i += 1
+        }
+        ThumbRgbRow(m.doc_id, w.toLong, h.toLong, tw.toLong, th.toLong,
+          sr, sg, sb, hash)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val qThumbnailRgbSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % 96 + 16 AS BIGINT) AS width,
+       |    CAST(doc_id % 72 + 12 AS BIGINT) AS height
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, width, height,
+       |    GREATEST(1, (width * $ThumbBox) // GREATEST(width, height)) AS thumb_w,
+       |    GREATEST(1, (height * $ThumbBox) // GREATEST(width, height)) AS thumb_h
+       |  FROM dims
+       |), px1 AS (
+       |  SELECT *, unnest(range(width)) AS x FROM t
+       |), px AS (
+       |  SELECT *, unnest(range(height)) AS y FROM px1
+       |), pooled AS (
+       |  SELECT doc_id, width, height, thumb_w, thumb_h,
+       |    (x * thumb_w) // width AS tx, (y * thumb_h) // height AS ty,
+       |    CAST(SUM((x*31 + y*17 + doc_id*7) % 256) // COUNT(*) AS BIGINT) AS pr,
+       |    CAST(SUM((x*31 + y*17 + doc_id*7 + 11) % 256) // COUNT(*) AS BIGINT) AS pg,
+       |    CAST(SUM((x*31 + y*17 + doc_id*7 + 22) % 256) // COUNT(*) AS BIGINT) AS pb
+       |  FROM px
+       |  GROUP BY doc_id, width, height, thumb_w, thumb_h,
+       |           (x * thumb_w) // width, (y * thumb_h) // height
+       |)
+       |SELECT doc_id, width, height, thumb_w, thumb_h,
+       |  CAST(SUM(pr) AS BIGINT) AS sum_r,
+       |  CAST(SUM(pg) AS BIGINT) AS sum_g,
+       |  CAST(SUM(pb) AS BIGINT) AS sum_b,
+       |  CAST(SUM((pr * 65536 + pg * 256 + pb) * (ty * thumb_w + tx + 1))
+       |       AS BIGINT) AS pix_hash_rgb
+       |FROM pooled
+       |GROUP BY doc_id, width, height, thumb_w, thumb_h
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- P11e mixed-codec thumbnails
+  /** The generic-decoder gate (r14): the same gray thumbnail kernel
+    * over a corpus that MIXES real codecs — even doc_ids carry our
+    * zlib-PNG (decoded by the thread-local PNG ImageReader), odd ones
+    * a real uncompressed 24-bpp BMP (decoded by `ImageIO.read`'s
+    * generic lookup — the fallback branch of [[decodeGray]] no gated
+    * key exercised before).  The oracle is pure doc_id arithmetic,
+    * blind to the codec: the hash matches only if BOTH decode paths
+    * reproduce the exact same pixels. */
+  def imagePayloadsMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 80 + 20).toInt
+        val h = (id % 60 + 15).toInt
+        val pix = Array.tabulate(w * h)(i => pixFormula(i % w, i / w, id, 0))
+        MediaIn(id,
+          if (id % 2 == 0) encodePngGray(w, h, pix) else encodeBmpGray(w, h, pix))
+      })
+      .toDF()
+  }
+
+  def qThumbnailMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagePayloadsMixed(s, d)
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val (w, h, pix) = decodeGray(m.payload)
+        val (tw, th) = thumbDims(w, h, ThumbBox)
+        val pooled = poolGray(w, h, pix, tw, th)
+        var sum = 0L
+        var hash = 0L
+        var i = 0
+        while (i < pooled.length) {
+          sum += pooled(i); hash += pooled(i).toLong * (i + 1); i += 1
+        }
+        ThumbRow(m.doc_id, w.toLong, h.toLong, tw.toLong, th.toLong, sum, hash)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val qThumbnailMixedSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % 80 + 20 AS BIGINT) AS width,
+       |    CAST(doc_id % 60 + 15 AS BIGINT) AS height
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, width, height,
+       |    GREATEST(1, (width * $ThumbBox) // GREATEST(width, height)) AS thumb_w,
+       |    GREATEST(1, (height * $ThumbBox) // GREATEST(width, height)) AS thumb_h
+       |  FROM dims
+       |), px1 AS (
+       |  SELECT *, unnest(range(width)) AS x FROM t
+       |), px AS (
+       |  SELECT *, unnest(range(height)) AS y FROM px1
+       |), pooled AS (
+       |  SELECT doc_id, width, height, thumb_w, thumb_h,
+       |    (x * thumb_w) // width AS tx, (y * thumb_h) // height AS ty,
+       |    CAST(SUM((x*31 + y*17 + doc_id*7) % 256)
+       |         // COUNT(*) AS BIGINT) AS pv
+       |  FROM px
+       |  GROUP BY doc_id, width, height, thumb_w, thumb_h,
+       |           (x * thumb_w) // width, (y * thumb_h) // height
+       |)
+       |SELECT doc_id, width, height, thumb_w, thumb_h,
+       |  CAST(SUM(pv) AS BIGINT) AS pix_sum,
+       |  CAST(SUM(pv * (ty * thumb_w + tx + 1)) AS BIGINT) AS pix_hash
+       |FROM pooled
+       |GROUP BY doc_id, width, height, thumb_w, thumb_h
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _),
-    "q_thumbnail" -> (qThumbnail _))
+    "q_thumbnail" -> (qThumbnail _),
+    "q_thumbnail_rgb" -> (qThumbnailRgb _),
+    "q_thumbnail_mixed" -> (qThumbnailMixed _))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
-    "q_thumbnail" -> qThumbnailSql)
+    "q_thumbnail" -> qThumbnailSql,
+    "q_thumbnail_rgb" -> qThumbnailRgbSql,
+    "q_thumbnail_mixed" -> qThumbnailMixedSql)
 }

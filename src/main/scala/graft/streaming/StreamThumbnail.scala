@@ -46,6 +46,32 @@ object StreamThumbnail {
       "pix_sum", "pix_hash", "ts_us")
   }
 
+  /** Color per-image face (r14): the streaming twin of
+    * `q_thumbnail_rgb` — 3-band decode + per-channel integer pooling
+    * with the exact batch kernel ([[Multimodal.poolRgb]]), emitting
+    * the same `(sum_r, sum_g, sum_b, pix_hash_rgb)` checksums, so
+    * streamed color rows are bit-identical to the batch query on the
+    * same payloads.  Stateless: pixels never enter state. */
+  def thumbsRgb(media: Dataset[MediaEvent], box: Int = Multimodal.ThumbBox): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, rgb) = Multimodal.decodeRgb(m.payload)
+      val (tw, th) = Multimodal.thumbDims(w, h, box)
+      val pooled = Multimodal.poolRgb(w, h, rgb, tw, th)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var hash = 0L
+      var i = 0
+      while (i < pooled.length) {
+        val v = pooled(i)
+        sr += (v >>> 16) & 0xff; sg += (v >>> 8) & 0xff; sb += v & 0xff
+        hash += v.toLong * (i + 1)
+        i += 1
+      }
+      (m.doc_id, w.toLong, h.toLong, tw.toLong, th.toLong, sr, sg, sb, hash, m.ts_us)
+    }).toDF("doc_id", "width", "height", "thumb_w", "thumb_h",
+      "sum_r", "sum_g", "sum_b", "pix_hash_rgb", "ts_us")
+  }
+
   /** Per-window audit face: `(window_start_us, n_imgs, px_in, px_out,
     * sum_pix_hash)` — the live throughput/integrity counters a media
     * ingest pipeline alerts on (a decode drift anywhere in the window

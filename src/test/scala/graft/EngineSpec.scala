@@ -464,8 +464,11 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("frame sampler seeks by length prefix and decodes only sampled frames") {
-    val video = Multimodal.buildVideo(5L, nFrames = 7, w = 12, h = 9)
+  test("frame sampler seeks via the AVI idx1 index and decodes only sampled frames") {
+    val video = Multimodal.buildAvi(5L, nFrames = 7, w = 12, h = 9)
+    // a real RIFF AVI: outer form + both required lists present
+    assert(new String(video, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(video, 8, 4, "US-ASCII") === "AVI ")
     val sampled = Multimodal.sampleFrames(video, stride = 2).toSeq
     assert(sampled.map(_._1) === Seq(0, 2, 4, 6))
     sampled.foreach { case (f, png) =>
@@ -476,6 +479,104 @@ class MultimodalSpec extends SparkSpec {
     }
     // stride that leaves a trailing unsampled frame: hasNext stays exact
     assert(Multimodal.sampleFrames(video, stride = 3).map(_._1).toSeq === Seq(0, 3, 6))
+    // stride 1 = every frame; odd-length frames are even-padded per RIFF
+    assert(Multimodal.sampleFrames(video, stride = 1).length === 7)
+  }
+
+  test("AVI container round-trips arbitrary frame bytes and survives odd lengths") {
+    val frames = Seq(Array[Byte](1), Array[Byte](2, 3), Array[Byte](4, 5, 6),
+      Array.tabulate(257)(i => (i % 127).toByte))
+    val avi = Multimodal.buildAviFrom(frames, 4, 3)
+    val back = Multimodal.sampleFrames(avi, stride = 1).toSeq
+    assert(back.map(_._1) === Seq(0, 1, 2, 3))
+    back.zip(frames).foreach { case ((_, got), want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
+  test("corrupt AVI containers fail with a ctx-carrying message, not a raw bounds error") {
+    val good = Multimodal.buildAvi(9L, nFrames = 3, w = 8, h = 8)
+    def msgOf(payload: Array[Byte]): String =
+      intercept[IllegalArgumentException] {
+        Multimodal.sampleFrames(payload, 2, ctx = "doc_id=9").toSeq
+      }.getMessage
+    // truncated mid-movi: idx1 missing entirely
+    assert(msgOf(java.util.Arrays.copyOfRange(good, 0, good.length / 2))
+      .contains("doc_id=9"))
+    // not RIFF at all
+    assert(msgOf("garbage not an avi".getBytes("UTF-8")).contains("doc_id=9"))
+    // an idx1 offset pointing past the end of the file
+    val bad = good.clone()
+    val idxPos = {
+      var p = -1
+      var i = 12
+      while (p < 0 && i + 8 <= bad.length) {
+        if (new String(bad, i, 4, "US-ASCII") == "idx1") p = i
+        else {
+          val sz = (bad(i + 4) & 0xff) | ((bad(i + 5) & 0xff) << 8) |
+            ((bad(i + 6) & 0xff) << 16) | ((bad(i + 7) & 0xff) << 24)
+          i += 8 + sz + (sz & 1)
+        }
+      }
+      p
+    }
+    assert(idxPos > 0)
+    bad(idxPos + 8 + 8) = 0x7f.toByte // first entry's offset low byte → huge
+    bad(idxPos + 8 + 11) = 0x7f.toByte // and high byte
+    val m = msgOf(bad)
+    assert(m.contains("doc_id=9") && m.contains("overruns"))
+    // stride 0 would loop forever on the old framing; now a clear require
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(good, 0, ctx = "doc_id=9")
+    }
+  }
+
+  test("RGB PNG encode round-trips through ImageIO; poolRgb pools channels independently") {
+    val rnd = new scala.util.Random(13)
+    for ((w, h) <- Seq((1, 1), (5, 3), (17, 23))) {
+      val rgb = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val (dw, dh, got) = Multimodal.decodeRgb(Multimodal.encodePngRgb(w, h, rgb))
+      assert((dw, dh) === ((w, h)))
+      assert(got.toSeq === rgb.toSeq, s"${w}x$h rgb mismatch")
+    }
+    // per-channel brute force against the packed pool
+    val (w, h, tw, th) = (19, 13, 6, 4)
+    val rgb = Array.fill(w * h)(rnd.nextInt(1 << 24))
+    val pooled = Multimodal.poolRgb(w, h, rgb, tw, th)
+    def chan(shift: Int): Seq[Int] = {
+      val pix = rgb.map(v => (v >>> shift) & 0xff)
+      Multimodal.poolGray(w, h, pix, tw, th).toSeq
+    }
+    assert(pooled.map(v => (v >>> 16) & 0xff).toSeq === chan(16))
+    assert(pooled.map(v => (v >>> 8) & 0xff).toSeq === chan(8))
+    assert(pooled.map(v => v & 0xff).toSeq === chan(0))
+    // a gray decode of an RGB image reads band 0 (red) — still well-defined
+    val (_, _, grayOfRgb) = Multimodal.decodeGray(Multimodal.encodePngRgb(3, 2,
+      Array.tabulate(6)(i => (i * 40) << 16)))
+    assert(grayOfRgb.toSeq === (0 until 6).map(_ * 40))
+  }
+
+  test("real BMP bytes decode through the generic ImageIO branch to the same pixels") {
+    val rnd = new scala.util.Random(17)
+    for ((w, h) <- Seq((1, 1), (4, 4), (5, 3), (21, 10))) { // incl. row-pad widths
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val bmp = Multimodal.encodeBmpGray(w, h, pix)
+      assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+      val (dw, dh, got) = Multimodal.decodeGray(bmp)
+      assert((dw, dh) === ((w, h)))
+      assert(got.toSeq === pix.toSeq, s"${w}x$h bmp mismatch")
+      // the PNG of the same pixels decodes identically: the mixed-codec
+      // key's invariant
+      val (_, _, viaPng) = Multimodal.decodeGray(Multimodal.encodePngGray(w, h, pix))
+      assert(viaPng.toSeq === got.toSeq)
+    }
+  }
+
+  test("poolGray/poolRgb misuse fails with the geometry, not ArithmeticException") {
+    val pix = Array.fill(12)(7)
+    intercept[IllegalArgumentException] { Multimodal.poolGray(4, 3, pix, 5, 3) }
+    intercept[IllegalArgumentException] { Multimodal.poolGray(4, 3, pix, 4, 0) }
+    intercept[IllegalArgumentException] { Multimodal.poolRgb(4, 3, pix, 2, 4) }
   }
 
   test("q_frame_sample: real per-frame decode, stride-2, sig = positional pixel checksum") {
@@ -523,6 +624,49 @@ class MultimodalSpec extends SparkSpec {
       val pix = Array.tabulate(w * h)(i => Multimodal.pixFormula(i % w, i / w, id, 0))
       val pooled = Multimodal.poolGray(w, h, pix, tw, th)
       assert(r.getLong(5) === pooled.map(_.toLong).sum, s"doc $id pix_sum")
+      assert(r.getLong(6) === pooled.zipWithIndex.map {
+        case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash")
+    }
+  }
+
+  test("q_thumbnail_rgb: 3-band decode + per-channel pooling match brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qThumbnailRgb(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 96 + 16).toInt, (id % 72 + 12).toInt)
+      assert((r.getLong(1), r.getLong(2)) === ((w.toLong, h.toLong)))
+      val (tw, th) = Multimodal.thumbDims(w, h, Multimodal.ThumbBox)
+      assert((r.getLong(3), r.getLong(4)) === ((tw.toLong, th.toLong)))
+      val rgb = Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        (Multimodal.pixFormula(x, y, id, 0) << 16) |
+          (Multimodal.pixFormula(x, y, id, 1) << 8) |
+          Multimodal.pixFormula(x, y, id, 2)
+      }
+      val pooled = Multimodal.poolRgb(w, h, rgb, tw, th)
+      assert(r.getLong(5) === pooled.map(v => ((v >>> 16) & 0xff).toLong).sum, s"doc $id sum_r")
+      assert(r.getLong(6) === pooled.map(v => ((v >>> 8) & 0xff).toLong).sum, s"doc $id sum_g")
+      assert(r.getLong(7) === pooled.map(v => (v & 0xff).toLong).sum, s"doc $id sum_b")
+      assert(r.getLong(8) === pooled.zipWithIndex.map {
+        case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash_rgb")
+    }
+  }
+
+  test("q_thumbnail_mixed: PNG and BMP payloads land on the same checksums") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qThumbnailMixed(spark, sf).collect()
+    // both codecs actually present in the gate corpus
+    assert(rows.exists(_.getLong(0) % 2 == 0) && rows.exists(_.getLong(0) % 2 == 1))
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 80 + 20).toInt, (id % 60 + 15).toInt)
+      assert((r.getLong(1), r.getLong(2)) === ((w.toLong, h.toLong)))
+      val (tw, th) = Multimodal.thumbDims(w, h, Multimodal.ThumbBox)
+      val pix = Array.tabulate(w * h)(i => Multimodal.pixFormula(i % w, i / w, id, 0))
+      val pooled = Multimodal.poolGray(w, h, pix, tw, th)
+      assert(r.getLong(5) === pooled.map(_.toLong).sum, s"doc $id pix_sum (fmt=${if (id % 2 == 0) "png" else "bmp"})")
       assert(r.getLong(6) === pooled.zipWithIndex.map {
         case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash")
     }

@@ -259,6 +259,40 @@ class RankedSpec extends SparkSpec {
     assert(pruned.as[(String, Long, Long, Long)].collect().sorted.toSeq === want)
   }
 
+  test("re-fire guard: a filter bounding BOTH chained outputs lands exactly one pruner") {
+    // ADVICE r13: once a pass lands the limit on the bottom node, a
+    // later fixed-point pass sees the TOP node limit-free, chainOf
+    // stops above the limited node, and (without the guard) a second
+    // redundant local top-k appears above the range exchange whenever
+    // the filter also bounds the upper node's output — exactly this
+    // rk<=3 AND dr<=4 shape
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 20000).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(9).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "row_id").repartition(16)
+    val r1 = Ranked.rank(df, Seq("k"), Seq(("score", true)), "rk")
+    val r2 = Ranked.denseRank(r1, Seq("k"), Seq(("score", true)), "dr")
+    val pruned = r2.filter(col("rk") <= 3 && col("dr") <= 4)
+      .select("k", "score", "rk", "dr")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("RankedLocalTopK".r.findAllIn(plan).length === 1, plan)
+    // and a second manual application of the rule is a no-op
+    val opt = pruned.queryExecution.optimizedPlan
+    val again = graft.plans.RankedLimitRule(opt)
+    def limited(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case r: graft.plans.RankedPrefixSum if r.limit.nonEmpty => r }.size
+    assert(limited(again) === limited(opt) && limited(opt) === 1)
+    val w = Window.partitionBy("k").orderBy(desc("score"))
+    val want = df
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("rk") <= 3 && col("dr") <= 4).select("k", "score", "rk", "dr")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(pruned.as[(String, Long, Long, Long)].collect().sorted.toSeq === want)
+  }
+
   test("prefixSum is exact when one group dominates a partition boundary") {
     import spark.implicits._
     // all rows in ONE group: every partition boundary splits the group

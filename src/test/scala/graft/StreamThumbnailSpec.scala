@@ -80,4 +80,53 @@ class StreamThumbnailSpec extends SparkSpec {
     assert(progress.stateOperators.length === 1,
       progress.stateOperators.map(_.operatorName).mkString(","))
   }
+
+  test("streamed RGB thumbnails are bit-identical to the batch color kernel") {
+    import spark.implicits._
+    val events = (0 until 60).map { i =>
+      val id = i.toLong
+      val w = (id % 29 + 10).toInt
+      val h = (id % 19 + 8).toInt
+      MediaEvent(id, Multimodal.encodePngRgb(w, h, Array.tabulate(w * h) { p =>
+        val (x, y) = (p % w, p / w)
+        (Multimodal.pixFormula(x, y, id, 0) << 16) |
+          (Multimodal.pixFormula(x, y, id, 1) << 8) |
+          Multimodal.pixFormula(x, y, id, 2)
+      }), id * 1000L)
+    }
+    val dir = tmpDir("thumb_rgb_stream_in")
+    events.toDS().repartition(3).write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(events.toDS().schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[MediaEvent]
+    val q = StreamThumbnail.thumbsRgb(streamIn)
+      .writeStream.format("memory").queryName("thumb_rgb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("thumb_rgb")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = StreamThumbnail.thumbsRgb(events.toDS())
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === want && got.size === 60)
+    // and the batch face equals the q_thumbnail_rgb construction
+    got.foreach { case (id, w, h, tw, th, sr, sg, sb, hash, _) =>
+      val rgb = Array.tabulate((w * h).toInt) { p =>
+        val (x, y) = ((p % w).toInt, (p / w).toInt)
+        (Multimodal.pixFormula(x, y, id, 0) << 16) |
+          (Multimodal.pixFormula(x, y, id, 1) << 8) |
+          Multimodal.pixFormula(x, y, id, 2)
+      }
+      val pooled = Multimodal.poolRgb(w.toInt, h.toInt, rgb, tw.toInt, th.toInt)
+      assert(sr === pooled.map(v => ((v >>> 16) & 0xff).toLong).sum, s"doc $id")
+      assert(sg === pooled.map(v => ((v >>> 8) & 0xff).toLong).sum, s"doc $id")
+      assert(sb === pooled.map(v => (v & 0xff).toLong).sum, s"doc $id")
+      assert(hash === pooled.zipWithIndex.map { case (v, i) =>
+        v.toLong * (i + 1) }.sum, s"doc $id")
+    }
+    // stateless: no stateful operator in the per-image plan
+    assert(q.lastProgress.stateOperators.isEmpty)
+  }
 }
