@@ -181,6 +181,20 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       }
 
+  /** Headline split (VERDICT r13 item 6): the declared quadratic
+    * baselines are measured like every key but summed separately, so
+    * the headline total tracks the scale-path plans round over round
+    * instead of hinging on one guarded all-pairs yardstick.  Returns
+    * (scaleTotal, baselineTotal, allTotal) over non-negative values
+    * (failed queries report -1 and are never folded in). */
+  private[graft] def splitTotals(meds: Seq[(String, Double)],
+                                 baseline: Set[String]): (Double, Double, Double) = {
+    val ok = meds.filter(_._2 >= 0)
+    val base = ok.filter(kv => baseline(kv._1)).map(_._2).sum
+    val scale = ok.filterNot(kv => baseline(kv._1)).map(_._2).sum
+    (scale, base, scale + base)
+  }
+
   /** A med this far above the prior round's same-key value is read as
     * an in-run contention BURST (the r12 lesson: a suspect:false run
     * still carries 2-4 of these, invisible to run-level anchors) and
@@ -388,7 +402,12 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     def tot(f: QR => Double): Double = results.map(f).filter(_ >= 0).sum
-    val total = tot(_.med)
+    // headline = scale-path keys only; the declared quadratic baselines
+    // are still measured (inside "queries") and summed separately
+    val (scaleTotal, baselineTotal, total) =
+      splitTotals(results.map(r => r.name -> r.med), SparkEntry.baselineQueries)
+    val baselineNames = results.map(_.name).filter(SparkEntry.baselineQueries)
+      .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val minTotal = tot(_.min)
     val coldTotal = tot(_.cold)
     val pvp = (prevAnchor, probeVsPrev) match {
@@ -411,7 +430,9 @@ object Bench {
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"scale_total","value":$scaleTotal,"unit":"sec",""" +
+      s""""total_all":$total,"baseline_total":$baselineTotal,""" +
+      s""""baseline_queries":$baselineNames,"queries":$qs,""" +
       s""""min":$mins,"min_total":$minTotal,"cold":$cs,"cold_total":$coldTotal,""" +
       s""""probe":$probes,"suspect_queries":$sq,""" +
       s""""burst_retries":${burstRetries.map { case (k, (first, retry)) =>

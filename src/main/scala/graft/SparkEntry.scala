@@ -22,6 +22,15 @@ object SparkEntry {
       Multimodal.queries ++ Analytics.queries ++ Corpus.queries ++
       CorpusStats.queries ++ Events.queries ++ Quality.queries ++ Packing.queries
 
+  /** Declared quadratic reference baselines (SURVEY P5/P5b): the
+    * exact-semantics embedding ops kept as correctness yardsticks for
+    * the LSH/IVF scale paths.  They are benched and oracle-gated like
+    * every key, but excluded from the bench HEADLINE total — at sf1
+    * q_dedup_embedding alone is ~28% of the all-keys total by design,
+    * which made cross-round total comparisons hinge on one declared
+    * quadratic (VERDICT r13 item 6). */
+  val baselineQueries: Set[String] = Set("q_ann_bruteforce", "q_dedup_embedding")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -61,4 +61,20 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.pickAnchor(mixed, Some(13), Some("BENCH_SF01_"))
       .map(_._1) === Some("BENCH_SF01_r11.json"))
   }
+
+  test("headline split excludes the declared baselines and drops failed queries (r14)") {
+    val meds = Seq("q1_agg" -> 1.0, "q_dedup_embedding" -> 80.0,
+      "q_ann_bruteforce" -> 3.0, "q_sort" -> 2.0, "q_broken" -> -1.0)
+    val (scale, base, all) = Bench.splitTotals(meds, SparkEntry.baselineQueries)
+    assert(scale === 3.0) // q1_agg + q_sort; q_broken's -1 never folded in
+    assert(base === 83.0)
+    assert(all === 86.0)
+    // the declared baseline set names real query keys, and only ones
+    // that have LSH/IVF scale-path siblings in the catalog
+    assert(SparkEntry.baselineQueries.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.baselineQueries ===
+      Set("q_ann_bruteforce", "q_dedup_embedding"))
+    assert(Set("q_ann_lsh", "q_ann_ivf", "q_dedup_minhash")
+      .subsetOf(SparkEntry.queries.keySet))
+  }
 }

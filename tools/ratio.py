@@ -54,8 +54,20 @@ def main() -> None:
     print("queries=%d median_ratio=%.2fx max_ratio=%.1fx above_10x=%d" % (
         len(shared), med, max(ratios) if ratios else 0,
         sum(1 for r in ratios if r > 10)))
-    print("totals: %.1fs -> %.1fs (%.2fx)" % (
+    print("headline (%s vs %s): %.1fs -> %.1fs (%.2fx)" % (
+        a.get("metric", "total"), b.get("metric", "total"),
         a["value"], b["value"], b["value"] / a["value"] if a["value"] else 0))
+    # apples-to-apples across the r14 schema change ("value" became the
+    # scale-path-only total): recompute both totals from the shared
+    # query set, with and without the declared quadratic baselines
+    base = set(a.get("baseline_queries") or []) | set(b.get("baseline_queries") or [])
+    ta, tb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
+    print("common-key totals: %.1fs -> %.1fs (%.2fx)" % (ta, tb, tb / ta if ta else 0))
+    if base:
+        sa = sum(qa[k] for k in shared if k not in base)
+        sb = sum(qb[k] for k in shared if k not in base)
+        print("common-key scale-path totals (excl %s): %.1fs -> %.1fs (%.2fx)" % (
+            ", ".join(sorted(base)), sa, sb, sb / sa if sa else 0))
     for art in (a, b):
         if art.get("suspect"):
             print("SUSPECT %s: %s" % (art.get("sf"), art.get("suspect_reasons")))
