@@ -316,6 +316,12 @@ object RankedLimitRule extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
+  /** Kill switch (default on) — exists so the shuffle-bytes A/B probe
+    * can measure the pushdown's effect on the same jar. */
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.ranked.limitPushdown", "true")
+      .equalsIgnoreCase("true")
+
   private val MaxPushedLimit = 1000000L // beyond this the map-side state
                                         // (k rows per group) stops being small
 
@@ -413,7 +419,7 @@ object RankedLimitRule extends Rule[LogicalPlan]
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, r: RankedPrefixSum) if r.limit.isEmpty =>
+    case f @ Filter(cond, r: RankedPrefixSum) if enabled && r.limit.isEmpty =>
       val chain = chainOf(r)
       if (!chain.forall(n => n.kinds.nonEmpty && n.kinds.forall(prunable)) ||
         limitedBelow(chain.last)) f
@@ -619,7 +625,7 @@ case class RankedLocalTopKExec(partCols: Seq[Expression],
                 if (distinct) new java.util.TreeSet[UnsafeRow](fwdOrd) else null
               private val buf =
                 scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]()
-              private val compactAt = math.max(64, 4L * math.min(kInt, 1 << 20)).toInt
+              private var compactAt = math.max(64, 4L * math.min(kInt, 1 << 20)).toInt
 
               private def full: Boolean =
                 (if (distinct) tree.size else heap.size) >= kInt
@@ -641,6 +647,17 @@ case class RankedLocalTopKExec(partCols: Seq[Expression],
               private def compact(): Unit = if (full) {
                 val t = threshold
                 val kept = buf.filter(e => keyOrd.compare(e._1, t) <= 0)
+                // amortize: when the bound is UNselective (top-k bands
+                // covering most local rows — RANKEDLIMITPROBE_r14
+                // measured q_top_bands 2.5x SLOWER from exactly this),
+                // a compaction frees almost nothing and at a fixed
+                // trigger the whole buffer is re-filtered every few
+                // inserts — O(n²) per group.  If <25% was pruned,
+                // double the trigger: total re-filter work stays O(n)
+                // amortized whatever the survivor ratio.
+                if (kept.length.toLong * 4 > buf.length.toLong * 3)
+                  compactAt = math.min(1L << 30,
+                    math.max(compactAt.toLong * 2, kept.length.toLong * 2)).toInt
                 buf.clear(); buf ++= kept
               }
 
