@@ -292,6 +292,27 @@ object StreamBench {
         nBatches,
         (ds: Dataset[StreamThumbnail.MediaEvent]) =>
           StreamThumbnail.audit(ds, "10 minutes"))),
+      "stream_thumbnail_rgb" -> (() => drive[StreamThumbnail.MediaEvent](spark, "stream_thumbnail_rgb",
+        docRows.toSeq.map { d =>
+          // truecolor payloads, per-channel pixFormula(.., c) — the
+          // 3-byte/px decode+pool kernel is the measured work
+          val w = (d._1 % 37 + 9).toInt
+          val h = (d._1 % 23 + 7).toInt
+          StreamThumbnail.MediaEvent(d._1,
+            graft.queries.Multimodal.encodePngRgb(w, h,
+              Array.tabulate(w * h) { p =>
+                val (x, y) = (p % w, p / w)
+                (graft.queries.Multimodal.pixFormula(x, y, d._1, 0) << 16) |
+                  (graft.queries.Multimodal.pixFormula(x, y, d._1, 1) << 8) |
+                  graft.queries.Multimodal.pixFormula(x, y, d._1, 2)
+              }),
+            d._4)
+        },
+        Seq(StreamThumbnail.MediaEvent(999999917L,
+          graft.queries.Multimodal.encodePngRgb(1, 1, Array(0)), farDoc)),
+        nBatches,
+        (ds: Dataset[StreamThumbnail.MediaEvent]) =>
+          StreamThumbnail.thumbsRgb(ds))),
       "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
         docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
           d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))

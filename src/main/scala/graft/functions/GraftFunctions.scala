@@ -500,8 +500,10 @@ object GraftFunctions {
     * REAL container headers of the common image formats — PNG IHDR
     * (big-endian dims after the 8-byte signature), JPEG SOFn marker
     * scan, GIF logical screen descriptor, WEBP VP8X/VP8L/VP8 chunk
-    * variants, BMP DIB header.  fmt codes: 0 unknown, 1 jpeg, 2 png,
-    * 3 gif, 4 webp, 5 bmp.  Runs as a codegen'd scalar in the scan
+    * variants, BMP DIB header, RIFF-AVI avih main header (video
+    * containers sit in the same media column).  fmt codes: 0 unknown,
+    * 1 jpeg, 2 png, 3 gif, 4 webp, 5 bmp, 6 avi.  Runs as a codegen'd
+    * scalar in the scan
     * stage, so a 100 TB payload column never leaves the executor nor
     * drops out of whole-stage codegen for its metadata pass. */
   case class MediaDims(child: Expression) extends UnaryExpression {
@@ -578,6 +580,16 @@ object GraftFunctions {
       }
     } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       fmt = 5; w = le32(18); h = le32(22)
+    } else if (b.length >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') {
+      // AVI: the required layout puts the 56-byte avih main header
+      // first inside LIST hdrl; frame dims are its 9th/10th dwords
+      fmt = 6
+      if (b(12) == 'L' && b(13) == 'I' && b(14) == 'S' && b(15) == 'T' &&
+        b(20) == 'h' && b(21) == 'd' && b(22) == 'r' && b(23) == 'l' &&
+        b(24) == 'a' && b(25) == 'v' && b(26) == 'i' && b(27) == 'h') {
+        w = le32(64); h = le32(68)
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(fmt, w, h))
   }

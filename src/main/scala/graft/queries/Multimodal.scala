@@ -114,6 +114,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 88-byte AVI prefix: RIFF header + LIST hdrl holding the 56-byte
+    * `avih` main header (frame dims at dwords 8/9) — the
+    * metadata-bearing prefix of the real container [[buildAviFrom]]
+    * emits, used by the metadata gate the way [[buildPng]] etc. are. */
+  def buildAviHeader(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(88 + body.length)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes(UTF_8)); le32(80 + body.length)
+    out.write("AVI ".getBytes(UTF_8))
+    out.write("LIST".getBytes(UTF_8)); le32(68)
+    out.write("hdrl".getBytes(UTF_8))
+    out.write("avih".getBytes(UTF_8)); le32(56)
+    le32(33333); le32(0); le32(0); le32(0x10) // µs/frame, rate, pad, HASINDEX
+    le32(0); le32(0); le32(1); le32(0) // frames, initial, streams, bufsize
+    le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Real-header metadata decode over a payload frame: one codegen'd
     * scalar in the scan stage — no shuffle, no typed serde. */
   def decodeMeta(spark: SparkSession, in: DataFrame): DataFrame =
@@ -123,7 +146,8 @@ object Multimodal {
         col("dims").getItem(1).as("width"),
         col("dims").getItem(2).as("height"),
         expr("CASE dims[0] WHEN 1 THEN 'jpeg' WHEN 2 THEN 'png' WHEN 3 THEN 'gif' " +
-          "WHEN 4 THEN 'webp' WHEN 5 THEN 'bmp' ELSE 'unknown' END").as("fmt"))
+          "WHEN 4 THEN 'webp' WHEN 5 THEN 'bmp' WHEN 6 THEN 'avi' " +
+          "ELSE 'unknown' END").as("fmt"))
 
   // ------------------------------------------------- real pixel layer
   // JDK-only, cluster-safe: encode = raw zlib PNG writer (Deflater +
@@ -615,11 +639,12 @@ object Multimodal {
         val body = text.getBytes(UTF_8)
         val w = (id % 640 + 1).toInt
         val h = (id % 480 + 1).toInt
-        val payload = (id % 4) match {
+        val payload = (id % 5) match {
           case 0 => buildJpeg(w, h, body)
           case 1 => buildPng(w, h, body)
           case 2 => buildGif(w, h, body)
-          case _ => buildWebp(w, h, body)
+          case 3 => buildWebp(w, h, body)
+          case _ => buildAviHeader(w, h, body) // video rides the same column
         }
         MediaIn(id, payload)
       })
@@ -634,12 +659,13 @@ object Multimodal {
     * parse back to exactly these values. */
   val qMultimodalMetaSql: String =
     """SELECT doc_id,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN 15 WHEN 1 THEN 33 WHEN 2 THEN 13
-      |       ELSE 30 END + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 15 WHEN 1 THEN 33 WHEN 2 THEN 13
+      |       WHEN 3 THEN 30 ELSE 88 END
+      |       + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
       |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
-      |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-      |       ELSE 'webp' END AS fmt
+      |  CASE doc_id % 5 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+      |       WHEN 3 THEN 'webp' ELSE 'avi' END AS fmt
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ P11b frames

@@ -396,14 +396,18 @@ class MultimodalSpec extends SparkSpec {
       (3L, Multimodal.buildGif(13, 37, body)),
       (4L, Multimodal.buildWebp(16384, 16384, body)),
       (5L, bmp),
-      (6L, "not an image at all".getBytes("UTF-8")))
+      (6L, "not an image at all".getBytes("UTF-8")),
+      (7L, Multimodal.buildAviHeader(720, 576, body)),
+      // the FULL real container parses to the same dims as its prefix
+      (8L, Multimodal.buildAvi(8L, nFrames = 2, w = 12, h = 9)))
       .toDF("doc_id", "payload")
     val rows = Multimodal.decodeMeta(spark, in).orderBy("doc_id")
       .select("fmt", "width", "height")
       .as[(String, Long, Long)].collect().toSeq
     assert(rows === Seq(
       ("png", 640L, 480L), ("jpeg", 1920L, 1080L), ("gif", 13L, 37L),
-      ("webp", 16384L, 16384L), ("bmp", 2L, 3L), ("unknown", 0L, 0L)))
+      ("webp", 16384L, 16384L), ("bmp", 2L, 3L), ("unknown", 0L, 0L),
+      ("avi", 720L, 576L), ("avi", 12L, 9L)))
     // JPEG parse must skip leading non-frame segments (APP0 etc.)
     val app0 = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
       0, 6, 'J', 'F', 'I', 'F') ++ Multimodal.buildJpeg(320, 200, body).drop(2)
