@@ -333,6 +333,66 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A REAL GIF89a carrying a grayscale image: 256-entry global
+    * palette with identity-gray entries (index i = (i,i,i)) and one
+    * full-frame image whose LZW stream is LITERAL-CODED — every pixel
+    * emitted as its own 9-bit code with a CLEAR every 200 codes so the
+    * code width never grows (the stored-mode analog of deflate:
+    * spec-valid LZW, compression ratio deliberately sacrificed; the
+    * DECODER still runs the real variable-width LZW machinery incl.
+    * clear-code resets).  With the identity palette the decoded
+    * raster's band-0 sample (the palette index) IS the gray value, so
+    * the mixed-codec oracle stays codec-blind. */
+  def encodeGifGray(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+    require(pix.length == w * h, s"pixel buffer ${pix.length} != ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(13 + 768 + pix.length * 2)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes(UTF_8))
+    le16(w); le16(h)
+    out.write(0xf7) // global palette present, 8-bit resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local palette, not interlaced
+    out.write(8) // LZW minimum code size
+    // 9-bit little-endian-packed code stream: clear, literals, EOI
+    val codes = new java.io.ByteArrayOutputStream(pix.length + pix.length / 8 + 16)
+    var acc = 0L
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      acc |= (code.toLong & 0x1ff) << nbits
+      nbits += 9
+      while (nbits >= 8) { codes.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    val clear = 256
+    emit(clear)
+    var i = 0
+    var sinceClear = 0
+    while (i < pix.length) {
+      emit(pix(i) & 0xff)
+      sinceClear += 1
+      // decoder dict grows one entry per code after the first
+      // post-clear code; clearing well before slot 512 pins 9-bit codes
+      if (sinceClear == 200) { emit(clear); sinceClear = 0 }
+      i += 1
+    }
+    emit(clear + 1) // end-of-information
+    if (nbits > 0) codes.write((acc & 0xff).toInt)
+    // chop into <=255-byte sub-blocks
+    val cs = codes.toByteArray
+    var off = 0
+    while (off < cs.length) {
+      val n = math.min(255, cs.length - off)
+      out.write(n); out.write(cs, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
@@ -924,13 +984,14 @@ object Multimodal {
 
   // -------------------------------------- P11e mixed-codec thumbnails
   /** The generic-decoder gate (r14): the same gray thumbnail kernel
-    * over a corpus that MIXES real codecs — even doc_ids carry our
-    * zlib-PNG (decoded by the thread-local PNG ImageReader), odd ones
-    * a real uncompressed 24-bpp BMP (decoded by `ImageIO.read`'s
-    * generic lookup — the fallback branch of [[decodeGray]] no gated
-    * key exercised before).  The oracle is pure doc_id arithmetic,
-    * blind to the codec: the hash matches only if BOTH decode paths
-    * reproduce the exact same pixels. */
+    * over a corpus that MIXES three real codecs — doc_id % 3 picks our
+    * zlib-PNG (decoded by the thread-local PNG ImageReader), a real
+    * uncompressed 24-bpp BMP, or a real LZW GIF with an identity-gray
+    * palette (both decoded by `ImageIO.read`'s generic lookup — the
+    * fallback branch of [[decodeGray]] no gated key exercised before).
+    * The oracle is pure doc_id arithmetic, blind to the codec: the
+    * hash matches only if ALL THREE decode paths reproduce the exact
+    * same pixels. */
   def imagePayloadsMixed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
@@ -940,8 +1001,11 @@ object Multimodal {
         val w = (id % 80 + 20).toInt
         val h = (id % 60 + 15).toInt
         val pix = Array.tabulate(w * h)(i => pixFormula(i % w, i / w, id, 0))
-        MediaIn(id,
-          if (id % 2 == 0) encodePngGray(w, h, pix) else encodeBmpGray(w, h, pix))
+        MediaIn(id, (id % 3) match {
+          case 0 => encodePngGray(w, h, pix)
+          case 1 => encodeBmpGray(w, h, pix)
+          case _ => encodeGifGray(w, h, pix)
+        })
       })
       .toDF()
   }

@@ -487,6 +487,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(video, stride = 1).length === 7)
   }
 
+  test("AVI round-trip holds under randomized frame counts, sizes and strides") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 20) {
+      val n = rnd.nextInt(12) + 1
+      val frames = Seq.fill(n)(Array.fill(rnd.nextInt(400) + 1)(rnd.nextInt.toByte))
+      val avi = Multimodal.buildAviFrom(frames, 16, 16)
+      val stride = rnd.nextInt(4) + 1
+      val got = Multimodal.sampleFrames(avi, stride).toSeq
+      assert(got.map(_._1) === (0 until n by stride))
+      got.foreach { case (f, bytes) => assert(bytes.toSeq === frames(f).toSeq) }
+    }
+  }
+
   test("AVI container round-trips arbitrary frame bytes and survives odd lengths") {
     val frames = Seq(Array[Byte](1), Array[Byte](2, 3), Array[Byte](4, 5, 6),
       Array.tabulate(257)(i => (i % 127).toByte))
@@ -576,6 +589,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real GIF bytes (LZW + identity palette) decode to the same pixels") {
+    val rnd = new scala.util.Random(19)
+    // > 200 px exercises the mid-stream CLEAR; sub-block split at 255B too
+    for ((w, h) <- Seq((1, 1), (7, 5), (23, 17), (64, 48))) {
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val gif = Multimodal.encodeGifGray(w, h, pix)
+      assert(gif.take(6).map(_.toChar).mkString === "GIF89a")
+      val (dw, dh, got) = Multimodal.decodeGray(gif)
+      assert((dw, dh) === ((w, h)))
+      assert(got.toSeq === pix.toSeq, s"${w}x$h gif mismatch")
+      // header parse agrees with the decoder
+      val dims = graft.functions.GraftFunctions.mediaDims(gif)
+      assert((dims.getLong(0), dims.getLong(1), dims.getLong(2)) === ((3L, w.toLong, h.toLong)))
+    }
+  }
+
   test("poolGray/poolRgb misuse fails with the geometry, not ArithmeticException") {
     val pix = Array.fill(12)(7)
     intercept[IllegalArgumentException] { Multimodal.poolGray(4, 3, pix, 5, 3) }
@@ -658,21 +687,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("q_thumbnail_mixed: PNG and BMP payloads land on the same checksums") {
+  test("q_thumbnail_mixed: PNG, BMP and GIF payloads land on the same checksums") {
     val sf = "/root/testdata/sf0.001"
     val rows = Multimodal.qThumbnailMixed(spark, sf).collect()
-    // both codecs actually present in the gate corpus
-    assert(rows.exists(_.getLong(0) % 2 == 0) && rows.exists(_.getLong(0) % 2 == 1))
-    rows.take(20).foreach { r =>
+    // all three codecs actually present in the gate corpus
+    assert((0 to 2).forall(m => rows.exists(_.getLong(0) % 3 == m)))
+    rows.take(24).foreach { r =>
       val id = r.getLong(0)
       val (w, h) = ((id % 80 + 20).toInt, (id % 60 + 15).toInt)
       assert((r.getLong(1), r.getLong(2)) === ((w.toLong, h.toLong)))
       val (tw, th) = Multimodal.thumbDims(w, h, Multimodal.ThumbBox)
       val pix = Array.tabulate(w * h)(i => Multimodal.pixFormula(i % w, i / w, id, 0))
       val pooled = Multimodal.poolGray(w, h, pix, tw, th)
-      assert(r.getLong(5) === pooled.map(_.toLong).sum, s"doc $id pix_sum (fmt=${if (id % 2 == 0) "png" else "bmp"})")
+      val fmt = Seq("png", "bmp", "gif")((id % 3).toInt)
+      assert(r.getLong(5) === pooled.map(_.toLong).sum, s"doc $id pix_sum (fmt=$fmt)")
       assert(r.getLong(6) === pooled.zipWithIndex.map {
-        case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash")
+        case (v, i) => v.toLong * (i + 1) }.sum, s"doc $id pix_hash (fmt=$fmt)")
     }
   }
 }
