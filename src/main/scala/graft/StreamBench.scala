@@ -313,6 +313,22 @@ object StreamBench {
         nBatches,
         (ds: Dataset[StreamThumbnail.MediaEvent]) =>
           StreamThumbnail.thumbsRgb(ds))),
+      "stream_audio_energy" -> (() => drive[graft.streaming.StreamAudioEnergy.AudioEvent](
+        spark, "stream_audio_energy",
+        docRows.toSeq.map { d =>
+          // real WAV payloads; the PCM decode + integer framing is the
+          // measured work
+          val n = (d._1 % 1500 + 200).toInt
+          graft.streaming.StreamAudioEnergy.AudioEvent(d._1,
+            graft.queries.Audio.buildWav((8000 + (d._1 % 3) * 4000).toInt,
+              Array.tabulate(n)(j => graft.queries.Audio.sampleFormula(j, d._1))),
+            d._4)
+        },
+        Seq(graft.streaming.StreamAudioEnergy.AudioEvent(999999918L,
+          graft.queries.Audio.buildWav(8000, Array(0)), farDoc)),
+        nBatches,
+        (ds: Dataset[graft.streaming.StreamAudioEnergy.AudioEvent]) =>
+          graft.streaming.StreamAudioEnergy.audit(ds, "10 minutes"))),
       "stream_zorder_sink" -> (() => driveZorder(spark, "stream_zorder_sink",
         docRows.toSeq.map(d => ZRow(d._1, d._3.length.toLong,
           d._3.split(' ').count(_.nonEmpty).toLong)), nBatches)))

@@ -330,6 +330,47 @@ object FormatBench {
       metrics("img_decode_pool_rgb_sec") = tsRgb(1)
       metrics("img_decode_pool_rgb_mpx_per_sec") = totalPx / tsRgb(1) / 1e6
       println(f"FORMATBENCH img_decode_pool_rgb ${tsRgb(1)}%7.2fs  ${totalPx / tsRgb(1) / 1e6}%6.2f Mpx/s (median of 3, 3 B/px)")
+
+      // audio leg (r14): real WAV encode → javax.sound decode + the
+      // integer framed-energy kernel, in Msamples/s
+      import graft.queries.Audio
+      val nClip = math.max(2000, n / 100)
+      val sampPerClip = 8192
+      val totalSamp = nClip.toLong * sampPerClip
+      val wavFile = s"$dir/bench_wavs.parquet"
+      System.gc()
+      metrics("wav_encode_probe_sec") = probe()
+      g0 = gcMs()
+      t0 = System.nanoTime()
+      spark.range(0, nClip.toLong, 1, cpus * 4)
+        .map(id => Audio.AudioIn(id, Audio.buildWav(16000,
+          Array.tabulate(sampPerClip)(j => Audio.sampleFormula(j, id)))))
+        .write.mode("overwrite").parquet(wavFile)
+      val tEncWav = (System.nanoTime() - t0) / 1e9
+      metrics("wav_encode_gc_ms") = (gcMs() - g0).toDouble
+      metrics("wav_encode_sec") = tEncWav
+      metrics("wav_encode_msamp_per_sec") = totalSamp / tEncWav / 1e6
+      println(f"FORMATBENCH wav_encode       $tEncWav%7.2fs  ${totalSamp / tEncWav / 1e6}%6.2f Msamp/s ($nClip clips)")
+      System.gc()
+      metrics("wav_decode_energy_probe_sec") = probe()
+      g0 = gcMs()
+      val tsWav = (0 until 3).map { _ =>
+        t0 = System.nanoTime()
+        val sig = spark.read.parquet(wavFile).as[Audio.AudioIn]
+          .mapPartitions(_.map { a =>
+            val (_, _, samples) = Audio.decodeWav(a.payload)
+            var s = 0L; var i = 0
+            while (i < samples.length) { s += math.abs(samples(i)).toLong; i += 1 }
+            s
+          }).reduce(_ + _)
+        require(sig != 0, "audio checksum degenerate")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      metrics("wav_decode_energy_gc_ms") = (gcMs() - g0).toDouble
+      metrics("wav_decode_energy_min_sec") = tsWav.head
+      metrics("wav_decode_energy_sec") = tsWav(1)
+      metrics("wav_decode_energy_msamp_per_sec") = totalSamp / tsWav(1) / 1e6
+      println(f"FORMATBENCH wav_decode_energy ${tsWav(1)}%7.2fs  ${totalSamp / tsWav(1) / 1e6}%6.2f Msamp/s (median of 3)")
     }
 
     // one machine-readable artifact per run (BENCH-style), so the
