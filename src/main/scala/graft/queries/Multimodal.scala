@@ -189,14 +189,26 @@ object Multimodal {
       d
     }
   }
-  private val pngReaderTL = new ThreadLocal[javax.imageio.ImageReader] {
-    override def initialValue(): javax.imageio.ImageReader = {
-      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
-      require(it.hasNext, "JVM has no PNG ImageReader")
-      val r = it.next()
-      liveReaders.add(r)
-      r
+  // One reusable ImageReader per (thread, format): the registry scan
+  // plus reader construction inside `ImageIO.read` costs more than the
+  // pixel work at thumbnail sizes (r13 measured ~10x on PNG; r14's
+  // MEDIAPROBE caught the mixed-codec key running SUPERLINEAR at x10
+  // data because its BMP/GIF shares still paid the per-call scan).
+  private val readersTL =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]
     }
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    val m = readersTL.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      require(it.hasNext, s"JVM has no $fmt ImageReader")
+      r = it.next()
+      liveReaders.add(r)
+      m.put(fmt, r)
+    }
+    r
   }
 
   /** A REAL 8-bit grayscale PNG: signature, IHDR, one zlib-deflated
@@ -393,12 +405,19 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Magic-byte sniff for the formats we keep per-thread readers for;
+    * anything else falls back to the generic `ImageIO.read` scan. */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else null
+
   private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
-      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val fmt = sniffFormat(payload)
     val img =
-      if (isPng) {
-        val reader = pngReaderTL.get()
+      if (fmt != null) {
+        val reader = readerFor(fmt)
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
@@ -414,13 +433,15 @@ object Multimodal {
     img
   }
 
-  /** Real decode through the JVM's codec; returns (w, h, gray pixels
+  /** Real decode through the JVM's codecs; returns (w, h, gray pixels
     * row-major).  Throws on undecodable bytes — a corrupt payload in a
-    * 100 TB corpus should surface, not silently zero.  The PNG
-    * ImageReader is reused per thread (the per-call reader lookup in
-    * `ImageIO.read` dominates at thumbnail sizes); non-PNG payloads
-    * (e.g. the BMP mix in `q_thumbnail_mixed`) go through the generic
-    * `ImageIO.read` path — a genuinely different reader. */
+    * 100 TB corpus should surface, not silently zero.  PNG/BMP/GIF
+    * payloads are sniffed and decoded by per-thread instances of their
+    * three DISTINCT ImageIO plugin readers (the per-call registry scan
+    * in `ImageIO.read` dominates at thumbnail sizes and made the
+    * mixed-codec key superlinear at ×10 data — MEDIAPROBE r14);
+    * unsniffed formats (e.g. real JPEGs, spec-pinned) fall back to the
+    * generic `ImageIO.read` lookup. */
   def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = decodeImage(payload)
     val w = img.getWidth

@@ -605,6 +605,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("unsniffed formats decode through the generic ImageIO fallback (real JPEG)") {
+    // the JVM's own JPEG encoder makes a payload our sniffer does not
+    // claim — it must reach ImageIO.read and still decode
+    val img = new java.awt.image.BufferedImage(17, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 11; x <- 0 until 17)
+      img.getRaster.setSample(x, y, 0, Multimodal.pixFormula(x, y, 3L, 0))
+    val baos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpeg", baos))
+    val (w, h, pix) = Multimodal.decodeGray(baos.toByteArray)
+    // JPEG is lossy: dims and band reads are the claim, not exact pixels
+    assert((w, h) === ((17, 11)) && pix.length === 17 * 11)
+    assert(pix.forall(v => v >= 0 && v <= 255))
+  }
+
   test("poolGray/poolRgb misuse fails with the geometry, not ArithmeticException") {
     val pix = Array.fill(12)(7)
     intercept[IllegalArgumentException] { Multimodal.poolGray(4, 3, pix, 5, 3) }
