@@ -81,21 +81,24 @@ object Audio {
     wav ++ rest
   }
 
-  /** Real decode through the JVM's own WAV parser (resolved via the
-    * public SPI, see [[audioReaders]]); returns (sampleRate, channels,
-    * samples).  Throws on undecodable bytes — a truncated payload in a
-    * 100 TB corpus should surface with its context, not silently
-    * zero. */
-  def decodeWav(payload: Array[Byte], ctx: String = ""): (Int, Int, Array[Int]) = {
+  /** Real decode through the JVM's own PCM parsers (resolved via the
+    * public SPI, see [[audioReaders]] — WAV and AIFF both route here);
+    * returns (sampleRate, channels, bitsPerSample, signed samples,
+    * interleaved).  Handles 8-bit unsigned / 16-bit / 24-bit PCM in
+    * either byte order, so one conversion loop serves the WAV (LE) and
+    * AIFF (BE) containers.  Throws a ctx-carrying failure on
+    * undecodable bytes — a truncated payload in a 100 TB corpus should
+    * surface with its context, not silently zero.  Any reader blowing
+    * up non-fatally on malformed bytes (ADVICE r14: not just the two
+    * declared exception types) counts as "this reader can't", so the
+    * failure always exits through the ctx path. */
+  def decodePcm(payload: Array[Byte], ctx: String = ""): (Int, Int, Int, Array[Int]) = {
     var in: javax.sound.sampled.AudioInputStream = null
     val it = audioReaders.iterator
     while (in == null && it.hasNext) {
       val r = it.next()
       try in = r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-        case _: java.io.IOException => ()
-      }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     if (in == null)
       // unlikely fallback (e.g. no SPI providers visible): the slow
@@ -104,27 +107,86 @@ object Audio {
         javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
       } catch {
-        case e: Exception =>
+        case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(
             s"payload is not decodable audio (${e.getMessage}) $ctx".trim)
       }
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"expected 16-bit LE PCM, got $fmt $ctx")
+      val bits = fmt.getSampleSizeInBits
+      val bytesPer = bits / 8
+      val unsigned =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      require(bits == 8 || bits == 16 || bits == 24,
+        s"expected 8/16/24-bit PCM, got $fmt $ctx")
       val bytes = in.readAllBytes()
-      val n = bytes.length / 2
+      val n = bytes.length / bytesPer
       val samples = new Array[Int](n)
       var i = 0
-      while (i < n) {
-        samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
-        i += 1
+      if (bits == 8) {
+        // 8-bit PCM is unsigned in WAV (center 128); recentre to signed
+        while (i < n) { samples(i) = (bytes(i) & 0xff) - (if (unsigned) 128 else 0); i += 1 }
+      } else if (bits == 16 && !fmt.isBigEndian) {
+        while (i < n) {
+          samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+      } else if (bits == 16) {
+        while (i < n) {
+          samples(i) = ((bytes(2 * i + 1) & 0xff) | (bytes(2 * i) << 8)).toShort.toInt
+          i += 1
+        }
+      } else { // 24-bit: sign-extend via <<8 >>8
+        while (i < n) {
+          val v =
+            if (fmt.isBigEndian)
+              ((bytes(3 * i) & 0xff) << 16) | ((bytes(3 * i + 1) & 0xff) << 8) |
+                (bytes(3 * i + 2) & 0xff)
+            else
+              (bytes(3 * i) & 0xff) | ((bytes(3 * i + 1) & 0xff) << 8) |
+                ((bytes(3 * i + 2) & 0xff) << 16)
+          samples(i) = (v << 8) >> 8
+          i += 1
+        }
       }
-      (fmt.getSampleRate.toInt, fmt.getChannels, samples)
+      (fmt.getSampleRate.toInt, fmt.getChannels, bits, samples)
     } finally in.close()
   }
 
+  /** The 16-bit-LE gate the r14 keys pin: [[decodePcm]] plus the
+    * original container contract check. */
+  def decodeWav(payload: Array[Byte], ctx: String = ""): (Int, Int, Array[Int]) = {
+    val (rate, ch, bits, samples) = decodePcm(payload, ctx)
+    require(bits == 16, s"expected 16-bit LE PCM, got $bits-bit $ctx")
+    (rate, ch, samples)
+  }
+
   val FrameLen = 256
+
+  /** The framed-energy kernel, ONE spelling (ADVICE r14): 256-sample
+    * frames over the decoded samples, per-frame Σ|s|, summarized as
+    * (n_frames, sum_abs, peak_frame_energy, position-weighted energy
+    * hash).  Shared VERBATIM by the batch query ([[qAudioEnergy]]) and
+    * the streaming face ([[graft.streaming.StreamAudioEnergy]]) so the
+    * batch/stream bit-identity their specs assert cannot drift. */
+  def energyOf(samples: Array[Int]): (Long, Long, Long, Long) = {
+    val nFrames = (samples.length + FrameLen - 1) / FrameLen
+    var sumAbs = 0L
+    var peak = 0L
+    var hash = 0L
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var i = f * FrameLen
+      val end = math.min(samples.length, i + FrameLen)
+      while (i < end) { e += math.abs(samples(i)).toLong; i += 1 }
+      sumAbs += e
+      if (e > peak) peak = e
+      hash += e * (f + 1)
+      f += 1
+    }
+    (nFrames.toLong, sumAbs, peak, hash)
+  }
 
   def audioPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -179,22 +241,8 @@ object Audio {
       .as[AudioIn]
       .mapPartitions(_.map { a =>
         val (_, _, samples) = decodeWav(a.payload, s"doc_id=${a.doc_id}")
-        val nFrames = (samples.length + FrameLen - 1) / FrameLen
-        var sumAbs = 0L
-        var peak = 0L
-        var hash = 0L
-        var f = 0
-        while (f < nFrames) {
-          var e = 0L
-          var i = f * FrameLen
-          val end = math.min(samples.length, i + FrameLen)
-          while (i < end) { e += math.abs(samples(i)).toLong; i += 1 }
-          sumAbs += e
-          if (e > peak) peak = e
-          hash += e * (f + 1)
-          f += 1
-        }
-        AudioEnergy(a.doc_id, nFrames.toLong, sumAbs, peak, hash)
+        val (nFrames, sumAbs, peak, hash) = energyOf(samples)
+        AudioEnergy(a.doc_id, nFrames, sumAbs, peak, hash)
       })
       .toDF()
       .orderBy("doc_id")

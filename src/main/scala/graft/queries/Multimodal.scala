@@ -570,8 +570,12 @@ object Multimodal {
     * `movi` list, padded to even length per RIFF; `idx1` entries are
     * 16 bytes — ckid, AVIIF_KEYFRAME, offset (relative to the `movi`
     * fourcc, first chunk at 4), size.  Frames stay individually
-    * lossless so the oracle replays decoded pixels arithmetically. */
-  def buildAviFrom(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    * lossless so the oracle replays decoded pixels arithmetically.
+    * `absoluteIdx` emits the OTHER spec-sanctioned idx1 convention —
+    * offsets absolute from the file start — which some real-world
+    * writers use; [[sampleFrames]] accepts both. */
+  def buildAviFrom(frames: Seq[Array[Byte]], w: Int, h: Int,
+                   absoluteIdx: Boolean = false): Array[Byte] = {
     type BAOS = java.io.ByteArrayOutputStream
     def le32(o: BAOS, v: Int): Unit = {
       o.write(v & 0xff); o.write((v >>> 8) & 0xff)
@@ -583,12 +587,11 @@ object Multimodal {
 
     val movi = new BAOS
     fcc(movi, "movi")
-    val idx = new BAOS
-    frames.foreach { fr =>
+    val offs = frames.map { fr =>
       val off = movi.size() // offset of this chunk from the movi fourcc
-      fcc(idx, "00dc"); le32(idx, 0x10); le32(idx, off); le32(idx, fr.length)
       fcc(movi, "00dc"); le32(movi, fr.length); movi.write(fr)
       if ((fr.length & 1) == 1) movi.write(0) // RIFF chunks are even-aligned
+      off
     }
 
     val strh = new BAOS
@@ -624,6 +627,15 @@ object Multimodal {
     fcc(hdrl, "hdrl")
     fcc(hdrl, "avih"); le32(hdrl, avih.size()); hdrl.write(avih.toByteArray)
     fcc(hdrl, "LIST"); le32(hdrl, strl.size()); hdrl.write(strl.toByteArray)
+
+    // idx1 built LAST: the absolute convention needs the movi fourcc's
+    // final file position (after the RIFF header and hdrl LIST)
+    val moviFourccPos = 12 + 8 + hdrl.size() + 8
+    val idx = new BAOS
+    frames.zip(offs).foreach { case (fr, off) =>
+      val emitted = if (absoluteIdx) moviFourccPos + off else off
+      fcc(idx, "00dc"); le32(idx, 0x10); le32(idx, emitted); le32(idx, fr.length)
+    }
 
     val out = new BAOS(12 + 8 + hdrl.size() + 8 + movi.size() + 8 + idx.size())
     fcc(out, "RIFF")
@@ -694,11 +706,21 @@ object Multimodal {
         if (str4(e) != "00dc") fail(s"idx1 entry $f has ckid ${str4(e)}")
         val rel = le32(e + 8)
         val sz = le32(e + 12)
-        if (rel < 0 || sz < 0 || mp + rel + 8L + sz > payload.length)
-          fail(s"idx1 entry $f offset $rel size $sz overruns ${payload.length}")
-        val at = mp + rel
-        if (str4(at) != "00dc" || le32(at + 4) != sz)
-          fail(s"frame $f chunk header mismatch at $at")
+        if (rel < 0 || sz < 0) fail(s"idx1 entry $f offset $rel size $sz negative")
+        // The AVI spec sanctions BOTH idx1 offset conventions and both
+        // ship in the wild: relative to the `movi` fourcc (most
+        // writers, and ours) or absolute from the file start (ADVICE
+        // r14).  Try movi-relative first, then retry absolute — a
+        // valid frame chunk must carry its own `00dc` header with the
+        // idx1-declared size, so a wrong interpretation cannot pass.
+        def chunkAt(p: Long): Boolean =
+          p >= 0 && p + 8 + sz <= payload.length &&
+            str4(p.toInt) == "00dc" && le32(p.toInt + 4) == sz
+        val at =
+          if (chunkAt(mp.toLong + rel)) mp + rel
+          else if (chunkAt(rel.toLong)) rel
+          else fail(s"frame $f chunk header mismatch at ${mp.toLong + rel} " +
+            s"(movi-relative) and $rel (absolute)")
         val bytes = java.util.Arrays.copyOfRange(payload, at + 8, at + 8 + sz)
         val id = f
         f += 1; skip()
@@ -1004,12 +1026,14 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------- P11e mixed-codec thumbnails
-  /** The generic-decoder gate (r14): the same gray thumbnail kernel
-    * over a corpus that MIXES three real codecs — doc_id % 3 picks our
-    * zlib-PNG (decoded by the thread-local PNG ImageReader), a real
-    * uncompressed 24-bpp BMP, or a real LZW GIF with an identity-gray
-    * palette (both decoded by `ImageIO.read`'s generic lookup — the
-    * fallback branch of [[decodeGray]] no gated key exercised before).
+  /** The mixed-codec gate (r14): the same gray thumbnail kernel over a
+    * corpus that MIXES three real codecs — doc_id % 3 picks our
+    * zlib-PNG, a real uncompressed 24-bpp BMP, or a real LZW GIF with
+    * an identity-gray palette.  `sniffFormat` + `readerFor` route all
+    * THREE to per-thread ImageIO plugin readers (PNG, BMP, GIF — the
+    * per-call registry scan made this key superlinear at ×10 data,
+    * MEDIAPROBE r14); `ImageIO.read`'s generic lookup remains only the
+    * fallback for unsniffed formats (exercised by the real-JPEG spec).
     * The oracle is pure doc_id arithmetic, blind to the codec: the
     * hash matches only if ALL THREE decode paths reproduce the exact
     * same pixels. */

@@ -29,22 +29,10 @@ object StreamAudioEnergy {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { a =>
       val (_, _, samples) = Audio.decodeWav(a.payload, s"doc_id=${a.doc_id}")
-      val nFrames = (samples.length + Audio.FrameLen - 1) / Audio.FrameLen
-      var sumAbs = 0L
-      var peak = 0L
-      var hash = 0L
-      var f = 0
-      while (f < nFrames) {
-        var e = 0L
-        var i = f * Audio.FrameLen
-        val end = math.min(samples.length, i + Audio.FrameLen)
-        while (i < end) { e += math.abs(samples(i)).toLong; i += 1 }
-        sumAbs += e
-        if (e > peak) peak = e
-        hash += e * (f + 1)
-        f += 1
-      }
-      (a.doc_id, nFrames.toLong, sumAbs, peak, hash, a.ts_us)
+      // the ONE kernel spelling, shared with the batch query (the
+      // StreamThumbnail/poolGray discipline — ADVICE r14)
+      val (nFrames, sumAbs, peak, hash) = Audio.energyOf(samples)
+      (a.doc_id, nFrames, sumAbs, peak, hash, a.ts_us)
     }).toDF("doc_id", "n_frames", "sum_abs", "peak_frame_energy",
       "energy_hash", "ts_us")
   }

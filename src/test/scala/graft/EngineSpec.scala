@@ -541,10 +541,31 @@ class MultimodalSpec extends SparkSpec {
     bad(idxPos + 8 + 8) = 0x7f.toByte // first entry's offset low byte → huge
     bad(idxPos + 8 + 11) = 0x7f.toByte // and high byte
     val m = msgOf(bad)
-    assert(m.contains("doc_id=9") && m.contains("overruns"))
+    // a nonsense offset fails both spec-sanctioned idx1 conventions,
+    // and the message names both attempted positions plus the doc
+    assert(m.contains("doc_id=9") && m.contains("chunk header mismatch") &&
+      m.contains("movi-relative") && m.contains("absolute"))
     // stride 0 would loop forever on the old framing; now a clear require
     intercept[IllegalArgumentException] {
       Multimodal.sampleFrames(good, 0, ctx = "doc_id=9")
+    }
+  }
+
+  test("idx1 absolute-file offsets (the other spec convention) decode identically") {
+    // real-world AVI writers emit EITHER movi-relative or absolute
+    // idx1 offsets (both spec-sanctioned); the sampler accepts both
+    val frames = Seq(
+      Array.tabulate(33)(i => (i * 5 + 1).toByte),
+      Array.tabulate(64)(i => (i ^ 0x2a).toByte),
+      Array.tabulate(257)(i => (i % 127).toByte))
+    val rel = Multimodal.buildAviFrom(frames, 4, 3)
+    val abs = Multimodal.buildAviFrom(frames, 4, 3, absoluteIdx = true)
+    assert(!java.util.Arrays.equals(rel, abs)) // the idx1 bytes DO differ
+    for (stride <- Seq(1, 2, 3)) {
+      val a = Multimodal.sampleFrames(abs, stride).toSeq
+      val r = Multimodal.sampleFrames(rel, stride).toSeq
+      assert(a.map(_._1) === r.map(_._1))
+      a.zip(r).foreach { case ((_, ga), (_, gr)) => assert(ga.toSeq === gr.toSeq) }
     }
   }
 
