@@ -78,6 +78,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The measured jar's git lineage (VERDICT r14 item 1: the committed
+    * sf1/sf0.1 artifacts predated the audio SPI-lock fix and NOTHING in
+    * the artifact could show it — their two audio rows overstated cost
+    * 13–16×).  Stamping HEAD plus a dirty marker into `env` makes the
+    * artifact↔code pairing mechanically checkable: a consumer rejects
+    * any artifact whose SHA is not an ancestor of the round's final
+    * commit, or that carries "-dirty".  "unknown" when git is absent —
+    * never a crash path. */
+  private[graft] def gitSha(): String =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else ""
+      }
+      val sha = run("git", "rev-parse", "HEAD")
+      if (!sha.matches("[0-9a-f]{40}")) "unknown"
+      else if (run("git", "status", "--porcelain").nonEmpty) sha + "-dirty"
+      else sha
+    } catch { case _: Throwable => "unknown" }
+
   private[graft] def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -227,6 +249,42 @@ object Bench {
     val loadStart = loadavg()
     val probeStart = calibrate()
     val probeParStart = calibratePar(cpus)
+    val sha = gitSha()
+
+    // Par-probe pre-gate (VERDICT r14 item 3): with SPARK_GRAFT_PROBE_GATE
+    // set (e.g. 1.15), a start-of-run parallel probe already that far
+    // above the prior round's anchor aborts the attempt in seconds —
+    // the suspect-retry protocol would reject the finished artifact
+    // anyway, so measuring the full multi-minute suite inside a bad
+    // window only burns the round's wall clock.  Opt-in: unattended
+    // driver runs keep measuring (a suspect artifact still carries
+    // information), retry loops set the gate.
+    sys.env.get("SPARK_GRAFT_PROBE_GATE")
+      .flatMap(g => scala.util.Try(g.toDouble).toOption).foreach { gate =>
+        val pfx = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+          .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+          .map(_.replaceAll("""_?r?\d+\.json$""", "_"))
+        for {
+          (file, _, _, prevParOpt) <- prevProbeAnchor(preferPrefix = pfx)
+          prevPar <- prevParOpt
+          ratio = probeParStart / prevPar
+          if ratio > gate
+        } {
+          val msg = f"parallel probe $probeParStart%.3fs is $ratio%.2fx the " +
+            f"anchor ($prevPar%.3fs in $file), over gate $gate%.2f -- aborting " +
+            "before the suite runs"
+          val aj = s"""{"aborted":true,"reason":"${esc(msg)}",""" +
+            s""""probe_par_sec":$probeParStart,"anchor_par_sec":$prevPar,""" +
+            s""""ratio":$ratio,"gate":$gate,"git_sha":"${esc(sha)}"}"""
+          println(aj)
+          val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+          try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+            (aj + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: Throwable => () }
+          spark.stop()
+          sys.exit(3)
+        }
+      }
 
     // Warm the JVM/codegen once so per-query numbers measure the query,
     // not first-use classloading.
@@ -401,15 +459,20 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    def tot(f: QR => Double): Double = results.map(f).filter(_ >= 0).sum
     // headline = scale-path keys only; the declared quadratic baselines
-    // are still measured (inside "queries") and summed separately
+    // are still measured (inside "queries") and summed separately.
+    // min/cold get the SAME split (ADVICE r14: all headline totals
+    // share one definition, so value vs min_scale_total/cold_scale_total
+    // comparisons are apples-to-apples; the *_total fields stay as the
+    // all-key sums they always were).
     val (scaleTotal, baselineTotal, total) =
       splitTotals(results.map(r => r.name -> r.med), SparkEntry.baselineQueries)
+    val (minScaleTotal, minBaselineTotal, minTotal) =
+      splitTotals(results.map(r => r.name -> r.min), SparkEntry.baselineQueries)
+    val (coldScaleTotal, coldBaselineTotal, coldTotal) =
+      splitTotals(results.map(r => r.name -> r.cold), SparkEntry.baselineQueries)
     val baselineNames = results.map(_.name).filter(SparkEntry.baselineQueries)
       .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
-    val minTotal = tot(_.min)
-    val coldTotal = tot(_.cold)
     val pvp = (prevAnchor, probeVsPrev) match {
       case (Some((file, prevMed, prevSusp, prevPar)), Some(ratio)) =>
         val par = (prevPar, probeParVsPrev) match {
@@ -428,12 +491,15 @@ object Bench {
       s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
       s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
-      s""""runs_per_query":3}"""
+      s""""git_sha":"${esc(sha)}","runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"scale_total","value":$scaleTotal,"unit":"sec",""" +
       s""""total_all":$total,"baseline_total":$baselineTotal,""" +
       s""""baseline_queries":$baselineNames,"queries":$qs,""" +
-      s""""min":$mins,"min_total":$minTotal,"cold":$cs,"cold_total":$coldTotal,""" +
+      s""""min":$mins,"min_total":$minTotal,"min_scale_total":$minScaleTotal,""" +
+      s""""min_baseline_total":$minBaselineTotal,""" +
+      s""""cold":$cs,"cold_total":$coldTotal,"cold_scale_total":$coldScaleTotal,""" +
+      s""""cold_baseline_total":$coldBaselineTotal,""" +
       s""""probe":$probes,"suspect_queries":$sq,""" +
       s""""burst_retries":${burstRetries.map { case (k, (first, retry)) =>
         s""""${esc(k)}":{"first":$first,"retry":$retry}"""

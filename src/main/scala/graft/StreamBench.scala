@@ -416,7 +416,7 @@ object StreamBench {
       s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
       s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
-      s""""micro_batches":$nBatches}"""
+      s""""git_sha":"${esc(Bench.gitSha())}","micro_batches":$nBatches}"""
     // regime label: "micro16"-style fixed-round-dominated runs vs
     // "bulk"-batch throughput runs (VERDICT r11 item 4 — the
     // STREAMBENCH artifact carries BOTH, one JSON line each)

@@ -388,11 +388,12 @@ object FormatBench {
         println(s"FORMATBENCH suspect_phase ${k.stripSuffix("_probe_sec")} " +
           f"probe ${v / pmed}%.1fx median")
     }
-    val json = metrics.map { case (k, v) =>
+    val json = (metrics.map { case (k, v) =>
       val vs = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
                else f"$v%.6f"
       s""""$k":$vs"""
-    }.mkString("{", ",", "}")
+    } ++ Seq(s""""git_sha":"${graft.Bench.gitSha()}"""")) // jar↔artifact lineage (r14)
+      .mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_FORMATBENCH_OUT", "formatbench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -77,4 +77,16 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Set("q_ann_lsh", "q_ann_ivf", "q_dedup_minhash")
       .subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("gitSha stamps a checkable jar lineage into the artifact (r15)") {
+    // r14's one defect: committed bench artifacts predated a fix and
+    // nothing in the artifact could show it.  The stamp must be either
+    // a full 40-hex SHA (optionally -dirty) or the explicit "unknown"
+    // sentinel — never empty, never a crash.
+    val sha = Bench.gitSha()
+    assert(sha == "unknown" || sha.matches("[0-9a-f]{40}(-dirty)?"), sha)
+    // in this repo's own checkout git IS present, so the stamp must be
+    // a real SHA, not the fallback
+    assert(sha != "unknown")
+  }
 }
