@@ -38,10 +38,18 @@ object Audio {
   @inline def sampleFormula(i: Int, id: Long): Int =
     (((i.toLong * 131 + id * 17) % 65536L) - 32768L).toInt
 
-  /** A REAL 16-bit LE mono PCM WAV: RIFF header, canonical 16-byte
-    * fmt chunk, data chunk — readable by any WAV parser. */
-  def buildWav(rate: Int, samples: Array[Int]): Array[Byte] = {
-    val dataLen = samples.length * 2
+  /** A REAL PCM WAV: RIFF header, canonical 16-byte fmt chunk, data
+    * chunk — readable by any WAV parser.  `samples` is channel-
+    * interleaved signed values; 8-bit is stored unsigned (center 128)
+    * per the WAV spec, 16/24-bit little-endian signed. */
+  def buildWavPcm(rate: Int, channels: Int, bits: Int,
+                  samples: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24, s"unsupported bits $bits")
+    require(channels >= 1 && samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val bytesPer = bits / 8
+    val blockAlign = channels * bytesPer
+    val dataLen = samples.length * bytesPer
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
     def le32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >>> 8) & 0xff)
@@ -52,14 +60,69 @@ object Audio {
     out.write("WAVE".getBytes(UTF_8))
     out.write("fmt ".getBytes(UTF_8)); le32(16)
     le16(1) // PCM
-    le16(1) // mono
+    le16(channels)
     le32(rate)
-    le32(rate * 2) // byte rate
-    le16(2) // block align
-    le16(16) // bits per sample
+    le32(rate * blockAlign) // byte rate
+    le16(blockAlign)
+    le16(bits)
     out.write("data".getBytes(UTF_8)); le32(dataLen)
     var i = 0
-    while (i < samples.length) { le16(samples(i) & 0xffff); i += 1 }
+    while (i < samples.length) {
+      val s = samples(i)
+      if (bits == 8) out.write((s + 128) & 0xff)
+      else if (bits == 16) le16(s & 0xffff)
+      else { out.write(s & 0xff); out.write((s >>> 8) & 0xff); out.write((s >>> 16) & 0xff) }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** The 16-bit LE mono shape the r14 keys pin. */
+  def buildWav(rate: Int, samples: Array[Int]): Array[Byte] =
+    buildWavPcm(rate, 1, 16, samples)
+
+  /** An IEEE 754 80-bit extended float (the AIFF COMM sample-rate
+    * field, public AIFF-1.3 spec) of a positive integer: 15-bit
+    * biased exponent + explicit-leading-bit 64-bit mantissa, BE. */
+  private[graft] def extended80(v: Int): Array[Byte] = {
+    require(v > 0, s"sample rate must be positive, got $v")
+    val nbits = 64 - java.lang.Long.numberOfLeadingZeros(v.toLong)
+    val exp = 16382 + nbits // 16383 + (nbits - 1)
+    val mant = v.toLong << (64 - nbits) // MSB (the explicit integer bit) at bit 63
+    val out = new Array[Byte](10)
+    out(0) = ((exp >>> 8) & 0xff).toByte
+    out(1) = (exp & 0xff).toByte
+    var i = 0
+    while (i < 8) { out(2 + i) = ((mant >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** A REAL AIFF file (public spec: `FORM size 'AIFF' COMM SSND`) of
+    * 16-bit BIG-endian mono PCM — the sign/endianness analog of the
+    * image leg's BMP/GIF codec test: the JVM's own AIFF parser (a
+    * different SPI reader than the WAV one) must reproduce the exact
+    * samples through the opposite byte order. */
+  def buildAiff(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val ssndLen = 8 + dataLen // offset + blockSize + frames
+    val formLen = 4 + (8 + 18) + (8 + ssndLen) // 'AIFF' + COMM + SSND
+    val out = new java.io.ByteArrayOutputStream(8 + formLen)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    out.write("FORM".getBytes(UTF_8)); be32(formLen)
+    out.write("AIFF".getBytes(UTF_8))
+    out.write("COMM".getBytes(UTF_8)); be32(18)
+    be16(1) // channels
+    be32(samples.length) // numSampleFrames
+    be16(16) // sampleSize
+    out.write(extended80(rate))
+    out.write("SSND".getBytes(UTF_8)); be32(ssndLen)
+    be32(0); be32(0) // offset, blockSize
+    var i = 0
+    while (i < samples.length) { be16(samples(i) & 0xffff); i += 1 }
     out.toByteArray
   }
 
@@ -266,11 +329,111 @@ object Audio {
        |  CAST(SUM(e * (f + 1)) AS BIGINT) AS energy_hash
        |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- P11g mixed containers
+  /** The audio analog of the image leg's mixed-codec gate (r15):
+    * doc_id % 5 picks one of FIVE real encodings — 16-bit mono WAV,
+    * 16-bit STEREO WAV, 24-bit mono WAV, 8-bit (unsigned-container)
+    * mono WAV, or 16-bit BIG-endian mono AIFF — all decoded through
+    * the same SPI reader list (the WAV and AIFF parsers are different
+    * JVM plugins).  One codec-blind oracle derives every feature from
+    * doc_id arithmetic; the position- AND channel-weighted sample
+    * hash certifies byte order, sign handling (8-bit recentring,
+    * 24-bit sign extension), channel interleave and frame count all
+    * at once.  Scale shape: build + decode + featurize stay one
+    * scan-local map — samples never shuffle. */
+  @inline def sample24Formula(i: Int, id: Long): Int =
+    (((i.toLong * 7919 + id * 101) % 16777216L) - 8388608L).toInt
+
+  @inline def sample8Formula(i: Int, id: Long): Int =
+    (((i.toLong * 13 + id * 7) % 256L) - 128L).toInt
+
+  def mixedPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val n = (id % 1500 + 400).toInt
+        val payload = (id % 5) match {
+          case 0 => buildWavPcm(rate, 1, 16, Array.tabulate(n)(i => sampleFormula(i, id)))
+          case 1 => buildWavPcm(rate, 2, 16, Array.tabulate(2 * n) { j =>
+            sampleFormula(j / 2, id + j % 2) // frame-interleaved, ch c = formula(i, id+c)
+          })
+          case 2 => buildWavPcm(rate, 1, 24, Array.tabulate(n)(i => sample24Formula(i, id)))
+          case 3 => buildWavPcm(rate, 1, 8, Array.tabulate(n)(i => sample8Formula(i, id)))
+          case _ => buildAiff(rate, Array.tabulate(n)(i => sampleFormula(i, id)))
+        }
+        AudioIn(id, payload)
+      })
+      .toDF()
+  }
+
+  final case class AudioMixed(doc_id: Long, container: String, bits: Long,
+                              channels: Long, sample_rate: Long, n_frames: Long,
+                              sum_abs: Long, sample_hash: Long)
+
+  def qAudioMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mixedPayloads(s, d)
+      .as[AudioIn]
+      .mapPartitions(_.map { a =>
+        val (rate, ch, bits, samples) = decodePcm(a.payload, s"doc_id=${a.doc_id}")
+        // container from the payload magic — the hash already proves
+        // the decode, the label just names which parser earned it
+        val container = if (a.payload.length >= 4 && a.payload(0) == 'F') "aiff" else "wav"
+        var sumAbs = 0L
+        var hash = 0L
+        var j = 0
+        while (j < samples.length) {
+          val v = samples(j).toLong
+          sumAbs += math.abs(v)
+          hash += v * (j / ch + 1) * (j % ch + 1)
+          j += 1
+        }
+        AudioMixed(a.doc_id, container, bits.toLong, ch.toLong, rate.toLong,
+          (samples.length / ch).toLong, sumAbs, hash)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val qAudioMixedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 5 AS v, doc_id % 1500 + 400 AS n FROM documents
+      |), si AS (
+      |  SELECT doc_id, v, unnest(range(n)) AS i FROM d
+      |), sc AS (
+      |  SELECT doc_id, v, i,
+      |    unnest(range(CASE WHEN v = 1 THEN 2 ELSE 1 END)) AS ch
+      |  FROM si
+      |), sv AS (
+      |  SELECT doc_id, i, ch,
+      |    CASE
+      |      WHEN v = 2 THEN (i*7919 + doc_id*101) % 16777216 - 8388608
+      |      WHEN v = 3 THEN (i*13 + doc_id*7) % 256 - 128
+      |      ELSE (i*131 + (doc_id + ch)*17) % 65536 - 32768
+      |    END AS s
+      |  FROM sc
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 4 THEN 'aiff' ELSE 'wav' END AS container,
+      |  CAST(CASE WHEN doc_id % 5 = 2 THEN 24
+      |            WHEN doc_id % 5 = 3 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+      |  CAST(CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(doc_id % 1500 + 400 AS BIGINT) AS n_frames,
+      |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+      |  CAST(SUM(s * (i + 1) * (ch + 1)) AS BIGINT) AS sample_hash
+      |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_meta" -> (qAudioMeta _),
-    "q_audio_energy" -> (qAudioEnergy _))
+    "q_audio_energy" -> (qAudioEnergy _),
+    "q_audio_mixed" -> (qAudioMixed _))
 
   val oracle: Map[String, String] = Map(
     "q_audio_meta" -> qAudioMetaSql,
-    "q_audio_energy" -> qAudioEnergySql)
+    "q_audio_energy" -> qAudioEnergySql,
+    "q_audio_mixed" -> qAudioMixedSql)
 }

@@ -32,6 +32,76 @@ class AudioSpec extends SparkSpec {
     assert(e.getMessage.contains("doc_id=3"))
   }
 
+  test("stereo / 24-bit / 8-bit WAV and big-endian AIFF round-trip through the SPI readers") {
+    val rnd = new scala.util.Random(41)
+    // 16-bit stereo: interleave survives
+    val st = Array.fill(2 * 333)(rnd.nextInt(65536) - 32768)
+    val (rSt, cSt, bSt, gSt) = Audio.decodePcm(Audio.buildWavPcm(22050, 2, 16, st))
+    assert((rSt, cSt, bSt) === ((22050, 2, 16)))
+    assert(gSt.toSeq === st.toSeq)
+    // 24-bit mono: sign extension at the extremes
+    val s24 = Array(-8388608, 8388607, 0, -1, 1, 65536, -65536) ++
+      Array.fill(200)(rnd.nextInt(1 << 24) - (1 << 23))
+    val (_, _, b24, g24) = Audio.decodePcm(Audio.buildWavPcm(8000, 1, 24, s24))
+    assert(b24 === 24)
+    assert(g24.toSeq === s24.toSeq)
+    // 8-bit mono: the unsigned container recentres to signed
+    val s8 = Array(-128, 127, 0, -1, 1) ++ Array.fill(200)(rnd.nextInt(256) - 128)
+    val (_, _, b8, g8) = Audio.decodePcm(Audio.buildWavPcm(8000, 1, 8, s8))
+    assert(b8 === 8)
+    assert(g8.toSeq === s8.toSeq)
+    // AIFF: the JVM's OTHER parser, big-endian — byte-order analog of
+    // the image leg's BMP/GIF codec test
+    val sa = Array(-32768, 32767, 0, -1, 256) ++ Array.fill(300)(rnd.nextInt(65536) - 32768)
+    for (rate <- Seq(8000, 11025, 44100)) {
+      val (rA, cA, bA, gA) = Audio.decodePcm(Audio.buildAiff(rate, sa))
+      assert((rA, cA, bA) === ((rate, 1, 16)), s"rate $rate")
+      assert(gA.toSeq === sa.toSeq)
+    }
+  }
+
+  test("extended80 encodes integer sample rates exactly (AIFF COMM field)") {
+    // decode the 80-bit float back by hand: value = mant * 2^(exp-16383-63)
+    def back(b: Array[Byte]): Double = {
+      val exp = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+      var mant = 0L
+      for (i <- 0 until 8) mant = (mant << 8) | (b(2 + i) & 0xff)
+      // top bit is the explicit integer bit (mant is UNSIGNED);
+      // scale = exp - 16383 - 63
+      BigInt(java.lang.Long.toUnsignedString(mant)).toDouble *
+        math.pow(2.0, exp - 16383 - 63)
+    }
+    for (r <- Seq(1, 2, 3, 8000, 11025, 22050, 44100, 48000, 96000))
+      assert(back(Audio.extended80(r)) === r.toDouble, s"rate $r")
+  }
+
+  test("q_audio_mixed: five real encodings, one blind feature gate") {
+    val rows = Audio.qAudioMixed(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.take(25).foreach { r =>
+      val id = r.getLong(0)
+      val v = id % 5
+      assert(r.getString(1) === (if (v == 4) "aiff" else "wav"), s"doc $id container")
+      assert(r.getLong(2) === (if (v == 2) 24L else if (v == 3) 8L else 16L))
+      assert(r.getLong(3) === (if (v == 1) 2L else 1L))
+      assert(r.getLong(5) === id % 1500 + 400, s"doc $id n_frames")
+      // brute-force features from the generator formulas
+      val n = (id % 1500 + 400).toInt
+      val ch = if (v == 1) 2 else 1
+      def smp(i: Int, c: Int): Long = v match {
+        case 2 => Audio.sample24Formula(i, id).toLong
+        case 3 => Audio.sample8Formula(i, id).toLong
+        case _ => Audio.sampleFormula(i, id + c).toLong
+      }
+      var sumAbs = 0L; var hash = 0L
+      for (i <- 0 until n; c <- 0 until ch) {
+        sumAbs += math.abs(smp(i, c)); hash += smp(i, c) * (i + 1) * (c + 1)
+      }
+      assert(r.getLong(6) === sumAbs, s"doc $id sum_abs")
+      assert(r.getLong(7) === hash, s"doc $id hash")
+    }
+  }
+
   test("q_audio_meta: header metadata parsed back by the foreign decoder") {
     val rows = Audio.qAudioMeta(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
