@@ -27,7 +27,11 @@ from ab_probe import run_bench  # noqa: E402
 
 QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            "q_frame_sample", "q_audio_energy", "q_audio_meta",
-           "q_multimodal_meta"]
+           "q_multimodal_meta",
+           # r15 additions: the mixed audio-container gate and the
+           # image near-dup COUNT form (the declared scale shape; the
+           # pair form is output-bound by its own answer, like P52)
+           "q_audio_mixed", "q_image_dedup_count"]
 DATA_GROWTH = 10.0  # documents x10
 
 
