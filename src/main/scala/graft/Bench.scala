@@ -96,7 +96,11 @@ object Bench {
       }
       val sha = run("git", "rev-parse", "HEAD")
       if (!sha.matches("[0-9a-f]{40}")) "unknown"
-      else if (run("git", "status", "--porcelain").nonEmpty) sha + "-dirty"
+      // untracked-files=no: the artifact JSON this very run writes
+      // into the repo root must not mark the run dirty — only
+      // MODIFIED tracked sources mean the jar may not match HEAD
+      else if (run("git", "status", "--porcelain",
+        "--untracked-files=no").nonEmpty) sha + "-dirty"
       else sha
     } catch { case _: Throwable => "unknown" }
 
