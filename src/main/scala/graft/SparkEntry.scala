@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Audio, Corpus, CorpusStats, Events, Genomic, ImageDedup, Multimodal, Packing, Pipeline, Quality, Relational}
+import graft.queries.{Analytics, Audio, AudioDedup, Corpus, CorpusStats, Events, Genomic, ImageDedup, Multimodal, Packing, Pipeline, Quality, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Genomic.queries ++ Pipeline.queries ++
-      Multimodal.queries ++ Audio.queries ++ ImageDedup.queries ++
+      Multimodal.queries ++ Audio.queries ++ AudioDedup.queries ++ ImageDedup.queries ++
       Analytics.queries ++ Corpus.queries ++
       CorpusStats.queries ++ Events.queries ++ Quality.queries ++ Packing.queries
 
@@ -36,7 +36,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++
-      Multimodal.oracle ++ Audio.oracle ++ ImageDedup.oracle ++
+      Multimodal.oracle ++ Audio.oracle ++ AudioDedup.oracle ++ ImageDedup.oracle ++
       Analytics.oracle ++ Corpus.oracle ++
       CorpusStats.oracle ++ Events.oracle ++ Quality.oracle ++ Packing.oracle
 }

@@ -124,38 +124,14 @@ object ImageDedup {
       .toDF("doc_id", "sig")
   }
 
-  /** The 4×16-bit banding of a 64-bit dHash (P52's identity at double
-    * width, as its own Scaladoc prescribes for denser spaces). */
-  private val bandsExpr = "sequence(0, 3)"
-  private val bandBitsExpr = "CAST(shiftright(sig, 16 * band) & 65535 AS INT)"
-
   def qImageDedup(s: SparkSession, d: String): DataFrame = {
-    // the P52 plan, re-keyed on the image signature: materialize the
-    // 16-byte/doc sig frame once (five consumers), run ALL banded work
-    // over DISTINCT signatures, expand doc pairs from verified sig
-    // pairs only
+    // the P52 plan, re-keyed on the image signature — 4×16-bit bands
+    // over 64-bit sigs (the banding identity at double width, as
+    // P52's own Scaladoc prescribes for denser spaces); the banded
+    // construction is HammingDedup's one spelling.  The 16-byte/doc
+    // sig frame materializes once (five consumers).
     val sigs = dhashFrame(s, d).localCheckpoint()
-    val uniq = sigs.select("sig").distinct()
-    val bands = uniq
-      .select(col("sig"), explode(expr(bandsExpr)).as("band"))
-      .withColumn("bits", expr(bandBitsExpr))
-    val sigPairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.sig") < col("b.sig"))
-      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct() // a sig pair may agree on several bands
-      .withColumn("dist", expr("graft_hamming64(sig_a, sig_b)"))
-      .filter(col("dist") <= MaxDist)
-    val crossSig = sigPairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "sig_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "sig_b")
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
-    val sameSig = sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0).cast("int").as("dist"))
-    sameSig.unionAll(crossSig).orderBy("doc_a", "doc_b")
+    graft.operators.HammingDedup.pairs(sigs, "sig", MaxDist, bandBits = 16)
   }
 
   /** Count-only form (the P52b discipline): per-distance pair counts
@@ -166,23 +142,7 @@ object ImageDedup {
     val groups = dhashFrame(s, d)
       .groupBy("sig").agg(count(lit(1)).as("g"))
       .localCheckpoint() // one decode pass feeds all three consumers
-    val bands = groups
-      .select(col("sig"), explode(expr(bandsExpr)).as("band"))
-      .withColumn("bits", expr(bandBitsExpr))
-    val crossCounts = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.sig") < col("b.sig"))
-      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("dist", expr("graft_hamming64(sig_a, sig_b)"))
-      .filter(col("dist") <= MaxDist && col("dist") > 0)
-      .join(groups.select(col("sig").as("sig_a"), col("g").as("g_a")), "sig_a")
-      .join(groups.select(col("sig").as("sig_b"), col("g").as("g_b")), "sig_b")
-      .groupBy("dist").agg(sum(col("g_a") * col("g_b")).as("n_pairs"))
-    val sameCounts = groups
-      .select(lit(0).cast("int").as("dist"), expr("(g * (g - 1)) DIV 2").as("p"))
-      .groupBy("dist").agg(sum("p").as("n_pairs"))
-    sameCounts.unionAll(crossCounts).filter(col("n_pairs") > 0).orderBy("dist")
+    graft.operators.HammingDedup.counts(groups, "sig", MaxDist, bandBits = 16)
   }
 
   /** The DuckDB replay of pool → gradient sign → 64-bit packing, as

@@ -38,9 +38,13 @@ object Quality {
   // The signature frame is shared verbatim with P3 (Pipeline
   // .simhashFrame), so the dedup and the near-dup views cannot drift.
   /** The 4×8-bit banding of a 32-bit simhash — shared VERBATIM with
-    * the streaming near-dup ([[graft.streaming.StreamNearDedup]]). */
-  private[graft] val bandsExpr = "sequence(0, 3)"
-  private[graft] val bandBitsExpr = "CAST(shiftright(simhash, 8 * band) & 255 AS INT)"
+    * the streaming near-dup ([[graft.streaming.StreamNearDedup]]) and
+    * spelled once in [[graft.operators.HammingDedup]] (r15: the same
+    * machinery now also carries P71 image dHash and P72 audio
+    * envelope-hash at 64-bit × 16-bit-band width). */
+  private[graft] val bandsExpr = graft.operators.HammingDedup.bandsExpr
+  private[graft] val bandBitsExpr =
+    graft.operators.HammingDedup.bandBitsExpr("simhash", 8)
 
   def qSimhashHamming(s: SparkSession, d: String): DataFrame = {
     // materialize the tiny (doc_id, sig) frame ONCE: the plan consumes
@@ -49,38 +53,11 @@ object Quality {
     // token signature kernel over the full corpus — twice per scan,
     // since the join null-filters evaluate it too (measured ~8 kernel
     // passes ≈ 70% of sf1 runtime).  16 bytes/doc — block-manager
-    // resident at any corpus scale that fits a cluster.
+    // resident at any corpus scale that fits a cluster.  The banded
+    // construction (identical-signature collapse, distinct-sig
+    // verify, member-join expansion) is HammingDedup's one spelling.
     val sigs = Pipeline.simhashFrame(s, d).localCheckpoint()
-    // Identical-signature collapse (the r9 SimJoin move): ALL banded
-    // work runs over DISTINCT signatures, so candidate volume scales
-    // with the signature vocabulary, not the corpus — on a corpus
-    // with heavy duplication (this one: 386 sigs over 500 docs) the
-    // doc-level band join would re-verify every member pair of every
-    // dup-group × dup-group combination.  Dist-0 pairs expand from
-    // the same-sig groups; dist-1/2 pairs expand from the verified
-    // distinct-sig pairs via two member joins (output-bound — no
-    // wasted candidate work).
-    val uniq = sigs.select("simhash").distinct()
-    val bands = uniq
-      .select(col("simhash"), explode(expr(bandsExpr)).as("band"))
-      .withColumn("bits", expr(bandBitsExpr))
-    val sigPairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct() // a sig pair may agree on several bands
-      .withColumn("dist", expr("graft_hamming64(sim_a, sim_b)"))
-      .filter(col("dist") <= 2)
-    val crossSig = sigPairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a")), "sim_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), "sim_b")
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
-    val sameSig = sigs.as("a").join(sigs.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0).cast("int").as("dist"))
-    sameSig.unionAll(crossSig).orderBy("doc_a", "doc_b")
+    graft.operators.HammingDedup.pairs(sigs, "simhash", maxDist = 2, bandBits = 8)
   }
 
   val qSimhashHammingSql: String =
@@ -104,23 +81,7 @@ object Quality {
     val groups = Pipeline.simhashFrame(s, d)
       .groupBy("simhash").agg(count(lit(1)).as("g"))
       .localCheckpoint() // one signature pass feeds all three consumers
-    val bands = groups
-      .select(col("simhash"), explode(expr(bandsExpr)).as("band"))
-      .withColumn("bits", expr(bandBitsExpr))
-    val crossCounts = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("dist", expr("graft_hamming64(sim_a, sim_b)"))
-      .filter(col("dist") <= 2 && col("dist") > 0)
-      .join(groups.select(col("simhash").as("sim_a"), col("g").as("g_a")), "sim_a")
-      .join(groups.select(col("simhash").as("sim_b"), col("g").as("g_b")), "sim_b")
-      .groupBy("dist").agg(sum(col("g_a") * col("g_b")).as("n_pairs"))
-    val sameCounts = groups
-      .select(lit(0).cast("int").as("dist"), expr("(g * (g - 1)) DIV 2").as("p"))
-      .groupBy("dist").agg(sum("p").as("n_pairs"))
-    sameCounts.unionAll(crossCounts).filter(col("n_pairs") > 0).orderBy("dist")
+    graft.operators.HammingDedup.counts(groups, "simhash", maxDist = 2, bandBits = 8)
   }
 
   val qSimhashHammingCountSql: String =
