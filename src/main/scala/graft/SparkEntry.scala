@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Audio, AudioDedup, Corpus, CorpusStats, Events, Genomic, ImageDedup, Multimodal, Packing, Pipeline, Quality, Relational}
+import graft.queries.{Analytics, Audio, AudioDedup, Corpus, CorpusStats, Events, Genomic, ImageDedup, Multimodal, Packing, Pipeline, Quality, Relational, VideoDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Genomic.queries ++ Pipeline.queries ++
       Multimodal.queries ++ Audio.queries ++ AudioDedup.queries ++ ImageDedup.queries ++
+      VideoDedup.queries ++
       Analytics.queries ++ Corpus.queries ++
       CorpusStats.queries ++ Events.queries ++ Quality.queries ++ Packing.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Genomic.oracle ++ Pipeline.oracle ++
       Multimodal.oracle ++ Audio.oracle ++ AudioDedup.oracle ++ ImageDedup.oracle ++
+      VideoDedup.oracle ++
       Analytics.oracle ++ Corpus.oracle ++
       CorpusStats.oracle ++ Events.oracle ++ Quality.oracle ++ Packing.oracle
 }

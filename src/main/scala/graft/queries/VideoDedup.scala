@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** P73 — video near-dup via shared frame fingerprints (r15): the
+  * re-cut detector a 100 TB multimodal pipeline runs over video
+  * corpora — two videos are near-dups when they share enough frames,
+  * which finds clips, re-cuts and re-containerized copies without ever
+  * comparing videos pairwise.  Composed from three layers that already
+  * exist, shared VERBATIM: [[Multimodal.sampleFrames]] (idx1-seeking
+  * extraction from the real RIFF-AVI container),
+  * [[Multimodal.decodeGray]] (the foreign ImageIO decode) and
+  * [[ImageDedup.dHash64]] (the P71 frame fingerprint).
+  *
+  * Shape: per-video DISTINCT frame dHashes (scan-local — container
+  * walk, decode, pool and sign all inside one flatMap; only
+  * (doc_id, fsig) leaves the stage), then a self equi-join on the
+  * 64-bit signature (fixed-width keys through the shuffle, never
+  * all-pairs) counts shared frames per video pair; pairs with
+  * ≥ [[MinShared]] shared fingerprints are reported.  This is the
+  * frame-level analog of the P52/P71/P72 banding discipline: candidate
+  * volume scales with the frame-signature vocabulary, not with the
+  * number of video pairs.
+  *
+  * Fixture: docs pair up as (2g, 2g+1) over video group g — the even
+  * doc is a real AVI of frames 0..nf-1, the odd doc a RE-CUT holding
+  * only the even-indexed source frames (same pixels, re-encoded PNG,
+  * new container, new frame numbering).  A pair lands only if frame
+  * extraction, decode and fingerprint are bit-identical across two
+  * independently built containers.
+  *
+  * Oracle: replays frame pixels → 9×8 pool → gradient sign → 64-bit
+  * packing (two 32-bit halves) → distinct → sig equi-join → pair
+  * count, all in integer arithmetic.
+  */
+object VideoDedup {
+
+  /** Minimum shared distinct frame fingerprints to call a pair. */
+  val MinShared = 2
+
+  /** The deterministic frame-pixel formula shared with the oracle:
+    * the P71 base pattern plus a per-frame offset (mod-256 wraps make
+    * it a genuinely different gradient field per frame, not a uniform
+    * brightness shift dHash would erase). */
+  @inline def framePix(x: Int, y: Int, g: Long, f: Int): Int =
+    (((x.toLong * 31 + y.toLong * 17) * (g % 13 + 3) + g * 7 + f.toLong * 101) % 256).toInt
+
+  /** Frame count of group g's base video (4..9). */
+  @inline def frameCount(g: Long): Int = (g % 6 + 4).toInt
+
+  /** The cross-container re-cut corpus: group g = doc_id / 2; even doc
+    * = AVI of frames 0..nf-1, odd doc = AVI of the even-indexed source
+    * frames only (⌈nf/2⌉ ≥ 2 shared fingerprints by construction).
+    * Dims (≥ 16×16) derive from g so pair members share geometry. */
+  def videoPayloadsPaired(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // full-width pixel stage off a byte-planned narrow scan (the
+    // Multimodal.videoPayloads 100 TB lesson)
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 2
+        val w = (g % 24 + 16).toInt
+        val h = (g % 18 + 16).toInt
+        val nf = frameCount(g)
+        val srcFrames: Seq[Int] =
+          if (id % 2 == 0) 0 until nf
+          else 0 until nf by 2 // the re-cut: even source frames only
+        Multimodal.MediaIn(id, Multimodal.buildAviFrom(
+          srcFrames.map(f => Multimodal.encodePngGray(w, h,
+            Array.tabulate(w * h)(i => framePix(i % w, i / w, g, f)))),
+          w, h))
+      })
+      .toDF()
+  }
+
+  /** (doc_id, fsig) — one row per DISTINCT frame fingerprint of each
+    * video: idx1 walk (stride 1: near-dup needs every frame) + decode
+    * + P71 dHash, one scan-local flatMap. */
+  private[graft] def frameSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoPayloadsPaired(s, d)
+      .as[Multimodal.MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        Multimodal.sampleFrames(m.payload, stride = 1, ctx = s"doc_id=${m.doc_id}")
+          .map { case (_, png) =>
+            val (w, h, pix) = Multimodal.decodeGray(png)
+            (m.doc_id, ImageDedup.dHash64(w, h, pix))
+          }
+      })
+      .toDF("doc_id", "fsig")
+      .distinct()
+  }
+
+  def qVideoDedup(s: SparkSession, d: String): DataFrame = {
+    val sigs = frameSigs(s, d).localCheckpoint() // both join sides, one decode pass
+    sigs.as("a").join(sigs.as("b"),
+        col("a.fsig") === col("b.fsig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= MinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qVideoDedupSql: String =
+    s"""WITH dims AS (
+      |  SELECT doc_id, doc_id // 2 AS g,
+      |    CAST((doc_id // 2) % 6 + 4 AS BIGINT) AS nf,
+      |    CAST((doc_id // 2) % 24 + 16 AS BIGINT) AS width,
+      |    CAST((doc_id // 2) % 18 + 16 AS BIGINT) AS height
+      |  FROM documents
+      |), fr0 AS (
+      |  SELECT *, unnest(range(CASE WHEN doc_id % 2 = 0 THEN nf
+      |                              ELSE (nf + 1) // 2 END)) AS j
+      |  FROM dims
+      |), fr AS (
+      |  SELECT doc_id, g, width, height,
+      |    CASE WHEN doc_id % 2 = 0 THEN j ELSE 2 * j END AS f
+      |  FROM fr0
+      |), px1 AS (
+      |  SELECT *, unnest(range(width)) AS x FROM fr
+      |), px AS (
+      |  SELECT *, unnest(range(height)) AS y FROM px1
+      |), pval AS (
+      |  SELECT doc_id, f, width, height, x, y,
+      |    ((x*31 + y*17) * (g % 13 + 3) + g*7 + f*101) % 256 AS v
+      |  FROM px
+      |), pooled AS (
+      |  SELECT doc_id, f,
+      |    (x * 9) // width AS tx, (y * 8) // height AS ty,
+      |    CAST(SUM(v) // COUNT(*) AS BIGINT) AS pv
+      |  FROM pval
+      |  GROUP BY doc_id, f, (x * 9) // width, (y * 8) // height
+      |), bits AS (
+      |  SELECT l.doc_id, l.f, l.ty * 8 + l.tx AS b,
+      |    CASE WHEN r.pv > l.pv THEN 1 ELSE 0 END AS bit
+      |  FROM pooled l JOIN pooled r
+      |    ON l.doc_id = r.doc_id AND l.f = r.f AND l.ty = r.ty AND r.tx = l.tx + 1
+      |), sig AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id, f
+      |), dsig AS (
+      |  SELECT DISTINCT doc_id, lo, hi FROM sig
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+      |FROM dsig a JOIN dsig b
+      |  ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_video_dedup" -> (qVideoDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_video_dedup" -> qVideoDedupSql)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{ImageDedup, Multimodal, VideoDedup}
+
+/** Video near-dup via shared frame fingerprints (P73): the re-cut
+  * fixture's pairing property, equivalence to a brute-force frame-set
+  * intersection, and the plan shape (sig equi-join, never all-pairs). */
+class VideoDedupSpec extends SparkSpec {
+
+  test("a re-cut video shares exactly its even source frames' fingerprints") {
+    for (g <- 0L until 200L) {
+      val w = (g % 24 + 16).toInt
+      val h = (g % 18 + 16).toInt
+      val nf = VideoDedup.frameCount(g)
+      def sigOf(f: Int): Long = {
+        val png = Multimodal.encodePngGray(w, h,
+          Array.tabulate(w * h)(i => VideoDedup.framePix(i % w, i / w, g, f)))
+        val (dw, dh, pix) = Multimodal.decodeGray(png)
+        ImageDedup.dHash64(dw, dh, pix)
+      }
+      val baseSigs = (0 until nf).map(sigOf).toSet
+      val twinSigs = (0 until nf by 2).map(sigOf).toSet
+      assert(twinSigs.subsetOf(baseSigs), s"g=$g")
+      assert(twinSigs.size >= VideoDedup.MinShared,
+        s"g=$g: re-cut carries ${twinSigs.size} distinct fingerprints")
+    }
+  }
+
+  test("q_video_dedup equals a brute-force frame-set intersection count") {
+    val d = "/root/testdata/sf0.001"
+    val got = VideoDedup.qVideoDedup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = VideoDedup.frameSigs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = byDoc.keys.toSeq.sorted
+    val want = for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      shared = (byDoc(docs(i)) & byDoc(docs(j))).size.toLong
+      if shared >= VideoDedup.MinShared
+    } yield (docs(i), docs(j), shared)
+    assert(got.toSeq === want.sortBy(p => (p._1, p._2)))
+    // every fixture pair (2g, 2g+1) must land: the re-cut construction
+    // guarantees >= MinShared shared fingerprints across two containers
+    val fixturePairs = got.count { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(fixturePairs === docs.length / 2,
+      s"$fixturePairs of ${docs.length / 2} re-cut pairs found")
+  }
+
+  test("the pair plan is a sig equi-join, never all-pairs") {
+    val plan = VideoDedup.qVideoDedup(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
