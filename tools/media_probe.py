@@ -31,7 +31,11 @@ QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            # r15 additions: the mixed audio-container gate and the
            # image near-dup COUNT form (the declared scale shape; the
            # pair form is output-bound by its own answer, like P52)
-           "q_audio_mixed", "q_image_dedup_count"]
+           "q_audio_mixed", "q_image_dedup_count",
+           # late-r15: the audio/video near-dup scale shapes (count
+           # form / pair-aggregated form — scan-local fingerprints,
+           # banded or sig-keyed joins, nothing pairwise)
+           "q_audio_dedup_count", "q_video_dedup"]
 DATA_GROWTH = 10.0  # documents x10
 
 
