@@ -160,6 +160,37 @@ object StreamBench {
     val probeStart = Bench.calibrate()
     val probeParStart = Bench.calibratePar(cpus)
 
+    // Par-probe pre-gate (the Bench r15 discipline, extended here —
+    // stream regimes are 8-minute suites and the suspect protocol
+    // would reject a >gate window's artifact anyway): with
+    // SPARK_GRAFT_PROBE_GATE set, abort in seconds when the start-of-
+    // run parallel probe is already that far above the prior round's
+    // STREAMBENCH anchor.
+    sys.env.get("SPARK_GRAFT_PROBE_GATE")
+      .flatMap(g => scala.util.Try(g.toDouble).toOption).foreach { gate =>
+        for {
+          (file, _, _, prevParOpt) <- Bench.prevProbeAnchor(
+            """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH")
+          prevPar <- prevParOpt
+          ratio = probeParStart / prevPar
+          if ratio > gate
+        } {
+          val msg = f"parallel probe $probeParStart%.3fs is $ratio%.2fx the " +
+            f"anchor ($prevPar%.3fs in $file), over gate $gate%.2f -- aborting " +
+            "before the suite runs"
+          val aj = s"""{"aborted":true,"reason":"${esc(msg)}",""" +
+            s""""probe_par_sec":$probeParStart,"anchor_par_sec":$prevPar,""" +
+            s""""ratio":$ratio,"gate":$gate,"git_sha":"${esc(Bench.gitSha())}"}"""
+          println(aj)
+          val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "streambench_out.json")
+          try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+            (aj + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: Throwable => () }
+          spark.stop()
+          sys.exit(3)
+        }
+      }
+
     // ---- inputs, all in event-time order ------------------------------
     val min_ = 60L * 1000000L
     val base = 1700000000000000L // µs
