@@ -159,6 +159,7 @@ object StreamBench {
     val loadStart = Bench.loadavg()
     val probeStart = Bench.calibrate()
     val probeParStart = Bench.calibratePar(cpus)
+    val fsyncStart = Bench.fsyncProbe()
 
     // Par-probe pre-gate (the Bench r15 discipline, extended here —
     // stream regimes are 8-minute suites and the suspect protocol
@@ -372,6 +373,7 @@ object StreamBench {
     val probeEnd = Bench.calibrate()
     val probeParEnd = Bench.calibratePar(cpus)
     val probePar = math.min(probeParStart, probeParEnd)
+    val fsyncEnd = Bench.fsyncProbe()
     val loadEnd = Bench.loadavg()
     val (gcCount, gcMs) = Bench.gcTotals()
 
@@ -412,6 +414,30 @@ object StreamBench {
         case _ =>
       }
     }
+    // Disk-latency anchor (the r15 blind spot: micro-batch totals pay
+    // per-batch checkpoint fsyncs, so host I/O latency inflates every
+    // operator uniformly while the CPU probes stay flat — micro16 ran
+    // 1.4x r14 across ALL operators at CPU-probe parity with nothing
+    // in the artifact to say why).  First recorded this round; flags
+    // from r16 on, once an anchor carries the field.
+    val fsyncRun =
+      if (fsyncStart > 0 && fsyncEnd > 0) math.min(fsyncStart, fsyncEnd)
+      else math.max(fsyncStart, fsyncEnd)
+    prevAnchor.foreach { case (file, _, _, _) =>
+      val prevFsync = try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8")
+        """"fsync_ms_run"\s*:\s*([0-9.eE+-]+)""".r
+          .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case _: Throwable => None }
+      prevFsync.foreach { pf =>
+        val ratio = fsyncRun / pf
+        if (fsyncRun > 0 && ratio > 2.5)
+          reasons += f"disk fsync probe $fsyncRun%.1fms is $ratio%.1fx the " +
+            f"prior round's ($pf%.1fms in $file) -- micro-batches pay " +
+            "checkpoint fsyncs per batch"
+      }
+    }
     val suspect = reasons.nonEmpty
     val partiallySuspect = suspectQueries.nonEmpty
 
@@ -445,7 +471,9 @@ object StreamBench {
       s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
       s""""probe_median_sec":$probeMedian,""" +
       s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
-      s""""probe_par_sec":$probePar,""" + pvp +
+      s""""probe_par_sec":$probePar,""" +
+      s""""fsync_ms_start":$fsyncStart,"fsync_ms_end":$fsyncEnd,""" +
+      s""""fsync_ms_run":$fsyncRun,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       s""""git_sha":"${esc(Bench.gitSha())}","micro_batches":$nBatches}"""
     // regime label: "micro16"-style fixed-round-dominated runs vs

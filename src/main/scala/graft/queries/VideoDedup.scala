@@ -17,13 +17,16 @@ import graft.Tables
   *
   * Shape: per-video DISTINCT frame dHashes (scan-local — container
   * walk, decode, pool and sign all inside one flatMap; only
-  * (doc_id, fsig) leaves the stage), then a self equi-join on the
-  * 64-bit signature (fixed-width keys through the shuffle, never
-  * all-pairs) counts shared frames per video pair; pairs with
-  * ≥ [[MinShared]] shared fingerprints are reported.  This is the
-  * frame-level analog of the P52/P71/P72 banding discipline: candidate
-  * volume scales with the frame-signature vocabulary, not with the
-  * number of video pairs.
+  * (doc_id, fsig) leaves the stage), a STOP-FRAME guard dropping
+  * signatures carried by more than [[MaxSigDf]] videos (ubiquitous
+  * frames — black frames, intro cards — contribute C(df,2) candidates
+  * each and zero near-dup signal; the winnowing df-cap discipline
+  * applied to frames), then a self equi-join on the 64-bit signature
+  * (fixed-width keys through the shuffle, never all-pairs) counts
+  * shared frames per video pair; pairs with ≥ [[MinShared]] shared
+  * fingerprints are reported.  Candidate volume scales with the
+  * frame-signature vocabulary and is df-bounded per signature, not
+  * with the number of video pairs.
   *
   * Fixture: docs pair up as (2g, 2g+1) over video group g — the even
   * doc is a real AVI of frames 0..nf-1, the odd doc a RE-CUT holding
@@ -41,12 +44,28 @@ object VideoDedup {
   /** Minimum shared distinct frame fingerprints to call a pair. */
   val MinShared = 2
 
+  /** Stop-frame guard: signatures carried by more than this many
+    * videos are dropped before the pair join.  A real video corpus
+    * has ubiquitous frames — black frames, intro cards — whose sig
+    * groups would contribute C(df,2) candidate pairs each while
+    * carrying zero near-dup signal; capping their document frequency
+    * is the winnowing/shingle df-cap discipline applied to frames,
+    * and it is what keeps the self-join linear at corpus scale
+    * (MEDIAPROBE r15 caught the uncapped form going 2.1× SUPERLINEAR
+    * at ×10 docs once the fixture's pattern space saturated). */
+  val MaxSigDf = 64
+
   /** The deterministic frame-pixel formula shared with the oracle:
-    * the P71 base pattern plus a per-frame offset (mod-256 wraps make
-    * it a genuinely different gradient field per frame, not a uniform
-    * brightness shift dHash would erase). */
+    * the P71-style base pattern plus a per-frame offset (mod-256
+    * wraps make it a genuinely different gradient field per frame,
+    * not a uniform brightness shift dHash would erase).  The
+    * multiplier cycles mod 251 (prime, near the 8-bit ceiling — a
+    * multiplier only acts through its value mod 256), spreading the
+    * frame-content vocabulary to ~28M so the corpus doesn't saturate
+    * it at the probed scales; the r15 original cycled mod 13 and
+    * collapsed sf10's 2.5M frames onto ~240k distinct images. */
   @inline def framePix(x: Int, y: Int, g: Long, f: Int): Int =
-    (((x.toLong * 31 + y.toLong * 17) * (g % 13 + 3) + g * 7 + f.toLong * 101) % 256).toInt
+    (((x.toLong * 31 + y.toLong * 17) * (g % 251 + 3) + g * 7 + f.toLong * 101) % 256).toInt
 
   /** Frame count of group g's base video (4..9). */
   @inline def frameCount(g: Long): Int = (g % 6 + 4).toInt
@@ -96,8 +115,17 @@ object VideoDedup {
       .distinct()
   }
 
-  def qVideoDedup(s: SparkSession, d: String): DataFrame = {
-    val sigs = frameSigs(s, d).localCheckpoint() // both join sides, one decode pass
+  /** Guard + pair join + per-pair count over a (doc_id, fsig) frame of
+    * DISTINCT per-video signatures — split out so the stop-frame guard
+    * is testable against a hand-built ubiquitous-sig corpus. */
+  private[graft] def sharedFramePairs(all: DataFrame): DataFrame = {
+    // stop-frame guard: drop ubiquitous signatures BEFORE the pair
+    // join (df counts the videos carrying the frame); the df agg and
+    // the join shuffle on the same key, so the guard rides the
+    // partitioning the join needs anyway
+    val rare = all.groupBy("fsig").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxSigDf).select("fsig")
+    val sigs = all.join(rare, "fsig")
     sigs.as("a").join(sigs.as("b"),
         col("a.fsig") === col("b.fsig") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -105,6 +133,10 @@ object VideoDedup {
       .filter(col("shared_frames") >= MinShared)
       .orderBy("doc_a", "doc_b")
   }
+
+  def qVideoDedup(s: SparkSession, d: String): DataFrame =
+    // one decode pass feeds the df agg and both join sides
+    sharedFramePairs(frameSigs(s, d).localCheckpoint())
 
   val qVideoDedupSql: String =
     s"""WITH dims AS (
@@ -127,7 +159,7 @@ object VideoDedup {
       |  SELECT *, unnest(range(height)) AS y FROM px1
       |), pval AS (
       |  SELECT doc_id, f, width, height, x, y,
-      |    ((x*31 + y*17) * (g % 13 + 3) + g*7 + f*101) % 256 AS v
+      |    ((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 AS v
       |  FROM px
       |), pooled AS (
       |  SELECT doc_id, f,
@@ -147,8 +179,13 @@ object VideoDedup {
       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
       |             ELSE 0 END) AS BIGINT) AS hi
       |  FROM bits GROUP BY doc_id, f
-      |), dsig AS (
+      |), dsig0 AS (
       |  SELECT DISTINCT doc_id, lo, hi FROM sig
+      |), rare AS (
+      |  SELECT lo, hi FROM dsig0 GROUP BY lo, hi HAVING COUNT(*) <= $MaxSigDf
+      |), dsig AS (
+      |  SELECT d.doc_id, d.lo, d.hi FROM dsig0 d JOIN rare r
+      |    ON d.lo = r.lo AND d.hi = r.hi
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(COUNT(*) AS BIGINT) AS shared_frames

@@ -89,4 +89,17 @@ class BenchProtocolSpec extends AnyFunSuite {
     // a real SHA, not the fallback
     assert(sha != "unknown")
   }
+
+  test("the dirty scan ignores harness OUTPUT artifacts, never sources (late r15)") {
+    // the r15 lesson: a retry loop's gated stub overwriting the prior
+    // committed BENCH_SF01_r15.json dirty-marked every later run in
+    // the train even though the source tree matched HEAD exactly
+    for (out <- Seq("BENCH_SF1_r15.json", "BENCH_SF01_r9.json", "BENCH_r01.json",
+        "STREAMBENCH_r15.json", "FORMATBENCH_r14.json", "PLANAUDIT_r12.json",
+        "MEDIAPROBE_r14.json", "CORRECTNESS_r15.json"))
+      assert(Bench.isBenchArtifact(out), out)
+    for (src <- Seq("src/main/scala/graft/Bench.scala", "build.sbt",
+        "tools/ratio.py", "SURVEY.md", "BENCHNOTES_r15.md", "bench_r15.json"))
+      assert(!Bench.isBenchArtifact(src), src)
+  }
 }

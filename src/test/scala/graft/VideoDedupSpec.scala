@@ -30,8 +30,11 @@ class VideoDedupSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     val got = VideoDedup.qVideoDedup(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val byDoc = VideoDedup.frameSigs(spark, d)
+    val rows = VideoDedup.frameSigs(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the stop-frame guard, replayed: drop sigs carried by > MaxSigDf videos
+    val df = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val byDoc = rows.filter(p => df(p._2) <= VideoDedup.MaxSigDf)
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val docs = byDoc.keys.toSeq.sorted
     val want = for {
@@ -46,6 +49,19 @@ class VideoDedupSpec extends SparkSpec {
     val fixturePairs = got.count { case (a, b, _) => b == a + 1 && a % 2 == 0 }
     assert(fixturePairs === docs.length / 2,
       s"$fixturePairs of ${docs.length / 2} re-cut pairs found")
+  }
+
+  test("the stop-frame guard drops ubiquitous signatures, keeps discriminative ones") {
+    import spark.implicits._
+    // sig 999 is carried by MaxSigDf+6 videos (a "black frame"); docs
+    // 0 and 1 additionally share two discriminative sigs.  Without the
+    // guard the ubiquitous sig alone would emit C(70,2) pairs.
+    val ubiq = (0L until (VideoDedup.MaxSigDf + 6).toLong).map(d => (d, 999L))
+    val real = Seq((0L, 5L), (1L, 5L), (0L, 6L), (1L, 6L))
+    val all = (ubiq ++ real).toDF("doc_id", "fsig")
+    val got = VideoDedup.sharedFramePairs(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 2L)))
   }
 
   test("the pair plan is a sig equi-join, never all-pairs") {
