@@ -182,7 +182,11 @@ object Bench {
           .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
         val susp = """"suspect"\s*:\s*(true|false)""".r
           .findFirstMatchIn(s).exists(_.group(1) == "true")
-        pm.filter(_ > 0).map(v => (p.getFileName.toString, v, susp, par))
+        // full PATH, not basename: consumers re-read the anchor file
+        // (per-query medians, StreamBench's fsync line) and a
+        // basename silently failed to resolve whenever the env var
+        // pointed outside the cwd (ADVICE r15)
+        pm.filter(_ > 0).map(v => (p.toString, v, susp, par))
       } catch { case _: Throwable => None }
     sys.env.get(envKey) match {
       case Some(path) => parse(java.nio.file.Paths.get(path))
@@ -225,7 +229,9 @@ object Bench {
     val clean = crossRound.filter(!_._2._3)
     (if (clean.nonEmpty) clean else crossRound)
       .sortBy { case (round, (name, _, _, _)) =>
-        (-round, if (preferPrefix.exists(name.startsWith)) 0 else 1, name)
+        // prefix-match on the BASENAME — candidates carry full paths
+        val base = java.nio.file.Paths.get(name).getFileName.toString
+        (-round, if (preferPrefix.exists(base.startsWith)) 0 else 1, base)
       }.headOption.map(_._2)
   }
 
@@ -320,8 +326,12 @@ object Bench {
             s""""probe_par_sec":$probeParStart,"anchor_par_sec":$prevPar,""" +
             s""""ratio":$ratio,"gate":$gate,"git_sha":"${esc(sha)}"}"""
           println(aj)
+          // SIDECAR, not the target path: a retry loop points
+          // SPARK_GRAFT_BENCH_OUT at the round's (possibly committed,
+          // possibly multi-regime) artifact, and a truncating stub
+          // write there destroys prior measurement lines (ADVICE r15)
           val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-          try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          try java.nio.file.Files.write(java.nio.file.Paths.get(out + ".aborted"),
             (aj + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           catch { case _: Throwable => () }
           spark.stop()

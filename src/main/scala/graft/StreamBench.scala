@@ -183,8 +183,12 @@ object StreamBench {
             s""""probe_par_sec":$probeParStart,"anchor_par_sec":$prevPar,""" +
             s""""ratio":$ratio,"gate":$gate,"git_sha":"${esc(Bench.gitSha())}"}"""
           println(aj)
+          // SIDECAR, not the target path (ADVICE r15): the retry-train
+          // scenario points SPARK_GRAFT_BENCH_OUT at a multi-regime
+          // artifact — a truncating stub write would erase the other
+          // regime's committed line
           val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "streambench_out.json")
-          try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          try java.nio.file.Files.write(java.nio.file.Paths.get(out + ".aborted"),
             (aj + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           catch { case _: Throwable => () }
           spark.stop()
@@ -418,17 +422,29 @@ object StreamBench {
     // per-batch checkpoint fsyncs, so host I/O latency inflates every
     // operator uniformly while the CPU probes stay flat — micro16 ran
     // 1.4x r14 across ALL operators at CPU-probe parity with nothing
-    // in the artifact to say why).  First recorded this round; flags
-    // from r16 on, once an anchor carries the field.
+    // in the artifact to say why).  Arms only once the chosen anchor
+    // line carries fsync_ms_run — the committed STREAMBENCH_r15 lines
+    // predate the probe, so the first armed comparison is r17 vs r16
+    // (ADVICE r15: the original comment here overstated when it fires).
     val fsyncRun =
       if (fsyncStart > 0 && fsyncEnd > 0) math.min(fsyncStart, fsyncEnd)
       else math.max(fsyncStart, fsyncEnd)
     prevAnchor.foreach { case (file, _, _, _) =>
       val prevFsync = try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file)), "UTF-8")
-        """"fsync_ms_run"\s*:\s*([0-9.eE+-]+)""".r
-          .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
+        // a STREAMBENCH artifact carries one JSON line PER REGIME:
+        // compare against the line matching THIS run's regime (the two
+        // regimes run at different dirs/batch counts, and ADVICE r15
+        // noted findFirstMatchIn silently always read the first line)
+        val regimeNow = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
+          s"batches$nBatches")
+        val lines = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8").linesIterator.toSeq
+        val line = lines.find(
+            _.contains(s""""regime":"${esc(regimeNow)}""""))
+          .orElse(if (lines.size == 1) lines.headOption else None)
+        line.flatMap(
+          """"fsync_ms_run"\s*:\s*([0-9.eE+-]+)""".r
+            .findFirstMatchIn(_).map(_.group(1).toDouble).filter(_ > 0))
       } catch { case _: Throwable => None }
       prevFsync.foreach { pf =>
         val ratio = fsyncRun / pf

@@ -96,8 +96,11 @@ object AudioDedup {
       .toDF()
   }
 
-  /** (doc_id, sig) — decode through the foreign SPI parsers + envelope
-    * dHash, one scan-local map.  Shared by the pair and count forms. */
+  /** (doc_id, sig, n_samples) — decode through the foreign SPI parsers
+    * + envelope dHash, one scan-local map; n_samples comes from the
+    * DECODED stream (not doc_id arithmetic — the keeper criterion must
+    * come from the audio itself).  Shared by the pair, count and
+    * cluster-keep forms. */
   private[graft] def sigFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     audioPayloadsPaired(s, d)
@@ -105,14 +108,35 @@ object AudioDedup {
       .mapPartitions(_.map { a =>
         val (_, _, bits, samples) = Audio.decodePcm(a.payload, s"doc_id=${a.doc_id}")
         require(bits == 16, s"expected 16-bit PCM, got $bits-bit doc_id=${a.doc_id}")
-        (a.doc_id, envHash64(samples))
+        (a.doc_id, envHash64(samples), samples.length.toLong)
       })
-      .toDF("doc_id", "sig")
+      .toDF("doc_id", "sig", "n_samples")
   }
 
   def qAudioDedup(s: SparkSession, d: String): DataFrame = {
-    val sigs = sigFrame(s, d).localCheckpoint() // five consumers, one decode pass
+    // five consumers, one decode pass
+    val sigs = sigFrame(s, d).select("doc_id", "sig").localCheckpoint()
     HammingDedup.pairs(sigs, "sig", MaxDist, bandBits = 16)
+  }
+
+  /** The ACTION step (VERDICT r15 item 4): audio dedup ending in a
+    * KEEP-LIST — verified banded pairs → P2b label propagation
+    * ([[Pipeline.componentLabels]], shared verbatim) → P36 keeper
+    * window re-keyed on recording length (longest decoded recording
+    * wins, doc_id tiebreak).  One row per multi-member cluster. */
+  def qAudioClusterKeep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = sigFrame(s, d).localCheckpoint() // pairs + keeper metadata off one decode pass
+    val pairs = HammingDedup
+      .pairs(sigs.select("doc_id", "sig"), "sig", MaxDist, bandBits = 16)
+      .select("doc_a", "doc_b")
+    val w = Window.partitionBy("cluster_id").orderBy(desc("n_samples"), col("doc_id"))
+    Pipeline.componentLabels(s, pairs)
+      .join(sigs.select("doc_id", "n_samples"), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"), col("n_samples"))
+      .orderBy("cluster_id")
   }
 
   /** Count-only form (the P52b discipline): per-distance pair counts
@@ -172,11 +196,40 @@ object AudioDedup {
        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $MaxDist
        |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY dist""".stripMargin
 
+  /** Keep-list oracle: the sig replay feeding the recursive
+    * reachability closure and the length-keeper window (n from the
+    * dims CTE — the same value the decoder reproduces). */
+  val qAudioClusterKeepSql: String =
+    s"""WITH RECURSIVE $duckSigCte, p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $MaxDist
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), reach AS (
+       |  SELECT DISTINCT src AS doc, src AS r FROM e
+       |  UNION
+       |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+       |), cl AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT cluster_id, keeper, n_samples FROM (
+       |  SELECT cl.cluster_id, cl.doc_id AS keeper,
+       |    CAST(dm.n AS BIGINT) AS n_samples,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY dm.n DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN dims dm ON dm.doc_id = cl.doc_id)
+       |WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_dedup" -> (qAudioDedup _),
-    "q_audio_dedup_count" -> (qAudioDedupCount _))
+    "q_audio_dedup_count" -> (qAudioDedupCount _),
+    "q_audio_cluster_keep" -> (qAudioClusterKeep _))
 
   val oracle: Map[String, String] = Map(
     "q_audio_dedup" -> qAudioDedupSql,
-    "q_audio_dedup_count" -> qAudioDedupCountSql)
+    "q_audio_dedup_count" -> qAudioDedupCountSql,
+    "q_audio_cluster_keep" -> qAudioClusterKeepSql)
 }

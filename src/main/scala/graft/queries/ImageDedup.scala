@@ -56,9 +56,14 @@ object ImageDedup {
     * gray(x, y) of image group `g`.  The per-group MULTIPLIER (not
     * just an additive offset) keeps distinct groups' gradient fields
     * genuinely different, so the signature space stays spread at
-    * corpus scale instead of collapsing onto a few dozen sigs. */
+    * corpus scale instead of collapsing onto a few dozen sigs.  The
+    * multiplier cycles mod 251 (prime, near the 8-bit ceiling — a
+    * multiplier only acts through its value mod 256): the r15
+    * original cycled mod 13, the exact saturation class the video
+    * probe caught at sf10 (VERDICT r15 watch item — the image sig
+    * vocabulary was bounded ≈ lcm(13, 64, 48)-scale groups). */
   @inline def basePix(x: Int, y: Int, g: Long): Int =
-    (((x.toLong * 31 + y.toLong * 17) * (g % 13 + 3) + g * 7) % 256).toInt
+    (((x.toLong * 31 + y.toLong * 17) * (g % 251 + 3) + g * 7) % 256).toInt
 
   /** The near-dup twin: brightness +4, clamped to the 8-bit range —
     * gradient signs survive except where adjacent pooled values sat
@@ -111,17 +116,20 @@ object ImageDedup {
       .toDF()
   }
 
-  /** (doc_id, sig) — the dHash frame: decode + pool + sign, one
-    * scan-local map.  Shared by the pair and count forms. */
+  /** (doc_id, sig, area) — the dHash frame plus the DECODED pixel
+    * area (not doc_id arithmetic: the keeper criterion must come from
+    * the image itself, as it would in a real corpus): decode + pool +
+    * sign, one scan-local map.  Shared by the pair, count and
+    * cluster-keep forms. */
   private[graft] def dhashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     imagePayloadsPaired(s, d)
       .as[Multimodal.MediaIn]
       .mapPartitions(_.map { m =>
         val (w, h, pix) = Multimodal.decodeGray(m.payload)
-        (m.doc_id, dHash64(w, h, pix))
+        (m.doc_id, dHash64(w, h, pix), w.toLong * h)
       })
-      .toDF("doc_id", "sig")
+      .toDF("doc_id", "sig", "area")
   }
 
   def qImageDedup(s: SparkSession, d: String): DataFrame = {
@@ -130,8 +138,33 @@ object ImageDedup {
     // P52's own Scaladoc prescribes for denser spaces); the banded
     // construction is HammingDedup's one spelling.  The 16-byte/doc
     // sig frame materializes once (five consumers).
-    val sigs = dhashFrame(s, d).localCheckpoint()
+    val sigs = dhashFrame(s, d).select("doc_id", "sig").localCheckpoint()
     graft.operators.HammingDedup.pairs(sigs, "sig", MaxDist, bandBits = 16)
+  }
+
+  /** The ACTION step (VERDICT r15 item 4): near-dup image dedup ending
+    * in a KEEP-LIST, not a pair list — the corpus-shrink step a real
+    * pipeline ships.  The verified banded-hamming pairs feed the P2b
+    * label-propagation (shared VERBATIM via
+    * [[Pipeline.componentLabels]]); per connected component the
+    * largest image (decoded pixel area, doc_id tiebreak) survives —
+    * the P36 keeper window re-keyed on image area.  Docs in no pair
+    * are their own keepers by definition and never enter the loop, so
+    * the output is one row per multi-member cluster: (cluster_id,
+    * keeper, area). */
+  def qImageClusterKeep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = dhashFrame(s, d).localCheckpoint() // pairs + keeper metadata off one decode pass
+    val pairs = graft.operators.HammingDedup
+      .pairs(sigs.select("doc_id", "sig"), "sig", MaxDist, bandBits = 16)
+      .select("doc_a", "doc_b")
+    val w = Window.partitionBy("cluster_id").orderBy(desc("area"), col("doc_id"))
+    Pipeline.componentLabels(s, pairs)
+      .join(sigs.select("doc_id", "area"), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"), col("area"))
+      .orderBy("cluster_id")
   }
 
   /** Count-only form (the P52b discipline): per-distance pair counts
@@ -160,7 +193,7 @@ object ImageDedup {
        |  SELECT *, unnest(range(height)) AS y FROM px1
        |), pv0 AS (
        |  SELECT doc_id, g, width, height, x, y,
-       |    ((x*31 + y*17) * (g % 13 + 3) + g*7) % 256 AS base
+       |    ((x*31 + y*17) * (g % 251 + 3) + g*7) % 256 AS base
        |  FROM px
        |), pval AS (
        |  SELECT doc_id, width, height, x, y,
@@ -202,11 +235,40 @@ object ImageDedup {
        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $MaxDist
        |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY dist""".stripMargin
 
+  /** Keep-list oracle: the same sig replay feeding the recursive
+    * reachability closure (the P2b/P36 DuckDB spelling) and the
+    * area-keeper window. */
+  val qImageClusterKeepSql: String =
+    s"""WITH RECURSIVE $duckSigCte, p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $MaxDist
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), reach AS (
+       |  SELECT DISTINCT src AS doc, src AS r FROM e
+       |  UNION
+       |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+       |), cl AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT cluster_id, keeper, area FROM (
+       |  SELECT cl.cluster_id, cl.doc_id AS keeper,
+       |    CAST(dm.width * dm.height AS BIGINT) AS area,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY dm.width * dm.height DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN dims dm ON dm.doc_id = cl.doc_id)
+       |WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dedup" -> (qImageDedup _),
-    "q_image_dedup_count" -> (qImageDedupCount _))
+    "q_image_dedup_count" -> (qImageDedupCount _),
+    "q_image_cluster_keep" -> (qImageClusterKeep _))
 
   val oracle: Map[String, String] = Map(
     "q_image_dedup" -> qImageDedupSql,
-    "q_image_dedup_count" -> qImageDedupCountSql)
+    "q_image_dedup_count" -> qImageDedupCountSql,
+    "q_image_cluster_keep" -> qImageClusterKeepSql)
 }

@@ -147,14 +147,26 @@ object Pipeline {
   // each round is one join + one aggregate, rounds ≤ graph diameter
   // (near-dup clusters are shallow).  No driver-side graph ever
   // materializes — the loop only orchestrates.
-  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+  def qDedupCluster(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, minhashPairs(s, d).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Connected components over a verified (doc_a, doc_b) pair graph:
+    * (doc_id, cluster_id = min reachable doc_id), unordered.  The ONE
+    * spelling of distributed min-label propagation — P2b built it for
+    * text near-dup pairs; the r16 media keep-lists
+    * ([[ImageDedup.qImageClusterKeep]], [[AudioDedup]]) run the same
+    * loop over their banded-hamming pair output (VERDICT r15 item 4:
+    * dedup must END in a keep-list, not a pair list).  Only docs that
+    * appear in at least one pair get a label — singletons are their
+    * own keeper by definition and never enter the loop. */
+  private[graft] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     // checkpoint (not persist): truncates lineage so each propagation
     // round's logical plan is just edges⋈labels — with plain persist
-    // the analyzer/optimizer re-walks the whole minhash subtree every
-    // round (measured ~2.5s → ~1.1s for the loop at sf0.1).  When a
-    // reliable checkpoint dir is configured (a real cluster, where an
-    // executor loss would otherwise strand the blocks with no
+    // the analyzer/optimizer re-walks the whole pair-producing subtree
+    // every round (measured ~2.5s → ~1.1s for the loop at sf0.1).
+    // When a reliable checkpoint dir is configured (a real cluster,
+    // where an executor loss would otherwise strand the blocks with no
     // recompute path), use it; local runs fall back to executor-local
     // checkpointing.
     val rawEdges = pairs.union(
@@ -170,7 +182,7 @@ object Pipeline {
     var labels = cached
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < 64) {
       // carry each doc's previous label through the aggregation so the
       // convergence check needs no second join: every doc appears
       // exactly once in the self branch (old = its previous label,
@@ -178,10 +190,37 @@ object Pipeline {
       val nbr = edges.join(labels, edges("src") === labels("doc"))
         .select(col("dst").as("doc"), col("label"),
           lit(null).cast("long").as("old"))
-      val next = labels.select(col("doc"), col("label"), col("label").as("old"))
+      val prop = labels.select(col("doc"), col("label"), col("label").as("old"))
         .union(nbr)
         .groupBy("doc").agg(min("label").as("label"), min("old").as("old"))
-        .persist()
+      // POINTER JUMP (r16): label := label(label).  Plain propagation
+      // pays one round per HOP, so rounds grow with component
+      // diameter — fine for shallow text near-dup blobs, pathological
+      // for the media hamming graphs, whose sigs chain (sig_a ~ sig_b
+      // ~ sig_c ...): the audio graph at sf0.01 ran 100+ rounds = 27s
+      // where every sibling key sat under 2s, and diameter GROWS with
+      // the corpus.  Every label is itself a member doc, so one
+      // self-equi-join reads each doc's label's label — chain depth
+      // halves per round and convergence is O(log diameter), the
+      // standard distributed-CC shortcut (cf. Kiveris et al.,
+      // "Connected Components in MapReduce and Beyond", SoCC'14).
+      val jumped = prop.as("x").join(
+          prop.select(col("doc").as("jdoc"), col("label").as("jlabel")),
+          col("x.label") === col("jdoc"))
+        .select(col("x.doc").as("doc"),
+          least(col("x.label"), col("jlabel")).as("label"),
+          col("x.old").as("old"))
+      // the logical plan references the prior round's frame four times
+      // (twice in propagate, twice in the jump), growing exponentially
+      // per round: truncate lineage every 4 rounds (explainString alone
+      // OOM'd the driver at depth ~20 before r16's truncation) —
+      // checkpoint when a reliable dir is configured, executor-local
+      // otherwise, same policy as `edges` above
+      val next =
+        if ((rounds + 1) % 4 == 0) {
+          if (s.sparkContext.getCheckpointDir.isDefined) jumped.checkpoint()
+          else jumped.localCheckpoint()
+        } else jumped.persist()
       val changed = next.filter(col("label") < col("old")).limit(1).count()
       cached.unpersist()
       cached = next
@@ -197,7 +236,6 @@ object Pipeline {
       s"connected-components label propagation did not converge in $rounds rounds")
     labels
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   val qDedupClusterSql: String =

@@ -44,6 +44,11 @@ object VideoDedup {
   /** Minimum shared distinct frame fingerprints to call a pair. */
   val MinShared = 2
 
+  /** Max frame-fingerprint hamming distance the TOLERANT form
+    * ([[qVideoDedupTol]]) accepts as the same frame (4 disjoint
+    * 16-bit bands pigeonhole-cover dist ≤ 3). */
+  val TolDist = 3
+
   /** Stop-frame guard: signatures carried by more than this many
     * videos are dropped before the pair join.  A real video corpus
     * has ubiquitous frames — black frames, intro cards — whose sig
@@ -70,11 +75,24 @@ object VideoDedup {
   /** Frame count of group g's base video (4..9). */
   @inline def frameCount(g: Long): Int = (g % 6 + 4).toInt
 
+  /** The LOSSY-twin perturbation ([[qVideoDedupTol]]'s fixture):
+    * brightness +4, clamped at 255 — the P71 image-twin distortion
+    * applied to re-cut frames.  dHash is gradient-based, so the
+    * perturbed frame lands a few bits from its source (0 where no
+    * pooled pair straddles the clamp), modeling a lossy re-encode
+    * whose frames exact sig equality mostly MISSES. */
+  @inline def framePixTol(x: Int, y: Int, g: Long, f: Int): Int =
+    math.min(framePix(x, y, g, f) + 4, 255)
+
   /** The cross-container re-cut corpus: group g = doc_id / 2; even doc
     * = AVI of frames 0..nf-1, odd doc = AVI of the even-indexed source
     * frames only (⌈nf/2⌉ ≥ 2 shared fingerprints by construction).
-    * Dims (≥ 16×16) derive from g so pair members share geometry. */
-  def videoPayloadsPaired(s: SparkSession, d: String): DataFrame = {
+    * Dims (≥ 16×16) derive from g so pair members share geometry.
+    * With `perturb` the re-cut's frames additionally take the
+    * [[framePixTol]] brightness distortion (the lossy-re-encode twin
+    * for the hamming-tolerant key). */
+  def videoPayloadsPaired(s: SparkSession, d: String,
+                          perturb: Boolean = false): DataFrame = {
     import s.implicits._
     // full-width pixel stage off a byte-planned narrow scan (the
     // Multimodal.videoPayloads 100 TB lesson)
@@ -89,9 +107,13 @@ object VideoDedup {
         val srcFrames: Seq[Int] =
           if (id % 2 == 0) 0 until nf
           else 0 until nf by 2 // the re-cut: even source frames only
+        val twisted = perturb && id % 2 == 1
         Multimodal.MediaIn(id, Multimodal.buildAviFrom(
           srcFrames.map(f => Multimodal.encodePngGray(w, h,
-            Array.tabulate(w * h)(i => framePix(i % w, i / w, g, f)))),
+            Array.tabulate(w * h) { i =>
+              if (twisted) framePixTol(i % w, i / w, g, f)
+              else framePix(i % w, i / w, g, f)
+            })),
           w, h))
       })
       .toDF()
@@ -100,9 +122,10 @@ object VideoDedup {
   /** (doc_id, fsig) — one row per DISTINCT frame fingerprint of each
     * video: idx1 walk (stride 1: near-dup needs every frame) + decode
     * + P71 dHash, one scan-local flatMap. */
-  private[graft] def frameSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def frameSigs(s: SparkSession, d: String,
+                               perturb: Boolean = false): DataFrame = {
     import s.implicits._
-    videoPayloadsPaired(s, d)
+    videoPayloadsPaired(s, d, perturb)
       .as[Multimodal.MediaIn]
       .mapPartitions(_.flatMap { m =>
         Multimodal.sampleFrames(m.payload, stride = 1, ctx = s"doc_id=${m.doc_id}")
@@ -138,8 +161,61 @@ object VideoDedup {
     // one decode pass feeds the df agg and both join sides
     sharedFramePairs(frameSigs(s, d).localCheckpoint())
 
-  val qVideoDedupSql: String =
-    s"""WITH dims AS (
+  /** Hamming-TOLERANT shared-frame matching (VERDICT r15 item 3): the
+    * exact form above is right for lossless re-containerization, but
+    * real video corpora are lossy re-encodes whose frames land a few
+    * BITS apart — so frames match when their fingerprints are equal OR
+    * within hamming ≤ [[TolDist]], via [[HammingDedup.sigPairs]]
+    * (the one banded spelling; candidates from a 4×16-bit band
+    * equi-join over DISTINCT guarded signatures, never all-pairs).
+    * `shared_frames` counts matched (frame_a, frame_b) combinations —
+    * the bipartite match count, which reduces to the exact form's
+    * distinct-shared-sig count when TolDist = 0.
+    *
+    * Scale note: the stop-frame guard still caps per-signature df
+    * BEFORE matching; a ubiquitous near-frame CLUSTER (many distinct
+    * sigs within TolDist, each individually rare) is bounded by the
+    * band-bucket volume the sigPairs join already pays, same as P52. */
+  private[graft] def sharedFramePairsTol(all: DataFrame): DataFrame = {
+    val rare = all.groupBy("fsig").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxSigDf).select("fsig")
+    val sigs = all.join(rare, "fsig")
+    val uniq = sigs.select(col("fsig").as("sig")).distinct()
+    val near = graft.operators.HammingDedup
+      .sigPairs(uniq, "sig", TolDist, bandBits = 16)
+      .select("sig_a", "sig_b")
+    // a frame pair (fa != fb) matches through exactly ONE direction of
+    // the symmetric closure; fa == fb through the identity branch
+    val matches = near
+      .unionAll(near.select(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))
+      .unionAll(uniq.select(col("sig").as("sig_a"), col("sig").as("sig_b")))
+    sigs.as("a")
+      .join(matches, col("a.fsig") === col("sig_a"))
+      .join(sigs.as("b"),
+        col("sig_b") === col("b.fsig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= MinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def qVideoDedupTol(s: SparkSession, d: String): DataFrame =
+    sharedFramePairsTol(frameSigs(s, d, perturb = true).localCheckpoint())
+
+  /** The shared DuckDB replay of payload → frame pixels → 9×8 pool →
+    * gradient sign → 64-bit packing → per-video distinct → df guard:
+    * CTE chain ending in `dsig(doc_id, lo, hi)`.  With `perturb` the
+    * re-cut's pixels take the [[framePixTol]] clamp — the tolerant
+    * fixture's lossy twin. */
+  private def duckDsigCtes(perturb: Boolean): String = {
+    val vExpr =
+      if (perturb)
+        """CASE WHEN doc_id % 2 = 1
+          |      THEN LEAST(((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 + 4, 255)
+          |      ELSE ((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 END AS v"""
+          .stripMargin
+      else "((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 AS v"
+    s"""dims AS (
       |  SELECT doc_id, doc_id // 2 AS g,
       |    CAST((doc_id // 2) % 6 + 4 AS BIGINT) AS nf,
       |    CAST((doc_id // 2) % 24 + 16 AS BIGINT) AS width,
@@ -159,7 +235,7 @@ object VideoDedup {
       |  SELECT *, unnest(range(height)) AS y FROM px1
       |), pval AS (
       |  SELECT doc_id, f, width, height, x, y,
-      |    ((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 AS v
+      |    $vExpr
       |  FROM px
       |), pooled AS (
       |  SELECT doc_id, f,
@@ -186,7 +262,11 @@ object VideoDedup {
       |), dsig AS (
       |  SELECT d.doc_id, d.lo, d.hi FROM dsig0 d JOIN rare r
       |    ON d.lo = r.lo AND d.hi = r.hi
-      |)
+      |)""".stripMargin
+  }
+
+  val qVideoDedupSql: String =
+    s"""WITH ${duckDsigCtes(perturb = false)}
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(COUNT(*) AS BIGINT) AS shared_frames
       |FROM dsig a JOIN dsig b
@@ -194,9 +274,23 @@ object VideoDedup {
       |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Tolerant-match oracle: the perturbed-twin replay, frames matched
+    * at hamming ≤ [[TolDist]] (bipartite combination count). */
+  val qVideoDedupTolSql: String =
+    s"""WITH ${duckDsigCtes(perturb = true)}
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+      |FROM dsig a JOIN dsig b
+      |  ON a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $TolDist
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_video_dedup" -> (qVideoDedup _))
+    "q_video_dedup" -> (qVideoDedup _),
+    "q_video_dedup_tol" -> (qVideoDedupTol _))
 
   val oracle: Map[String, String] = Map(
-    "q_video_dedup" -> qVideoDedupSql)
+    "q_video_dedup" -> qVideoDedupSql,
+    "q_video_dedup_tol" -> qVideoDedupTolSql)
 }

@@ -90,4 +90,37 @@ class AudioDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_audio_cluster_keep keeps the longest recording per connected component") {
+    val d = "/root/testdata/sf0.001"
+    val got = AudioDedup.qAudioClusterKeep(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: pairs -> union-find -> keeper by (n_samples desc, doc asc)
+    val rows = AudioDedup.sigFrame(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+      if java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) <= AudioDedup.MaxDist
+    } yield (rows(i)._1, rows(j)._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val len = rows.map(r => r._1 -> r._3).toMap
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(find).toSeq.map { case (root, ms) =>
+      val keeper = ms.minBy(m => (-len(m), m))
+      (root, keeper, len(keeper))
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty, "no multi-member audio cluster at sf0.001")
+    assert(got.length < members.length)
+    assert(got.forall { case (cid, k, _) => k >= cid })
+  }
 }

@@ -89,4 +89,40 @@ class ImageDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_image_cluster_keep keeps the largest image per connected component") {
+    val d = "/root/testdata/sf0.001"
+    val got = queries.ImageDedup.qImageClusterKeep(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: pairs -> union-find -> keeper by (area desc, doc asc)
+    val rows = queries.ImageDedup.dhashFrame(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+      if java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) <= ImageDedup.MaxDist
+    } yield (rows(i)._1, rows(j)._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val area = rows.map(r => r._1 -> r._3).toMap
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(find).toSeq.map { case (root, ms) =>
+      val keeper = ms.minBy(m => (-area(m), m))
+      (root, keeper, area(keeper))
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty, "no multi-member image cluster at sf0.001")
+    // the keep-list is the ACTION form: strictly fewer keepers than
+    // clustered members (a real corpus shrink), and cluster ids are
+    // the min member (the P2b label convention)
+    assert(got.length < members.length)
+    assert(got.forall { case (cid, k, _) => k >= cid })
+  }
 }

@@ -85,6 +85,64 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(want.size < docs.length, "every doc matched — degenerate")
   }
 
+  test("image face: stream ≡ batch dHash oracle under disorder + late data (r16)") {
+    import graft.queries.{ImageDedup, Multimodal}
+    import graft.streaming.StreamNearDedup.MediaDoc
+    val sq = spark
+    import sq.implicits._
+    implicit val sc = sq.sqlContext
+    // the P71 cross-codec corpus, streamed: one image per minute
+    val payloads = ImageDedup.imagePayloadsPaired(spark, "/root/testdata/sf0.01")
+      .orderBy("doc_id").limit(120)
+      .as[Multimodal.MediaIn].collect()
+    val docs = payloads.zipWithIndex.map { case (m, i) =>
+      MediaDoc(m.doc_id, m.payload, base + i * min_)
+    }
+    val rnd = new scala.util.Random(43)
+    val late = docs.slice(35, 55)
+    val batch1 = rnd.shuffle((docs.take(35) ++ docs.slice(55, 80)).toSeq)
+    val batch2 = rnd.shuffle((late ++ docs.drop(80)).toSeq)
+    // a mover must still DECODE (the face fingerprints every arrival);
+    // 9x8 is the smallest dHash-able geometry
+    val moverPng = Multimodal.encodePngGray(9, 8, Array.fill(72)(0))
+    val movers = Seq(
+      Seq(MediaDoc(9999998L, moverPng, base + 5000 * min_)),
+      Seq(MediaDoc(9999999L, moverPng, base + 9000 * min_)))
+    val horizon = 30 * min_
+    val mem = MemoryStream[MediaDoc]
+    val query = StreamNearDedup.imageBandMatches(mem.toDS(), horizon, "45 minutes")
+      .writeStream.format("memory").queryName("snd_image")
+      .outputMode("append").start()
+    val got = try {
+      (Seq(batch1, batch2) ++ movers).foreach { b =>
+        mem.addData(b: _*); query.processAllAvailable()
+      }
+      StreamNearDedup.assignments(spark.table("snd_image"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    } finally query.stop()
+    // batch oracle: the same dHash kernel, earliest in-horizon neighbor
+    // at hamming <= the BATCH operator's MaxDist
+    val sigs = docs.map { m =>
+      val (w, h, pix) = Multimodal.decodeGray(m.payload)
+      (m.doc_id, m.ts_us, ImageDedup.dHash64(w, h, pix))
+    }.sortBy(r => (r._2, r._1))
+    val want = sigs.flatMap { case (id, ts, sig) =>
+      val cands = sigs.filter { case (cid, cts, csig) =>
+        (cts < ts || (cts == ts && cid < id)) && cts >= ts - horizon &&
+          java.lang.Long.bitCount(csig ^ sig) <= ImageDedup.MaxDist
+      }
+      if (cands.isEmpty) None
+      else {
+        val (cid, _, csig) = cands.minBy(c => (c._2, c._1))
+        Some(id -> (cid, java.lang.Long.bitCount(csig ^ sig)))
+      }
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty, "no image near-dup verdict in the slice")
+    assert(want.values.exists(_._2 > 0), "no dist>0 image match -- degenerate")
+    assert(want.size < docs.length, "every image matched -- degenerate")
+  }
+
   test("horizon expiry: an exact copy beyond the horizon is canonical") {
     val t = "alpha beta gamma delta"
     val docs = Seq(Doc(1, t, base), Doc(2, t, base + 5 * min_),

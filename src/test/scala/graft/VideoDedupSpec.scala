@@ -70,4 +70,77 @@ class VideoDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("the lossy twin's frames land within TolDist of their source, rarely exactly on it") {
+    // the r16 fixture property: the +4-clamp perturbation moves a
+    // frame's dHash a FEW bits (tolerant matching's target), and at
+    // least some frames move off exact equality (else the tolerant
+    // key would test nothing beyond the exact one)
+    var within = 0
+    var moved = 0
+    var total = 0
+    for (g <- 0L until 120L) {
+      val w = (g % 24 + 16).toInt
+      val h = (g % 18 + 16).toInt
+      def sigOf(f: Int, tol: Boolean): Long = {
+        val png = Multimodal.encodePngGray(w, h,
+          Array.tabulate(w * h) { i =>
+            if (tol) VideoDedup.framePixTol(i % w, i / w, g, f)
+            else VideoDedup.framePix(i % w, i / w, g, f)
+          })
+        val (dw, dh, pix) = Multimodal.decodeGray(png)
+        ImageDedup.dHash64(dw, dh, pix)
+      }
+      for (f <- 0 until VideoDedup.frameCount(g) by 2) {
+        val d = java.lang.Long.bitCount(sigOf(f, tol = false) ^ sigOf(f, tol = true))
+        total += 1
+        if (d <= VideoDedup.TolDist) within += 1
+        if (d > 0) moved += 1
+      }
+    }
+    assert(within >= total * 3 / 4, s"only $within/$total within TolDist")
+    assert(moved > 0, "no frame moved at all -- the perturbation is a no-op")
+  }
+
+  test("q_video_dedup_tol equals brute force and catches pairs exact matching misses") {
+    val d = "/root/testdata/sf0.001"
+    val got = VideoDedup.qVideoDedupTol(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = VideoDedup.frameSigs(spark, d, perturb = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // replay: df guard, then the bipartite hamming-<=TolDist match count
+    val df = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val byDoc = rows.filter(p => df(p._2) <= VideoDedup.MaxSigDf)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = byDoc.keys.toSeq.sorted
+    def matched(a: Set[Long], b: Set[Long]): Long =
+      (for (fa <- a.toSeq; fb <- b.toSeq
+            if java.lang.Long.bitCount(fa ^ fb) <= VideoDedup.TolDist)
+        yield 1L).sum
+    val want = for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      shared = matched(byDoc(docs(i)), byDoc(docs(j)))
+      if shared >= VideoDedup.MinShared
+    } yield (docs(i), docs(j), shared)
+    assert(got.toSeq === want.sortBy(p => (p._1, p._2)))
+    // the tolerant form's point: over the SAME perturbed corpus, exact
+    // sig matching misses re-cut pairs the tolerant match recovers
+    val exactPairs = VideoDedup
+      .sharedFramePairs(VideoDedup.frameSigs(spark, d, perturb = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tolPairs = got.map(p => (p._1, p._2)).toSet
+    val fixtureTol = tolPairs.count { case (a, b) => b == a + 1 && a % 2 == 0 }
+    val fixtureExact = exactPairs.count { case (a, b) => b == a + 1 && a % 2 == 0 }
+    assert(fixtureTol > fixtureExact,
+      s"tolerant found $fixtureTol re-cut pairs vs exact's $fixtureExact -- " +
+        "the perturbation should defeat exact matching on some pairs")
+  }
+
+  test("the tolerant plan is banded equi-joins, never all-pairs") {
+    val plan = VideoDedup.qVideoDedupTol(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

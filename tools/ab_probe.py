@@ -34,6 +34,59 @@ ADD_OPENS = [
 ]
 
 
+# harness OUTPUT artifacts — excluded from the dirty scan, mirroring
+# graft.Bench.isBenchArtifact (the r15 lesson: a retry loop's stub over
+# a committed BENCH json must not dirty-mark later runs)
+import re
+_ARTIFACT_RE = re.compile(
+    r"(BENCH|STREAMBENCH|FORMATBENCH|PLANAUDIT|MEDIAPROBE|CORRECTNESS)"
+    r"[A-Z0-9_]*_r\d+\.json")
+
+
+def git_sha(repo=None):
+    """HEAD sha + '-dirty' marker, mirroring graft.Bench.gitSha — the
+    jar-lineage stamp VERDICT r15 asked the python probes to carry too
+    (MEDIAPROBE was load-bearing for the stop-frame adjudication and
+    recorded no lineage at all)."""
+    repo = repo or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
+                             capture_output=True, text=True).stdout.strip()
+        if not re.fullmatch(r"[0-9a-f]{40}", sha):
+            return "unknown"
+        st = subprocess.run(["git", "status", "--porcelain",
+                             "--untracked-files=no"], cwd=repo,
+                            capture_output=True, text=True).stdout
+        modified = [ln[3:] for ln in st.splitlines()
+                    if ln and not _ARTIFACT_RE.fullmatch(ln[3:])]
+        return sha + "-dirty" if modified else sha
+    except Exception:
+        return "unknown"
+
+
+def jar_sha256(jar):
+    """sha256 of the measured jar file itself: pins the artifact to the
+    exact bytes even when the repo state later moves."""
+    import hashlib
+    try:
+        h = hashlib.sha256()
+        with open(jar, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+    except Exception:
+        return "unknown"
+
+
+def lineage_env(jars):
+    """The env block every probe artifact carries (VERDICT r15 item 2):
+    repo git_sha (+-dirty) at measurement time plus per-jar sha256."""
+    return {
+        "git_sha": git_sha(),
+        "jars_sha256": {os.path.basename(j): jar_sha256(j) for j in jars},
+    }
+
+
 def run_bench(jar, sf_dir, queries, workdir):
     out = os.path.join(workdir, "bench_out.json")
     if os.path.exists(out):
@@ -126,6 +179,7 @@ def main():
         "invocation_walls_sec": [round(w, 1) for w in walls],
         "loadavg_start": loadavg0,
         "loadavg_end": loadavg1,
+        "env": lineage_env([path for _, path in jars]),
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)

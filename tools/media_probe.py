@@ -23,7 +23,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ab_probe import run_bench  # noqa: E402
+from ab_probe import lineage_env, run_bench  # noqa: E402
 
 QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            "q_frame_sample", "q_audio_energy", "q_audio_meta",
@@ -35,7 +35,12 @@ QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            # late-r15: the audio/video near-dup scale shapes (count
            # form / pair-aggregated form — scan-local fingerprints,
            # banded or sig-keyed joins, nothing pairwise)
-           "q_audio_dedup_count", "q_video_dedup"]
+           "q_audio_dedup_count", "q_video_dedup",
+           # r16: the image/audio PAIR forms (VERDICT r15 item 5 —
+           # only the count forms were probed, so sig-vocabulary
+           # saturation at sf10 was assumed, not measured) and the
+           # hamming-tolerant video match
+           "q_image_dedup", "q_audio_dedup", "q_video_dedup_tol"]
 DATA_GROWTH = 10.0  # documents x10
 
 
@@ -77,6 +82,7 @@ def main():
         "queries": per_query,
         "probe_medians": probes,
         "loadavg_start": loadavg0, "loadavg_end": loadavg1,
+        "env": lineage_env([jar]),
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)

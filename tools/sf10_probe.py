@@ -23,7 +23,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ab_probe import run_bench  # noqa: E402
+from ab_probe import lineage_env, run_bench  # noqa: E402
 
 QUERIES = ["q_range_join", "q_simhash_hamming_count", "q_ngram_jaccard",
            "q_dup_substring", "q_dedup_minhash"]
@@ -76,6 +76,7 @@ def main():
         "probe_medians": {os.path.basename(k): v for k, v in probes.items()},
         "loadavg_start": loadavg0,
         "loadavg_end": open("/proc/loadavg").read().split()[0],
+        "env": lineage_env([jar]),
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
