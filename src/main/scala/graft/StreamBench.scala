@@ -237,6 +237,30 @@ object StreamBench {
         Seq(StreamNearDedup.Doc(999999902L, "mover", farDoc)), nBatches,
         (ds: Dataset[StreamNearDedup.Doc]) =>
           StreamNearDedup.bandMatches(ds, horizonUs).toDF())),
+      // the r16 image face of the near-dup matrix: the P71 cross-codec
+      // corpus (PNG base / brightness-shifted BMP twin) streamed one
+      // image per second — decode + dHash scan-side, 16-bit band state
+      "stream_image_near_dedup" -> (() => drive[StreamNearDedup.MediaDoc](spark, "stream_image_near_dedup",
+        docRows.toSeq.map { d =>
+          val g = d._1 / 2
+          val w = (g % 64 + 24).toInt
+          val h = (g % 48 + 18).toInt
+          import graft.queries.{ImageDedup, Multimodal}
+          val pix =
+            if (d._1 % 2 == 0)
+              Array.tabulate(w * h)(i => ImageDedup.basePix(i % w, i / w, g))
+            else Array.tabulate(w * h)(i => ImageDedup.twinPix(i % w, i / w, g))
+          StreamNearDedup.MediaDoc(d._1,
+            if (d._1 % 2 == 0) Multimodal.encodePngGray(w, h, pix)
+            else Multimodal.encodeBmpGray(w, h, pix),
+            d._4)
+        },
+        Seq(StreamNearDedup.MediaDoc(999999919L,
+          graft.queries.Multimodal.encodePngGray(9, 8, Array.fill(72)(0)),
+          farDoc)),
+        nBatches,
+        (ds: Dataset[StreamNearDedup.MediaDoc]) =>
+          StreamNearDedup.imageBandMatches(ds, horizonUs).toDF())),
       "stream_quality_gate" -> (() => drive[StreamQualityGate.DocEvent](spark, "stream_quality_gate",
         docRows.toSeq.map(d => StreamQualityGate.DocEvent(d._1, d._2, d._3, d._4)),
         Seq(StreamQualityGate.DocEvent(999999903L, "zz", "mover", farDoc)), nBatches,
