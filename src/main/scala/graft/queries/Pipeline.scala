@@ -228,14 +228,22 @@ object Pipeline {
       converged = changed == 0
       rounds += 1
     }
-    // (edges' checkpoint blocks are released when the frame is GC'd —
-    // unpersisting them here would strand the final labels' lineage)
     // partially-propagated labels are WRONG components, not an
     // approximation — fail loudly rather than return them
     if (!converged) throw new IllegalStateException(
       s"connected-components label propagation did not converge in $rounds rounds")
-    labels
-      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    // truncate the RETURNED frame's lineage too: the loop has already
+    // executed eagerly (each round's count), so consumers should plan
+    // against the materialized result, not the unrolled round history
+    // — which is cache-backed but still carries hundreds of plan nodes
+    // into every downstream explain/audit (r16: the image keep-list's
+    // audited plan counted 1774 nested exchanges before this)
+    val fin = labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    val out =
+      if (s.sparkContext.getCheckpointDir.isDefined) fin.checkpoint()
+      else fin.localCheckpoint()
+    cached.unpersist() // the checkpoint holds its own blocks now
+    out
   }
 
   val qDedupClusterSql: String =
