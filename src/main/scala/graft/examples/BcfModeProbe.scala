@@ -71,6 +71,23 @@ object BcfModeProbe {
     BcfIO.write(Vcf.read(spark, vcfFile, splitSize = vsplit)
       .repartition(1).sortWithinPartitions("pos"), dicts, bcfFile)
 
+    // optional pollution pre-phase (arg 3 = "vcffull"): run the VCF
+    // cohort FULL reads first, as FormatBench does — the r16 follow-up
+    // experiment after bcf_cohort_full_warm came out 1.00x in the
+    // long-lived FormatBench JVM while fresh JVMs converge to ~40k:
+    // if the BCF reps drop to the slow mode only WITH this pre-phase,
+    // the mode is JIT type-profile pollution from the text-VCF decode
+    // training shared call sites megamorphic, not warm-up.
+    val pollute = args.length > 3 && args(3) == "vcffull"
+    if (pollute) {
+      var i = 0
+      while (i < 3) {
+        require(Vcf.read(spark, vcfFile, splitSize = vsplit).count() == nSite.toLong)
+        i += 1
+      }
+      println("BCFMODE pre-phase: 3x vcf_cohort_full read done")
+    }
+
     def jitMs(): Long = {
       val b = java.lang.management.ManagementFactory.getCompilationMXBean
       if (b != null && b.isCompilationTimeMonitoringSupported)
@@ -97,7 +114,8 @@ object BcfModeProbe {
       s"""{"rep":$r,"sec":$sec,"rec_per_sec":$rate,"jit_delta_ms":$jit,"gc_delta_ms":$gc}"""
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"bcf_cohort_full_mode_probe","n_site":$nSite,""" +
-      s""""n_sam":$nSam,"reps":$repsJson,""" +
+      s""""n_sam":$nSam,"pre_phase":"${if (pollute) "vcffull" else "none"}",""" +
+      s""""reps":$repsJson,""" +
       s""""git_sha":"${graft.Bench.gitSha()}","cpus":$cpus}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>

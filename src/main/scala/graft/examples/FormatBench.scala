@@ -239,14 +239,17 @@ object FormatBench {
       timedRead(label, nSite.toLong)(
         BcfIO.read(spark, bcfFile, columns = cols).count())
     val bFull = breadN("bcf_cohort_full", Nil)
-    // r16 (the §6.r15 bimodality watch item, settled by BcfModeProbe):
-    // bcf_cohort_full is the FIRST exercise of the full-genotype BCF
-    // decode path in this JVM, so its median-of-3 lands mid-JIT-warmup
-    // (fresh JVMs probe 8-16k rec/s on rep 0 with 4-7s of compilation,
-    // converging to ~35-41k by rep 3 — every JVM reaches the same fast
-    // mode; BCFMODEPROBE_r16).  Keep the protocol metric comparable
-    // across rounds AND record the post-warm rate the steady state
-    // actually delivers:
+    // r16 (the §6.r15 bimodality watch item, settled by BcfModeProbe
+    // + an in-situ code-cache A/B): fresh JVMs converge to ~35-45k
+    // rec/s by rep 3 (plain JIT warm-up, BCFMODEPROBE_r16), but THIS
+    // long-lived bench JVM stays at ~9k even after six reads
+    // (bcf_full_warmup 1.00x) — the default ReservedCodeCacheSize is
+    // exhausted by ~25 earlier codegen-heavy phases, so the BCF decode
+    // loop never gets compiled; re-running this whole bench with
+    // -XX:ReservedCodeCacheSize=1g restores 2.7x in situ
+    // (FORMATBENCH_CC_r16).  The warm twin phase below is the in-situ
+    // witness: if it ever diverges from the cold metric again, the JVM
+    // reached compilation, i.e. the mode flipped.
     val bFullWarm = breadN("bcf_cohort_full_warm", Nil)
     println(f"FORMATBENCH bcf_full_warmup ${bFull / bFullWarm}%.2fx")
     metrics("bcf_full_warmup") = bFull / bFullWarm
