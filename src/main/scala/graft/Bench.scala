@@ -105,13 +105,23 @@ object Bench {
       // train) — artifacts are this harness's OUTPUTS; the marker
       // exists to catch source drift.
       else {
-        val modified = run("git", "status", "--porcelain",
-          "--untracked-files=no").linesIterator
-          .map(_.drop(3))
+        val modified = porcelainPaths(run("git", "status", "--porcelain",
+          "--untracked-files=no"))
           .filterNot(isBenchArtifact)
         if (modified.nonEmpty) sha + "-dirty" else sha
       }
     } catch { case _: Throwable => "unknown" }
+
+  /** Paths out of `git status --porcelain` output.  NOT a fixed
+    * `drop(3)`: the process helper trims the captured output, which
+    * eats the leading space of the FIRST " M path" line and misaligns
+    * a fixed drop — the r16 root cause of artifact overwrites still
+    * dirty-marking runs after the r15 exclusion supposedly fixed it
+    * (the exclusion never saw the real path on line one). */
+  private[graft] def porcelainPaths(out: String): Seq[String] =
+    out.linesIterator.filter(_.nonEmpty)
+      .map(_.replaceFirst("""^\s*\S{1,2}\s+""", ""))
+      .toSeq
 
   /** Harness OUTPUT files (per-round measurement JSONs in the repo
     * root) — excluded from the dirty scan above. */

@@ -90,6 +90,21 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(sha != "unknown")
   }
 
+  test("porcelainPaths survives the trimmed first line (r16 root cause)") {
+    // the process helper trims captured output, eating the FIRST
+    // line's leading space: a fixed drop(3) then misaligned and the
+    // artifact exclusion never saw the real path — every r15 bench
+    // artifact stamped -dirty from exactly this
+    val trimmed = "M FORMATBENCH_CC_r16.json\n M src/main/scala/graft/Bench.scala\n?? notes.txt"
+    assert(Bench.porcelainPaths(trimmed) === Seq(
+      "FORMATBENCH_CC_r16.json", "src/main/scala/graft/Bench.scala", "notes.txt"))
+    assert(Bench.porcelainPaths("MM BENCH_SF1_r16.json") === Seq("BENCH_SF1_r16.json"))
+    assert(Bench.porcelainPaths("") === Seq.empty)
+    // end to end: an artifact-only modification must not dirty-mark
+    assert(Bench.porcelainPaths("M PLANAUDIT_r16.json")
+      .filterNot(Bench.isBenchArtifact).isEmpty)
+  }
+
   test("the dirty scan ignores harness OUTPUT artifacts, never sources (late r15)") {
     // the r15 lesson: a retry loop's gated stub overwriting the prior
     // committed BENCH_SF01_r15.json dirty-marked every later run in
