@@ -117,16 +117,37 @@ object Bench {
     * eats the leading space of the FIRST " M path" line and misaligns
     * a fixed drop — the r16 root cause of artifact overwrites still
     * dirty-marking runs after the r15 exclusion supposedly fixed it
-    * (the exclusion never saw the real path on line one). */
+    * (the exclusion never saw the real path on line one).  Rename
+    * entries ("R  old -> new") yield the NEW path (the one a later
+    * overwrite would touch), and git's quoted form for paths with
+    * special characters is unwrapped — both previously slipped past
+    * the artifact filter and conservatively dirty-marked the run
+    * (ADVICE r16). */
   private[graft] def porcelainPaths(out: String): Seq[String] =
     out.linesIterator.filter(_.nonEmpty)
       .map(_.replaceFirst("""^\s*\S{1,2}\s+""", ""))
+      .map { p =>
+        val renamed = p.split(""" -> """, 2) match {
+          case Array(_, newer) => newer
+          case _ => p
+        }
+        if (renamed.length >= 2 && renamed.head == '"' && renamed.last == '"')
+          renamed.substring(1, renamed.length - 1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+        else renamed
+      }
       .toSeq
 
   /** Harness OUTPUT files (per-round measurement JSONs in the repo
-    * root) — excluded from the dirty scan above. */
+    * root) — excluded from the dirty scan above.  The match is the
+    * generic artifact NAMING CONVENTION (`UPPERCASE_r<N>.json`), not a
+    * family allowlist: every per-round probe main appends to a file of
+    * this shape, and each newly added family (BCFMODEPROBE, DRIFTAB in
+    * r16) re-created the dirty-stamp bug until it was enumerated here
+    * (ADVICE r16).  No tracked source file may use this naming shape.
+    * Mirrored in tools/ab_probe.py `_ARTIFACT_RE`. */
   private[graft] def isBenchArtifact(path: String): Boolean =
-    path.matches("""(BENCH|STREAMBENCH|FORMATBENCH|PLANAUDIT|MEDIAPROBE|CORRECTNESS)[A-Z0-9_]*_r\d+\.json""")
+    path.matches("""[A-Z][A-Z0-9_]*_r\d+\.json""")
 
   private[graft] def loadavg(): String =
     try {
@@ -179,25 +200,45 @@ object Bench {
     * were themselves suspect:false) and return
     * (file, prev probe_median_sec, prev was suspect).
     */
+  /** Probe fields off one anchor FILE: (path, probe_median_sec,
+    * suspect, probe_par_sec).  Multi-regime artifacts (STREAMBENCH)
+    * carry one JSON line per regime: the caller's `lineFilter` picks
+    * THIS run's regime line, falling back to the first line only when
+    * the artifact is single-line — findFirstMatchIn over the full file
+    * silently anchored every regime to the first line's probes
+    * (ADVICE r16). */
+  private[graft] def parseAnchorFile(
+      p: java.nio.file.Path,
+      lineFilter: Option[String => Boolean] = None): Option[(String, Double, Boolean, Option[Double])] =
+    try {
+      val whole = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val s = lineFilter match {
+        case Some(f) =>
+          val lines = whole.linesIterator.filter(_.trim.nonEmpty).toSeq
+          lines.find(f)
+            .orElse(if (lines.size <= 1) lines.headOption else None)
+            .getOrElse("")
+        case None => whole
+      }
+      val pm = """"probe_median_sec"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toDouble)
+      val par = """"probe_par_sec"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
+      val susp = """"suspect"\s*:\s*(true|false)""".r
+        .findFirstMatchIn(s).exists(_.group(1) == "true")
+      // full PATH, not basename: consumers re-read the anchor file
+      // (per-query medians, StreamBench's fsync line) and a
+      // basename silently failed to resolve whenever the env var
+      // pointed outside the cwd (ADVICE r15)
+      pm.filter(_ > 0).map(v => (p.toString, v, susp, par))
+    } catch { case _: Throwable => None }
+
   private[graft] def prevProbeAnchor(
       pattern: String = """BENCH.*_r(\d+)\.json""",
       envKey: String = "SPARK_GRAFT_PREV_BENCH",
-      preferPrefix: Option[String] = None): Option[(String, Double, Boolean, Option[Double])] = {
-    def parse(p: java.nio.file.Path): Option[(String, Double, Boolean, Option[Double])] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val pm = """"probe_median_sec"\s*:\s*([0-9.eE+-]+)""".r
-          .findFirstMatchIn(s).map(_.group(1).toDouble)
-        val par = """"probe_par_sec"\s*:\s*([0-9.eE+-]+)""".r
-          .findFirstMatchIn(s).map(_.group(1).toDouble).filter(_ > 0)
-        val susp = """"suspect"\s*:\s*(true|false)""".r
-          .findFirstMatchIn(s).exists(_.group(1) == "true")
-        // full PATH, not basename: consumers re-read the anchor file
-        // (per-query medians, StreamBench's fsync line) and a
-        // basename silently failed to resolve whenever the env var
-        // pointed outside the cwd (ADVICE r15)
-        pm.filter(_ > 0).map(v => (p.toString, v, susp, par))
-      } catch { case _: Throwable => None }
+      preferPrefix: Option[String] = None,
+      lineFilter: Option[String => Boolean] = None): Option[(String, Double, Boolean, Option[Double])] = {
+    def parse(p: java.nio.file.Path) = parseAnchorFile(p, lineFilter)
     sys.env.get(envKey) match {
       case Some(path) => parse(java.nio.file.Paths.get(path))
       case None =>

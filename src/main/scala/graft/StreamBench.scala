@@ -167,11 +167,21 @@ object StreamBench {
     // SPARK_GRAFT_PROBE_GATE set, abort in seconds when the start-of-
     // run parallel probe is already that far above the prior round's
     // STREAMBENCH anchor.
+    // THIS run's regime label — shared by the output line, both anchor
+    // lookups and the fsync comparison, so a multi-regime anchor file's
+    // probes are always read off the matching regime's line (ADVICE
+    // r16: prevProbeAnchor parsed the first line regardless)
+    val regimeNow = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
+      s"batches$nBatches")
+    val regimeLine: Option[String => Boolean] =
+      Some(_.contains(s""""regime":"${esc(regimeNow)}""""))
+
     sys.env.get("SPARK_GRAFT_PROBE_GATE")
       .flatMap(g => scala.util.Try(g.toDouble).toOption).foreach { gate =>
         for {
           (file, _, _, prevParOpt) <- Bench.prevProbeAnchor(
-            """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH")
+            """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH",
+            lineFilter = regimeLine)
           prevPar <- prevParOpt
           ratio = probeParStart / prevPar
           if ratio > gate
@@ -423,7 +433,8 @@ object StreamBench {
     // cross-round absolute anchor against the prior STREAMBENCH
     // artifact (single-thread + parallel), same discipline as Bench
     val prevAnchor = Bench.prevProbeAnchor(
-      """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH")
+      """STREAMBENCH.*_r(\d+)\.json""", "SPARK_GRAFT_PREV_STREAMBENCH",
+      lineFilter = regimeLine)
     val probeVsPrev = prevAnchor.map { case (_, prevMed, _, _) => probeMedian / prevMed }
     val probeParVsPrev = prevAnchor.flatMap { case (_, _, _, prevPar) =>
       prevPar.map(probePar / _)
@@ -459,8 +470,6 @@ object StreamBench {
         // compare against the line matching THIS run's regime (the two
         // regimes run at different dirs/batch counts, and ADVICE r15
         // noted findFirstMatchIn silently always read the first line)
-        val regimeNow = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
-          s"batches$nBatches")
         val lines = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(file)), "UTF-8").linesIterator.toSeq
         val line = lines.find(
@@ -519,10 +528,8 @@ object StreamBench {
     // regime label: "micro16"-style fixed-round-dominated runs vs
     // "bulk"-batch throughput runs (VERDICT r11 item 4 — the
     // STREAMBENCH artifact carries BOTH, one JSON line each)
-    val regime = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
-      s"batches$nBatches")
     val json = s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +
-      s""""regime":"${esc(regime)}",""" +
+      s""""regime":"${esc(regimeNow)}",""" +
       s""""operators":$ops,"suspect":$suspect,""" +
       s""""partially_suspect":$partiallySuspect,"suspect_queries":$sq,""" +
       s""""suspect_reasons":$rs,"env":$env,"errors":$es,"sf":"${esc(sfDir)}"}"""

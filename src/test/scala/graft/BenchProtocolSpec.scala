@@ -105,16 +105,72 @@ class BenchProtocolSpec extends AnyFunSuite {
       .filterNot(Bench.isBenchArtifact).isEmpty)
   }
 
+  test("porcelainPaths resolves renames and quoted paths (ADVICE r16)") {
+    // a rename entry carries 'old -> new': the NEW path is what a
+    // later overwrite touches, and the ' -> ' composite previously
+    // never matched the artifact filter (false dirty)
+    assert(Bench.porcelainPaths("R  BENCH_old_r15.json -> BENCH_SF1_r16.json")
+      === Seq("BENCH_SF1_r16.json"))
+    // git quotes paths with special characters; the quoted form must
+    // unwrap before the filter sees it
+    assert(Bench.porcelainPaths("""M "DRIFTAB_r16.json"""")
+      === Seq("DRIFTAB_r16.json"))
+    assert(Bench.porcelainPaths("""M "a\"b.txt"""") === Seq("a\"b.txt"))
+    // end to end: a renamed-to artifact must not dirty-mark
+    assert(Bench.porcelainPaths("R  x.json -> MEDIAPROBE_r17.json")
+      .filterNot(Bench.isBenchArtifact).isEmpty)
+  }
+
   test("the dirty scan ignores harness OUTPUT artifacts, never sources (late r15)") {
     // the r15 lesson: a retry loop's gated stub overwriting the prior
     // committed BENCH_SF01_r15.json dirty-marked every later run in
-    // the train even though the source tree matched HEAD exactly
+    // the train even though the source tree matched HEAD exactly.
+    // r17 (ADVICE r16): the match is the generic UPPERCASE_r<N>.json
+    // naming convention, because each newly added family
+    // (BCFMODEPROBE, DRIFTAB) re-created the bug while enumerated
+    // families were the rule — BCFMODEPROBE_r16/DRIFTAB_r16 shipped
+    // with -dirty stamps for exactly this reason.
     for (out <- Seq("BENCH_SF1_r15.json", "BENCH_SF01_r9.json", "BENCH_r01.json",
         "STREAMBENCH_r15.json", "FORMATBENCH_r14.json", "PLANAUDIT_r12.json",
-        "MEDIAPROBE_r14.json", "CORRECTNESS_r15.json"))
+        "MEDIAPROBE_r14.json", "CORRECTNESS_r15.json",
+        "BCFMODEPROBE_r16.json", "DRIFTAB_r16.json", "SKEWPROBE_CC_r17.json",
+        "STREAMMODEPROBE_r17.json"))
       assert(Bench.isBenchArtifact(out), out)
     for (src <- Seq("src/main/scala/graft/Bench.scala", "build.sbt",
-        "tools/ratio.py", "SURVEY.md", "BENCHNOTES_r15.md", "bench_r15.json"))
+        "tools/ratio.py", "SURVEY.md", "BENCHNOTES_r15.md", "bench_r15.json",
+        "lower_r15.json", "X_r.json", "_r15.json"))
       assert(!Bench.isBenchArtifact(src), src)
+  }
+
+  test("parseAnchorFile reads the regime-matching LINE of a multi-regime artifact (ADVICE r16)") {
+    // a STREAMBENCH artifact carries one JSON line per regime; without
+    // the filter, probe_median_sec/probe_par_sec/suspect always came
+    // from the FIRST line regardless of this run's regime
+    val dir = java.nio.file.Files.createTempDirectory("anchor_spec")
+    val f = dir.resolve("STREAMBENCH_r16.json")
+    java.nio.file.Files.write(f,
+      ("""{"regime":"micro16","probe_median_sec":0.050,"probe_par_sec":0.10,"suspect":false}""" + "\n" +
+       """{"regime":"bulk4","probe_median_sec":0.080,"probe_par_sec":0.20,"suspect":true}""" + "\n")
+        .getBytes("UTF-8"))
+    def anchor(regime: String) = Bench.parseAnchorFile(f,
+      Some((l: String) => l.contains(s""""regime":"$regime"""")))
+    assert(anchor("bulk4").map { case (_, m, s, p) => (m, s, p) }
+      === Some((0.080, true, Some(0.20))))
+    assert(anchor("micro16").map { case (_, m, s, p) => (m, s, p) }
+      === Some((0.050, false, Some(0.10))))
+    // a filter that matches NO line of a multi-line artifact yields no
+    // anchor (never a silent first-line fallback)
+    assert(anchor("nosuch").isEmpty)
+    // single-line artifacts keep anchoring even when the filter misses
+    // (BENCH artifacts carry no regime field)
+    val single = dir.resolve("BENCH_SF1_r16.json")
+    java.nio.file.Files.write(single,
+      """{"probe_median_sec":0.049,"probe_par_sec":0.12,"suspect":false}"""
+        .getBytes("UTF-8"))
+    assert(Bench.parseAnchorFile(single,
+        Some((l: String) => l.contains(""""regime":"micro16"""")))
+      .map(_._2) === Some(0.049))
+    // no filter: whole-file parse, unchanged legacy behavior
+    assert(Bench.parseAnchorFile(f, None).map(_._2) === Some(0.050))
   }
 }

@@ -36,11 +36,31 @@ ADD_OPENS = [
 
 # harness OUTPUT artifacts — excluded from the dirty scan, mirroring
 # graft.Bench.isBenchArtifact (the r15 lesson: a retry loop's stub over
-# a committed BENCH json must not dirty-mark later runs)
+# a committed BENCH json must not dirty-mark later runs).  The match is
+# the generic artifact NAMING CONVENTION (UPPERCASE_r<N>.json), not a
+# family allowlist: every new family (BCFMODEPROBE, DRIFTAB in r16)
+# re-created the dirty-stamp bug until enumerated (ADVICE r16).  Keep
+# in sync with Bench.isBenchArtifact — one pattern, two runtimes.
 import re
-_ARTIFACT_RE = re.compile(
-    r"(BENCH|STREAMBENCH|FORMATBENCH|PLANAUDIT|MEDIAPROBE|CORRECTNESS)"
-    r"[A-Z0-9_]*_r\d+\.json")
+_ARTIFACT_RE = re.compile(r"[A-Z][A-Z0-9_]*_r\d+\.json")
+
+
+def _porcelain_paths(status_out):
+    """Paths out of `git status --porcelain`, mirroring
+    graft.Bench.porcelainPaths: whitespace-tolerant prefix strip (not a
+    fixed ln[3:] slice — the Scala side's r16 root cause), rename
+    entries yield the NEW path, quoted paths are unwrapped."""
+    paths = []
+    for ln in status_out.splitlines():
+        if not ln.strip():
+            continue
+        p = re.sub(r"^\s*\S{1,2}\s+", "", ln)
+        if " -> " in p:
+            p = p.split(" -> ", 1)[1]
+        if len(p) >= 2 and p[0] == '"' and p[-1] == '"':
+            p = p[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        paths.append(p)
+    return paths
 
 
 def git_sha(repo=None):
@@ -57,8 +77,8 @@ def git_sha(repo=None):
         st = subprocess.run(["git", "status", "--porcelain",
                              "--untracked-files=no"], cwd=repo,
                             capture_output=True, text=True).stdout
-        modified = [ln[3:] for ln in st.splitlines()
-                    if ln and not _ARTIFACT_RE.fullmatch(ln[3:])]
+        modified = [p for p in _porcelain_paths(st)
+                    if not _ARTIFACT_RE.fullmatch(p)]
         return sha + "-dirty" if modified else sha
     except Exception:
         return "unknown"
