@@ -182,37 +182,50 @@ object Pipeline {
     var labels = cached
     var converged = false
     var rounds = 0
+    // per-round diagnostics (rounds × wall is the loop's entire cost
+    // model — see SURVEY §6.r17): set SPARK_GRAFT_CC_LOG=1 to emit one
+    // stderr line per round; read by CcProbe, silent otherwise
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (!converged && rounds < 64) {
-      // carry each doc's previous label through the aggregation so the
-      // convergence check needs no second join: every doc appears
-      // exactly once in the self branch (old = its previous label,
-      // null on neighbor rows; min ignores nulls)
+      val tRound = System.nanoTime()
+      // ONE aggregation per round, three branches unioned into it:
+      //   self — carries each doc's previous label as `old`, so the
+      //     convergence check needs no second join (old is null on the
+      //     other branches; min ignores nulls);
+      //   hop  — neighbors' labels across the symmetric edges
+      //     (min-label propagation proper);
+      //   jump — POINTER JUMP (r16), label := label(label): every
+      //     label is itself a member doc, so one self-equi-join reads
+      //     each doc's label's label, chain depth ~halves per round and
+      //     convergence is O(log diameter), the standard
+      //     distributed-CC shortcut (cf. Kiveris et al., "Connected
+      //     Components in MapReduce and Beyond", SoCC'14).  Without it
+      //     the audio hamming graph — whose sigs chain — ran 100+
+      //     one-hop rounds (27s at sf0.01 where siblings sat under 2s).
+      // r17 (VERDICT r16 item 4): the jump is FUSED into the same
+      // union/groupBy instead of running as a second join AFTER the
+      // hop aggregate.  Per round that drops one exchange-
+      // materialization stage (the loop's cost is stages × rounds, NOT
+      // action count — a 2-jumps-per-round variant measured SLOWER),
+      // and the jump reads the PRE-hop labels, which converges the
+      // same (monotone min; the fixed point still requires hop
+      // stability, which over symmetric edges forces per-component
+      // constant labels).  Measured sf1: audio keep 42.9→30.7s, image
+      // keep ~11.7→10.5s, text keys unchanged (ABBA, one window).
       val nbr = edges.join(labels, edges("src") === labels("doc"))
         .select(col("dst").as("doc"), col("label"),
           lit(null).cast("long").as("old"))
-      val prop = labels.select(col("doc"), col("label"), col("label").as("old"))
-        .union(nbr)
-        .groupBy("doc").agg(min("label").as("label"), min("old").as("old"))
-      // POINTER JUMP (r16): label := label(label).  Plain propagation
-      // pays one round per HOP, so rounds grow with component
-      // diameter — fine for shallow text near-dup blobs, pathological
-      // for the media hamming graphs, whose sigs chain (sig_a ~ sig_b
-      // ~ sig_c ...): the audio graph at sf0.01 ran 100+ rounds = 27s
-      // where every sibling key sat under 2s, and diameter GROWS with
-      // the corpus.  Every label is itself a member doc, so one
-      // self-equi-join reads each doc's label's label — chain depth
-      // halves per round and convergence is O(log diameter), the
-      // standard distributed-CC shortcut (cf. Kiveris et al.,
-      // "Connected Components in MapReduce and Beyond", SoCC'14).
-      val jumped = prop.as("x").join(
-          prop.select(col("doc").as("jdoc"), col("label").as("jlabel")),
+      val jmp = labels.as("x").join(
+          labels.select(col("doc").as("jdoc"), col("label").as("jlabel")),
           col("x.label") === col("jdoc"))
-        .select(col("x.doc").as("doc"),
-          least(col("x.label"), col("jlabel")).as("label"),
-          col("x.old").as("old"))
+        .select(col("x.doc").as("doc"), col("jlabel").as("label"),
+          lit(null).cast("long").as("old"))
+      val jumped = labels.select(col("doc"), col("label"), col("label").as("old"))
+        .union(nbr).union(jmp)
+        .groupBy("doc").agg(min("label").as("label"), min("old").as("old"))
       // the logical plan references the prior round's frame four times
-      // (twice in propagate, twice in the jump), growing exponentially
-      // per round: truncate lineage every 4 rounds (explainString alone
+      // (self + hop + twice in the jump), growing exponentially per
+      // round: truncate lineage every 4 rounds (explainString alone
       // OOM'd the driver at depth ~20 before r16's truncation) —
       // checkpoint when a reliable dir is configured, executor-local
       // otherwise, same policy as `edges` above
@@ -227,6 +240,8 @@ object Pipeline {
       labels = next.select("doc", "label")
       converged = changed == 0
       rounds += 1
+      if (ccLog) System.err.println(
+        f"[cc] round=$rounds wall_ms=${(System.nanoTime() - tRound) / 1e6}%.0f changed=${changed > 0}")
     }
     // partially-propagated labels are WRONG components, not an
     // approximation — fail loudly rather than return them
