@@ -202,6 +202,31 @@ object VideoDedup {
   def qVideoDedupTol(s: SparkSession, d: String): DataFrame =
     sharedFramePairsTol(frameSigs(s, d, perturb = true).localCheckpoint())
 
+  /** The ACTION step for video (VERDICT r16 item 2 — the media
+    * keep-list symmetry gap): tolerant shared-frame pairs →
+    * [[Pipeline.componentLabels]] (the ONE P2b spelling, shared
+    * verbatim with the text/image/audio keep-lists) → the P36 keeper
+    * window re-keyed on the video's DISTINCT-frame-fingerprint count
+    * (the richest cut survives — a re-cut or lossy twin carries fewer
+    * distinct frames than its source by construction; doc_id breaks
+    * ties).  The frame count comes from the DECODED frames, not doc
+    * arithmetic, and one decode pass (localCheckpoint) feeds the pair
+    * join and the keeper metadata.  One row per multi-member cluster:
+    * (cluster_id, keeper, n_frames). */
+  def qVideoClusterKeep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = frameSigs(s, d, perturb = true).localCheckpoint()
+    val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val pairs = sharedFramePairsTol(sigs).select("doc_a", "doc_b")
+    val w = Window.partitionBy("cluster_id").orderBy(desc("n_frames"), col("doc_id"))
+    Pipeline.componentLabels(s, pairs)
+      .join(nFrames, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"), col("n_frames"))
+      .orderBy("cluster_id")
+  }
+
   /** The shared DuckDB replay of payload → frame pixels → 9×8 pool →
     * gradient sign → 64-bit packing → per-video distinct → df guard:
     * CTE chain ending in `dsig(doc_id, lo, hi)`.  With `perturb` the
@@ -286,11 +311,46 @@ object VideoDedup {
       |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Keep-list oracle: the perturbed-twin sig replay feeding the
+    * tolerant pair CTE, the recursive reachability closure (the
+    * P2b/P36 DuckDB spelling, as in [[AudioDedup.qAudioClusterKeepSql]])
+    * and the distinct-frame-count keeper window (counted off `dsig0`,
+    * the per-video DISTINCT fingerprints BEFORE the df guard — the
+    * same frame [[qVideoClusterKeep]] counts). */
+  val qVideoClusterKeepSql: String =
+    s"""WITH RECURSIVE ${duckDsigCtes(perturb = true)}, nf AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM dsig0 GROUP BY doc_id
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM dsig a JOIN dsig b
+      |    ON a.doc_id < b.doc_id
+      |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $TolDist
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p
+      |), reach AS (
+      |  SELECT DISTINCT src AS doc, src AS r FROM e
+      |  UNION
+      |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+      |), cl AS (
+      |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+      |)
+      |SELECT cluster_id, keeper, n_frames FROM (
+      |  SELECT cl.cluster_id, cl.doc_id AS keeper, nf.n_frames,
+      |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY nf.n_frames DESC, cl.doc_id) AS rk
+      |  FROM cl JOIN nf ON nf.doc_id = cl.doc_id)
+      |WHERE rk = 1
+      |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_video_dedup" -> (qVideoDedup _),
-    "q_video_dedup_tol" -> (qVideoDedupTol _))
+    "q_video_dedup_tol" -> (qVideoDedupTol _),
+    "q_video_cluster_keep" -> (qVideoClusterKeep _))
 
   val oracle: Map[String, String] = Map(
     "q_video_dedup" -> qVideoDedupSql,
-    "q_video_dedup_tol" -> qVideoDedupTolSql)
+    "q_video_dedup_tol" -> qVideoDedupTolSql,
+    "q_video_cluster_keep" -> qVideoClusterKeepSql)
 }

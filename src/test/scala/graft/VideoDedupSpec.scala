@@ -143,4 +143,53 @@ class VideoDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_video_cluster_keep keeps the most distinct frames per connected component") {
+    val d = "/root/testdata/sf0.001"
+    val got = VideoDedup.qVideoClusterKeep(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: tolerant pairs -> union-find -> keeper by
+    // (n_frames desc, doc asc); n_frames = distinct fingerprints
+    val rows = VideoDedup.frameSigs(spark, d, perturb = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val byDocAll = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byDoc = rows.filter(p => df(p._2) <= VideoDedup.MaxSigDf)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = byDoc.keys.toSeq.sorted
+    def matched(a: Set[Long], b: Set[Long]): Long =
+      (for (fa <- a.toSeq; fb <- b.toSeq
+            if java.lang.Long.bitCount(fa ^ fb) <= VideoDedup.TolDist)
+        yield 1L).sum
+    val pairs = for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      if matched(byDoc(docs(i)), byDoc(docs(j))) >= VideoDedup.MinShared
+    } yield (docs(i), docs(j))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(find).toSeq.map { case (root, ms) =>
+      val keeper = ms.minBy(m => (-byDocAll(m).size, m))
+      (root, keeper, byDocAll(keeper).size.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty, "no multi-member video cluster at sf0.001")
+    // the keeper criterion bites: the re-cut twin carries FEWER
+    // distinct frames than its source, so in a plain (2g, 2g+1) pair
+    // cluster the even source doc must win regardless of doc order
+    val twoMember = want.filter { case (cid, _, _) =>
+      members.count(find(_) == cid) == 2 }
+    assert(twoMember.nonEmpty)
+    twoMember.foreach { case (cid, keeper, _) =>
+      assert(keeper % 2 == 0, s"cluster $cid kept re-cut $keeper over its source")
+    }
+  }
 }
