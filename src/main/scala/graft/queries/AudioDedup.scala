@@ -151,7 +151,7 @@ object AudioDedup {
   /** The DuckDB replay of signal → |s| zone pool → gradient sign →
     * 64-bit packing as two 32-bit halves: CTE `sig(doc_id, lo, hi)`.
     * Shared by both oracles. */
-  private val duckSigCte: String =
+  private[graft] val duckSigCte: String =
     s"""dims AS (
        |  SELECT doc_id, doc_id // 2 AS g,
        |    CAST((doc_id // 2) % 1800 + 600 AS BIGINT) AS n

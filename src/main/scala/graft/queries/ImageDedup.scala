@@ -181,7 +181,7 @@ object ImageDedup {
   /** The DuckDB replay of pool → gradient sign → 64-bit packing, as
     * two 32-bit halves (BIGINT shifts stay far from the sign bit):
     * CTE `sig(doc_id, lo, hi)`.  Shared by both oracles. */
-  private val duckSigCte: String =
+  private[graft] val duckSigCte: String =
     s"""dims AS (
        |  SELECT doc_id, doc_id // 2 AS g,
        |    CAST((doc_id // 2) % 64 + 24 AS BIGINT) AS width,

@@ -1323,8 +1323,109 @@ object Pipeline {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- P51b
+  /** The MULTIMODAL release filter (r17, VERDICT r16 item 6): a real
+    * multimodal release drops non-keeper images and audio too, not
+    * just text duplicates — so the P51 composite gains two media
+    * gates: `img_keep` / `aud_keep` are 0 exactly for docs that sit in
+    * a media near-dup cluster WITHOUT being its keeper (the P71/P72
+    * keep-list criterion — largest decoded image area / longest
+    * decoded recording, doc_id tiebreak).  Plan shape: the four text
+    * gates keep their one content-hash exchange; each media gate adds
+    * one doc_id-keyed join against a NON-KEEPER list, which is tiny by
+    * construction (one row per dropped duplicate, not per doc) and
+    * left to AQE to broadcast — at 100 TB a heavily-duplicated corpus
+    * can push a drop-list past broadcast size, and then the shuffle
+    * join on doc_id is the right plan, so the hint is deliberately
+    * absent. */
+  def qReleaseFilterMedia(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.HammingDedup
+    // non-keeper members of media near-dup clusters: pairs → the P2b
+    // labels → everything BELOW rank 1 of the P36 keeper window
+    def nonKeepers(sigs: DataFrame, metric: String, maxDist: Int): DataFrame = {
+      val pairs = HammingDedup
+        .pairs(sigs.select("doc_id", "sig"), "sig", maxDist, bandBits = 16)
+        .select("doc_a", "doc_b")
+      val w = Window.partitionBy("cluster_id").orderBy(desc(metric), col("doc_id"))
+      componentLabels(s, pairs)
+        .join(sigs.select(col("doc_id"), col(metric)), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select("doc_id")
+    }
+    val imgDrop = nonKeepers(
+      ImageDedup.dhashFrame(s, d).localCheckpoint(), "area", ImageDedup.MaxDist)
+    val audDrop = nonKeepers(
+      AudioDedup.sigFrame(s, d).localCheckpoint(), "n_samples", AudioDedup.MaxDist)
+    val byHash = Window.partitionBy(md5(col("text")))
+    releaseGates(
+      Tables.documents(s, d)
+        .withColumn("is_canonical",
+          (col("doc_id") === min("doc_id").over(byHash)).cast("int")))
+      .join(imgDrop.withColumn("img_dup", lit(1)), Seq("doc_id"), "left")
+      .join(audDrop.withColumn("aud_dup", lit(1)), Seq("doc_id"), "left")
+      .withColumn("img_keep", when(col("img_dup").isNull, 1).otherwise(0).cast("int"))
+      .withColumn("aud_keep", when(col("aud_dup").isNull, 1).otherwise(0).cast("int"))
+      .withColumn("keep",
+        (col("is_canonical") * col("q_pass") * col("lang_en") * col("pii_free")
+          * col("img_keep") * col("aud_keep")).cast("int"))
+      .select("doc_id", "is_canonical", "q_pass", "lang_en", "pii_free",
+        "img_keep", "aud_keep", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the P51 text-gate SQL as one derived table, left-joined
+    * to per-modality NON-KEEPER subqueries — each its own
+    * `WITH RECURSIVE` scope reusing [[ImageDedup.duckSigCte]] /
+    * [[AudioDedup.duckSigCte]] verbatim (subquery CTE scoping keeps
+    * the shared CTE names apart), the reachability closure, and the
+    * keeper window inverted to `rk > 1`. */
+  val qReleaseFilterMediaSql: String = {
+    def nonKeepSql(sigCte: String, metricExpr: String, maxDist: Int): String =
+      s"""WITH RECURSIVE $sigCte, p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $maxDist
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p
+         |), reach AS (
+         |  SELECT DISTINCT src AS doc, src AS r FROM e
+         |  UNION
+         |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
+         |), cl AS (
+         |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+         |)
+         |SELECT doc_id FROM (
+         |  SELECT cl.cluster_id, cl.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY $metricExpr DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN dims dm ON dm.doc_id = cl.doc_id)
+         |WHERE rk > 1""".stripMargin
+    val core = qReleaseFilterSql.replaceAll("""ORDER BY doc_id\s*$""", "")
+    // stripMargin the TEMPLATE before substituting: the embedded SQL
+    // carries `||` string concats at line starts, which an outer
+    // stripMargin would truncate to `|`
+    """SELECT rf.doc_id, rf.is_canonical, rf.q_pass, rf.lang_en, rf.pii_free,
+       |  CAST(CASE WHEN img.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS img_keep,
+       |  CAST(CASE WHEN aud.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS aud_keep,
+       |  CAST(rf.keep * (CASE WHEN img.doc_id IS NULL THEN 1 ELSE 0 END)
+       |       * (CASE WHEN aud.doc_id IS NULL THEN 1 ELSE 0 END) AS INT) AS keep
+       |FROM ( @CORE@ ) rf
+       |LEFT JOIN ( @IMG@ ) img
+       |  ON img.doc_id = rf.doc_id
+       |LEFT JOIN ( @AUD@ ) aud
+       |  ON aud.doc_id = rf.doc_id
+       |ORDER BY rf.doc_id""".stripMargin
+      .replace("@CORE@", core)
+      .replace("@IMG@",
+        nonKeepSql(ImageDedup.duckSigCte, "dm.width * dm.height", ImageDedup.MaxDist))
+      .replace("@AUD@", nonKeepSql(AudioDedup.duckSigCte, "dm.n", AudioDedup.MaxDist))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_release_filter" -> (qReleaseFilter _),
+    "q_release_filter_media" -> (qReleaseFilterMedia _),
     "q_embed_cov" -> (qEmbedCov _),
     "q_pca_project" -> (qPcaProject _),
     "q_kmeans" -> (qKmeans _),
@@ -1349,6 +1450,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_release_filter" -> qReleaseFilterSql,
+    "q_release_filter_media" -> qReleaseFilterMediaSql,
     "q_embed_cov" -> qEmbedCovSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_kmeans" -> qKmeansSql,
