@@ -149,6 +149,51 @@ object Bench {
   private[graft] def isBenchArtifact(path: String): Boolean =
     path.matches("""[A-Z][A-Z0-9_]*_r\d+\.json""")
 
+  /** In-run contention watcher (VERDICT r16 item 1): a daemon thread
+    * sampling the single-thread CPU probe WHILE queries execute.  The
+    * r16 blind spot: per-query probes run BETWEEN queries, so a
+    * co-tenant burst that lands entirely inside one query's three runs
+    * inflates its numbers with every probe flat and suspect:false —
+    * exactly the shape of the un-adjudicated r16 drift.  ~20% duty
+    * cycle (one ~50 ms probe per 250 ms) on one of `cpus` threads, so
+    * the measurement perturbation is < 1% of the core budget; samples
+    * that span a query boundary are dropped. */
+  private[graft] final class InRunWatcher(sleepMs: Long = 250,
+                                          steps: Int = 25000000) {
+    private val samples = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
+    @volatile private var current: String = null
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        val q = current
+        if (q != null) {
+          val s = calibrate(steps)
+          if (running && (current eq q))
+            samples.computeIfAbsent(q,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue())
+              .add(s)
+        }
+        try Thread.sleep(sleepMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-inrun-probe")
+    t.setDaemon(true)
+    t.start()
+    def enter(name: String): Unit = current = name
+    def exit(): Unit = current = null
+    /** Stop sampling and return per-query probe samples. */
+    def finish(): Map[String, Seq[Double]] = {
+      running = false; current = null; t.interrupt()
+      try t.join(2000) catch { case _: Throwable => () }
+      import scala.jdk.CollectionConverters._
+      samples.asScala.map { case (k, v) =>
+        k -> v.asScala.map(_.doubleValue).toSeq }.toMap
+    }
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
+
   private[graft] def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -419,10 +464,15 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
+    // in-run contention watcher: samples the CPU probe DURING each
+    // query's runs (the between-probe protocol is structurally blind
+    // to bursts that start and end inside one query — VERDICT r16)
+    val watcher = new InRunWatcher()
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query contention probe: timed immediately before the
       // query's three runs, against the run-wide median below
       val qprobe = calibrate(25000000)
+      watcher.enter(name)
       try {
         val cold = runOnce(fn)
         val w1 = runOnce(fn)
@@ -434,7 +484,7 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           spark.catalog.clearCache()
           QR(name, -1.0, -1.0, -1.0, -1.0, qprobe)
-      }
+      } finally watcher.exit()
     }
 
     // burst-aware retry (the r12 lesson): a suspect:false run can
@@ -461,6 +511,7 @@ object Bench {
         burstRetries.size < 8 // bound the extra wall if a window is globally slow
       if (!burst) r
       else byName.get(r.name).fold(r) { fn =>
+        watcher.enter(r.name)
         try {
           val runs = Seq(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
           burstRetries(r.name) = (r.med, runs(1))
@@ -468,8 +519,10 @@ object Bench {
             r.copy(med = runs(1), min = math.min(r.min, runs(0)))
           else r
         } catch { case _: Throwable => spark.catalog.clearCache(); r }
+        finally watcher.exit()
       }
     }
+    val inrunSamples = watcher.finish()
 
     val probeEnd = calibrate()
     val probeParEnd = calibratePar(cpus)
@@ -501,6 +554,20 @@ object Bench {
     }
     val suspectQueries = results.filter(r =>
       probeMedian > 0 && r.probe > 1.5 * probeMedian)
+    // in-run flags: per-query median of the samples the watcher took
+    // WHILE the query ran, against the pooled median of all in-run
+    // samples — catches the burst class the between-query probes
+    // cannot see.  Queries too short to catch a sample report -1.
+    val inrunPooledMedian = median(inrunSamples.values.flatten.toSeq)
+    val inrunMed: Map[String, Double] =
+      results.map(r => r.name -> median(inrunSamples.getOrElse(r.name, Nil))).toMap
+    val suspectInrun = results
+      .filter(r => inrunPooledMedian > 0 && inrunMed(r.name) > 1.5 * inrunPooledMedian)
+    if (suspectInrun.length > math.max(2, results.size / 10))
+      reasons += s"${suspectInrun.length} queries' IN-RUN probes ran >1.5x the " +
+        f"pooled in-run median ($inrunPooledMedian%.3fs): " +
+        suspectInrun.map(r => f"${r.name} (${inrunMed(r.name) / inrunPooledMedian}%.1fx)")
+          .mkString(", ").take(300)
     // localized flags stay per-query (suspect_queries below names them
     // and their numbers are individually untrustworthy); the RUN-level
     // flag fires only when the contention is widespread — ambient
@@ -548,9 +615,10 @@ object Bench {
     // ADVICE r10: localized contention must stay visible at the
     // ARTIFACT level too — a consumer reading only "suspect" would
     // otherwise trust per-query numbers the probe itself flagged.
-    // partially_suspect = any per-query probe flag at all; the names
-    // and ratios are in "suspect_queries".
-    val partiallySuspect = suspectQueries.nonEmpty
+    // partially_suspect = any per-query probe flag at all (between-
+    // query OR in-run); the names and ratios are in "suspect_queries"
+    // / "suspect_queries_inrun".
+    val partiallySuspect = suspectQueries.nonEmpty || suspectInrun.nonEmpty
 
     def jmap(f: QR => Double): String =
       results.map(r => s""""${esc(r.name)}":${f(r)}""").mkString("{", ",", "}")
@@ -560,6 +628,11 @@ object Bench {
     val probes = jmap(_.probe)
     val sq = suspectQueries
       .map(r => s""""${esc(r.name)}":${r.probe / probeMedian}""")
+      .mkString("{", ",", "}")
+    val probesInrun = results
+      .map(r => s""""${esc(r.name)}":${inrunMed(r.name)}""").mkString("{", ",", "}")
+    val sqInrun = suspectInrun
+      .map(r => s""""${esc(r.name)}":${inrunMed(r.name) / inrunPooledMedian}""")
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
@@ -605,6 +678,8 @@ object Bench {
       s""""cold":$cs,"cold_total":$coldTotal,"cold_scale_total":$coldScaleTotal,""" +
       s""""cold_baseline_total":$coldBaselineTotal,""" +
       s""""probe":$probes,"suspect_queries":$sq,""" +
+      s""""probe_inrun":$probesInrun,"probe_inrun_median_sec":$inrunPooledMedian,""" +
+      s""""suspect_queries_inrun":$sqInrun,""" +
       s""""burst_retries":${burstRetries.map { case (k, (first, retry)) =>
         s""""${esc(k)}":{"first":$first,"retry":$retry}"""
       }.mkString("{", ",", "}")},""" +
