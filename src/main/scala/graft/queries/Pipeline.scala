@@ -160,6 +160,10 @@ object Pipeline {
     * dedup must END in a keep-list, not a pair list).  Only docs that
     * appear in at least one pair get a label — singletons are their
     * own keeper by definition and never enter the loop. */
+  /** Rounds the most recent [[componentLabels]] call took — probe
+    * telemetry (CcSkewProbe), not part of any query result. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   private[graft] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     // checkpoint (not persist): truncates lineage so each propagation
     // round's logical plan is just edges⋈labels — with plain persist
@@ -247,6 +251,7 @@ object Pipeline {
     // approximation — fail loudly rather than return them
     if (!converged) throw new IllegalStateException(
       s"connected-components label propagation did not converge in $rounds rounds")
+    lastCcRounds = rounds
     // truncate the RETURNED frame's lineage too: the loop has already
     // executed eagerly (each round's count), so consumers should plan
     // against the materialized result, not the unrolled round history
