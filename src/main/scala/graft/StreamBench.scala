@@ -408,6 +408,25 @@ object StreamBench {
       else cases.filter { case (n, _) => args.contains(n) }
     val results = selected.map(_._2())
 
+    // LATE-TWIN witness (VERDICT r16 item 5, the BCFMODEPROBE
+    // discipline brought to streaming): with SPARK_GRAFT_STREAM_TWINS
+    // = "op1,op2", re-run those operators in THIS same aged JVM after
+    // the whole suite and record both values.  late ≫ first means the
+    // long-lived multi-op JVM itself (JIT/profile/code-cache aging)
+    // inflates late operators; late ≈ first points at the host window.
+    // A solo fresh-JVM run of the same op (args = [op]) is the third
+    // leg of the comparison.
+    val twinOps = sys.env.get("SPARK_GRAFT_STREAM_TWINS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val twins: Seq[(String, Double, Double, Double)] =
+      cases.filter { case (n, _) => twinOps(n) }.map { case (n, f) =>
+        val first = results.find(_.name == n).map(_.sec).getOrElse(-1.0)
+        val probeBefore = Bench.calibrate(25000000)
+        val late = f().sec
+        (n, first, late, probeBefore)
+      }
+
     val probeEnd = Bench.calibrate()
     val probeParEnd = Bench.calibratePar(cpus)
     val probePar = math.min(probeParStart, probeParEnd)
@@ -530,6 +549,9 @@ object StreamBench {
     // STREAMBENCH artifact carries BOTH, one JSON line each)
     val json = s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +
       s""""regime":"${esc(regimeNow)}",""" +
+      (if (twins.isEmpty) "" else twins.map { case (n, first, late, pb) =>
+        s""""${esc(n)}":{"first":$first,"late":$late,"probe_before_late":$pb}"""
+      }.mkString("\"twins\":{", ",", "},")) +
       s""""operators":$ops,"suspect":$suspect,""" +
       s""""partially_suspect":$partiallySuspect,"suspect_queries":$sq,""" +
       s""""suspect_reasons":$rs,"env":$env,"errors":$es,"sf":"${esc(sfDir)}"}"""
