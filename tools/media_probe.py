@@ -40,7 +40,14 @@ QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            # only the count forms were probed, so sig-vocabulary
            # saturation at sf10 was assumed, not measured) and the
            # hamming-tolerant video match
-           "q_image_dedup", "q_audio_dedup", "q_video_dedup_tol"]
+           "q_image_dedup", "q_audio_dedup", "q_video_dedup_tol",
+           # r17 (VERDICT r16 item 3): the CC keep-list keys — the
+           # loop is where superlinearity would hide (rounds grow with
+           # component diameter, pair volume, label skew), and these
+           # were the only media keys with unmeasured x10 behavior —
+           # plus the new video keep-list
+           "q_image_cluster_keep", "q_audio_cluster_keep",
+           "q_video_cluster_keep"]
 DATA_GROWTH = 10.0  # documents x10
 
 
