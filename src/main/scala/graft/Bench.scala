@@ -235,6 +235,20 @@ object Bench {
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
 
+  /** JIT code-cache occupancy (used, max) in bytes, summed over the
+    * CodeHeap pools.  The bcf lesson generalized (r17): a long one-JVM
+    * suite that exhausts the code cache measures exhaustion, not the
+    * code — and with CPU probes flat and fsync flat, occupancy is the
+    * only witness.  (-1, -1) if the pools aren't exposed. */
+  private[graft] def codeCacheStats(): (Long, Long) =
+    try {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+      if (pools.isEmpty) (-1L, -1L)
+      else (pools.map(_.getUsage.getUsed).sum, pools.map(_.getUsage.getMax).sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** Cross-round absolute probe anchor (VERDICT r9 item 2).  A
     * CONSTANT background load inflates every probe in a run equally,
     * so all the relative checks above stay quiet — the only signal
@@ -668,6 +682,8 @@ object Bench {
       s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
       s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
+      s""""code_cache_used_mb":${codeCacheStats()._1 / 1048576.0},""" +
+      s""""code_cache_max_mb":${codeCacheStats()._2 / 1048576.0},""" +
       s""""git_sha":"${esc(sha)}","runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"scale_total","value":$scaleTotal,"unit":"sec",""" +
