@@ -480,13 +480,17 @@ object Bench {
     }
     // in-run contention watcher: samples the CPU probe DURING each
     // query's runs (the between-probe protocol is structurally blind
-    // to bursts that start and end inside one query — VERDICT r16)
-    val watcher = new InRunWatcher()
+    // to bursts that start and end inside one query — VERDICT r16).
+    // SPARK_GRAFT_NO_INRUN=1 disables it for two-jar A/B runs where
+    // only one jar carries the watcher (its ~1% perturbation would
+    // read as jar difference).
+    val watcher =
+      if (sys.env.contains("SPARK_GRAFT_NO_INRUN")) null else new InRunWatcher()
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query contention probe: timed immediately before the
       // query's three runs, against the run-wide median below
       val qprobe = calibrate(25000000)
-      watcher.enter(name)
+      if (watcher != null) watcher.enter(name)
       try {
         val cold = runOnce(fn)
         val w1 = runOnce(fn)
@@ -498,7 +502,7 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           spark.catalog.clearCache()
           QR(name, -1.0, -1.0, -1.0, -1.0, qprobe)
-      } finally watcher.exit()
+      } finally if (watcher != null) watcher.exit()
     }
 
     // burst-aware retry (the r12 lesson): a suspect:false run can
@@ -525,7 +529,7 @@ object Bench {
         burstRetries.size < 8 // bound the extra wall if a window is globally slow
       if (!burst) r
       else byName.get(r.name).fold(r) { fn =>
-        watcher.enter(r.name)
+        if (watcher != null) watcher.enter(r.name)
         try {
           val runs = Seq(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
           burstRetries(r.name) = (r.med, runs(1))
@@ -533,10 +537,11 @@ object Bench {
             r.copy(med = runs(1), min = math.min(r.min, runs(0)))
           else r
         } catch { case _: Throwable => spark.catalog.clearCache(); r }
-        finally watcher.exit()
+        finally if (watcher != null) watcher.exit()
       }
     }
-    val inrunSamples = watcher.finish()
+    val inrunSamples =
+      if (watcher != null) watcher.finish() else Map.empty[String, Seq[Double]]
 
     val probeEnd = calibrate()
     val probeParEnd = calibratePar(cpus)
