@@ -127,11 +127,14 @@ object AudioDedup {
   def qAudioClusterKeep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = sigFrame(s, d).localCheckpoint() // pairs + keeper metadata off one decode pass
-    val pairs = HammingDedup
-      .pairs(sigs.select("doc_id", "sig"), "sig", MaxDist, bandBits = 16)
-      .select("doc_a", "doc_b")
+    // r17: CC over the DISTINCT-SIG graph, not the doc-pair graph —
+    // the doc expansion is C(m,2) inside dense clusters and OOM'd at
+    // sf10 (see Pipeline.componentLabelsBySig)
+    val sigPairs = HammingDedup
+      .sigPairs(sigs.select(col("sig")).distinct(), "sig", MaxDist, bandBits = 16)
+      .select("sig_a", "sig_b")
     val w = Window.partitionBy("cluster_id").orderBy(desc("n_samples"), col("doc_id"))
-    Pipeline.componentLabels(s, pairs)
+    Pipeline.componentLabelsBySig(s, sigs.select("doc_id", "sig"), sigPairs)
       .join(sigs.select("doc_id", "n_samples"), "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

@@ -266,6 +266,40 @@ object Pipeline {
     out
   }
 
+  /** Doc clusters via the DISTINCT-SIG graph (r17): for operators
+    * whose near-dup relation is a function of ONE signature per doc
+    * (P71 image dHash, P72 audio envelope dHash — doc a ~ doc b iff
+    * hamming(sig_a, sig_b) ≤ d), clustering the doc-PAIR graph is
+    * wasteful and, at scale, fatal: a dense near-dup cluster of m docs
+    * expands to C(m,2) pair rows before the loop ever runs —
+    * MEDIAPROBE r17 caught q_audio_cluster_keep OOMing at sf10 on
+    * exactly this.  The doc components are EQUAL to the components of
+    * the distinct-signature graph (docs sharing a sig sit on one node;
+    * a doc path a~b~c is a sig path and vice versa — every sig carries
+    * ≥ 1 doc), so run [[componentLabels]] over the sig-pair graph
+    * (nodes = distinct sigs, edges = the banded join's verified pairs
+    * — no doc expansion anywhere) and map docs in by membership.
+    * Returns (doc_id, cluster_id = min doc_id of the component), only
+    * for docs in multi-member clusters — the [[componentLabels]]
+    * contract, at sig-graph cost.  `docSigs` must be one row per doc. */
+  private[graft] def componentLabelsBySig(s: SparkSession, docSigs: DataFrame,
+                                          sigPairs: DataFrame): DataFrame = {
+    val sigLabels = componentLabels(s,
+        sigPairs.select(col("sig_a").as("doc_a"), col("sig_b").as("doc_b")))
+      .select(col("doc_id").as("sig"), col("cluster_id").as("sgroup"))
+    // group key: the sig-component label, or the sig itself for sigs
+    // with no near neighbor (their docs still cluster by EQUAL sig) —
+    // a sig inside a component is never also a singleton key, so keys
+    // are one-to-one with components
+    val grouped = docSigs.join(sigLabels, Seq("sig"), "left")
+      .withColumn("g", coalesce(col("sgroup"), col("sig")))
+    val clusters = grouped.groupBy("g")
+      .agg(min("doc_id").as("cluster_id"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("g", "cluster_id")
+    grouped.join(clusters, "g").select("doc_id", "cluster_id")
+  }
+
   val qDedupClusterSql: String =
     s"""WITH RECURSIVE s AS (
        |  SELECT doc_id, ${duckShingles(3)} AS sh FROM documents
@@ -1345,14 +1379,15 @@ object Pipeline {
     * absent. */
   def qReleaseFilterMedia(s: SparkSession, d: String): DataFrame = {
     import graft.operators.HammingDedup
-    // non-keeper members of media near-dup clusters: pairs → the P2b
-    // labels → everything BELOW rank 1 of the P36 keeper window
+    // non-keeper members of media near-dup clusters: sig-graph CC
+    // labels (see componentLabelsBySig — never a doc-pair expansion)
+    // → everything BELOW rank 1 of the P36 keeper window
     def nonKeepers(sigs: DataFrame, metric: String, maxDist: Int): DataFrame = {
-      val pairs = HammingDedup
-        .pairs(sigs.select("doc_id", "sig"), "sig", maxDist, bandBits = 16)
-        .select("doc_a", "doc_b")
+      val sigPairs = HammingDedup
+        .sigPairs(sigs.select(col("sig")).distinct(), "sig", maxDist, bandBits = 16)
+        .select("sig_a", "sig_b")
       val w = Window.partitionBy("cluster_id").orderBy(desc(metric), col("doc_id"))
-      componentLabels(s, pairs)
+      componentLabelsBySig(s, sigs.select("doc_id", "sig"), sigPairs)
         .join(sigs.select(col("doc_id"), col(metric)), "doc_id")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1)
