@@ -52,8 +52,14 @@ DATA_GROWTH = 10.0  # documents x10
 
 
 def main():
+    global QUERIES
     sf1_dir, sf10_dir, jar, out_json = sys.argv[1:5]
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    # optional trailing query list: probe a subset (e.g. re-measuring
+    # the keep keys after the sig-graph CC fix without re-running the
+    # unchanged scan-local rows)
+    if len(sys.argv) > 6:
+        QUERIES = sys.argv[6:]
     loadavg0 = open("/proc/loadavg").read().split()[0]
     meds = {d: {q: [] for q in QUERIES} for d in (sf1_dir, sf10_dir)}
     probes = {d: [] for d in (sf1_dir, sf10_dir)}
