@@ -125,12 +125,23 @@ object Bench {
     * (ADVICE r16). */
   private[graft] def porcelainPaths(out: String): Seq[String] =
     out.linesIterator.filter(_.nonEmpty)
-      .map(_.replaceFirst("""^\s*\S{1,2}\s+""", ""))
-      .map { p =>
-        val renamed = p.split(""" -> """, 2) match {
-          case Array(_, newer) => newer
-          case _ => p
-        }
+      .map { ln =>
+        // the " -> " separator only exists on rename/copy rows — an
+        // unquoted tracked filename that literally contains " -> "
+        // must NOT be split (ADVICE r17), so capture the status code
+        // before stripping it.  (Limitation: git octal-escapes
+        // non-ASCII bytes inside QUOTED paths; those stay encoded
+        // here and fail the artifact match — a conservative false
+        // dirty, accepted.)
+        val code = ln.take(2).trim
+        val p = ln.replaceFirst("""^\s*\S{1,2}\s+""", "")
+        val renamed =
+          if (code.exists(c => c == 'R' || c == 'C'))
+            p.split(""" -> """, 2) match {
+              case Array(_, newer) => newer
+              case _ => p
+            }
+          else p
         if (renamed.length >= 2 && renamed.head == '"' && renamed.last == '"')
           renamed.substring(1, renamed.length - 1)
             .replace("\\\"", "\"").replace("\\\\", "\\")
@@ -154,11 +165,13 @@ object Bench {
     * r16 blind spot: per-query probes run BETWEEN queries, so a
     * co-tenant burst that lands entirely inside one query's three runs
     * inflates its numbers with every probe flat and suspect:false —
-    * exactly the shape of the un-adjudicated r16 drift.  ~20% duty
-    * cycle (one ~50 ms probe per 250 ms) on one of `cpus` threads, so
-    * the measurement perturbation is < 1% of the core budget; samples
+    * exactly the shape of the un-adjudicated r16 drift.  The sleep is
+    * sized by [[inrunSleepMs]] so the one sampling thread stays under
+    * ~1% of the TOTAL core budget at any `cpus` (ADVICE r17: the
+    * fixed 250 ms default held <1% only at cpus=32 — at cpus=4 it was
+    * ~5%, silently loading the very runs it was auditing); samples
     * that span a query boundary are dropped. */
-  private[graft] final class InRunWatcher(sleepMs: Long = 250,
+  private[graft] final class InRunWatcher(val sleepMs: Long = 250,
                                           steps: Int = 25000000) {
     private val samples = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
@@ -190,6 +203,14 @@ object Bench {
         k -> v.asScala.map(_.doubleValue).toSeq }.toMap
     }
   }
+
+  /** Watcher sleep keeping its single sampling thread's ~50 ms probe
+    * under 1% of the TOTAL core budget: duty/cpus < 1% needs
+    * sleep ≥ 50·(100/cpus − 1) ms.  Never below the 250 ms default
+    * (cpus ≥ 17 resolves to it), so the cpus=32 protocol runs are
+    * byte-identical to r17's. */
+  private[graft] def inrunSleepMs(cpus: Int): Long =
+    math.max(250L, math.ceil(50.0 * (100.0 / math.max(cpus, 1) - 1.0)).toLong)
 
   private[graft] def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
@@ -248,6 +269,17 @@ object Bench {
       if (pools.isEmpty) (-1L, -1L)
       else (pools.map(_.getUsage.getUsed).sum, pools.map(_.getUsage.getMax).sum)
     } catch { case _: Throwable => (-1L, -1L) }
+
+  /** The code-cache env fragment, from ONE stats snapshot (ADVICE r17:
+    * two separate calls could mix snapshots, and dividing the (-1,-1)
+    * unavailable sentinel by 1 MiB turned it into ~-9.5e-7, breaking
+    * consumers' `== -1` checks — the sentinel must pass through
+    * untouched). */
+  private[graft] def codeCacheJson(): String = {
+    val (used, max) = codeCacheStats()
+    def mb(v: Long): String = if (v < 0) "-1" else (v / 1048576.0).toString
+    s""""code_cache_used_mb":${mb(used)},"code_cache_max_mb":${mb(max)}"""
+  }
 
   /** Cross-round absolute probe anchor (VERDICT r9 item 2).  A
     * CONSTANT background load inflates every probe in a run equally,
@@ -485,7 +517,8 @@ object Bench {
     // only one jar carries the watcher (its ~1% perturbation would
     // read as jar difference).
     val watcher =
-      if (sys.env.contains("SPARK_GRAFT_NO_INRUN")) null else new InRunWatcher()
+      if (sys.env.contains("SPARK_GRAFT_NO_INRUN")) null
+      else new InRunWatcher(sleepMs = inrunSleepMs(cpus))
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query contention probe: timed immediately before the
       // query's three runs, against the run-wide median below
@@ -580,8 +613,15 @@ object Bench {
     val inrunPooledMedian = median(inrunSamples.values.flatten.toSeq)
     val inrunMed: Map[String, Double] =
       results.map(r => r.name -> median(inrunSamples.getOrElse(r.name, Nil))).toMap
+    val inrunN: Map[String, Int] =
+      results.map(r => r.name -> inrunSamples.getOrElse(r.name, Nil).length).toMap
+    // ADVICE r17: a query that caught exactly one ~50 ms sample can be
+    // flagged by that single noisy sample — require ≥ 3 in-run samples
+    // before a query is flag-eligible (counts are emitted alongside in
+    // "probe_inrun_n" so consumers can weigh the rest)
     val suspectInrun = results
-      .filter(r => inrunPooledMedian > 0 && inrunMed(r.name) > 1.5 * inrunPooledMedian)
+      .filter(r => inrunPooledMedian > 0 && inrunN(r.name) >= 3 &&
+        inrunMed(r.name) > 1.5 * inrunPooledMedian)
     if (suspectInrun.length > math.max(2, results.size / 10))
       reasons += s"${suspectInrun.length} queries' IN-RUN probes ran >1.5x the " +
         f"pooled in-run median ($inrunPooledMedian%.3fs): " +
@@ -650,6 +690,8 @@ object Bench {
       .mkString("{", ",", "}")
     val probesInrun = results
       .map(r => s""""${esc(r.name)}":${inrunMed(r.name)}""").mkString("{", ",", "}")
+    val probesInrunN = results
+      .map(r => s""""${esc(r.name)}":${inrunN(r.name)}""").mkString("{", ",", "}")
     val sqInrun = suspectInrun
       .map(r => s""""${esc(r.name)}":${inrunMed(r.name) / inrunPooledMedian}""")
       .mkString("{", ",", "}")
@@ -687,8 +729,9 @@ object Bench {
       s""""probe_par_start_sec":$probeParStart,"probe_par_end_sec":$probeParEnd,""" +
       s""""probe_par_sec":$probePar,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
-      s""""code_cache_used_mb":${codeCacheStats()._1 / 1048576.0},""" +
-      s""""code_cache_max_mb":${codeCacheStats()._2 / 1048576.0},""" +
+      codeCacheJson() + "," +
+      s""""inrun_watcher":${watcher != null},""" +
+      s""""inrun_sleep_ms":${if (watcher != null) watcher.sleepMs else -1},""" +
       s""""git_sha":"${esc(sha)}","runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"scale_total","value":$scaleTotal,"unit":"sec",""" +
@@ -699,7 +742,8 @@ object Bench {
       s""""cold":$cs,"cold_total":$coldTotal,"cold_scale_total":$coldScaleTotal,""" +
       s""""cold_baseline_total":$coldBaselineTotal,""" +
       s""""probe":$probes,"suspect_queries":$sq,""" +
-      s""""probe_inrun":$probesInrun,"probe_inrun_median_sec":$inrunPooledMedian,""" +
+      s""""probe_inrun":$probesInrun,"probe_inrun_n":$probesInrunN,""" +
+      s""""probe_inrun_median_sec":$inrunPooledMedian,""" +
       s""""suspect_queries_inrun":$sqInrun,""" +
       s""""burst_retries":${burstRetries.map { case (k, (first, retry)) =>
         s""""${esc(k)}":{"first":$first,"retry":$retry}"""

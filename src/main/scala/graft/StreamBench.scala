@@ -543,8 +543,7 @@ object StreamBench {
       s""""fsync_ms_start":$fsyncStart,"fsync_ms_end":$fsyncEnd,""" +
       s""""fsync_ms_run":$fsyncRun,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
-      s""""code_cache_used_mb":${Bench.codeCacheStats()._1 / 1048576.0},""" +
-      s""""code_cache_max_mb":${Bench.codeCacheStats()._2 / 1048576.0},""" +
+      Bench.codeCacheJson() + "," +
       s""""git_sha":"${esc(Bench.gitSha())}","micro_batches":$nBatches}"""
     // regime label: "micro16"-style fixed-round-dominated runs vs
     // "bulk"-batch throughput runs (VERDICT r11 item 4 — the

@@ -238,7 +238,18 @@ object Pipeline {
           if (s.sparkContext.getCheckpointDir.isDefined) jumped.checkpoint()
           else jumped.localCheckpoint()
         } else jumped.persist()
-      val changed = next.filter(col("label") < col("old")).limit(1).count()
+      // convergence check FOLDED into the materializing action (r18,
+      // VERDICT r17 item 5): one full-scan count(label<old) per round.
+      // The previous filter.limit(1).count() ran CollectLimit's
+      // incremental partition batches — several scheduler round-trips
+      // in converged tails, and on changed rounds it early-exited with
+      // the persist only PARTIALLY populated, so the next round's join
+      // re-ran the remaining partitions' parent stages.  Tiny frames
+      // pay rounds × job overhead, which is exactly where the r17
+      // fused-jump loop regressed at sf0.1 (audio keep 10.5→13.5s).
+      val changed = next
+        .agg(count(when(col("label") < col("old"), lit(1))).as("n"))
+        .head().getLong(0)
       cached.unpersist()
       cached = next
       labels = next.select("doc", "label")

@@ -54,8 +54,13 @@ def _porcelain_paths(status_out):
     for ln in status_out.splitlines():
         if not ln.strip():
             continue
+        # " -> " only separates rename/copy rows (status R/C) — an
+        # unquoted filename containing " -> " must not be split
+        # (ADVICE r17; quoted non-ASCII paths stay octal-escaped and
+        # conservatively read as dirty, same as the Scala side)
+        code = ln[:2].strip()
         p = re.sub(r"^\s*\S{1,2}\s+", "", ln)
-        if " -> " in p:
+        if (" -> " in p) and ("R" in code or "C" in code):
             p = p.split(" -> ", 1)[1]
         if len(p) >= 2 and p[0] == '"' and p[-1] == '"':
             p = p[1:-1].replace('\\"', '"').replace("\\\\", "\\")
