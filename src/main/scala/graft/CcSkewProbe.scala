@@ -50,6 +50,10 @@ object CcSkewProbe {
     // advisory floor, AQE coalesces the probe's megabyte shuffles to
     // one task and measures nothing)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // this probe measures the DISTRIBUTED loop (the 100 TB path);
+    // without this the r18 small-graph fast path would union-find the
+    // probe's chain on the driver and measure nothing
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
     // 64k, not SkewProbe's megabytes: the CC loop frames are a few MB
     // at probe scale, and any larger advisory lets AQE coalesce every
     // shuffle to 1-2 tasks — which hides exactly the per-KEY pooling

@@ -179,6 +179,52 @@ object Pipeline {
     val edges =
       if (s.sparkContext.getCheckpointDir.isDefined) rawEdges.checkpoint()
       else rawEdges.localCheckpoint()
+    // SMALL-GRAPH FAST PATH (r18, VERDICT r17 item 5): the frame
+    // entering this loop is already the COLLAPSED graph — distinct
+    // sigs (componentLabelsBySig) or verified near-dup pairs — whose
+    // size is bounded by the near-dup vocabulary, not the corpus, and
+    // at bench scale it is routinely a few thousand edges.  Running
+    // 18 distributed rounds (each 3-4 exchanges + a blocking action)
+    // over 6k edges measures the scheduler, not the algorithm: the
+    // audio keep spent ~13 of its 14 s at sf0.1 in loop overhead.  So
+    // when the EXACT edge count (a cheap count over the materialized
+    // checkpoint) is within a bounded driver budget, finish with
+    // union-find on the driver — same labels, same determinism, ~16
+    // bytes/edge so the default 2M-edge cap is ~32 MB, the same
+    // bounded-collect class as the Gram and Bloom builds.  Above the
+    // cap (a 100 TB corpus's sig graph can be billions of edges) the
+    // O(log diameter) distributed loop below is the path, unchanged.
+    // spark.graft.cc.localEdgeThreshold=0 forces the loop (the skew
+    // and convergence probes measure IT, not the fast path).
+    val localCap = s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
+    val nEdges = edges.count()
+    if (nEdges <= localCap) {
+      lastCcRounds = 0 // telemetry: 0 = driver fast path took it
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // symmetric closure rows: (src,dst) and (dst,src) both present;
+      // union is idempotent so the duplication is harmless
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // min doc per component IS the root: unions always point the
+      // larger root at the smaller, so find() ends at the component
+      // minimum — the exact label contract of the loop below
+      import scala.jdk.CollectionConverters._
+      val nodes = parent.keySet.asScala.toSeq ++
+        parent.values.asScala.toSeq // roots that never re-keyed
+      val labelRows = nodes.distinct.map(n => (n, find(n)))
+      import s.implicits._
+      return labelRows.toDF("doc_id", "cluster_id")
+    }
     var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist() // the persisted frame — unpersist must target IT,
@@ -1404,10 +1450,22 @@ object Pipeline {
         .filter(col("rk") > 1)
         .select("doc_id")
     }
-    val imgDrop = nonKeepers(
-      ImageDedup.dhashFrame(s, d).localCheckpoint(), "area", ImageDedup.MaxDist)
-    val audDrop = nonKeepers(
-      AudioDedup.sigFrame(s, d).localCheckpoint(), "n_samples", AudioDedup.MaxDist)
+    // the two modality pipelines are INDEPENDENT DAGs, but each runs
+    // an EAGER driver-side CC loop (rounds of blocking actions) — run
+    // them on two driver threads so their jobs interleave on the
+    // executor pool instead of serializing rounds × stages twice
+    // (VERDICT r17 item 4; concurrent job submission on one session
+    // is the standard Spark idiom for independent subtrees).  Same
+    // plans, same hashes — only the driver-side sequencing changes.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fImg = Future(nonKeepers(
+      ImageDedup.dhashFrame(s, d).localCheckpoint(), "area", ImageDedup.MaxDist))
+    val fAud = Future(nonKeepers(
+      AudioDedup.sigFrame(s, d).localCheckpoint(), "n_samples", AudioDedup.MaxDist))
+    val imgDrop = Await.result(fImg, Duration.Inf)
+    val audDrop = Await.result(fAud, Duration.Inf)
     val byHash = Window.partitionBy(md5(col("text")))
     releaseGates(
       Tables.documents(s, d)

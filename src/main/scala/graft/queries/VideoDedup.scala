@@ -123,9 +123,14 @@ object VideoDedup {
     * video: idx1 walk (stride 1: near-dup needs every frame) + decode
     * + P71 dHash, one scan-local flatMap. */
   private[graft] def frameSigs(s: SparkSession, d: String,
-                               perturb: Boolean = false): DataFrame = {
+                               perturb: Boolean = false): DataFrame =
+    sigsOf(s, videoPayloadsPaired(s, d, perturb))
+
+  /** The decode+fingerprint stage shared by every video corpus shape:
+    * payloads in, per-video DISTINCT (doc_id, fsig) out. */
+  private[graft] def sigsOf(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
-    videoPayloadsPaired(s, d, perturb)
+    payloads
       .as[Multimodal.MediaIn]
       .mapPartitions(_.flatMap { m =>
         Multimodal.sampleFrames(m.payload, stride = 1, ctx = s"doc_id=${m.doc_id}")
@@ -136,6 +141,45 @@ object VideoDedup {
       })
       .toDF("doc_id", "fsig")
       .distinct()
+  }
+
+  /** Members per group of the DUP-HEAVY corpus ([[qVideoClusterKeepDup]]):
+    * the k-identical-copies regime the frame-SET graph exists for. */
+  val DupK = 100
+
+  /** The dup-heavy corpus: group g = doc_id / [[DupK]]; members
+    * 0..[[DupK]]-2 are BYTE-IDENTICAL copies of group g's base video
+    * (the re-uploaded-file regime — a real video corpus's dominant
+    * duplication mode), member [[DupK]]-1 is the lossy re-cut twin
+    * (even source frames, [[framePixTol]] brightness clamp), so the
+    * key exercises BOTH cluster paths: equal frame-sets grouping by
+    * equality and distinct frame-sets pairing through the tolerant
+    * match.  Under the r17 doc-pair CC this corpus was the failure
+    * mode: every frame sig has df = k, so either the C(k,2) doc-pair
+    * expansion (below the guard) or TOTAL frame loss (above it). */
+  def videoPayloadsDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / DupK
+        val recut = id % DupK == DupK - 1
+        val w = (g % 24 + 16).toInt
+        val h = (g % 18 + 16).toInt
+        val nf = frameCount(g)
+        val srcFrames: Seq[Int] =
+          if (!recut) 0 until nf
+          else 0 until nf by 2
+        Multimodal.MediaIn(id, Multimodal.buildAviFrom(
+          srcFrames.map(f => Multimodal.encodePngGray(w, h,
+            Array.tabulate(w * h) { i =>
+              if (recut) framePixTol(i % w, i / w, g, f)
+              else framePix(i % w, i / w, g, f)
+            })),
+          w, h))
+      })
+      .toDF()
   }
 
   /** Guard + pair join + per-pair count over a (doc_id, fsig) frame of
@@ -202,24 +246,73 @@ object VideoDedup {
   def qVideoDedupTol(s: SparkSession, d: String): DataFrame =
     sharedFramePairsTol(frameSigs(s, d, perturb = true).localCheckpoint())
 
-  /** The ACTION step for video (VERDICT r16 item 2 — the media
-    * keep-list symmetry gap): tolerant shared-frame pairs →
-    * [[Pipeline.componentLabels]] (the ONE P2b spelling, shared
-    * verbatim with the text/image/audio keep-lists) → the P36 keeper
-    * window re-keyed on the video's DISTINCT-frame-fingerprint count
-    * (the richest cut survives — a re-cut or lossy twin carries fewer
-    * distinct frames than its source by construction; doc_id breaks
-    * ties).  The frame count comes from the DECODED frames, not doc
-    * arithmetic, and one decode pass (localCheckpoint) feeds the pair
-    * join and the keeper metadata.  One row per multi-member cluster:
-    * (cluster_id, keeper, n_frames). */
-  def qVideoClusterKeep(s: SparkSession, d: String): DataFrame = {
+  /** The ACTION step for video (VERDICT r16 item 2; re-based r18 on
+    * the FRAME-SET graph — VERDICT r17 item 1, the last doc-pair CC):
+    * a video's near-dup relation is a function of its DISTINCT
+    * frame-fingerprint SET alone (post-guard, the tolerant match
+    * compares sig sets), so videos first COLLAPSE by that set —
+    * exact re-containered copies group by equality and never expand
+    * to pairs, the video twin of [[Pipeline.componentLabelsBySig]] —
+    * then ONE representative per distinct frame-set enters the
+    * tolerant pair join + [[Pipeline.componentLabels]] loop, and docs
+    * re-attach by one equi-join.  Two consequences, both intended:
+    * the stop-frame df guard now counts distinct frame-SETS per sig
+    * (k identical uploads no longer push a sig over [[MaxSigDf]] —
+    * under the r17 doc-level guard a dup-heavy corpus had no graceful
+    * path: C(k,2) pair expansion below the threshold, total frame
+    * loss above it), and equal-set videos cluster unconditionally
+    * (identical videos are dups by definition, even a 1-frame pair
+    * below [[MinShared]]).  The keeper window is unchanged: richest
+    * cut (distinct-fingerprint count from the DECODED frames) wins,
+    * doc_id breaks ties.  One decode pass (localCheckpoint) feeds
+    * set-collapse, pair join and keeper metadata.  One row per
+    * multi-member cluster: (cluster_id, keeper, n_frames). */
+  def qVideoClusterKeep(s: SparkSession, d: String): DataFrame =
+    clusterKeepBySet(s, frameSigs(s, d, perturb = true).localCheckpoint())
+
+  /** [[qVideoClusterKeep]] over the dup-heavy corpus
+    * ([[videoPayloadsDup]]: [[DupK]]-1 identical copies + 1 lossy
+    * re-cut per group) — the regime that OOM'd the audio keep's
+    * doc-pair CC at sf10 in r17, gated here so the equality path
+    * stays oracle-pinned. */
+  def qVideoClusterKeepDup(s: SparkSession, d: String): DataFrame =
+    clusterKeepBySet(s, sigsOf(s, videoPayloadsDup(s, d)).localCheckpoint())
+
+  /** The frame-set-graph keep-list core: DISTINCT (doc_id, fsig) in,
+    * (cluster_id, keeper, n_frames) out.  Collapse docs by sorted
+    * distinct-sig array (the shuffle key is the sig set itself — the
+    * same bytes the sig frame already carries; a 100 TB variant could
+    * pre-hash it, at the cost of a collision audit), pair only the
+    * per-set representatives, CC over the SET graph, docs back in by
+    * one join, equality groups included via the coalesce-to-own-set
+    * key (the [[Pipeline.componentLabelsBySig]] move). */
+  private[graft] def clusterKeepBySet(s: SparkSession, sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = frameSigs(s, d, perturb = true).localCheckpoint()
     val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-    val pairs = sharedFramePairsTol(sigs).select("doc_a", "doc_b")
+    val docSets = sigs.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("fsig"))).as("fset"))
+    val fsets = docSets.groupBy("fset").agg(min("doc_id").as("fset_id"))
+    val docFset = docSets.join(fsets, "fset").select("doc_id", "fset_id")
+    // one representative video per distinct frame-set enters the pair
+    // machinery; the df guard inside sharedFramePairsTol now counts
+    // SETS per sig, by construction
+    val repSigs = fsets.select(col("fset_id").as("doc_id"),
+      explode(col("fset")).as("fsig"))
+    val pairs = sharedFramePairsTol(repSigs).select("doc_a", "doc_b")
+    val setLabels = Pipeline.componentLabels(s, pairs)
+      .select(col("doc_id").as("fset_id"), col("cluster_id").as("fgroup"))
+    // group key: the set-component label, or the set's own id for
+    // sets with no tolerant neighbor (their docs still cluster by
+    // EQUAL frame-set); a set inside a component is never also a
+    // singleton key, so keys are one-to-one with components
+    val grouped = docFset.join(setLabels, Seq("fset_id"), "left")
+      .withColumn("g", coalesce(col("fgroup"), col("fset_id")))
+    val clusters = grouped.groupBy("g")
+      .agg(min("doc_id").as("cluster_id"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("g", "cluster_id")
     val w = Window.partitionBy("cluster_id").orderBy(desc("n_frames"), col("doc_id"))
-    Pipeline.componentLabels(s, pairs)
+    grouped.join(clusters, "g")
       .join(nFrames, "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -232,27 +325,28 @@ object VideoDedup {
     * CTE chain ending in `dsig(doc_id, lo, hi)`.  With `perturb` the
     * re-cut's pixels take the [[framePixTol]] clamp — the tolerant
     * fixture's lossy twin. */
-  private def duckDsigCtes(perturb: Boolean): String = {
+  private def duckDsigCtes(perturb: Boolean, div: Int = 2,
+                           recutPred: String = "doc_id % 2 = 1"): String = {
     val vExpr =
       if (perturb)
-        """CASE WHEN doc_id % 2 = 1
+        s"""CASE WHEN $recutPred
           |      THEN LEAST(((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 + 4, 255)
           |      ELSE ((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 END AS v"""
           .stripMargin
       else "((x*31 + y*17) * (g % 251 + 3) + g*7 + f*101) % 256 AS v"
     s"""dims AS (
-      |  SELECT doc_id, doc_id // 2 AS g,
-      |    CAST((doc_id // 2) % 6 + 4 AS BIGINT) AS nf,
-      |    CAST((doc_id // 2) % 24 + 16 AS BIGINT) AS width,
-      |    CAST((doc_id // 2) % 18 + 16 AS BIGINT) AS height
+      |  SELECT doc_id, doc_id // $div AS g,
+      |    CAST((doc_id // $div) % 6 + 4 AS BIGINT) AS nf,
+      |    CAST((doc_id // $div) % 24 + 16 AS BIGINT) AS width,
+      |    CAST((doc_id // $div) % 18 + 16 AS BIGINT) AS height
       |  FROM documents
       |), fr0 AS (
-      |  SELECT *, unnest(range(CASE WHEN doc_id % 2 = 0 THEN nf
+      |  SELECT *, unnest(range(CASE WHEN NOT ($recutPred) THEN nf
       |                              ELSE (nf + 1) // 2 END)) AS j
       |  FROM dims
       |), fr AS (
       |  SELECT doc_id, g, width, height,
-      |    CASE WHEN doc_id % 2 = 0 THEN j ELSE 2 * j END AS f
+      |    CASE WHEN NOT ($recutPred) THEN j ELSE 2 * j END AS f
       |  FROM fr0
       |), px1 AS (
       |  SELECT *, unnest(range(width)) AS x FROM fr
@@ -311,19 +405,38 @@ object VideoDedup {
       |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Keep-list oracle: the perturbed-twin sig replay feeding the
-    * tolerant pair CTE, the recursive reachability closure (the
-    * P2b/P36 DuckDB spelling, as in [[AudioDedup.qAudioClusterKeepSql]])
-    * and the distinct-frame-count keeper window (counted off `dsig0`,
-    * the per-video DISTINCT fingerprints BEFORE the df guard — the
-    * same frame [[qVideoClusterKeep]] counts). */
-  val qVideoClusterKeepSql: String =
-    s"""WITH RECURSIVE ${duckDsigCtes(perturb = true)}, nf AS (
+  /** Keep-list oracle over the FRAME-SET graph (r18): the sig replay
+    * stops at `dsig0` (per-video distinct fingerprints), then mirrors
+    * [[clusterKeepBySet]] — videos collapse by their sorted sig set
+    * (string key: lo:hi pairs joined in order), one representative
+    * per set carries its sigs through the SET-level df guard, the
+    * tolerant pair CTE and the recursive reachability closure (the
+    * P2b/P36 DuckDB spelling), docs re-attach through their set, and
+    * equality-only groups enter via COALESCE to the set's own id.
+    * n_frames counts off `dsig0` (pre-guard), as the Spark side does. */
+  private def keepBySetSql(dsig0Ctes: String): String =
+    s"""WITH RECURSIVE $dsig0Ctes, nf AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM dsig0 GROUP BY doc_id
+      |), fkey AS (
+      |  SELECT doc_id, string_agg(CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR),
+      |    ';' ORDER BY lo, hi) AS fset
+      |  FROM dsig0 GROUP BY doc_id
+      |), fsets AS (
+      |  SELECT fset, MIN(doc_id) AS fset_id FROM fkey GROUP BY fset
+      |), docf AS (
+      |  SELECT k.doc_id, f.fset_id FROM fkey k JOIN fsets f ON f.fset = k.fset
+      |), fsig AS (
+      |  SELECT f.fset_id, s.lo, s.hi
+      |  FROM fsets f JOIN dsig0 s ON s.doc_id = f.fset_id
+      |), frare AS (
+      |  SELECT lo, hi FROM fsig GROUP BY lo, hi HAVING COUNT(*) <= $MaxSigDf
+      |), fdsig AS (
+      |  SELECT f.fset_id, f.lo, f.hi FROM fsig f JOIN frare r
+      |    ON f.lo = r.lo AND f.hi = r.hi
       |), p AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM dsig a JOIN dsig b
-      |    ON a.doc_id < b.doc_id
+      |  SELECT a.fset_id AS doc_a, b.fset_id AS doc_b
+      |  FROM fdsig a JOIN fdsig b
+      |    ON a.fset_id < b.fset_id
       |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $TolDist
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
       |), e AS (
@@ -334,23 +447,36 @@ object VideoDedup {
       |  UNION
       |  SELECT e.dst AS doc, reach.r FROM reach JOIN e ON e.src = reach.doc
       |), cl AS (
-      |  SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+      |  SELECT doc AS fset_id, MIN(r) AS fgroup FROM reach GROUP BY doc
+      |), fgrp AS (
+      |  SELECT d.doc_id, COALESCE(cl.fgroup, d.fset_id) AS g
+      |  FROM docf d LEFT JOIN cl ON cl.fset_id = d.fset_id
+      |), grp AS (
+      |  SELECT g, MIN(doc_id) AS cluster_id FROM fgrp
+      |  GROUP BY g HAVING COUNT(*) >= 2
       |)
       |SELECT cluster_id, keeper, n_frames FROM (
-      |  SELECT cl.cluster_id, cl.doc_id AS keeper, nf.n_frames,
-      |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
-      |      ORDER BY nf.n_frames DESC, cl.doc_id) AS rk
-      |  FROM cl JOIN nf ON nf.doc_id = cl.doc_id)
+      |  SELECT grp.cluster_id, f.doc_id AS keeper, nf.n_frames,
+      |    ROW_NUMBER() OVER (PARTITION BY grp.cluster_id
+      |      ORDER BY nf.n_frames DESC, f.doc_id) AS rk
+      |  FROM fgrp f JOIN grp ON grp.g = f.g JOIN nf ON nf.doc_id = f.doc_id)
       |WHERE rk = 1
       |ORDER BY cluster_id""".stripMargin
+
+  val qVideoClusterKeepSql: String = keepBySetSql(duckDsigCtes(perturb = true))
+
+  val qVideoClusterKeepDupSql: String = keepBySetSql(duckDsigCtes(
+    perturb = true, div = DupK, recutPred = s"doc_id % $DupK = ${DupK - 1}"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_video_dedup" -> (qVideoDedup _),
     "q_video_dedup_tol" -> (qVideoDedupTol _),
-    "q_video_cluster_keep" -> (qVideoClusterKeep _))
+    "q_video_cluster_keep" -> (qVideoClusterKeep _),
+    "q_video_cluster_keep_dup" -> (qVideoClusterKeepDup _))
 
   val oracle: Map[String, String] = Map(
     "q_video_dedup" -> qVideoDedupSql,
     "q_video_dedup_tol" -> qVideoDedupTolSql,
-    "q_video_cluster_keep" -> qVideoClusterKeepSql)
+    "q_video_cluster_keep" -> qVideoClusterKeepSql,
+    "q_video_cluster_keep_dup" -> qVideoClusterKeepDupSql)
 }

@@ -192,4 +192,56 @@ class VideoDedupSpec extends SparkSpec {
       assert(keeper % 2 == 0, s"cluster $cid kept re-cut $keeper over its source")
     }
   }
+
+  test("clusterKeepBySet: equal frame-sets cluster by equality; the df guard counts sets, not docs") {
+    import spark.implicits._
+    // 70 byte-identical copies of a 2-frame video: under the r17
+    // doc-level guard every sig had df = 70 > MaxSigDf = 64 -> TOTAL
+    // frame loss, no cluster.  Set-level df is 2 (the copies are ONE
+    // set; the richer 3-frame twin the other), so the twin pairs in
+    // through the tolerant match (sigs 1,2,3 are within hamming 2 of
+    // each other) and the whole group forms one cluster whose keeper
+    // is the richest cut.
+    val rows =
+      (0L until 70L).flatMap(i => Seq(1L, 2L).map(sg => (i, sg))) ++
+        Seq(1L, 2L, 3L).map(sg => (100L, sg)) ++
+        // two identical 1-frame videos: below MinShared for any PAIR,
+        // but identical videos are dups by definition -> equality-only
+        // cluster (sig 999 is > TolDist from 1/2/3: no cross match)
+        Seq((200L, 999L), (201L, 999L))
+    val got = VideoDedup.clusterKeepBySet(spark, rows.toDF("doc_id", "fsig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 100L, 3L), (200L, 200L, 1L)))
+  }
+
+  test("q_video_cluster_keep_dup: k identical uploads + one re-cut resolve to one cluster per group") {
+    val d = "/root/testdata/sf0.001"
+    val got = VideoDedup.qVideoClusterKeepDup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 500 docs / DupK=100 -> 5 groups; each group's DupK-1 identical
+    // copies collapse to ONE set node, the lossy re-cut joins through
+    // the tolerant pair path; keeper = the group's first copy (max
+    // n_frames, doc_id tiebreak), never the re-cut
+    assert(got.length === 5, got.mkString(","))
+    got.foreach { case (cid, keeper, nf) =>
+      assert(cid % VideoDedup.DupK === 0, s"cluster_id $cid not a group head")
+      assert(keeper === cid, s"group $cid kept $keeper, not its first copy")
+      assert(nf >= 2)
+    }
+    // the set-graph never expands identical copies to pairs: the pair
+    // frame under the hood is over set REPRESENTATIVES (<= 2 per
+    // group), bounded by sets, not by C(k,2) docs
+    val repPairs = VideoDedup.sharedFramePairsTol(
+      VideoDedup.sigsOf(spark, VideoDedup.videoPayloadsDup(spark, d))
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set("fsig")).as("fset"))
+        .groupBy("fset")
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.col("fset")).as("fsig")))
+      .count()
+    assert(repPairs <= 5L, s"expected <= 1 representative pair per group, got $repPairs")
+  }
 }

@@ -47,7 +47,13 @@ QUERIES = ["q_thumbnail", "q_thumbnail_rgb", "q_thumbnail_mixed",
            # were the only media keys with unmeasured x10 behavior —
            # plus the new video keep-list
            "q_image_cluster_keep", "q_audio_cluster_keep",
-           "q_video_cluster_keep"]
+           "q_video_cluster_keep",
+           # r18 (VERDICT r17 items 1+4): the dup-heavy video corpus
+           # (k identical uploads — the regime that OOM'd the doc-pair
+           # CC; the frame-set graph must hold it linear) and the
+           # composed multimodal release filter (two CC loops in one
+           # key — previously the only media key with no x10 row)
+           "q_video_cluster_keep_dup", "q_release_filter_media"]
 DATA_GROWTH = 10.0  # documents x10
 
 
