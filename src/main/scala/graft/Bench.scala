@@ -416,6 +416,17 @@ object Bench {
   private[graft] def burstSuspect(prev: Double, med: Double): Boolean =
     prev > 0 && med > 0 && med > math.max(1.8 * prev, prev + 0.3)
 
+  /** A retried burst that could NOT be substituted (retry ≥ warmMin,
+    * the conservative r12 rule) but whose retry still sits far below
+    * the first med — by the same margins burstSuspect uses — is
+    * UNRESOLVED: the headline med knowingly carries contention.  The
+    * artifact names these keys ("burst_unresolved") so ratio.py can
+    * min-substitute them in cross-round totals instead of letting one
+    * 4.7x burst poison the round's median ratio (r18 VERDICT item 3). */
+  private[graft] def burstUnresolved(first: Double, retry: Double,
+                                     warmMin: Double): Boolean =
+    retry >= warmMin && burstSuspect(prev = retry, med = first)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -556,10 +567,25 @@ object Bench {
       .map(_.replaceAll("""_?r?\d+\.json$""", "_"))
     val prevMeds = prevQueryMedians(selfPrefixEarly)
     val burstRetries = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // r18 VERDICT item 3: the 8-entry cap EXHAUSTED in a turbulent
+    // window and later bursts got no retry at all.  The cap exists
+    // only to bound extra wall when the whole window is slow (in which
+    // case the run-level anchors flag it anyway), so it is now higher
+    // by default, env-tunable, and its exhaustion is recorded in the
+    // artifact ("burst_retry_cap_hit") instead of silently dropping.
+    val burstCap = sys.env.getOrElse("SPARK_GRAFT_BURST_RETRY_CAP", "16").toInt
+    var burstCapHit = false
+    // keys whose retry confirmed the first med as a burst (retry ≪
+    // med by the same burstSuspect margins) but could NOT be
+    // substituted because the retry did not beat warmMin — their
+    // headline meds knowingly carry contention; ratio.py min-
+    // substitutes them in cross-round totals (r18 VERDICT item 3).
+    val burstUnresolvedKeys = scala.collection.mutable.ArrayBuffer[String]()
     val byName = selected
     val results = firstPass.map { r =>
-      val burst = prevMeds.get(r.name).exists(p => burstSuspect(p, r.med)) &&
-        burstRetries.size < 8 // bound the extra wall if a window is globally slow
+      val wantRetry = prevMeds.get(r.name).exists(p => burstSuspect(p, r.med))
+      if (wantRetry && burstRetries.size >= burstCap) burstCapHit = true
+      val burst = wantRetry && burstRetries.size < burstCap
       if (!burst) r
       else byName.get(r.name).fold(r) { fn =>
         if (watcher != null) watcher.enter(r.name)
@@ -568,7 +594,12 @@ object Bench {
           burstRetries(r.name) = (r.med, runs(1))
           if (runs(1) < r.warmMin)
             r.copy(med = runs(1), min = math.min(r.min, runs(0)))
-          else r
+          else {
+            if (burstUnresolved(first = r.med, retry = runs(1),
+                                warmMin = r.warmMin))
+              burstUnresolvedKeys += r.name
+            r
+          }
         } catch { case _: Throwable => spark.catalog.clearCache(); r }
         finally if (watcher != null) watcher.exit()
       }
@@ -732,6 +763,12 @@ object Bench {
       codeCacheJson() + "," +
       s""""inrun_watcher":${watcher != null},""" +
       s""""inrun_sleep_ms":${if (watcher != null) watcher.sleepMs else -1},""" +
+      // ADVICE r18: the ≥3-sample eligibility gate means queries
+      // shorter than ~3×(sleep+sample) can never be in-run-flagged;
+      // publish that floor so artifact readers know the blind spot
+      // (sample cost ≈ the ~50 ms calibrate(25M) step).
+      s""""inrun_flag_floor_sec":${
+        if (watcher != null) 3.0 * (watcher.sleepMs + 50) / 1000.0 else -1.0},""" +
       s""""git_sha":"${esc(sha)}","runs_per_query":3}"""
     val rs = reasons.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"scale_total","value":$scaleTotal,"unit":"sec",""" +
@@ -748,6 +785,9 @@ object Bench {
       s""""burst_retries":${burstRetries.map { case (k, (first, retry)) =>
         s""""${esc(k)}":{"first":$first,"retry":$retry}"""
       }.mkString("{", ",", "}")},""" +
+      s""""burst_unresolved":${burstUnresolvedKeys
+        .map(k => s""""${esc(k)}"""").mkString("[", ",", "]")},""" +
+      s""""burst_retry_cap":$burstCap,"burst_retry_cap_hit":$burstCapHit,""" +
       s""""suspect":$suspect,"partially_suspect":$partiallySuspect,""" +
       s""""suspect_reasons":$rs,"env":$env,""" +
       s""""errors":$es,"sf":"${esc(sfDir)}"}"""

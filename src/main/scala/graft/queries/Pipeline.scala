@@ -161,7 +161,12 @@ object Pipeline {
     * appear in at least one pair get a label — singletons are their
     * own keeper by definition and never enter the loop. */
   /** Rounds the most recent [[componentLabels]] call took — probe
-    * telemetry (CcSkewProbe), not part of any query result. */
+    * telemetry (CcSkewProbe), not part of any query result.  Shared
+    * last-writer-wins slot: queries that run CC loops on CONCURRENT
+    * driver threads (qReleaseFilterMedia) overwrite it to the
+    * sentinel -2 after joining, so a reader never sees one racing
+    * loop's value masquerading as the query's (ADVICE r18; the probe
+    * itself runs one query at a time and is unaffected). */
   @volatile private[graft] var lastCcRounds: Int = -1
 
   private[graft] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
@@ -189,9 +194,15 @@ object Pipeline {
     // audio keep spent ~13 of its 14 s at sf0.1 in loop overhead.  So
     // when the EXACT edge count (a cheap count over the materialized
     // checkpoint) is within a bounded driver budget, finish with
-    // union-find on the driver — same labels, same determinism, ~16
-    // bytes/edge so the default 2M-edge cap is ~32 MB, the same
-    // bounded-collect class as the Gram and Bloom builds.  Above the
+    // union-find on the driver — same labels, same determinism, the
+    // same bounded-collect class as the Gram and Bloom builds.
+    // Honest budget (ADVICE r18): collect() materializes Array[Row]
+    // with two BOXED Longs per edge plus HashMap<Long,Long> entries —
+    // ~150-200 B/edge transient, so the default 2M-edge cap is a
+    // few-hundred-MB spike against the 8g driver, NOT the ~32 MB the
+    // raw longs suggest (and `edges` is the 2x symmetric closure);
+    // anyone raising spark.graft.cc.localEdgeThreshold must budget
+    // ~200 B/edge.  Above the
     // cap (a 100 TB corpus's sig graph can be billions of edges) the
     // O(log diameter) distributed loop below is the path, unchanged.
     // spark.graft.cc.localEdgeThreshold=0 forces the loop (the skew
@@ -200,6 +211,12 @@ object Pipeline {
     val nEdges = edges.count()
     if (nEdges <= localCap) {
       lastCcRounds = 0 // telemetry: 0 = driver fast path took it
+      // same overlap-provable log convention as the loop rounds below:
+      // at bench scale BOTH release-filter CC calls land here, so the
+      // fast path must leave interleavable timestamps too
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG")) System.err.println(
+        s"[cc] fastpath edges=$nEdges thread=${Thread.currentThread().getName} " +
+          s"t_start_ms=${System.currentTimeMillis()}")
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -222,6 +239,9 @@ object Pipeline {
       val nodes = parent.keySet.asScala.toSeq ++
         parent.values.asScala.toSeq // roots that never re-keyed
       val labelRows = nodes.distinct.map(n => (n, find(n)))
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG")) System.err.println(
+        s"[cc] fastpath done nodes=${labelRows.size} " +
+          s"thread=${Thread.currentThread().getName} t_end_ms=${System.currentTimeMillis()}")
       import s.implicits._
       return labelRows.toDF("doc_id", "cluster_id")
     }
@@ -302,7 +322,12 @@ object Pipeline {
       converged = changed == 0
       rounds += 1
       if (ccLog) System.err.println(
-        f"[cc] round=$rounds wall_ms=${(System.nanoTime() - tRound) / 1e6}%.0f changed=${changed > 0}")
+        f"[cc] round=$rounds wall_ms=${(System.nanoTime() - tRound) / 1e6}%.0f changed=${changed > 0} " +
+          // thread + absolute end-time let a reader prove two CONCURRENT
+          // loops' rounds interleaved (VERDICT r18 item 6: the release
+          // filter runs its image and audio CC loops on two driver
+          // threads; overlap is a claim until the log shows it)
+          s"thread=${Thread.currentThread().getName} t_end_ms=${System.currentTimeMillis()}")
     }
     // partially-propagated labels are WRONG components, not an
     // approximation — fail loudly rather than return them
@@ -1466,6 +1491,9 @@ object Pipeline {
       AudioDedup.sigFrame(s, d).localCheckpoint(), "n_samples", AudioDedup.MaxDist))
     val imgDrop = Await.result(fImg, Duration.Inf)
     val audDrop = Await.result(fAud, Duration.Inf)
+    // both loops raced their writes to the shared telemetry slot —
+    // leave a deterministic sentinel, not whichever finished last
+    lastCcRounds = -2
     val byHash = Window.partitionBy(md5(col("text")))
     releaseGates(
       Tables.documents(s, d)

@@ -280,19 +280,47 @@ object VideoDedup {
 
   /** The frame-set-graph keep-list core: DISTINCT (doc_id, fsig) in,
     * (cluster_id, keeper, n_frames) out.  Collapse docs by sorted
-    * distinct-sig array (the shuffle key is the sig set itself — the
-    * same bytes the sig frame already carries; a 100 TB variant could
-    * pre-hash it, at the cost of a collision audit), pair only the
-    * per-set representatives, CC over the SET graph, docs back in by
-    * one join, equality groups included via the coalesce-to-own-set
+    * distinct-sig array — keyed through `xxhash64(fset)` (r19,
+    * VERDICT r18 item 5): the set-collapse groupBy and the doc
+    * re-attach join exchange a FIXED-WIDTH 64-bit key instead of the
+    * full sig array (at 100 TB a long video's set is KBs of shuffle
+    * key per row); a collision audit does the array compare within
+    * hash-equal groups and fails loudly, so hash→set stays injective
+    * and every downstream equi-join on the hash is exact.  Pair only
+    * the per-set representatives, CC over the SET graph, docs back in
+    * by one join, equality groups included via the coalesce-to-own-set
     * key (the [[Pipeline.componentLabelsBySig]] move). */
+  /** Collision audit for the hashed frame-set key — the array compare,
+    * confined to hash-equal groups: a silent 64-bit collision would
+    * merge two different frame-sets into one cluster, so refuse to
+    * answer instead (birthday risk ~ n^2/2^65 over distinct sets;
+    * never observed).  `fsets` must carry `n_distinct_sets` = count of
+    * DISTINCT sig arrays sharing that hash. */
+  private[graft] def assertSetHashInjective(fsets: DataFrame): Unit = {
+    val maxSetsPerHash = fsets
+      .agg(coalesce(max(col("n_distinct_sets")), lit(0L))).head().getLong(0)
+    if (maxSetsPerHash > 1) throw new IllegalStateException(
+      s"xxhash64 collision on frame-set key: a hash bucket holds " +
+        s"$maxSetsPerHash distinct frame-sets; rerun with the array key")
+  }
+
   private[graft] def clusterKeepBySet(s: SparkSession, sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     val docSets = sigs.groupBy("doc_id")
       .agg(sort_array(collect_set(col("fsig"))).as("fset"))
-    val fsets = docSets.groupBy("fset").agg(min("doc_id").as("fset_id"))
-    val docFset = docSets.join(fsets, "fset").select("doc_id", "fset_id")
+      .withColumn("fhash", xxhash64(col("fset")))
+    // one distinct-set row per hash; localCheckpoint (tiny frame —
+    // one row per distinct set) both feeds the audit action and lets
+    // the representative/re-attach reads below skip the docSets agg
+    val fsets = docSets.groupBy("fhash")
+      .agg(min("doc_id").as("fset_id"),
+        countDistinct(col("fset")).as("n_distinct_sets"),
+        first(col("fset")).as("fset"))
+      .localCheckpoint()
+    assertSetHashInjective(fsets)
+    val docFset = docSets.join(fsets.select("fhash", "fset_id"), "fhash")
+      .select("doc_id", "fset_id")
     // one representative video per distinct frame-set enters the pair
     // machinery; the df guard inside sharedFramePairsTol now counts
     // SETS per sig, by construction

@@ -37,6 +37,23 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.burstSuspect(prev = 1.0, med = -1.0))
   }
 
+  test("burstUnresolved fires only when the retry confirms the burst " +
+       "but cannot be substituted (r18)") {
+    // the 4.7x q_containment case: first 15.08, retry 3.38, warmMin 3.30
+    // — retry >= warmMin blocked substitution, yet the retry proves the
+    // headline med is a burst → unresolved
+    assert(Bench.burstUnresolved(first = 15.08, retry = 3.38, warmMin = 3.30))
+    // retry below warmMin → substitution already happened, not unresolved
+    assert(!Bench.burstUnresolved(first = 15.08, retry = 3.20, warmMin = 3.30))
+    // retry close to the first med (same burstSuspect margins): the
+    // "burst" reproduced, so the headline med is honest — not unresolved
+    assert(!Bench.burstUnresolved(first = 5.0, retry = 4.0, warmMin = 3.5))
+    assert(!Bench.burstUnresolved(first = 5.0, retry = 2.9, warmMin = 2.5)) // 1.72x
+    assert(Bench.burstUnresolved(first = 5.0, retry = 2.7, warmMin = 2.5))  // 1.85x
+    // sub-second wobble never triggers (absolute margin)
+    assert(!Bench.burstUnresolved(first = 0.5, retry = 0.25, warmMin = 0.2))
+  }
+
   test("pickAnchor is strictly cross-round and never self-anchors (r13)") {
     def c(round: Int, name: String, suspect: Boolean = false) =
       (round, (name, 0.05, suspect, Some(0.12)))

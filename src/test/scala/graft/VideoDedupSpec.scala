@@ -214,6 +214,27 @@ class VideoDedupSpec extends SparkSpec {
     assert(got === Seq((0L, 100L, 3L), (200L, 200L, 1L)))
   }
 
+  test("the frame-set hash key's collision audit refuses loudly, passes clean frames (r19)") {
+    import spark.implicits._
+    // clean: every hash bucket holds one distinct set (incl. empty)
+    VideoDedup.assertSetHashInjective(
+      Seq((1L, 1L), (2L, 1L)).toDF("fhash", "n_distinct_sets"))
+    VideoDedup.assertSetHashInjective(
+      Seq.empty[(Long, Long)].toDF("fhash", "n_distinct_sets"))
+    // a bucket with two DISTINCT sets = a real 64-bit collision ->
+    // the query must refuse, never silently merge the clusters
+    val e = intercept[IllegalStateException] {
+      VideoDedup.assertSetHashInjective(
+        Seq((1L, 1L), (2L, 2L)).toDF("fhash", "n_distinct_sets"))
+    }
+    assert(e.getMessage.contains("collision"))
+    // end-to-end: the hashed key path still answers the fixture
+    // corpus (no collision on real data) with a well-formed keep-list
+    val got = VideoDedup.qVideoClusterKeep(spark, "/root/testdata/sf0.001")
+    assert(got.columns.toSeq === Seq("cluster_id", "keeper", "n_frames"))
+    assert(got.count() > 0)
+  }
+
   test("q_video_cluster_keep_dup: k identical uploads + one re-cut resolve to one cluster per group") {
     val d = "/root/testdata/sf0.001"
     val got = VideoDedup.qVideoClusterKeepDup(spark, d)

@@ -34,9 +34,18 @@ def main() -> None:
     # the suspect_queries footer by hand (VERDICT r11 item 7)
     sqa = a.get("suspect_queries") or {}
     sqb = b.get("suspect_queries") or {}
+    # burst_unresolved (r18 VERDICT item 3): keys whose retry CONFIRMED
+    # the headline med as a contention burst but could not substitute it
+    # (retry >= warmMin).  Their med is knowingly inflated — totals
+    # below are printed both as-is and with the artifact's own min
+    # substituted for these keys.
+    bua = set(a.get("burst_unresolved") or [])
+    bub = set(b.get("burst_unresolved") or [])
+    mina, minb = a.get("min") or {}, b.get("min") or {}
 
     def flag(k: str) -> str:
-        tags = (["A!"] if k in sqa else []) + (["B!"] if k in sqb else [])
+        tags = ((["A!"] if k in sqa else []) + (["B!"] if k in sqb else [])
+                + (["Ab"] if k in bua else []) + (["Bb"] if k in bub else []))
         return " [%s]" % ",".join(tags) if tags else ""
 
     if md:
@@ -50,6 +59,9 @@ def main() -> None:
     if sqa or sqb:
         print("\n[A!]/[B!] = probe-flagged in that artifact (localized "
               "contention; distrust that row's side)")
+    if bua or bub:
+        print("[Ab]/[Bb] = burst-unresolved in that artifact (retry "
+              "confirmed the med as a burst; min is the honest value)")
     print()
     print("queries=%d median_ratio=%.2fx max_ratio=%.1fx above_10x=%d" % (
         len(shared), med, max(ratios) if ratios else 0,
@@ -63,6 +75,19 @@ def main() -> None:
     base = set(a.get("baseline_queries") or []) | set(b.get("baseline_queries") or [])
     ta, tb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
     print("common-key totals: %.1fs -> %.1fs (%.2fx)" % (ta, tb, tb / ta if ta else 0))
+    if bua or bub:
+        # min-substitute the burst-unresolved keys (each side uses its
+        # own min for its own flagged keys; other keys keep their med)
+        sa = sum(mina.get(k, qa[k]) if k in bua else qa[k] for k in shared)
+        sb = sum(minb.get(k, qb[k]) if k in bub else qb[k] for k in shared)
+        print("common-key totals, burst-unresolved min-substituted "
+              "(A:%s B:%s): %.1fs -> %.1fs (%.2fx)" % (
+                  ",".join(sorted(bua)) or "-", ",".join(sorted(bub)) or "-",
+                  sa, sb, sb / sa if sa else 0))
+    for side, art in (("A", a), ("B", b)):
+        if art.get("burst_retry_cap_hit"):
+            print("WARNING %s: burst retry cap (%s) EXHAUSTED — later "
+                  "bursts got no retry" % (side, art.get("burst_retry_cap")))
     if base:
         sa = sum(qa[k] for k in shared if k not in base)
         sb = sum(qb[k] for k in shared if k not in base)
