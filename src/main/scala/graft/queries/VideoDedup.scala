@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -278,47 +278,54 @@ object VideoDedup {
   def qVideoClusterKeepDup(s: SparkSession, d: String): DataFrame =
     clusterKeepBySet(s, sigsOf(s, videoPayloadsDup(s, d)).localCheckpoint())
 
+  /** The hashed frame-set key's collision audit, as a COLUMN: the
+    * array compare confined to hash-equal groups, evaluated lazily
+    * inside the set-collapse aggregate itself — zero extra jobs or
+    * actions (the first r19 cut ran an eager countDistinct audit +
+    * localCheckpoint + driver action; ABBA-measured at 1.16-1.26x the
+    * array-keyed baseline on the video keys, vs 1.07-1.09x for the
+    * hash key alone).  `fmin`/`fmax` are `min(fset)` / `max(fset)`
+    * per hash bucket (arrays are orderable): equal means every set in
+    * the bucket is the same array; unequal means a real 64-bit
+    * collision, and ANY downstream evaluation of the id — every path
+    * uses it — refuses loudly instead of silently merging two
+    * different frame-sets into one cluster (birthday risk ~ n^2/2^65
+    * over distinct sets; never observed). */
+  private[graft] def checkedFsetId(fsetId: Column, fmin: Column,
+                                   fmax: Column, fhash: Column): Column =
+    when(fmin === fmax, fsetId).otherwise(raise_error(concat(
+      lit("xxhash64 collision on frame-set key: hash bucket "),
+      fhash.cast("string"),
+      lit(" holds distinct frame-sets; rerun with the array key")
+    )).cast("long"))
+
   /** The frame-set-graph keep-list core: DISTINCT (doc_id, fsig) in,
     * (cluster_id, keeper, n_frames) out.  Collapse docs by sorted
     * distinct-sig array — keyed through `xxhash64(fset)` (r19,
     * VERDICT r18 item 5): the set-collapse groupBy and the doc
     * re-attach join exchange a FIXED-WIDTH 64-bit key instead of the
     * full sig array (at 100 TB a long video's set is KBs of shuffle
-    * key per row); a collision audit does the array compare within
-    * hash-equal groups and fails loudly, so hash→set stays injective
-    * and every downstream equi-join on the hash is exact.  Pair only
-    * the per-set representatives, CC over the SET graph, docs back in
-    * by one join, equality groups included via the coalesce-to-own-set
-    * key (the [[Pipeline.componentLabelsBySig]] move). */
-  /** Collision audit for the hashed frame-set key — the array compare,
-    * confined to hash-equal groups: a silent 64-bit collision would
-    * merge two different frame-sets into one cluster, so refuse to
-    * answer instead (birthday risk ~ n^2/2^65 over distinct sets;
-    * never observed).  `fsets` must carry `n_distinct_sets` = count of
-    * DISTINCT sig arrays sharing that hash. */
-  private[graft] def assertSetHashInjective(fsets: DataFrame): Unit = {
-    val maxSetsPerHash = fsets
-      .agg(coalesce(max(col("n_distinct_sets")), lit(0L))).head().getLong(0)
-    if (maxSetsPerHash > 1) throw new IllegalStateException(
-      s"xxhash64 collision on frame-set key: a hash bucket holds " +
-        s"$maxSetsPerHash distinct frame-sets; rerun with the array key")
-  }
-
+    * key per row); [[checkedFsetId]] keeps hash→set injective or
+    * refuses, so every downstream equi-join on the hash is exact.
+    * Pair only the per-set representatives, CC over the SET graph,
+    * docs back in by one join, equality groups included via the
+    * coalesce-to-own-set key (the [[Pipeline.componentLabelsBySig]]
+    * move). */
   private[graft] def clusterKeepBySet(s: SparkSession, sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     val docSets = sigs.groupBy("doc_id")
       .agg(sort_array(collect_set(col("fsig"))).as("fset"))
       .withColumn("fhash", xxhash64(col("fset")))
-    // one distinct-set row per hash; localCheckpoint (tiny frame —
-    // one row per distinct set) both feeds the audit action and lets
-    // the representative/re-attach reads below skip the docSets agg
+    // one row per hash bucket; min/max(fset) ride the SAME aggregate
+    // (no second distinct phase, no checkpoint, no audit action)
     val fsets = docSets.groupBy("fhash")
-      .agg(min("doc_id").as("fset_id"),
-        countDistinct(col("fset")).as("n_distinct_sets"),
-        first(col("fset")).as("fset"))
-      .localCheckpoint()
-    assertSetHashInjective(fsets)
+      .agg(min("doc_id").as("raw_id"),
+        min("fset").as("fset"), max("fset").as("fset_max"))
+      .select(col("fhash"),
+        checkedFsetId(col("raw_id"), col("fset"), col("fset_max"),
+          col("fhash")).as("fset_id"),
+        col("fset"))
     val docFset = docSets.join(fsets.select("fhash", "fset_id"), "fhash")
       .select("doc_id", "fset_id")
     // one representative video per distinct frame-set enters the pair

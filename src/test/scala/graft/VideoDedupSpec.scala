@@ -216,18 +216,20 @@ class VideoDedupSpec extends SparkSpec {
 
   test("the frame-set hash key's collision audit refuses loudly, passes clean frames (r19)") {
     import spark.implicits._
-    // clean: every hash bucket holds one distinct set (incl. empty)
-    VideoDedup.assertSetHashInjective(
-      Seq((1L, 1L), (2L, 1L)).toDF("fhash", "n_distinct_sets"))
-    VideoDedup.assertSetHashInjective(
-      Seq.empty[(Long, Long)].toDF("fhash", "n_distinct_sets"))
-    // a bucket with two DISTINCT sets = a real 64-bit collision ->
-    // the query must refuse, never silently merge the clusters
-    val e = intercept[IllegalStateException] {
-      VideoDedup.assertSetHashInjective(
-        Seq((1L, 1L), (2L, 2L)).toDF("fhash", "n_distinct_sets"))
+    import org.apache.spark.sql.functions.col
+    def checked(rows: Seq[(Long, Seq[Long], Seq[Long], Long)]) = rows
+      .toDF("fset_id", "fmin", "fmax", "fhash")
+      .select(VideoDedup.checkedFsetId(
+        col("fset_id"), col("fmin"), col("fmax"), col("fhash")).as("id"))
+    // clean bucket: min(fset) == max(fset) -> the id passes through
+    assert(checked(Seq((7L, Seq(1L, 2L), Seq(1L, 2L), 42L)))
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // a bucket whose min/max arrays differ = a real 64-bit collision
+    // -> evaluating the id must refuse, never silently merge clusters
+    val e = intercept[Exception] {
+      checked(Seq((7L, Seq(1L), Seq(1L, 2L), 42L))).collect()
     }
-    assert(e.getMessage.contains("collision"))
+    assert(e.getMessage.contains("collision"), e.getMessage)
     // end-to-end: the hashed key path still answers the fixture
     // corpus (no collision on real data) with a well-formed keep-list
     val got = VideoDedup.qVideoClusterKeep(spark, "/root/testdata/sf0.001")
