@@ -60,6 +60,8 @@ object VideoKeepProbe {
         val docSets = sigs.groupBy("doc_id")
           .agg(sort_array(collect_set(col("fsig"))).as("fset"))
           .withColumn("fhash", xxhash64(col("fset")))
+          .withColumn("n_frames", size(col("fset")).cast("long"))
+          .localCheckpoint()
         val fsets = docSets.groupBy("fhash")
           .agg(min("doc_id").as("raw_id"),
             min("fset").as("fset"), max("fset").as("fset_max"))
@@ -69,14 +71,14 @@ object VideoKeepProbe {
             col("fset"))
           .localCheckpoint()
         val docFset = docSets.join(fsets.select("fhash", "fset_id"), "fhash")
-          .select("doc_id", "fset_id").localCheckpoint()
+          .select("doc_id", "fset_id", "n_frames").localCheckpoint()
         (docFset, fsets)
       }
       rec("set_collapse", tCollapse)
       val (tPairs, pairs) = t {
         val repSigs = fsets.select(col("fset_id").as("doc_id"),
           explode(col("fset")).as("fsig"))
-        VideoDedup.sharedFramePairsTol(repSigs)
+        VideoDedup.sharedFramePairsTolUnordered(repSigs)
           .select("doc_a", "doc_b").localCheckpoint()
       }
       rec("banded_pairs", tPairs)
@@ -85,7 +87,6 @@ object VideoKeepProbe {
       System.err.println(s"[videoprof] cc_rounds=${Pipeline.lastCcRounds}")
       val (tAttach, _) = t {
         import org.apache.spark.sql.expressions.Window
-        val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
         val setLabels = labels
           .select(col("doc_id").as("fset_id"), col("cluster_id").as("fgroup"))
         val grouped = docFset.join(setLabels, Seq("fset_id"), "left")
@@ -96,7 +97,7 @@ object VideoKeepProbe {
           .select("g", "cluster_id")
         val w = Window.partitionBy("cluster_id")
           .orderBy(desc("n_frames"), col("doc_id"))
-        grouped.join(clusters, "g").join(nFrames, "doc_id")
+        grouped.join(clusters, "g")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("cluster_id"), col("doc_id").as("keeper"), col("n_frames"))

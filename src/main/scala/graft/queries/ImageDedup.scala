@@ -162,8 +162,8 @@ object ImageDedup {
       .sigPairs(sigs.select(col("sig")).distinct(), "sig", MaxDist, bandBits = 16)
       .select("sig_a", "sig_b")
     val w = Window.partitionBy("cluster_id").orderBy(desc("area"), col("doc_id"))
-    Pipeline.componentLabelsBySig(s, sigs.select("doc_id", "sig"), sigPairs)
-      .join(sigs.select("doc_id", "area"), "doc_id")
+    // `area` rides through the CC attach (r19) — no doc_id re-join
+    Pipeline.componentLabelsBySig(s, sigs.select("doc_id", "sig", "area"), sigPairs)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("doc_id").as("keeper"), col("area"))

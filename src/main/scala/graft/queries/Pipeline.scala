@@ -363,7 +363,12 @@ object Pipeline {
     * — no doc expansion anywhere) and map docs in by membership.
     * Returns (doc_id, cluster_id = min doc_id of the component), only
     * for docs in multi-member clusters — the [[componentLabels]]
-    * contract, at sig-graph cost.  `docSigs` must be one row per doc. */
+    * contract, at sig-graph cost.  `docSigs` must be one row per doc;
+    * any EXTRA docSigs columns (keeper metrics — area, n_samples)
+    * ride through to the output unchanged (r19): the keep-list
+    * callers previously re-joined the sig frame on doc_id just to get
+    * the metric back — a full-corpus exchange + join per query that
+    * this pass-through deletes. */
   private[graft] def componentLabelsBySig(s: SparkSession, docSigs: DataFrame,
                                           sigPairs: DataFrame): DataFrame = {
     val sigLabels = componentLabels(s,
@@ -379,7 +384,9 @@ object Pipeline {
       .agg(min("doc_id").as("cluster_id"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("g", "cluster_id")
-    grouped.join(clusters, "g").select("doc_id", "cluster_id")
+    val carry = docSigs.columns.filter(c => c != "doc_id" && c != "sig")
+    grouped.join(clusters, "g")
+      .select(("doc_id" +: "cluster_id" +: carry.toSeq).map(col): _*)
   }
 
   val qDedupClusterSql: String =
@@ -1469,8 +1476,9 @@ object Pipeline {
         .sigPairs(sigs.select(col("sig")).distinct(), "sig", maxDist, bandBits = 16)
         .select("sig_a", "sig_b")
       val w = Window.partitionBy("cluster_id").orderBy(desc(metric), col("doc_id"))
-      componentLabelsBySig(s, sigs.select("doc_id", "sig"), sigPairs)
-        .join(sigs.select(col("doc_id"), col(metric)), "doc_id")
+      // the metric rides through the CC attach (r19) — no doc_id re-join
+      componentLabelsBySig(s, sigs.select(col("doc_id"), col("sig"), col(metric)),
+          sigPairs)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1)
         .select("doc_id")

@@ -220,7 +220,15 @@ object VideoDedup {
     * BEFORE matching; a ubiquitous near-frame CLUSTER (many distinct
     * sigs within TolDist, each individually rare) is bounded by the
     * band-bucket volume the sigPairs join already pays, same as P52. */
-  private[graft] def sharedFramePairsTol(all: DataFrame): DataFrame = {
+  private[graft] def sharedFramePairsTol(all: DataFrame): DataFrame =
+    sharedFramePairsTolUnordered(all).orderBy("doc_a", "doc_b")
+
+  /** [[sharedFramePairsTol]] without the final ORDER BY — the
+    * keep-list path ([[clusterKeepBySet]]) feeds these pairs straight
+    * into the CC loop, which keys on the columns only; the declared
+    * tolerant-dedup query keeps its ordered wrapper, the CC feed
+    * skips the range exchange and its sampling pass (r19). */
+  private[graft] def sharedFramePairsTolUnordered(all: DataFrame): DataFrame = {
     val rare = all.groupBy("fsig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxSigDf).select("fsig")
     val sigs = all.join(rare, "fsig")
@@ -240,7 +248,6 @@ object VideoDedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= MinShared)
-      .orderBy("doc_a", "doc_b")
   }
 
   def qVideoDedupTol(s: SparkSession, d: String): DataFrame =
@@ -313,12 +320,26 @@ object VideoDedup {
     * move). */
   private[graft] def clusterKeepBySet(s: SparkSession, sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nFrames = sigs.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    // ONE aggregate builds the whole per-doc decision row (r19): the
+    // sorted distinct-sig set, its 64-bit shuffle key, and the keeper
+    // metric — `sigs` is one row per DISTINCT (doc, fsig), so n_frames
+    // IS the set size; the separate groupBy(doc_id).count() and the
+    // end-stage SortMergeJoin that re-attached it are gone.  The frame
+    // is checkpointed because two LATER JOBS consume it (the CC loop's
+    // eager pair materialization and the final cluster/keeper job):
+    // exchange reuse never crosses an action, so without the barrier
+    // each job re-runs the aggregate.  It is per-video METADATA — the
+    // §8 "decision pass" proxy, KBs per video, never the pixels — so
+    // the materialization stays bounded at corpus scale.
     val docSets = sigs.groupBy("doc_id")
       .agg(sort_array(collect_set(col("fsig"))).as("fset"))
       .withColumn("fhash", xxhash64(col("fset")))
+      .withColumn("n_frames", size(col("fset")).cast("long"))
+      .localCheckpoint()
     // one row per hash bucket; min/max(fset) ride the SAME aggregate
-    // (no second distinct phase, no checkpoint, no audit action)
+    // (no second distinct phase, no audit action — the checkpoint here
+    // is for its two consumers, repSigs and the doc re-attach join,
+    // and materializing it evaluates the collision audit exactly once)
     val fsets = docSets.groupBy("fhash")
       .agg(min("doc_id").as("raw_id"),
         min("fset").as("fset"), max("fset").as("fset_max"))
@@ -326,14 +347,15 @@ object VideoDedup {
         checkedFsetId(col("raw_id"), col("fset"), col("fset_max"),
           col("fhash")).as("fset_id"),
         col("fset"))
+      .localCheckpoint()
     val docFset = docSets.join(fsets.select("fhash", "fset_id"), "fhash")
-      .select("doc_id", "fset_id")
+      .select("doc_id", "fset_id", "n_frames")
     // one representative video per distinct frame-set enters the pair
-    // machinery; the df guard inside sharedFramePairsTol now counts
-    // SETS per sig, by construction
+    // machinery; the df guard inside the pair core now counts SETS
+    // per sig, by construction
     val repSigs = fsets.select(col("fset_id").as("doc_id"),
       explode(col("fset")).as("fsig"))
-    val pairs = sharedFramePairsTol(repSigs).select("doc_a", "doc_b")
+    val pairs = sharedFramePairsTolUnordered(repSigs).select("doc_a", "doc_b")
     val setLabels = Pipeline.componentLabels(s, pairs)
       .select(col("doc_id").as("fset_id"), col("cluster_id").as("fgroup"))
     // group key: the set-component label, or the set's own id for
@@ -348,7 +370,6 @@ object VideoDedup {
       .select("g", "cluster_id")
     val w = Window.partitionBy("cluster_id").orderBy(desc("n_frames"), col("doc_id"))
     grouped.join(clusters, "g")
-      .join(nFrames, "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("doc_id").as("keeper"), col("n_frames"))
