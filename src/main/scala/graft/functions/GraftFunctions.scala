@@ -962,6 +962,92 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // ------------------------------------------------- text-gate kernel
+  /** Stopword lists shared by the lang-id / quality / release gates
+    * and their DuckDB oracle spellings — single source so the one-pass
+    * kernel below and the SQL literals can never drift. */
+  val stopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"))
+
+  private val stopMask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    Seq("en", "de", "es", "fr").zipWithIndex.foreach { case (lang, li) =>
+      stopWords(lang).foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue) | (1 << li)))
+      }
+    }
+    m
+  }
+
+  private val spaceUtf = UTF8String.fromString(" ")
+
+  private[functions] val textGatesType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false)))
+
+  /** graft_text_gates(text): ONE tokenizing pass over the lowered
+    * text returning every token statistic the P7/P8/P51 gates read —
+    * struct(n_tok, n_distinct, s_en, s_de, s_es, s_fr).  Replaces
+    * `size(split(lower(text),' '))` + `size(array_distinct(…))` + four
+    * `size(filter(…, t -> array_contains(…)))` higher-order calls:
+    * those are CodegenFallback territory (lambda eval per element) and
+    * each re-runs lower+split, so the gate queries paid ~6 tokenize
+    * passes per row in interpreted code.  Bit-parity by construction:
+    * the kernel calls the SAME UTF8String.toLowerCase and
+    * UTF8String.split(" ", -1) that Lower/StringSplit evaluate,
+    * distinct is byte-equality (UTF8String hash/equals), membership is
+    * byte-equality against [[stopWords]] — pinned vs the spelled-out
+    * expressions in TextGatesSpec. */
+  case class TextGates(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, s"$prettyName expects STRING")
+    override def dataType: DataType = textGatesType
+    override def prettyName: String = "graft_text_gates"
+
+    override def nullSafeEval(v: Any): Any =
+      GraftFunctions.textGates(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = GraftFunctions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn.textGates($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def textGates(text: UTF8String): InternalRow = {
+    val toks = text.toLowerCase.split(spaceUtf, -1)
+    val seen = new java.util.HashSet[UTF8String](
+      Integer.highestOneBit(math.max(16, toks.length)) * 2)
+    var sEn = 0; var sDe = 0; var sEs = 0; var sFr = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      seen.add(t)
+      val m = stopMask.get(t)
+      if (m != null) {
+        val v = m.intValue
+        if ((v & 1) != 0) sEn += 1
+        if ((v & 2) != 0) sDe += 1
+        if ((v & 4) != 0) sEs += 1
+        if ((v & 8) != 0) sFr += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, seen.size, sEn, sDe, sEs, sFr))
+  }
+
   def charClass(b: Array[Byte]): ArrayData = {
     var alpha = 0L
     var digit = 0L
@@ -1689,6 +1775,8 @@ object GraftFunctions {
       es => ZorderN(es)),
     ("graft_charclass", "one-pass ASCII [letters, digits, whitespace] counts",
       es => CharClass(es(0))),
+    ("graft_text_gates", "one-pass (n_tok, n_distinct, s_en, s_de, s_es, s_fr) token stats",
+      es => TextGates(es(0))),
     ("graft_media_dims", "[fmt, width, height] from image container headers",
       es => MediaDims(es(0))),
     ("graft_intersect_size", "intersection size of two sorted long arrays",

@@ -832,11 +832,9 @@ object Pipeline {
 
   // ---------------------------------------------------------------- P7
   // Language-ID heuristic: stopword hit counts + multibyte ratio.
-  private val stop = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"))
+  // Single source: the one-pass graft_text_gates kernel and the oracle
+  // SQL literals read the SAME lists (r19).
+  private val stop = graft.functions.GraftFunctions.stopWords
 
   private def stopCount(lang: String, arrFn: String => String): String = {
     val lst = stop(lang).map(w => s"'$w'").mkString(", ")
@@ -844,11 +842,15 @@ object Pipeline {
   }
 
   def qLangId(s: SparkSession, d: String): DataFrame = {
-    def cnt(l: String) = stopCount(l,
-      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
+    // r19: the four stop counts come from ONE graft_text_gates pass
+    // (same values by construction — the kernel runs the identical
+    // toLowerCase/split/byte-equality steps the spelled-out
+    // size(filter(split(lower…)))) higher-order chain evaluated, but
+    // inside codegen and tokenizing once instead of four times)
     Tables.documents(s, d)
-      .withColumn("s_en", expr(cnt("en"))).withColumn("s_de", expr(cnt("de")))
-      .withColumn("s_es", expr(cnt("es"))).withColumn("s_fr", expr(cnt("fr")))
+      .withColumn("tg", expr("graft_text_gates(text)"))
+      .withColumn("s_en", col("tg.s_en")).withColumn("s_de", col("tg.s_de"))
+      .withColumn("s_es", col("tg.s_es")).withColumn("s_fr", col("tg.s_fr"))
       .withColumn("m", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
       .withColumn("pred_lang", expr(
         """CASE WHEN CAST(octet_length(text) AS DOUBLE) > 1.5 * length(text) THEN 'zh'
@@ -888,15 +890,18 @@ object Pipeline {
   // ratio → weighted score.  All doubles derived with identical
   // association order on both sides — no rounding needed.
   def qQualityScore(s: SparkSession, d: String): DataFrame = {
-    val enCnt = stopCount("en",
-      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
+    // r19: n_tok / distinct / stop-count off one graft_text_gates pass
+    // (the spelled-out form tokenized the text four times through
+    // interpreted higher-order functions); the DOUBLE arithmetic keeps
+    // the exact original cast/division tree, so scores stay bit-equal
     Tables.documents(s, d)
-      .withColumn("n_tok", expr(s"CAST(size($tok) AS BIGINT)"))
+      .withColumn("tg", expr("graft_text_gates(text)"))
+      .withColumn("n_tok", expr("CAST(tg.n_tok AS BIGINT)"))
       .withColumn("distinct_ratio",
-        expr(s"CAST(size(array_distinct($tok)) AS DOUBLE) / size($tok)"))
+        expr("CAST(tg.n_distinct AS DOUBLE) / tg.n_tok"))
       .withColumn("len_score",
         expr("least(CAST(n_tok AS DOUBLE), 200.0) / 200.0"))
-      .withColumn("stop_ratio", expr(s"CAST($enCnt AS DOUBLE) / size($tok)"))
+      .withColumn("stop_ratio", expr("CAST(tg.s_en AS DOUBLE) / tg.n_tok"))
       .withColumn("score",
         expr("100 * (0.4 * distinct_ratio + 0.3 * len_score + 0.3 * stop_ratio)"))
       .select("doc_id", "n_tok", "distinct_ratio", "stop_ratio", "score")
@@ -1364,19 +1369,23 @@ object Pipeline {
     * Everything here is per-row, so in a stream it runs in the scan
     * stage with no state. */
   def releaseGates(df: DataFrame): DataFrame = {
-    def cnt(l: String) = stopCount(l,
-      lst => s"size(filter($tok, t -> array_contains(array($lst), t)))")
     val piiPats = Seq(
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
       "\\+?[0-9][0-9 -]{6,}[0-9]",
       "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
+    // r19: every token statistic (distinct ratio, token count, the
+    // four stop counts) comes off ONE graft_text_gates pass instead of
+    // six interpreted higher-order tokenizations; the DOUBLE tree of
+    // `score` keeps the original cast/division shape, so the scores —
+    // and everything gated on them — stay bit-equal
     df
+      .withColumn("tg", expr("graft_text_gates(text)"))
       .withColumn("score", expr(
-        s"""100 * (0.4 * (CAST(size(array_distinct($tok)) AS DOUBLE) / size($tok))
-           |     + 0.3 * (least(CAST(size($tok) AS DOUBLE), 200.0) / 200.0)
-           |     + 0.3 * (CAST(${cnt("en")} AS DOUBLE) / size($tok)))""".stripMargin))
-      .withColumn("s_en", expr(cnt("en"))).withColumn("s_de", expr(cnt("de")))
-      .withColumn("s_es", expr(cnt("es"))).withColumn("s_fr", expr(cnt("fr")))
+        """100 * (0.4 * (CAST(tg.n_distinct AS DOUBLE) / tg.n_tok)
+          |     + 0.3 * (least(CAST(tg.n_tok AS DOUBLE), 200.0) / 200.0)
+          |     + 0.3 * (CAST(tg.s_en AS DOUBLE) / tg.n_tok))""".stripMargin))
+      .withColumn("s_en", col("tg.s_en")).withColumn("s_de", col("tg.s_de"))
+      .withColumn("s_es", col("tg.s_es")).withColumn("s_fr", col("tg.s_fr"))
       .withColumn("m", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
       .withColumn("lang_en", expr(
         """CAST(CASE WHEN CAST(octet_length(text) AS DOUBLE) > 1.5 * length(text) THEN 0
@@ -1396,6 +1405,7 @@ object Pipeline {
         piiPats.map(p => regexp_count(col("aug"), lit(p)))
           .reduce(_ + _).equalTo(0).cast("int"))
       .withColumn("q_pass", (col("score") >= 30.0).cast("int"))
+      .drop("tg") // internal plumbing; keep downstream schemas as before
   }
 
   def qReleaseFilter(s: SparkSession, d: String): DataFrame = {
@@ -1497,16 +1507,30 @@ object Pipeline {
       ImageDedup.dhashFrame(s, d).localCheckpoint(), "area", ImageDedup.MaxDist))
     val fAud = Future(nonKeepers(
       AudioDedup.sigFrame(s, d).localCheckpoint(), "n_samples", AudioDedup.MaxDist))
+    // r19: the TEXT gates are the third independent subtree — without
+    // this the content-hash window + regex gates only ran inside the
+    // final join job, strictly AFTER both media loops had finished.
+    // Materializing the five gate flags (one narrow row per doc — the
+    // same bounded per-doc-metadata class as the media sig frames;
+    // text itself stays out of the checkpoint) lets all three
+    // pipelines share the executor pool (§2.6 overlap), and the final
+    // join then reads three materialized inputs.
+    val fTxt = Future {
+      val byHash = Window.partitionBy(md5(col("text")))
+      releaseGates(
+        Tables.documents(s, d)
+          .withColumn("is_canonical",
+            (col("doc_id") === min("doc_id").over(byHash)).cast("int")))
+        .select("doc_id", "is_canonical", "q_pass", "lang_en", "pii_free")
+        .localCheckpoint()
+    }
     val imgDrop = Await.result(fImg, Duration.Inf)
     val audDrop = Await.result(fAud, Duration.Inf)
-    // both loops raced their writes to the shared telemetry slot —
+    val txtGates = Await.result(fTxt, Duration.Inf)
+    // the loops raced their writes to the shared telemetry slot —
     // leave a deterministic sentinel, not whichever finished last
     lastCcRounds = -2
-    val byHash = Window.partitionBy(md5(col("text")))
-    releaseGates(
-      Tables.documents(s, d)
-        .withColumn("is_canonical",
-          (col("doc_id") === min("doc_id").over(byHash)).cast("int")))
+    txtGates
       .join(imgDrop.withColumn("img_dup", lit(1)), Seq("doc_id"), "left")
       .join(audDrop.withColumn("aud_dup", lit(1)), Seq("doc_id"), "left")
       .withColumn("img_keep", when(col("img_dup").isNull, 1).otherwise(0).cast("int"))
