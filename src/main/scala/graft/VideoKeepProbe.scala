@@ -110,6 +110,20 @@ object VideoKeepProbe {
       }
       rec("full_query", tFull)
       System.err.println(s"[videoprof] clusters=$n")
+      // drift guard (ADVICE r19): the staged attach path re-implements
+      // clusterKeepBySet inline — if the production path changes, the
+      // stage attribution silently measures the wrong pipeline unless
+      // the cluster counts agree
+      if (rep == 1) {
+        val staged = docFset.join(
+            labels.select(col("doc_id").as("fset_id"), col("cluster_id").as("fgroup")),
+            Seq("fset_id"), "left")
+          .withColumn("g", coalesce(col("fgroup"), col("fset_id")))
+          .groupBy("g").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).count()
+        require(staged == n,
+          s"probe stage drift: staged cluster count $staged != full query $n")
+      }
       spark.catalog.clearCache()
     }
 

@@ -972,9 +972,20 @@ object GraftFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"))
 
+  /** THE language order (ADVICE r19): mask bit i, struct field
+    * `s_<stopLangs(i)>` and the [[textGates]] counters all follow this
+    * list.  The counters are hard-coded four-wide, so adding a
+    * language to [[stopWords]] without extending the kernel must fail
+    * LOUDLY here rather than be silently ignored by the mask. */
+  val stopLangs: Seq[String] = Seq("en", "de", "es", "fr")
+
   private val stopMask: java.util.HashMap[UTF8String, Integer] = {
+    require(stopWords.keySet == stopLangs.toSet && stopLangs.size == 4,
+      s"stopWords languages ${stopWords.keySet.toSeq.sorted.mkString(",")} " +
+        s"must be exactly stopLangs ${stopLangs.mkString(",")} — the " +
+        "graft_text_gates kernel counts four fixed languages")
     val m = new java.util.HashMap[UTF8String, Integer]()
-    Seq("en", "de", "es", "fr").zipWithIndex.foreach { case (lang, li) =>
+    stopLangs.zipWithIndex.foreach { case (lang, li) =>
       stopWords(lang).foreach { w =>
         val k = UTF8String.fromString(w)
         val prev = m.get(k)
@@ -987,13 +998,12 @@ object GraftFunctions {
 
   private val spaceUtf = UTF8String.fromString(" ")
 
-  private[functions] val textGatesType = StructType(Seq(
-    StructField("n_tok", IntegerType, nullable = false),
-    StructField("n_distinct", IntegerType, nullable = false),
-    StructField("s_en", IntegerType, nullable = false),
-    StructField("s_de", IntegerType, nullable = false),
-    StructField("s_es", IntegerType, nullable = false),
-    StructField("s_fr", IntegerType, nullable = false)))
+  // s_* fields derive from stopLangs, so field order and mask bit
+  // order cannot drift apart
+  private[functions] val textGatesType = StructType(
+    StructField("n_tok", IntegerType, nullable = false) +:
+    StructField("n_distinct", IntegerType, nullable = false) +:
+    stopLangs.map(l => StructField(s"s_$l", IntegerType, nullable = false)))
 
   /** graft_text_gates(text): ONE tokenizing pass over the lowered
     * text returning every token statistic the P7/P8/P51 gates read —

@@ -115,7 +115,7 @@ object AudioDedup {
 
   def qAudioDedup(s: SparkSession, d: String): DataFrame = {
     // five consumers, one decode pass
-    val sigs = sigFrame(s, d).select("doc_id", "sig").localCheckpoint()
+    val sigs = sigFrame(s, d).select("doc_id", "sig").transform(Pipeline.stableCheckpoint)
     HammingDedup.pairs(sigs, "sig", MaxDist, bandBits = 16)
   }
 
@@ -126,7 +126,7 @@ object AudioDedup {
     * wins, doc_id tiebreak).  One row per multi-member cluster. */
   def qAudioClusterKeep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = sigFrame(s, d).localCheckpoint() // pairs + keeper metadata off one decode pass
+    val sigs = sigFrame(s, d).transform(Pipeline.stableCheckpoint) // pairs + keeper metadata off one decode pass
     // r17: CC over the DISTINCT-SIG graph, not the doc-pair graph —
     // the doc expansion is C(m,2) inside dense clusters and OOM'd at
     // sf10 (see Pipeline.componentLabelsBySig)
@@ -147,7 +147,7 @@ object AudioDedup {
   def qAudioDedupCount(s: SparkSession, d: String): DataFrame = {
     val groups = sigFrame(s, d)
       .groupBy("sig").agg(count(lit(1)).as("g"))
-      .localCheckpoint() // one decode pass feeds all three consumers
+      .transform(Pipeline.stableCheckpoint) // one decode pass feeds all three consumers
     HammingDedup.counts(groups, "sig", MaxDist, bandBits = 16)
   }
 

@@ -196,7 +196,7 @@ object Corpus {
         expr(s"graft_hash32(t) % $DsirBuckets").as("b"))
       // one tokenize+hash pass feeds the bucket stats and the per-doc
       // score join; without the barrier both consumers re-scan
-      .localCheckpoint()
+      .transform(Pipeline.stableCheckpoint)
     val stats = toks.groupBy("b").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))

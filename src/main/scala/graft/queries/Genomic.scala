@@ -17,6 +17,27 @@ import graft.Tables
   */
 object Genomic {
 
+  /** Default swap point for [[qRangeCount]]'s distributed-ranking
+    * form (`spark.graft.ranked.rangeCountMinBytes`), against the
+    * PHYSICAL bytes of the query's two parquet inputs (lineitem +
+    * part: 11.0 MB at sf0.1, 113 MB at sf1 — RangeCountStatsProbe).
+    * The measured window→ranked crossover is ≈ sf0.2 (r9: window
+    * 2.13s vs ranked 2.39s at sf0.1, 8.61s vs 4.02s at sf1), i.e.
+    * ~2× the sf0.1 input — 22 MB.  File size, not optimizer stats:
+    * `queryExecution.optimizedPlan.stats` re-ran analysis+optimization
+    * per query build and cost ~0.2s/run at sf0.1 (measured in the r20
+    * ABBA), while a FileSystem length lookup is sub-ms and equally
+    * deterministic. */
+  private[graft] val RangeCountRankedMinBytes: String = "22000000"
+
+  /** Physical length of the parquet inputs the ranked swap gates on. */
+  private def inputBytes(s: SparkSession, paths: String*): Long =
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+
   /** Read model: id, contig, [rstart, rend] interval derived
     * deterministically from lineitem (same arithmetic in the oracle). */
   private def reads(s: SparkSession, d: String): DataFrame =
@@ -102,22 +123,37 @@ object Genomic {
     // rstart <= tend is inclusive → reads first via flag 0)
     // NOTE on the `PARTITION BY contig` windows: contig has a handful
     // of values, so each window sorts the whole event stream on
-    // |contig| tasks.  The swap to the distributed-ranking form is now
-    // a CONFIG FLIP, not a code rewrite: with
-    // `spark.graft.ranked.autoRewrite=true` the RankedWindowRule
-    // rewrites both running sums into the InternalRow two-pass
-    // (plans.RankedPrefixSumExec).  Measured r9 at local[32]: window
-    // 2.13s vs ranked 2.39s at sf0.1, window 8.61s vs ranked 4.02s at
-    // sf1 — swap point ≈ sf0.2 here, and on a many-core cluster where
+    // |contig| tasks.  Measured r9 at local[32]: window 2.13s vs
+    // ranked 2.39s at sf0.1, window 8.61s vs ranked 4.02s at sf1 —
+    // swap point ≈ sf0.2, and on a many-core cluster where
     // |contig| << cores the ranked form is the only shape that scales.
-    // The codegen window stays the default for the SF-gate regime.
+    // r20 (VERDICT r19 item 7): the swap now flips on the MEASURED
+    // input-size estimate instead of requiring the operator to know
+    // the session flag exists — above
+    // spark.graft.ranked.rangeCountMinBytes (default sits between the
+    // sf0.1 and sf1 event-stream estimates, i.e. the measured ~sf0.2
+    // swap point) both running sums build as the distributed
+    // two-pass RankedPrefixSum; below it the codegen window stays.
+    // -1 disables the flip, 0 forces the ranked form (the spec pins
+    // both forms equal).  The session-wide
+    // `spark.graft.ranked.autoRewrite` rule is unchanged and
+    // orthogonal.
     val evF = r.select(col("contig"), col("rstart").as("pos"), lit(0).as("flag"),
         lit(1L).as("delta"), lit(-1L).as("target_id"))
       .unionAll(t.select(col("tcontig").as("contig"), col("tend").as("pos"),
         lit(1).as("flag"), lit(0L).as("delta"), col("target_id")))
     val wOrd = Window.partitionBy("contig").orderBy("pos", "flag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f = evF.withColumn("cum", sum("delta").over(wOrd))
+    val minBytes = s.conf.get(
+      "spark.graft.ranked.rangeCountMinBytes", RangeCountRankedMinBytes).toLong
+    val useRanked = minBytes >= 0 &&
+      inputBytes(s, s"$d/lineitem.parquet", s"$d/part.parquet") > minBytes
+    def cum(ev: DataFrame): DataFrame =
+      if (useRanked)
+        graft.operators.Ranked.prefixSum(
+          ev, Seq("contig"), Seq("pos", "flag"), "delta", "cum")
+      else ev.withColumn("cum", sum("delta").over(wOrd))
+    val f = cum(evF)
       .filter(col("flag") === 1)
       .select(col("target_id"), col("cum").as("f"))
     // G: reads counted by rend, target probes at tstart count strictly
@@ -126,7 +162,7 @@ object Genomic {
         lit(1L).as("delta"), lit(-1L).as("target_id"))
       .unionAll(t.select(col("tcontig").as("contig"), col("tstart").as("pos"),
         lit(0).as("flag"), lit(0L).as("delta"), col("target_id")))
-    val g = evG.withColumn("cum", sum("delta").over(wOrd))
+    val g = cum(evG)
       .filter(col("flag") === 0 && col("target_id") >= 0)
       .select(col("target_id"), col("cum").as("g"))
     f.join(g, "target_id")

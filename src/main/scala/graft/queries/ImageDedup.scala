@@ -138,7 +138,7 @@ object ImageDedup {
     // P52's own Scaladoc prescribes for denser spaces); the banded
     // construction is HammingDedup's one spelling.  The 16-byte/doc
     // sig frame materializes once (five consumers).
-    val sigs = dhashFrame(s, d).select("doc_id", "sig").localCheckpoint()
+    val sigs = dhashFrame(s, d).select("doc_id", "sig").transform(Pipeline.stableCheckpoint)
     graft.operators.HammingDedup.pairs(sigs, "sig", MaxDist, bandBits = 16)
   }
 
@@ -154,7 +154,7 @@ object ImageDedup {
     * keeper, area). */
   def qImageClusterKeep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = dhashFrame(s, d).localCheckpoint() // pairs + keeper metadata off one decode pass
+    val sigs = dhashFrame(s, d).transform(Pipeline.stableCheckpoint) // pairs + keeper metadata off one decode pass
     // r17: CC over the DISTINCT-SIG graph, not the doc-pair graph —
     // the doc expansion is C(m,2) inside dense clusters and OOM'd the
     // audio analog at sf10 (see Pipeline.componentLabelsBySig)
@@ -177,7 +177,7 @@ object ImageDedup {
   def qImageDedupCount(s: SparkSession, d: String): DataFrame = {
     val groups = dhashFrame(s, d)
       .groupBy("sig").agg(count(lit(1)).as("g"))
-      .localCheckpoint() // one decode pass feeds all three consumers
+      .transform(Pipeline.stableCheckpoint) // one decode pass feeds all three consumers
     graft.operators.HammingDedup.counts(groups, "sig", MaxDist, bandBits = 16)
   }
 

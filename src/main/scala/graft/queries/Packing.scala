@@ -224,7 +224,7 @@ object Packing {
   private[graft] def learnMergesCounted(s: SparkSession, d: String, batch: Int = 1,
                                         rounds: Int = BpeRounds): (Seq[(Long, String, String, Long)], Int) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var v = vocab(s, d).localCheckpoint()
+    var v = vocab(s, d).transform(Pipeline.stableCheckpoint)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var step = 0
     var collects = 0
@@ -246,7 +246,7 @@ object Packing {
         val flat = top.toSeq.flatMap(r => Seq(r.getString(0), r.getString(1)))
         val next = v.withColumn("syms",
           call_function("graft_bpe_encode", col("syms"), array(flat.map(lit): _*)))
-          .localCheckpoint()
+          .transform(Pipeline.stableCheckpoint)
         v.unpersist()
         v = next
       }

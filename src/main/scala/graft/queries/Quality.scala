@@ -56,7 +56,7 @@ object Quality {
     // resident at any corpus scale that fits a cluster.  The banded
     // construction (identical-signature collapse, distinct-sig
     // verify, member-join expansion) is HammingDedup's one spelling.
-    val sigs = Pipeline.simhashFrame(s, d).localCheckpoint()
+    val sigs = Pipeline.simhashFrame(s, d).transform(Pipeline.stableCheckpoint)
     graft.operators.HammingDedup.pairs(sigs, "simhash", maxDist = 2, bandBits = 8)
   }
 
@@ -80,7 +80,7 @@ object Quality {
   def qSimhashHammingCount(s: SparkSession, d: String): DataFrame = {
     val groups = Pipeline.simhashFrame(s, d)
       .groupBy("simhash").agg(count(lit(1)).as("g"))
-      .localCheckpoint() // one signature pass feeds all three consumers
+      .transform(Pipeline.stableCheckpoint) // one signature pass feeds all three consumers
     graft.operators.HammingDedup.counts(groups, "simhash", maxDist = 2, bandBits = 8)
   }
 

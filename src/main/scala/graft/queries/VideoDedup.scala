@@ -203,7 +203,7 @@ object VideoDedup {
 
   def qVideoDedup(s: SparkSession, d: String): DataFrame =
     // one decode pass feeds the df agg and both join sides
-    sharedFramePairs(frameSigs(s, d).localCheckpoint())
+    sharedFramePairs(frameSigs(s, d).transform(Pipeline.stableCheckpoint))
 
   /** Hamming-TOLERANT shared-frame matching (VERDICT r15 item 3): the
     * exact form above is right for lossless re-containerization, but
@@ -227,19 +227,44 @@ object VideoDedup {
     * keep-list path ([[clusterKeepBySet]]) feeds these pairs straight
     * into the CC loop, which keys on the columns only; the declared
     * tolerant-dedup query keeps its ordered wrapper, the CC feed
-    * skips the range exchange and its sampling pass (r19). */
+    * skips the range exchange and its sampling pass (r19).
+    *
+    * r20 (VERDICT r19 item 1) — three structural cuts, same rows:
+    *  - the guarded DISTINCT sig vocabulary IS the guard list itself
+    *    (`distinct((all ⋈ rare).fsig) = rare` — every guarded sig
+    *    appears in `all` with df ≥ 1), so the separate
+    *    `sigs.select(fsig).distinct()` aggregate is DELETED: one
+    *    guard aggregate produces both the join filter and the banded
+    *    join's input vocabulary (§2.4: a distinct on data already
+    *    unique);
+    *  - that one guard frame is checkpointed (§5 decision-pass
+    *    materialization — 8 B/sig, vocabulary-bounded, never doc
+    *    rows): its four consumers (the guard join, both sides of the
+    *    banded self-join, the identity branch) each re-ran the
+    *    full-frame guard aggregate;
+    *  - the symmetric closure of `near` is ONE explode pass (each
+    *    verified pair emits (a,b) and (b,a)) instead of
+    *    `near UNION near.swap`, which re-planned and RE-EXECUTED the
+    *    whole banded-join subtree for the swapped branch (the
+    *    duplicated work hid under a Union, not an Exchange, so
+    *    exchange reuse never deduped it).
+    */
   private[graft] def sharedFramePairsTolUnordered(all: DataFrame): DataFrame = {
-    val rare = all.groupBy("fsig").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxSigDf).select("fsig")
-    val sigs = all.join(rare, "fsig")
-    val uniq = sigs.select(col("fsig").as("sig")).distinct()
+    val uniq = Pipeline.stableCheckpoint(
+      all.groupBy("fsig").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxSigDf).select(col("fsig").as("sig")))
+    val sigs = all.join(uniq.select(col("sig").as("fsig")), "fsig")
     val near = graft.operators.HammingDedup
       .sigPairs(uniq, "sig", TolDist, bandBits = 16)
       .select("sig_a", "sig_b")
     // a frame pair (fa != fb) matches through exactly ONE direction of
-    // the symmetric closure; fa == fb through the identity branch
+    // the symmetric closure (emitted as two rows by one explode);
+    // fa == fb through the identity branch
     val matches = near
-      .unionAll(near.select(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))
+      .select(explode(array(
+        struct(col("sig_a"), col("sig_b")),
+        struct(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))).as("p"))
+      .select(col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .unionAll(uniq.select(col("sig").as("sig_a"), col("sig").as("sig_b")))
     sigs.as("a")
       .join(matches, col("a.fsig") === col("sig_a"))
@@ -251,7 +276,7 @@ object VideoDedup {
   }
 
   def qVideoDedupTol(s: SparkSession, d: String): DataFrame =
-    sharedFramePairsTol(frameSigs(s, d, perturb = true).localCheckpoint())
+    sharedFramePairsTol(frameSigs(s, d, perturb = true).transform(Pipeline.stableCheckpoint))
 
   /** The ACTION step for video (VERDICT r16 item 2; re-based r18 on
     * the FRAME-SET graph — VERDICT r17 item 1, the last doc-pair CC):
@@ -275,7 +300,7 @@ object VideoDedup {
     * set-collapse, pair join and keeper metadata.  One row per
     * multi-member cluster: (cluster_id, keeper, n_frames). */
   def qVideoClusterKeep(s: SparkSession, d: String): DataFrame =
-    clusterKeepBySet(s, frameSigs(s, d, perturb = true).localCheckpoint())
+    clusterKeepBySet(s, frameSigs(s, d, perturb = true).transform(Pipeline.stableCheckpoint))
 
   /** [[qVideoClusterKeep]] over the dup-heavy corpus
     * ([[videoPayloadsDup]]: [[DupK]]-1 identical copies + 1 lossy
@@ -283,7 +308,7 @@ object VideoDedup {
     * doc-pair CC at sf10 in r17, gated here so the equality path
     * stays oracle-pinned. */
   def qVideoClusterKeepDup(s: SparkSession, d: String): DataFrame =
-    clusterKeepBySet(s, sigsOf(s, videoPayloadsDup(s, d)).localCheckpoint())
+    clusterKeepBySet(s, sigsOf(s, videoPayloadsDup(s, d)).transform(Pipeline.stableCheckpoint))
 
   /** The hashed frame-set key's collision audit, as a COLUMN: the
     * array compare confined to hash-equal groups, evaluated lazily
@@ -335,7 +360,7 @@ object VideoDedup {
       .agg(sort_array(collect_set(col("fsig"))).as("fset"))
       .withColumn("fhash", xxhash64(col("fset")))
       .withColumn("n_frames", size(col("fset")).cast("long"))
-      .localCheckpoint()
+      .transform(Pipeline.stableCheckpoint)
     // one row per hash bucket; min/max(fset) ride the SAME aggregate
     // (no second distinct phase, no audit action — the checkpoint here
     // is for its two consumers, repSigs and the doc re-attach join,
@@ -347,7 +372,7 @@ object VideoDedup {
         checkedFsetId(col("raw_id"), col("fset"), col("fset_max"),
           col("fhash")).as("fset_id"),
         col("fset"))
-      .localCheckpoint()
+      .transform(Pipeline.stableCheckpoint)
     val docFset = docSets.join(fsets.select("fhash", "fset_id"), "fhash")
       .select("doc_id", "fset_id", "n_frames")
     // one representative video per distinct frame-set enters the pair
