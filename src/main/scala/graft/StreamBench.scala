@@ -141,6 +141,20 @@ object StreamBench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r20 (VERDICT r19 item 9): the state-store partition count is
+    // pinned to spark.sql.shuffle.partitions at each query's FIRST
+    // micro-batch, so 32-core sessions run 32 state partitions per
+    // stateful operator — ~0.75 s/batch of fixed task machinery across
+    // 20 ops is the micro-regime's floor.  An EXPLICIT protocol knob
+    // (never silent): SPARK_GRAFT_STREAM_SHUFFLE_PARTS overrides the
+    // session default for the streaming suite, the regime label gains
+    // a "_pN" suffix so anchor lookups never cross-compare regimes,
+    // and the output line records shuffle_partitions either way.
+    val streamParts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+    streamParts.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    val shufflePartsNow = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // out_rows / state peaks are read from query.recentProgress, which
     // Spark caps (default 100 entries) — raise the retention above the
     // batch count (+ movers batch + slack) so no early batch silently
@@ -172,7 +186,7 @@ object StreamBench {
     // probes are always read off the matching regime's line (ADVICE
     // r16: prevProbeAnchor parsed the first line regardless)
     val regimeNow = sys.env.getOrElse("SPARK_GRAFT_STREAM_REGIME",
-      s"batches$nBatches")
+      s"batches$nBatches" + streamParts.map(p => s"_p$p").getOrElse(""))
     val regimeLine: Option[String => Boolean] =
       Some(_.contains(s""""regime":"${esc(regimeNow)}""""))
 
@@ -544,7 +558,8 @@ object StreamBench {
       s""""fsync_ms_run":$fsyncRun,""" + pvp +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"cpus":$cpus,""" +
       Bench.codeCacheJson() + "," +
-      s""""git_sha":"${esc(Bench.gitSha())}","micro_batches":$nBatches}"""
+      s""""git_sha":"${esc(Bench.gitSha())}","micro_batches":$nBatches,""" +
+      s""""shuffle_partitions":$shufflePartsNow}"""
     // regime label: "micro16"-style fixed-round-dominated runs vs
     // "bulk"-batch throughput runs (VERDICT r11 item 4 — the
     // STREAMBENCH artifact carries BOTH, one JSON line each)

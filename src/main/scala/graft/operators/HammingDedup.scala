@@ -79,7 +79,14 @@ object HammingDedup {
         col(s"a.$sigCol") === col(s"b.$sigCol") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0).cast("int").as("dist"))
-    sameSig.unionAll(crossSig).orderBy("doc_a", "doc_b")
+    // checkpoint BEFORE the declared ORDER BY (r20): the range
+    // partitioner's sampling job re-executes its child, so the member
+    // joins + verify ran twice per query (HammingPairsProbe: pair
+    // stream 1.12 s vs 1.68 s end-to-end at sf0.1).  The barrier
+    // trades one write+read of the (bounded, output-sized) pair
+    // stream for the second execution.
+    graft.queries.Pipeline.stableCheckpoint(sameSig.unionAll(crossSig))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** The count form (the P52b discipline): per-distance pair COUNTS
@@ -99,6 +106,10 @@ object HammingDedup {
     val sameCounts = sigGroups
       .select(lit(0).cast("int").as("dist"), expr("(g * (g - 1)) DIV 2").as("p"))
       .groupBy("dist").agg(sum("p").as("n_pairs"))
-    sameCounts.unionAll(crossCounts).filter(col("n_pairs") > 0).orderBy("dist")
+    // checkpoint before ORDER BY: ≤ maxDist+1 rows materialize, the
+    // sampling job would otherwise re-run the whole count pipeline
+    graft.queries.Pipeline.stableCheckpoint(
+        sameCounts.unionAll(crossCounts).filter(col("n_pairs") > 0))
+      .orderBy("dist")
   }
 }

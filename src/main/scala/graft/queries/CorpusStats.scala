@@ -65,6 +65,9 @@ object CorpusStats {
       .filter(expr("10 * shared >= 3 * least(na, nb)"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         expr("least(na, nb)").as("min_fp"))
+      // checkpoint before the declared ORDER BY (r20): the range
+      // sampling job re-executes its child's post-shuffle segment
+      .transform(Pipeline.stableCheckpoint)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -69,7 +69,11 @@ object Pipeline {
   // instead of the ~10⁻³ of 2-row bands, i.e. hundreds of candidates
   // rather than ~1M).
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashPairs(s, d).select("doc_a", "doc_b", "jaccard")
+    // checkpoint before the declared ORDER BY (r20): the range
+    // sampling job re-executes its child — the whole LSH+verify
+    // pipeline ran twice per query (BlindSpotProbe: pair stream
+    // 0.71 s vs 1.13 s benched end-to-end at sf0.1)
+    stableCheckpoint(minhashPairs(s, d).select("doc_a", "doc_b", "jaccard"))
       .orderBy("doc_a", "doc_b")
 
   /** The LSH candidate + exact-verify pair pipeline (shared by the
@@ -84,7 +88,7 @@ object Pipeline {
     * inlining the 128-hash signature into every element_at of the
     * band explode, recomputing it per band (measured 64s → <2s at
     * sf0.01; PlanAuditSpec asserts one minhash128 in the plan). */
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // the signature is computed BELOW the exchange (map side): the
     // barrier then guarantees everything above references the
     // shuffled `sig` attribute, so CollapseProject can never inline
@@ -512,12 +516,15 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
-    graft.operators.SimJoin
+    // checkpoint before the declared ORDER BY (r20): the range
+    // sampling job re-executes its child — the prefix-filter join +
+    // merge-kernel verify pipeline ran twice per query
+    stableCheckpoint(graft.operators.SimJoin
       .jaccardCandidates(docs, "doc_id", "source", "sh", 0.5)
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (la + lb - inter)"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("jaccard"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("jaccard")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -546,12 +553,14 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         expr("graft_shingles64(text, 2)").as("sh"))
-    graft.operators.SimJoin
+    // checkpoint before the declared ORDER BY (r20) — same sampling
+    // re-execution cut as qNgramJaccard
+    stableCheckpoint(graft.operators.SimJoin
       .containmentCandidates(docs, "doc_id", "source", "sh", 0.3)
       .withColumn("containment", expr("CAST(inter AS DOUBLE) / la"))
       .filter(col("containment") >= 0.3)
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
-        col("containment"))
+        col("containment")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -970,9 +979,15 @@ object Pipeline {
   // min hash per window, distinct mins) — the standard rolling-hash
   // sampling used for plagiarism-style containment detection.
   def qFingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // checkpoint BEFORE the declared ORDER BY (r20): the range
+    // partitioner's sampling job re-executes its child, so the
+    // grams+winnow kernel ran TWICE per query — BlindSpotProbe
+    // measured the kernel scan at 0.38 s vs 1.01 s end-to-end at
+    // sf0.1; the barrier makes the sampling pass read materialized
+    // rows instead (guide §1/§2: don't compute things twice).
+    stableCheckpoint(Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(expr("graft_winnow(graft_grams32(text, 8), 4)")).as("fingerprint"))
+        explode(expr("graft_winnow(graft_grams32(text, 8), 4)")).as("fingerprint")))
       .orderBy("doc_id", "fingerprint")
 
   val qFingerprintSql: String =
@@ -1010,7 +1025,7 @@ object Pipeline {
     * consumer (MLlib's Lloyd caches its vectors for the same reason);
     * c1 is persisted because the profile consumes it twice (broadcast
     * + the a2 subtree). */
-  private def kmeansState(s: SparkSession, d: String, k: Int = KmeansK)
+  private[graft] def kmeansState(s: SparkSession, d: String, k: Int = KmeansK)
       : (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
